@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query; ``queries()`` maps operator
+names → (spark, sf_dir) → DataFrame; ``oracle_sql()`` gives the DuckDB
+ANSI-SQL equivalent for the correctness gate (CORRECTNESS_r{N}.json).
+
+Conventions (driver compares row-count + column names + value hash,
+order-insensitive, columns sorted by name):
+- every computed column is aliased identically in Spark and SQL;
+- floating outputs are rounded to 6 decimals on BOTH sides so cross-
+  engine summation-order differences cannot flip the hash;
+- ids/ranks/counts are cast to bigint on both sides.
 """
 
 from __future__ import annotations
@@ -13,26 +18,18 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from raft_spark.queries import QUERIES, ORACLES, flagship
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25-weight the documents doc-term matrix, L2-normalize
+    per doc, return top-5 terms per document (SURVEY.md §7 Phase 1)."""
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,126 @@
+"""Seeded deterministic random generation as Column expressions.
+
+RAFT's RNG (reference: ``cpp/include/raft/random/rng.cuh:31-735``,
+state ``random/rng_state.hpp``) is a counter-based generator: every
+element's value is a pure function of (seed, index). We keep exactly
+that contract — each value is a pure arithmetic function of the row's
+``id`` and the seed — so results are independent of partitioning and
+reproducible in ANSI SQL (the DuckDB oracle can recompute them).
+
+Generator: two rounds of a Lehmer / Park-Miller LCG over the prime
+modulus 2^31-1, seeded per (id, seed, stream). All intermediates stay
+< 2^62 so bigint arithmetic never overflows even at 10^12 rows.
+Distribution transforms are the same inverse-CDF formulas RAFT applies
+on top of its Philox/PCG uniforms (``rng.cuh``: normal via Box-Muller,
+exponential −ln(u)/λ, gumbel, laplace, logistic, rayleigh, lognormal,
+bernoulli, scaled_bernoulli, discrete via CDF inversion).
+
+Scale: pure per-row projections — zero shuffle, infinitely parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_M = 2_147_483_647          # 2^31 - 1 (Mersenne prime)
+_A = 48_271                 # Park–Miller multiplier
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def uniform(id_col, seed: int = 42, stream: int = 0) -> Column:
+    """U(0,1), pure function of (id, seed, stream) — rng.cuh uniform.
+
+    SQL-equivalent (DuckDB oracle)::
+
+        s0 = (id*2654435761 + seed*97531 + stream*7919) % 2147483646 + 1
+        s1 = (48271*s0) % 2147483647
+        s2 = (48271*s1) % 2147483647
+        u  = s2 / 2147483647.0
+    """
+    idc = _c(id_col).cast("long")
+    s0 = (idc * F.lit(2_654_435_761) + F.lit(seed) * 97_531 + F.lit(stream) * 7_919) % F.lit(_M - 1) + 1
+    s1 = (F.lit(_A) * s0) % F.lit(_M)
+    s2 = (F.lit(_A) * s1) % F.lit(_M)
+    return s2.cast("double") / F.lit(float(_M))
+
+
+def uniform_range(id_col, lo: float, hi: float, seed: int = 42, stream: int = 0) -> Column:
+    return F.lit(lo) + uniform(id_col, seed, stream) * F.lit(hi - lo)
+
+
+def uniform_int(id_col, lo: int, hi: int, seed: int = 42, stream: int = 0) -> Column:
+    """uniformInt over [lo, hi) (rng.cuh uniformInt)."""
+    return (F.lit(lo) + F.floor(uniform(id_col, seed, stream) * F.lit(hi - lo))).cast("long")
+
+
+def normal(id_col, mu: float = 0.0, sigma: float = 1.0, seed: int = 42) -> Column:
+    """N(mu, sigma) via Box–Muller on two independent streams
+    (rng.cuh normal)."""
+    u1 = uniform(id_col, seed, stream=1)
+    u2 = uniform(id_col, seed, stream=2)
+    z = F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2.0 * 3.141592653589793) * u2)
+    return F.lit(mu) + F.lit(sigma) * z
+
+
+def lognormal(id_col, mu: float = 0.0, sigma: float = 1.0, seed: int = 42) -> Column:
+    return F.exp(normal(id_col, mu, sigma, seed))
+
+
+def exponential(id_col, lam: float = 1.0, seed: int = 42, stream: int = 0) -> Column:
+    """Exp(λ) via inverse CDF (rng.cuh exponential)."""
+    return -F.log(F.lit(1.0) - uniform(id_col, seed, stream)) / F.lit(lam)
+
+
+def rayleigh(id_col, sigma: float = 1.0, seed: int = 42, stream: int = 0) -> Column:
+    return F.lit(sigma) * F.sqrt(-2.0 * F.log(F.lit(1.0) - uniform(id_col, seed, stream)))
+
+
+def laplace(id_col, mu: float = 0.0, scale: float = 1.0, seed: int = 42, stream: int = 0) -> Column:
+    u = uniform(id_col, seed, stream) - 0.5
+    return F.lit(mu) - F.lit(scale) * F.signum(u) * F.log(F.lit(1.0) - 2.0 * F.abs(u))
+
+
+def logistic(id_col, mu: float = 0.0, scale: float = 1.0, seed: int = 42, stream: int = 0) -> Column:
+    u = uniform(id_col, seed, stream)
+    return F.lit(mu) + F.lit(scale) * F.log(u / (F.lit(1.0) - u))
+
+
+def gumbel(id_col, mu: float = 0.0, beta: float = 1.0, seed: int = 42, stream: int = 0) -> Column:
+    u = uniform(id_col, seed, stream)
+    return F.lit(mu) - F.lit(beta) * F.log(-F.log(u))
+
+
+def bernoulli(id_col, p: float = 0.5, seed: int = 42, stream: int = 0) -> Column:
+    return (uniform(id_col, seed, stream) < F.lit(p)).cast("int")
+
+
+def scaled_bernoulli(id_col, p: float, scale: float, seed: int = 42, stream: int = 0) -> Column:
+    """±scale with prob p of negative sign (rng.cuh scaled_bernoulli)."""
+    return F.when(uniform(id_col, seed, stream) < F.lit(p), F.lit(-scale)).otherwise(F.lit(scale))
+
+
+def discrete(id_col, weights: list[float], seed: int = 42, stream: int = 0) -> Column:
+    """Weighted integer sampling via CDF inversion (rng.cuh discrete)."""
+    total = float(sum(weights))
+    u = uniform(id_col, seed, stream)
+    cum = 0.0
+    expr = F.lit(len(weights) - 1)
+    # build reversed when-chain: first bucket whose cumulative weight exceeds u
+    conds = []
+    for i, w in enumerate(weights):
+        cum += w / total
+        conds.append((i, cum))
+    for i, c in reversed(conds[:-1]):
+        expr = F.when(u < F.lit(c), F.lit(i)).otherwise(expr)
+    return expr.cast("int")
+
+
+def exp_sort_key(id_col, weight_col, seed: int = 42, stream: int = 0) -> Column:
+    """Gumbel-trick key for weighted sampling WITHOUT replacement
+    (rng.cuh:775 sample_without_replacement): take the k smallest
+    ``-ln(u)/w`` keys. Used with grouped/global top-k."""
+    return -F.log(uniform(id_col, seed, stream)) / _c(weight_col)

@@ -1,0 +1,144 @@
+"""Batched/grouped top-k selection — the Spark ``select_k``.
+
+Reference: ``cpp/include/raft/matrix/select_k.cuh:75`` (batched top-k of
+values + payload indices per row; radix "Air Top-k" & warp-sort
+physical variants, ``matrix/detail/select_radix.cuh``,
+``select_warpsort.cuh``; auto heuristic ``select_k_types.hpp:28-69``).
+
+Spark re-derivation (SURVEY.md §4 item 1 — the one place the default
+physical plan is meaningfully worse than the reference's algorithm):
+
+- ``window``  : row_number over (group, order) then filter ≤ k.
+  One shuffle + full sort of every group. Fine when groups are small
+  or k is a large fraction of the group.
+- ``agg``     : groupBy(group).agg(slice(array_sort(collect_list(
+  struct(...))), k)). Partial aggregation merges map-side, but the
+  collected list is unbounded per group → memory risk on huge groups.
+- ``salted``  (default for huge groups): two-phase partial top-k that
+  mirrors RAFT's per-block-then-merge design: phase 1 computes top-k
+  within (group, salt) buckets — bounded state, map-side combinable —
+  phase 2 merges the ≤ salts·k survivors per group. Shuffle volume
+  drops from |rows| to ≤ groups·salts·k rows after phase 1's partial
+  aggregation; the full sort per group never happens.
+- ``auto``    : salted when k ≤ 256 (same small-k regime the radix
+  kernel targets), else window.
+
+All variants break ties deterministically by payload id ascending so
+results are reproducible across partitionings (RAFT's radix select is
+also stable on index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_struct(order_col: str, payload_cols: list[str], ascending: bool) -> Column:
+    """Struct whose natural ordering = (order asc|desc, payload asc)."""
+    val = F.col(order_col)
+    key = val if ascending else -val
+    return F.struct(
+        key.alias("_k"),
+        *[F.col(c).alias(c) for c in payload_cols],
+        val.alias(order_col),
+    )
+
+
+def select_k(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    payload_cols: list[str] | None = None,
+    strategy: str = "auto",
+    num_salts: int = 32,
+) -> DataFrame:
+    """Top-k rows per group → (group_cols…, payload_cols…, order_col, rank).
+
+    rank is 1-based within the group. Ties broken by payload ascending.
+    """
+    payload_cols = payload_cols or []
+    if strategy == "auto":
+        strategy = "salted" if k <= 256 else "window"
+
+    if strategy == "window":
+        w = Window.partitionBy(*group_cols).orderBy(
+            F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+            *[F.col(c).asc() for c in payload_cols],
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(*group_cols, *payload_cols, order_col, "rank")
+        )
+
+    s = _order_struct(order_col, payload_cols, ascending)
+
+    if strategy == "agg":
+        topk = df.groupBy(*group_cols).agg(
+            F.slice(F.array_sort(F.collect_list(s)), 1, k).alias("_top")
+        )
+    elif strategy == "salted":
+        # Phase 1: bounded top-k inside each (group, salt) bucket.
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in payload_cols] or [F.monotonically_increasing_id()]), F.lit(num_salts))
+        partial = (
+            df.withColumn("_salt", salt)
+            .groupBy(*group_cols, "_salt")
+            .agg(F.slice(F.array_sort(F.collect_list(s)), 1, k).alias("_top"))
+        )
+        # Phase 2: merge ≤ num_salts·k survivors per group.
+        topk = (
+            partial.select(*group_cols, F.explode("_top").alias("_s"))
+            .groupBy(*group_cols)
+            .agg(F.slice(F.array_sort(F.collect_list("_s")), 1, k).alias("_top"))
+        )
+    else:
+        raise ValueError(f"unknown strategy: {strategy}")
+
+    out = topk.select(
+        *group_cols, F.posexplode("_top").alias("_pos", "_s")
+    )
+    return out.select(
+        *group_cols,
+        *[F.col(f"_s.{c}").alias(c) for c in payload_cols],
+        F.col(f"_s.{order_col}").alias(order_col),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
+def select_k_dense(
+    df: DataFrame,
+    features_col: str = "features",
+    id_col: str = "id",
+    k: int = 5,
+    ascending: bool = False,
+) -> DataFrame:
+    """Dense-input select_k: per row, top-k (value, col-index) pairs from
+    the array column — the literal ``matrix::select_k`` shape. Pure
+    per-row expression (no shuffle): sort the zipped (value, idx)
+    structs inside the row and slice k.
+    """
+    zipped = F.arrays_zip(
+        F.col(features_col).alias("v"),
+        F.sequence(F.lit(0), F.size(features_col) - 1).alias("i"),
+    )
+    key = F.array_sort(
+        F.transform(
+            zipped,
+            lambda e: F.struct(
+                (e["v"] if ascending else -e["v"]).alias("_k"),
+                e["i"].alias("idx"),
+                e["v"].alias("value"),
+            ),
+        )
+    )
+    top = F.slice(key, 1, k)
+    out = df.select(id_col, F.posexplode(top).alias("_pos", "_s"))
+    return out.select(
+        id_col,
+        F.col("_s.idx").cast("int").alias("idx"),
+        F.col("_s.value").cast("double").alias("value"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )

@@ -1,0 +1,51 @@
+"""SparkSession factory.
+
+The RAFT equivalent is ``device_resources`` (reference:
+``cpp/include/raft/core/handle.hpp``) — the carrier of streams, BLAS
+handles and comms. In Spark all of that is the session + cluster
+runtime, so this module is deliberately tiny: one tuned builder.
+
+Scale notes (100 TB / 1000-executor design):
+- AQE on: runtime shuffle-partition coalescing, skew-join splitting,
+  and dynamic broadcast-join conversion replace all of RAFT's
+  hand-rolled kernel-policy heuristics (SURVEY.md §4).
+- ``spark.sql.shuffle.partitions`` here is a local-mode default; on a
+  real cluster AQE's coalescing makes the initial number mostly
+  irrelevant as long as it is high enough.
+- Arrow enabled for the few pandas_udf paths (batched, never per-row).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "raft_spark",
+    cpus: str | int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) the tuned local SparkSession."""
+    cpus = str(cpus or DEFAULT_CPUS)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(int(cpus), 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,93 @@
+"""Parquet sources + canonical data-model constructors.
+
+RAFT has no file readers — the caller hands it typed device arrays
+(reference: ``python/pylibraft/pylibraft/common/device_ndarray.py``).
+Our engine's canonical representations (SURVEY.md §1.3):
+
+1. row-vector table  ``(id: long, features: array<double>)`` — maps to
+   ``device_matrix_view<T, row_major>``
+   (reference: ``cpp/include/raft/core/mdspan_types.hpp:30-37``).
+2. COO long-form     ``(row: long, col: long, value: double)`` — maps to
+   ``coo_matrix`` / ``csr_matrix``
+   (reference: ``cpp/include/raft/core/coo_matrix.hpp:195``).
+3. label/key columns; scalar results as 1-row DataFrames.
+
+Scale notes: the parquet scans are the only I/O; every constructor
+below is a narrow projection (no shuffle), so Catalyst pushes column
+pruning and filters into the scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Read one synthetic table (see /root/repo/TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {t: load(spark, t, sf_dir) for t in TABLES}
+
+
+def embeddings_matrix(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Canonical dense row-vector table from the embeddings parquet.
+
+    Features cast float→double once at the scan so every downstream
+    reduction computes in f64 (RAFT reductions accumulate in the output
+    type; we standardize on double and document tolerance, SURVEY §2.2).
+    """
+    return load(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").cast("array<double>").alias("features"),
+        F.col("label"),
+    )
+
+
+def lineitem_matrix(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Dense 4-col matrix view over lineitem numerics (for moments etc.)."""
+    li = load(spark, "lineitem", sf_dir)
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.array(
+            F.col("l_quantity").cast("double"),
+            F.col("l_extendedprice").cast("double"),
+            F.col("l_discount").cast("double"),
+            F.col("l_tax").cast("double"),
+        ).alias("features"),
+    )
+
+
+def doc_terms(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """COO doc-term counts ``(doc_id, term, tf)`` from documents.text.
+
+    The sparse doc-term matrix that feeds TF-IDF / BM25 (reference:
+    ``cpp/include/raft/sparse/matrix/preprocessing.cuh:28,101``).
+    One shuffle (groupBy doc×term); at 100 TB this is a classic
+    map-side-combinable word-count — partial aggregation bounds the
+    shuffle to distinct (doc, term) pairs.
+    """
+    docs = load(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.explode(F.split(F.col("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
