@@ -1,0 +1,202 @@
+"""Column-direction reductions & grouped reductions over row-vector tables.
+
+Reference semantics:
+- strided (column-wise) reduce: ``linalg/reduce.cuh:63`` with
+  ``Apply::ALONG_COLUMNS`` → ``linalg/detail/strided_reduction.cuh``
+- per-column moments: ``stats/sum.cuh:21``, ``stats/mean.cuh:23``,
+  ``stats/stddev.cuh:20``, fused ``stats/meanvar.cuh:19``
+- per-column minmax: ``stats/minmax.cuh:24``
+- weighted mean: ``stats/weighted_mean.cuh:21``
+- mean_center / mean_add: ``stats/mean_center.cuh:20,41``
+- histogram: ``stats/histogram.cuh:34``
+- reduce_rows_by_key: ``linalg/reduce_rows_by_key.cuh:31``
+- reduce_cols_by_key: ``linalg/reduce_cols_by_key.cuh:40``
+- covariance: ``stats/cov.cuh:18``
+
+Physical shape (100 TB notes): column-direction reductions route
+through ``posexplode`` + ``groupBy(pos)``. The explode is a narrow
+flatMap; partial (map-side) aggregation reduces each partition to
+``n_cols`` rows before the shuffle, so shuffle volume is
+``partitions × n_cols`` regardless of row count — the exact analogue
+of RAFT's per-block partial reduction + atomic merge. No collect()
+anywhere except the deliberate k×k/driver-scale outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def explode_positions(
+    df: DataFrame, features_col: str = "features", keep: list[str] | None = None
+) -> DataFrame:
+    """Row-vector table → long form (keep…, pos, x)."""
+    keep = keep or []
+    return df.select(*keep, F.posexplode(features_col).alias("pos", "x"))
+
+
+def col_reduce(
+    df: DataFrame,
+    aggs: list[Column],
+    features_col: str = "features",
+) -> DataFrame:
+    """Column-wise reduce: one output row per position with given aggs."""
+    return (
+        explode_positions(df, features_col)
+        .groupBy("pos")
+        .agg(*aggs)
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def col_moments(df: DataFrame, features_col: str = "features") -> DataFrame:
+    """Fused per-column sum/mean/var/std/min/max (stats/meanvar.cuh —
+    one pass, sample semantics like RAFT's default sample=true)."""
+    return col_reduce(
+        df,
+        [
+            F.sum("x").alias("sum"),
+            F.avg("x").alias("mean"),
+            F.var_samp("x").alias("var"),
+            F.stddev_samp("x").alias("std"),
+            F.min("x").alias("min"),
+            F.max("x").alias("max"),
+        ],
+        features_col,
+    )
+
+
+def col_weighted_mean(
+    df: DataFrame, weight_col: str, features_col: str = "features"
+) -> DataFrame:
+    """Per-column weighted mean (stats/weighted_mean.cuh:43 col version)."""
+    long = df.select(F.col(weight_col).alias("w"), F.posexplode(features_col).alias("pos", "x"))
+    return (
+        long.groupBy("pos")
+        .agg((F.sum(F.col("w") * F.col("x")) / F.sum("w")).alias("wmean"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def mean_center(df: DataFrame, features_col: str = "features", add: bool = False) -> DataFrame:
+    """Subtract (or add back) per-column means (stats/mean_center.cuh).
+
+    The means vector is a 1×n_cols aggregate — broadcast back via
+    crossJoin of a single-row DataFrame (never collected to Python),
+    then a zero-shuffle zip_with per row.
+    """
+    means = (
+        explode_positions(df, features_col)
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
+        .select(F.transform("_pm", lambda s: s["m"]).alias("_means"))
+    )
+    op = (lambda a, b: a + b) if add else (lambda a, b: a - b)
+    return df.crossJoin(F.broadcast(means)).withColumn(
+        features_col, F.zip_with(features_col, "_means", op)
+    ).drop("_means")
+
+
+def histogram(
+    df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
+) -> DataFrame:
+    """Fixed-width binned counts (stats/histogram.cuh:34). Values outside
+    [lo, hi) are clamped into the edge bins like RAFT's binner."""
+    width = (hi - lo) / n_bins
+    bucket = F.least(
+        F.greatest(F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return df.select(bucket.alias("bin")).groupBy("bin").agg(F.count("*").alias("count"))
+
+
+def reduce_rows_by_key(
+    df: DataFrame,
+    key_col: str,
+    features_col: str = "features",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Σ rows per key → long form (key, pos, sum) — the k-means-update
+    primitive (linalg/reduce_rows_by_key.cuh:31; weighted :74).
+
+    Long-form output keeps the shuffle map-side combinable; re-pack to
+    arrays with ``pack_rows`` only when the per-key vector is needed
+    as a value.
+    """
+    cols = [F.col(key_col).alias("key"), F.posexplode(features_col).alias("pos", "x")]
+    if weight_col:
+        long = df.select(F.col(weight_col).alias("w"), *cols)
+        val = F.sum(F.col("w") * F.col("x"))
+    else:
+        long = df.select(*cols)
+        val = F.sum("x")
+    return (
+        long.groupBy("key", "pos")
+        .agg(val.alias("sum"))
+        .withColumn("pos", F.col("pos").cast("long"))
+    )
+
+
+def reduce_cols_by_key(
+    df: DataFrame,
+    col_keys: list[int],
+    features_col: str = "features",
+    id_col: str = "id",
+) -> DataFrame:
+    """Σ columns grouped by a column-key vector → (id, key, sum)
+    (linalg/reduce_cols_by_key.cuh:40). col_keys[j] = key of column j.
+
+    Computed as a pure per-row expression (zero shuffle): for each
+    distinct key, fold the positions carrying it.
+    """
+    keys = sorted(set(col_keys))
+    key_arr = F.array(*[F.lit(k) for k in col_keys])
+    pairs = F.zip_with(
+        F.col(features_col), key_arr, lambda x, k: F.struct(k.alias("k"), x.alias("x"))
+    )
+    out_rows = []
+    for k in keys:
+        s = F.aggregate(
+            F.filter(pairs, lambda p: p["k"] == F.lit(k)),
+            F.lit(0.0),
+            lambda acc, p: acc + p["x"],
+        )
+        out_rows.append(F.struct(F.lit(k).cast("long").alias("key"), s.alias("sum")))
+    exploded = F.explode(F.array(*out_rows))
+    return df.select(F.col(id_col).alias("id"), exploded.alias("_e")).select(
+        "id", F.col("_e.key").alias("key"), F.col("_e.sum").alias("sum")
+    )
+
+
+def pack_rows(long_df: DataFrame, key_cols: list[str], pos_col: str = "pos", val_col: str = "x") -> DataFrame:
+    """(keys…, pos, x) long form → (keys…, features array) ordered by pos."""
+    return (
+        long_df.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(F.struct(pos_col, val_col))).alias("_pv"))
+        .withColumn("features", F.transform("_pv", lambda s: s[val_col]))
+        .drop("_pv")
+    )
+
+
+def covariance(df: DataFrame, features_col: str = "features", sample: bool = True) -> DataFrame:
+    """Covariance matrix in long form (i, j, cov) — stats/cov.cuh:18.
+
+    Pairwise expansion per row (n_cols² terms) then a single groupBy —
+    the Gram-matrix pattern; output is k×k (driver-scale by design).
+    """
+    n = F.size(features_col)
+    centered = mean_center(df, features_col)
+    ij = centered.select(
+        F.posexplode(features_col).alias("i", "xi"),
+        F.col(features_col).alias("_f"),
+    ).select("i", "xi", F.posexplode("_f").alias("j", "xj"))
+    denom = F.count("*") - (1 if sample else 0)
+    return (
+        ij.groupBy("i", "j")
+        .agg((F.sum(F.col("xi") * F.col("xj")) / denom).alias("cov"))
+        .withColumn("i", F.col("i").cast("long"))
+        .withColumn("j", F.col("j").cast("long"))
+    )

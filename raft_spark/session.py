@@ -45,6 +45,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
+        # rejects; read as long (ns since epoch) and convert explicitly.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
