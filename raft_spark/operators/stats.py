@@ -1,0 +1,226 @@
+"""Statistics / model-evaluation metrics (SURVEY.md §2.6).
+
+Every metric reduces to groupBy counts + scalar algebra, exactly the
+structure of the reference kernels:
+
+- accuracy: ``stats/accuracy.cuh:20``
+- regression metrics (MAE/MSE/median-AE): ``stats/regression_metrics.cuh:21``
+- r2: ``stats/r2_score.cuh``
+- contingency matrix: ``stats/contingency_matrix.cuh:23``
+- entropy: ``stats/entropy.cuh:19``; mutual info: ``stats/mutual_info_score.cuh:20``
+- homogeneity/completeness/v-measure: ``stats/homogeneity_score.cuh:20``,
+  ``completeness_score.cuh:20``, ``v_measure.cuh:20``
+- rand index / adjusted rand index: ``stats/rand_index.cuh:20``,
+  ``stats/adjusted_rand_index.cuh:25``
+- KL divergence: ``stats/kl_divergence.cuh:20``
+- cluster dispersion: ``stats/dispersion.cuh:22``
+- silhouette score: ``stats/silhouette_score.cuh:20`` (O(n²) pairwise —
+  gate by sampling at scale, like the reference's batched variant)
+- information criteria: ``stats/information_criterion.cuh:7``
+
+Scale notes: all metrics are one or two map-side-combinable aggregates
+over (truth, pred) or (label, features); the contingency table itself
+is k×k (driver-scale). Silhouette is the only O(n²) op — at 100 TB it
+must run on a sample (the reference's batched form chunks the same
+crossJoin); the implementation takes the DataFrame it is given and
+leaves sampling policy to the caller.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from raft_spark.functions import arrays as A
+
+
+def accuracy(df: DataFrame, truth: str, pred: str) -> DataFrame:
+    """Fraction of exact matches (stats/accuracy.cuh:20)."""
+    return df.agg(
+        F.avg((F.col(truth) == F.col(pred)).cast("double")).alias("accuracy")
+    )
+
+
+def regression_metrics(df: DataFrame, y: str, yhat: str) -> DataFrame:
+    """MAE / MSE / median absolute error (stats/regression_metrics.cuh)."""
+    err = F.col(y) - F.col(yhat)
+    return df.agg(
+        F.avg(F.abs(err)).alias("mae"),
+        F.avg(err * err).alias("mse"),
+        F.expr(f"percentile(abs({y} - {yhat}), 0.5)").alias("medae"),
+    )
+
+
+def r2_score(df: DataFrame, y: str, yhat: str) -> DataFrame:
+    """R² (stats/r2_score.cuh): 1 - SSres/SStot in one pass (SStot via
+    the variance identity Σ(y-ȳ)² = Σy² - (Σy)²/n)."""
+    err = F.col(y) - F.col(yhat)
+    return df.agg(
+        (
+            1.0
+            - F.sum(err * err)
+            / (F.sum(F.col(y) * F.col(y)) - F.pow(F.sum(y), 2) / F.count("*"))
+        ).alias("r2")
+    )
+
+
+def contingency_matrix(df: DataFrame, truth: str, pred: str) -> DataFrame:
+    """Label cross-tab (stats/contingency_matrix.cuh:23), long form."""
+    return (
+        df.groupBy(F.col(truth).cast("long").alias("truth"), F.col(pred).cast("long").alias("pred"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _comb2(c: Column) -> Column:
+    return c * (c - 1) / 2.0
+
+
+def cluster_metrics(df: DataFrame, truth: str, pred: str) -> DataFrame:
+    """All contingency-derived clustering metrics in one small plan:
+    entropies, mutual information, homogeneity/completeness/v-measure,
+    rand index, adjusted rand index. Natural log, sklearn conventions
+    (matching the reference's definitions in stats/*.cuh).
+
+    Physically: one shuffle to build the k×k contingency table, then
+    three tiny aggregates + a 1-row join — everything after the first
+    groupBy is driver-scale.
+    """
+    ct = contingency_matrix(df, truth, pred).cache()  # k×k — tiny
+    # N is a single count — driver-scale by design (the contingency
+    # table itself is the only shuffle; everything below is k×k).
+    n_rows = df.count()
+    N = F.lit(float(n_rows))
+    row = ct.groupBy("truth").agg(F.sum("n").alias("ni"))
+    colt = ct.groupBy("pred").agg(F.sum("n").alias("nj"))
+
+    per = ct.join(row, "truth").join(colt, "pred")
+    nij, ni, nj = F.col("n"), F.col("ni"), F.col("nj")
+
+    agg = per.agg(
+        F.sum(nij / N * F.log(N * nij / (ni * nj))).alias("mi"),
+        # H(C|K) = -Σ nij/N ln(nij/nj);  H(K|C) = -Σ nij/N ln(nij/ni)
+        (-F.sum(nij / N * F.log(nij / nj))).alias("h_c_given_k"),
+        (-F.sum(nij / N * F.log(nij / ni))).alias("h_k_given_c"),
+        F.sum(_comb2(nij)).alias("sum_cij"),
+    )
+    h_truth = row.agg(
+        (-F.sum(F.col("ni") / N * F.log(F.col("ni") / N))).alias("h_c"),
+        F.sum(_comb2(F.col("ni"))).alias("sum_ci"),
+    )
+    h_pred = colt.agg(
+        (-F.sum(F.col("nj") / N * F.log(F.col("nj") / N))).alias("h_k"),
+        F.sum(_comb2(F.col("nj"))).alias("sum_cj"),
+    )
+    out = agg.crossJoin(h_truth).crossJoin(h_pred)
+
+    homo = F.when(F.col("h_c") == 0, F.lit(1.0)).otherwise(
+        1.0 - F.col("h_c_given_k") / F.col("h_c")
+    )
+    comp = F.when(F.col("h_k") == 0, F.lit(1.0)).otherwise(
+        1.0 - F.col("h_k_given_c") / F.col("h_k")
+    )
+    cn2 = _comb2(N)
+    expected = F.col("sum_ci") * F.col("sum_cj") / cn2
+    return out.select(
+        F.col("h_c").alias("entropy_truth"),
+        F.col("h_k").alias("entropy_pred"),
+        F.col("mi").alias("mutual_info"),
+        homo.alias("homogeneity"),
+        comp.alias("completeness"),
+        (2 * homo * comp / (homo + comp)).alias("v_measure"),
+        (
+            (cn2 + 2 * F.col("sum_cij") - F.col("sum_ci") - F.col("sum_cj")) / cn2
+        ).alias("rand_index"),
+        (
+            (F.col("sum_cij") - expected)
+            / ((F.col("sum_ci") + F.col("sum_cj")) / 2.0 - expected)
+        ).alias("adjusted_rand_index"),
+    )
+
+
+def kl_divergence(df: DataFrame, p_label: str, q_label: str) -> DataFrame:
+    """KL(P‖Q) between the class distributions of two label columns
+    (stats/kl_divergence.cuh:20). Classes present in P but absent in Q
+    contribute +inf in theory; here inner-join (reference modifies 0
+    terms to skip, detail/kl_divergence.cuh uses p*log(p/q) with q>0).
+    """
+    n = df.count()
+    p = df.groupBy(F.col(p_label).alias("k")).agg((F.count("*") / n).alias("p"))
+    q = df.groupBy(F.col(q_label).alias("k")).agg((F.count("*") / n).alias("q"))
+    return p.join(q, "k").agg(
+        F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))).alias("kl")
+    )
+
+
+def dispersion(df: DataFrame, label: str = "label", features: str = "features") -> DataFrame:
+    """Cluster dispersion (stats/dispersion.cuh:22): Σ_c n_c·‖μ_c − μ‖²
+    — the between-cluster scatter used by the elbow method. Returns
+    (dispersion, n_clusters)."""
+    long = df.select(F.col(label).alias("k"), F.posexplode(features).alias("pos", "x"))
+    cl = long.groupBy("k", "pos").agg(F.sum("x").alias("s"), F.count("x").alias("nc"))
+    glob = long.groupBy("pos").agg(F.avg("x").alias("g"))
+    j = cl.join(glob, "pos")
+    per_cluster = j.groupBy("k").agg(
+        F.first("nc").alias("nc"),
+        F.sum(F.pow(F.col("s") / F.col("nc") - F.col("g"), 2)).alias("sq"),
+    )
+    return per_cluster.agg(
+        F.sum(F.col("nc") * F.col("sq")).alias("dispersion"),
+        F.countDistinct("k").cast("long").alias("n_clusters"),
+    )
+
+
+def silhouette_score(
+    df: DataFrame, id_col: str = "id", label: str = "label", features: str = "features"
+) -> DataFrame:
+    """Mean silhouette coefficient, Euclidean (stats/silhouette_score.cuh:20).
+
+    O(n²) crossJoin — the caller samples first at scale (the
+    reference's batched variant chunks the same computation,
+    silhouette_score.cuh:74).
+    """
+    a = df.select(
+        F.col(id_col).alias("i"), F.col(label).alias("li"), F.col(features).alias("fi")
+    )
+    b = df.select(
+        F.col(id_col).alias("j"), F.col(label).alias("lj"), F.col(features).alias("fj")
+    )
+    pairs = a.join(b, F.col("i") != F.col("j"))
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with("fi", "fj", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    # mean distance from point i to every cluster lj
+    to_cluster = pairs.groupBy("i", "li", "lj").agg(F.avg(dist).alias("d"))
+    own = to_cluster.filter(F.col("li") == F.col("lj")).select("i", F.col("d").alias("a"))
+    other = (
+        to_cluster.filter(F.col("li") != F.col("lj"))
+        .groupBy("i")
+        .agg(F.min("d").alias("b"))
+    )
+    s = own.join(other, "i").select(
+        ((F.col("b") - F.col("a")) / F.greatest("a", "b")).alias("s")
+    )
+    return s.agg(F.avg("s").alias("silhouette"))
+
+
+def information_criterion(
+    df: DataFrame, y: str, yhat: str, n_params: int
+) -> DataFrame:
+    """AIC / AICc / BIC from a Gaussian log-likelihood of the residuals
+    (stats/information_criterion.cuh:7; types stats/stats_types.hpp:63)."""
+    err = F.col(y) - F.col(yhat)
+    base = df.agg(F.avg(err * err).alias("mse"), F.count("*").alias("n"))
+    two_pi = 6.283185307179586
+    llh = -F.col("n") / 2.0 * (F.log(F.lit(two_pi) * F.col("mse")) + 1.0)
+    k = F.lit(float(n_params))
+    aic = -2.0 * llh + 2.0 * k
+    return base.select(
+        aic.alias("aic"),
+        (aic + 2.0 * k * (k + 1.0) / (F.col("n") - k - 1.0)).alias("aicc"),
+        (-2.0 * llh + k * F.log(F.col("n"))).alias("bic"),
+    )

@@ -11,4 +11,5 @@ from raft_spark.queries.registry import QUERIES, ORACLES, query  # noqa: F401
 # Import for registration side-effects.
 from raft_spark.queries import text_queries  # noqa: F401, E402
 from raft_spark.queries import dense_queries  # noqa: F401, E402
+from raft_spark.queries import stats_queries  # noqa: F401, E402
 from raft_spark.queries.text_queries import flagship  # noqa: F401, E402
