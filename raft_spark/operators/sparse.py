@@ -1,0 +1,246 @@
+"""Sparse (COO long-form) operators: filters, dedup, symmetrize, degree,
+row norms/normalize, Laplacian, diagonal ops, SpMM/SDDMM/masked-matmul,
+GEMM in long form, and label utilities (SURVEY.md §2.4, §2.5, §2.9).
+
+The canonical sparse representation is the long-form DataFrame
+``(row: long, col: long, value: double)`` — the Spark rendering of
+``coo_matrix``/``csr_matrix`` (reference: ``core/coo_matrix.hpp:195``,
+``core/csr_matrix.hpp:207``). CSR vs COO is a physical-layout detail
+with no Spark equivalent; ordering/compression is Catalyst's problem.
+
+Reference semantics per function are cited inline.
+
+Scale notes: all ops are joins/aggregations keyed on row or col —
+co-partitioned shuffles that AQE sizes; the dense sides of SpMM/SDDMM
+broadcast when small and shuffle-join on the contraction key when not.
+No driver-side collection anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# filters / dedup (sparse/op/filter.cuh, reduce.cuh)
+# ---------------------------------------------------------------------------
+
+def coo_remove_scalar(coo: DataFrame, scalar: float) -> DataFrame:
+    """Drop entries equal to scalar (sparse/op/filter.cuh:38);
+    coo_remove_zeros (:81) is scalar=0."""
+    return coo.filter(F.col("value") != scalar)
+
+
+def coo_sort(coo: DataFrame, by_weight: bool = False) -> DataFrame:
+    """sparse/op/sort.cuh:31 (row,col) / :60 (by value). Ordering is a
+    physical detail in Spark; exposed for API parity."""
+    return coo.orderBy("value" if by_weight else ["row", "col"])
+
+
+def max_duplicates(coo: DataFrame) -> DataFrame:
+    """Reduce duplicate (row,col) entries by max, keeping the duplicate
+    count (sparse/op/reduce.cuh:39 compute_duplicates_mask, :62
+    max_duplicates)."""
+    return coo.groupBy("row", "col").agg(
+        F.max("value").alias("value"), F.count("*").alias("n_dup")
+    )
+
+
+def sparse_add(a: DataFrame, b: DataFrame) -> DataFrame:
+    """CSR+CSR sum over the union of patterns (sparse/linalg/add.cuh:18)."""
+    return (
+        a.select("row", "col", "value")
+        .unionAll(b.select("row", "col", "value"))
+        .groupBy("row", "col")
+        .agg(F.sum("value").alias("value"))
+    )
+
+
+def transpose(coo: DataFrame) -> DataFrame:
+    """CSR/COO transpose = column relabel (sparse/linalg/transpose.cuh:34)."""
+    return coo.select(
+        F.col("col").alias("row"), F.col("row").alias("col"), "value"
+    )
+
+
+def symmetrize(coo: DataFrame) -> DataFrame:
+    """A ∪ Aᵀ with summed values (sparse/linalg/symmetrize.cuh:19)."""
+    return sparse_add(coo, transpose(coo))
+
+
+# ---------------------------------------------------------------------------
+# per-row structure (sparse/linalg/degree.cuh, norm.cuh; op/slice.cuh)
+# ---------------------------------------------------------------------------
+
+def degree(coo: DataFrame, weighted: bool = True) -> DataFrame:
+    """Per-row nonzero count (+ weighted degree) —
+    sparse/linalg/degree.cuh:19; count_if(value != s) variants :47,:80."""
+    aggs = [F.count("*").alias("deg")]
+    if weighted:
+        aggs.append(F.sum("value").alias("wdeg"))
+    return coo.groupBy("row").agg(*aggs)
+
+
+def csr_row_normalize(coo: DataFrame, kind: str = "l1") -> DataFrame:
+    """Row normalization of a sparse matrix (sparse/linalg/norm.cuh:20
+    L1, :41 Linf; L2 by extension). Zero-sum rows pass through (the
+    reference's row_normalize skips empty rows)."""
+    if kind == "l1":
+        norm = F.sum(F.abs(F.col("value")))
+    elif kind == "l2":
+        norm = F.sqrt(F.sum(F.col("value") * F.col("value")))
+    elif kind == "linf":
+        norm = F.max(F.abs(F.col("value")))
+    else:
+        raise ValueError(kind)
+    w = Window.partitionBy("row")
+    n = norm.over(w)
+    return coo.select(
+        "row",
+        "col",
+        F.when(n == 0, F.col("value")).otherwise(F.col("value") / n).alias("value"),
+    )
+
+
+def csr_row_slice(coo: DataFrame, row_start: int, row_end: int) -> DataFrame:
+    """Row-range slice (sparse/op/slice.cuh:30) — pure predicate, pushed
+    into the scan."""
+    return coo.filter((F.col("row") >= row_start) & (F.col("row") <= row_end))
+
+
+# ---------------------------------------------------------------------------
+# diagonal (sparse/matrix/diagonal.cuh)
+# ---------------------------------------------------------------------------
+
+def get_diagonal(coo: DataFrame) -> DataFrame:
+    """sparse/matrix/diagonal.cuh:21."""
+    return coo.filter(F.col("row") == F.col("col")).select("row", "value")
+
+
+def scale_by_diagonal(coo: DataFrame, diag: DataFrame, symmetric: bool = True) -> DataFrame:
+    """Scale values by 1/d_row (and 1/d_col when symmetric) —
+    sparse/matrix/diagonal.cuh:44 scale_by_diagonal_symmetric."""
+    dr = diag.select(F.col("row").alias("row"), F.col("value").alias("_dr"))
+    out = coo.join(dr, "row").withColumn("value", F.col("value") / F.col("_dr")).drop("_dr")
+    if symmetric:
+        dc = diag.select(F.col("row").alias("col"), F.col("value").alias("_dc"))
+        out = out.join(dc, "col").withColumn("value", F.col("value") / F.col("_dc")).drop("_dc")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# graph Laplacian (sparse/linalg/laplacian.cuh)
+# ---------------------------------------------------------------------------
+
+def laplacian(adj: DataFrame, normalized: bool = False) -> DataFrame:
+    """L = D − A, or normalized L = I − D^{-1/2} A D^{-1/2}
+    (sparse/linalg/laplacian.cuh:20 compute_graph_laplacian, :60
+    laplacian_normalized). ``adj`` must be symmetric with no self
+    loops; weighted degrees used (like the reference).
+
+    Plan: one degree aggregate + broadcast-or-shuffle joins on row/col
+    — 2 shuffles total, both keyed on node id.
+    """
+    deg = adj.groupBy("row").agg(F.sum("value").alias("d"))
+    if not normalized:
+        diag = deg.select("row", F.col("row").alias("col"), F.col("d").alias("value"))
+        off = adj.select("row", "col", (-F.col("value")).alias("value"))
+        return diag.unionAll(off)
+    dr = deg.select("row", F.col("d").alias("_dr"))
+    dc = deg.select(F.col("row").alias("col"), F.col("d").alias("_dc"))
+    off = (
+        adj.join(dr, "row")
+        .join(dc, "col")
+        .select(
+            "row",
+            "col",
+            (-F.col("value") / F.sqrt(F.col("_dr") * F.col("_dc"))).alias("value"),
+        )
+    )
+    diag = deg.select("row", F.col("row").alias("col"), F.lit(1.0).alias("value"))
+    return diag.unionAll(off)
+
+
+# ---------------------------------------------------------------------------
+# products (sparse/linalg/spmm.hpp, sddmm.hpp, masked_matmul.cuh; linalg/gemm.cuh)
+# ---------------------------------------------------------------------------
+
+def spmm(coo: DataFrame, dense_long: DataFrame) -> DataFrame:
+    """Sparse × dense: C[i,j] = Σ_k A[i,k]·B[k,j]
+    (sparse/linalg/spmm.hpp:42). ``dense_long`` is (row, col, value)
+    long form of B; join key = contraction index."""
+    b = dense_long.select(
+        F.col("row").alias("col"), F.col("col").alias("j"), F.col("value").alias("b")
+    )
+    return (
+        coo.join(b, "col")
+        .groupBy("row", "j")
+        .agg(F.sum(F.col("value") * F.col("b")).alias("value"))
+        .select("row", F.col("j").alias("col"), "value")
+    )
+
+
+def sddmm(pattern: DataFrame, u_long: DataFrame, v_long: DataFrame,
+          alpha: float = 1.0, beta: float = 0.0) -> DataFrame:
+    """Sampled dense-dense matmul: C = α·(U·Vᵀ)∘spy(C) + β·C
+    (sparse/linalg/sddmm.hpp:43). ``pattern`` carries the sparsity and
+    the existing C values; U,V are (row, k, value) long form.
+
+    masked_matmul (sparse/linalg/masked_matmul.cuh:47) is the same
+    computation with a 0/1 mask as the pattern — call with beta=0.
+    """
+    u = u_long.select(F.col("row").alias("_i"), F.col("col").alias("k"), F.col("value").alias("u"))
+    v = v_long.select(F.col("row").alias("_j"), F.col("col").alias("k"), F.col("value").alias("v"))
+    prod = (
+        pattern.select(F.col("row").alias("_i"), F.col("col").alias("_j"), F.col("value").alias("c0"))
+        .join(u, "_i")
+        .join(v, ["_j", "k"])
+        .groupBy("_i", "_j")
+        .agg((F.lit(alpha) * F.sum(F.col("u") * F.col("v")) + F.lit(beta) * F.first("c0")).alias("value"))
+    )
+    return prod.select(F.col("_i").alias("row"), F.col("_j").alias("col"), "value")
+
+
+def gemm(a_long: DataFrame, b_long: DataFrame) -> DataFrame:
+    """Dense GEMM in long form: C = A·B via join on the contraction key
+    (linalg/gemm.cuh:51). For matrices that fit a broadcast, Catalyst
+    turns the join into a broadcast-hash join automatically."""
+    a = a_long.select(F.col("row").alias("i"), F.col("col").alias("k"), F.col("value").alias("a"))
+    b = b_long.select(F.col("row").alias("k"), F.col("col").alias("j"), F.col("value").alias("b"))
+    return (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("a") * F.col("b")).alias("value"))
+        .select(F.col("i").alias("row"), F.col("j").alias("col"), "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# labels (label/classlabels.cuh)
+# ---------------------------------------------------------------------------
+
+def make_monotonic(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """Relabel arbitrary labels to dense 0..k-1 (label/classlabels.cuh:81).
+
+    dense_rank over the distinct label set — the rank table is k rows,
+    broadcast back; the big table never sorts globally.
+    """
+    distinct = df.select(label_col).distinct()
+    ranked = distinct.withColumn(
+        "_mono",
+        (F.dense_rank().over(Window.orderBy(label_col)) - 1).cast("long"),
+    )
+    return df.join(F.broadcast(ranked), label_col)
+
+
+def get_unique_labels(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """label/classlabels.cuh:55 getUniquelabels."""
+    return df.select(label_col).distinct()
+
+
+def binarize_ovr(df: DataFrame, label_col: str, positive) -> DataFrame:
+    """One-vs-rest binarization (label/classlabels.cuh getOvrlabels)."""
+    return df.withColumn(
+        "ovr", (F.col(label_col) == F.lit(positive)).cast("int")
+    )
