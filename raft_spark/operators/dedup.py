@@ -1,0 +1,213 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding near-dup.
+
+These extend the reference's surface (BASELINE.json north star): RAFT
+itself stops at the primitives (select_k, sparse ops, metrics); the
+dedup pipeline composes them the way cuVS/cuML users do downstream.
+
+Scale design (100 TB):
+- Exact dedup: hash-groupBy on a 128-bit content hash — one shuffle,
+  map-side combinable.
+- MinHash LSH: per-doc signatures are a groupBy over (doc, perm) —
+  map-side combinable min() — then candidates come from a band-bucket
+  join, never an all-pairs product. Shuffle volume ∝ docs × bands.
+- SimHash: one groupBy(doc) with integer bit-votes.
+- N-gram Jaccard: shingle-join restricted to co-occurring shingles
+  (inverted-index join), not a crossJoin; hot shingles should be
+  dropped by document frequency (stop-shingle cap) at scale.
+- Embedding near-dup: see similarity.py (LSH-bucketed or brute).
+
+Token ids: the oracle-parity path ranks the distinct vocabulary
+(deterministic, reproducible in ANSI SQL). At 100 TB switch
+``hash_fn="xxhash64"`` — no global vocab build, same downstream plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+P31 = 2_147_483_647
+NUM_PERMS = 16
+BAND_ROWS = 4  # 4 bands × 4 rows
+
+
+def perm_consts(i: int) -> tuple[int, int]:
+    """Deterministic MinHash permutation constants (shared with SQL)."""
+    return ((i + 1) * 12_582_917) % P31, ((i + 1) * 4_256_249 + 7) % P31
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content hash: every doc mapped to the smallest
+    doc id sharing its md5 → (id, canonical_id, is_dup)."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.min(id_col).over(w).cast("long").alias("canonical_id"),
+    ).withColumn("is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("int"))
+
+
+def term_ids(coo: DataFrame, term_col: str = "term") -> DataFrame:
+    """Vocabulary rank table: term → tid (1-based, lexicographic).
+
+    Deterministic and SQL-reproducible. The vocabulary is orders of
+    magnitude smaller than the corpus; the rank window runs over the
+    distinct-term table only. (Scale path: xxhash64(term), no vocab.)
+    """
+    vocab = coo.select(term_col).distinct()
+    return vocab.withColumn(
+        "tid", F.dense_rank().over(Window.orderBy(term_col)).cast("long")
+    )
+
+
+def minhash_signatures(
+    coo: DataFrame, doc_col: str = "doc_id", term_col: str = "term",
+    num_perms: int = NUM_PERMS,
+) -> DataFrame:
+    """(doc, perm, mh): mh = min over the doc's terms of
+    (a_p·tid + b_p) mod P — the classic MinHash estimator."""
+    tids = term_ids(coo, term_col)
+    with_tid = coo.join(tids, term_col).select(doc_col, "tid")
+    perms = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(i).alias("perm"),
+                F.lit(perm_consts(i)[0]).alias("a"),
+                F.lit(perm_consts(i)[1]).alias("b"),
+            )
+            for i in range(num_perms)
+        ])
+    )
+    expanded = with_tid.select(doc_col, "tid", perms.alias("_p")).select(
+        doc_col,
+        F.col("_p.perm").alias("perm"),
+        ((F.col("_p.a") * F.col("tid") + F.col("_p.b")) % P31).alias("h"),
+    )
+    return expanded.groupBy(doc_col, "perm").agg(F.min("h").alias("mh"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, doc_col: str = "doc_id", band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Band-bucket join → candidate pairs (a < b) with estimated
+    Jaccard = fraction of matching minhashes across all perms."""
+    bands = (
+        sigs.withColumn("band", (F.col("perm") / band_rows).cast("int"))
+        .groupBy(doc_col, "band")
+        .agg(
+            F.concat_ws(
+                "_",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                    lambda s: s["mh"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    left = bands.select(F.col(doc_col).alias("a"), "band", "sig")
+    right = bands.select(F.col(doc_col).alias("b"), "band", "sig")
+    cand = (
+        left.join(right, ["band", "sig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(doc_col).alias("a"), "perm", F.col("mh").alias("mha"))
+    sb = sigs.select(F.col(doc_col).alias("b"), "perm", F.col("mh").alias("mhb"))
+    return (
+        cand.join(sa, "a")
+        .join(sb, ["b", "perm"])
+        .groupBy("a", "b")
+        .agg(F.avg((F.col("mha") == F.col("mhb")).cast("double")).alias("est_jaccard"))
+    )
+
+
+def simhash(
+    coo: DataFrame, doc_col: str = "doc_id", term_col: str = "term",
+    value_col: str = "tf", n_bits: int = 16,
+) -> DataFrame:
+    """Weighted SimHash fingerprint per doc → (doc, simhash).
+
+    bit_j votes: tf·(±1) where the sign is the j-th permuted hash's
+    parity; bit set iff the vote sum is positive. Integer arithmetic
+    throughout → bit-identical across engines.
+    """
+    tids = term_ids(coo, term_col)
+    with_tid = coo.join(tids, term_col).select(doc_col, "tid", value_col)
+    bits = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(j).alias("j"),
+                F.lit(perm_consts(j)[0]).alias("a"),
+                F.lit(perm_consts(j)[1]).alias("b"),
+            )
+            for j in range(n_bits)
+        ])
+    )
+    votes = with_tid.select(doc_col, "tid", F.col(value_col).alias("w"), bits.alias("_b")).select(
+        doc_col,
+        F.col("_b.j").alias("j"),
+        (
+            F.col("w")
+            * F.when(((F.col("_b.a") * F.col("tid") + F.col("_b.b")) % P31) % 2 == 1, 1).otherwise(-1)
+        ).alias("vote"),
+    )
+    return (
+        votes.groupBy(doc_col, "j")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy(doc_col)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(F.lit(0.0))
+            ).cast("long").alias("simhash")
+        )
+    )
+
+
+def shingles(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc → (doc_id, shingle)."""
+    toks = F.split(F.col(text_col), r"\s+")
+    # guard: sequence(0, -1) would DESCEND in Spark, not return empty
+    sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+            ),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.0
+) -> DataFrame:
+    """Jaccard over shingle sets for pairs sharing ≥1 shingle
+    (inverted-index join — candidate set, not a crossJoin)."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("common"))
+    )
+    out = (
+        common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+        .select(
+            "a",
+            "b",
+            (F.col("common") / (F.col("sa") + F.col("sb") - F.col("common"))).alias("jaccard"),
+        )
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns: brute-force cosine top-k
+and LSH/IVF-bucketed approximate variants.
+
+Extends the reference surface (neighbors/ANN migrated to cuVS in this
+snapshot, README.md:126-148); the Spark re-derivation keeps the same
+two-phase select_k shape as ``matrix/select_k.cuh`` on the score side.
+
+Scale design (100 TB):
+- Brute force is O(Q·N·d): exact baseline; right answer when Q is
+  small (broadcast the queries, scan the corpus once, partial top-k
+  per partition then merge — never a global sort).
+- Random-hyperplane LSH buckets vectors once (one narrow pass), then
+  joins only within buckets — candidate volume ∝ bucket occupancy.
+  Multi-probe = more tables (stream index), not bigger buckets.
+- IVF: k-means-ish coarse centroids via reduce_rows_by_key, probe the
+  nprobe nearest lists. Same join shape as LSH with learned buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from raft_spark.functions import arrays as A
+from raft_spark.functions.rng import uniform
+from raft_spark.operators.selectk import select_k
+
+
+def _norm_table(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("_id"),
+        A.normalize(vec_col, "l2").alias("_v"),
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "features",
+    min_cosine: float = 0.8,
+) -> DataFrame:
+    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
+    O(n²) candidate product; at scale route through lsh_buckets first
+    and reuse this on the bucketed candidates."""
+    n = _norm_table(df, id_col, vec_col)
+    a = n.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
+    b = n.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    cos = F.round(A.dot("_va", "_vb"), 6)
+    return pairs.select("a", "b", cos.alias("cosine")).filter(
+        F.col("cosine") >= min_cosine
+    )
+
+
+def knn_brute(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "id",
+    vec_col: str = "features",
+    strategy: str = "salted",
+) -> DataFrame:
+    """Exact cosine top-k neighbors per query (self-matches excluded)
+    → (qid, nid, cosine, rank).
+
+    Query side is expected small relative to the corpus → broadcast;
+    scores reduce through the salted two-phase select_k, so no global
+    per-query sort materializes.
+    """
+    c = _norm_table(corpus, id_col, vec_col).select(
+        F.col("_id").alias("nid"), F.col("_v").alias("_vc")
+    )
+    q = _norm_table(queries, id_col, vec_col).select(
+        F.col("_id").alias("qid"), F.col("_v").alias("_vq")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+    )
+    return select_k(
+        scored,
+        group_cols=["qid"],
+        order_col="cosine",
+        k=k,
+        ascending=False,
+        payload_cols=["nid"],
+        strategy=strategy,
+    )
+
+
+def lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    seed: int = 77,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Random-hyperplane signature per vector → (id, bucket).
+
+    Planes are generated from the deterministic LCG (plane p, dim j ←
+    uniform(p·dim+j)), so buckets are reproducible anywhere. One
+    narrow projection pass; no shuffle.
+    """
+    dim = 64  # embeddings dim; parameterize when other tables appear
+    planes = [
+        F.array(*[
+            (uniform(F.lit(p * dim + j), seed) * 2 - 1) for j in range(dim)
+        ])
+        for p in range(n_planes)
+    ]
+    bucket = None
+    for p, plane in enumerate(planes):
+        bit = (A.dot(vec_col, plane) > 0).cast("long") * (2 ** p)
+        bucket = bit if bucket is None else bucket + bit
+    return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to same-bucket pairs,
+    then exact cosine + select_k on the shortlist."""
+    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
+    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
+    c = _norm_table(corpus, id_col, vec_col).join(
+        cb.select(F.col("id").alias("_id"), "bucket"), "_id"
+    ).select(F.col("_id").alias("nid"), F.col("_v").alias("_vc"), "bucket")
+    q = _norm_table(queries, id_col, vec_col).join(
+        qb.select(F.col("id").alias("_id"), "bucket"), "_id"
+    ).select(F.col("_id").alias("qid"), F.col("_v").alias("_vq"), "bucket")
+    scored = (
+        c.join(q, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+    )
+    return select_k(
+        scored, ["qid"], "cosine", k, ascending=False, payload_cols=["nid"]
+    )

@@ -1,0 +1,291 @@
+"""Training-data pipeline queries: dedup (exact / MinHash-LSH / SimHash /
+n-gram Jaccard / embedding near-dup), similarity search, text analysis,
+multimodal metadata plumbing.
+
+These extend the reference's own operator surface per the north star in
+BASELINE.json; each is oracle-checked except the multimodal mapInPandas
+query (driver records rows-only — the decode is a stubbed UDF, but its
+metadata output is still deterministic and cross-checked here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raft_spark.operators import dedup as D
+from raft_spark.operators import multimodal as MM
+from raft_spark.operators import similarity as SIM
+from raft_spark.operators import textquality as TQ
+from raft_spark.queries.registry import query
+from raft_spark.queries.text_queries import SQL_COO
+from raft_spark.sources.tables import doc_terms, embeddings_matrix, load
+
+P31 = 2_147_483_647
+
+SQL_VOCAB = """
+vocab AS (
+    SELECT term, dense_rank() OVER (ORDER BY term) AS tid
+    FROM (SELECT DISTINCT term FROM coo)
+),
+wt AS (SELECT doc_id, tid, tf FROM coo JOIN vocab USING (term)),
+perms AS (
+    SELECT i AS perm,
+           ((i + 1) * 12582917) % 2147483647 AS a,
+           ((i + 1) * 4256249 + 7) % 2147483647 AS b
+    FROM range(0, 16) t(i)
+)
+"""
+
+SQL_SIGS = """
+sigs AS (
+    SELECT doc_id, perm, min((a * tid + b) % 2147483647) AS mh
+    FROM wt CROSS JOIN perms GROUP BY 1, 2
+)
+"""
+
+
+@query(
+    "exact_dedup",
+    oracle="""
+WITH m AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canon
+    FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id, canon::BIGINT AS canonical_id,
+       (CASE WHEN doc_id <> canon THEN 1 ELSE 0 END)::INTEGER AS is_dup
+FROM m
+""",
+)
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, canonical = min doc_id."""
+    return D.exact_dedup(load(spark, "documents", sf_dir))
+
+
+@query(
+    "minhash_lsh",
+    oracle="WITH " + SQL_COO + "," + SQL_VOCAB + "," + SQL_SIGS + """,
+bands AS (
+    SELECT doc_id, (perm // 4) AS band,
+           string_agg(mh::VARCHAR, '_' ORDER BY perm) AS sig
+    FROM sigs GROUP BY 1, 2
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b,
+       round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+FROM cand
+JOIN sigs sa ON sa.doc_id = cand.a
+JOIN sigs sb ON sb.doc_id = cand.b AND sb.perm = sa.perm
+GROUP BY 1, 2
+""",
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup candidates
+    with estimated Jaccard. Candidates come from the band-bucket join,
+    never an all-pairs product."""
+    coo = doc_terms(spark, sf_dir)
+    sigs = D.minhash_signatures(coo)
+    out = D.minhash_lsh_candidates(sigs)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("est_jaccard", 6).alias("est_jaccard"),
+    )
+
+
+@query(
+    "simhash",
+    oracle="WITH " + SQL_COO + "," + SQL_VOCAB + """,
+votes AS (
+    SELECT doc_id, perm AS j,
+           sum(tf * (CASE WHEN ((a * tid + b) % 2147483647) % 2 = 1
+                          THEN 1 ELSE -1 END)) AS s
+    FROM wt CROSS JOIN perms GROUP BY 1, 2
+)
+SELECT doc_id::BIGINT AS doc_id,
+       sum(CASE WHEN s > 0 THEN pow(2, j) ELSE 0 END)::BIGINT AS simhash
+FROM votes GROUP BY 1
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit weighted SimHash fingerprint per document."""
+    out = D.simhash(doc_terms(spark, sf_dir))
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
+
+
+@query(
+    "ngram_jaccard",
+    oracle=r"""
+WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+shl AS (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(ts) - 1, 1)),
+                          i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shs
+    FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM shl),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+common AS (
+    SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c
+    FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+    GROUP BY 1, 2
+)
+SELECT a::BIGINT AS a, b::BIGINT AS b,
+       round(c / (sa.sz + sb.sz - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = common.a
+JOIN sizes sb ON sb.doc_id = common.b
+""",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard for pairs sharing ≥1 shingle (inverted-index
+    candidate join)."""
+    sh = D.shingles(load(spark, "documents", sf_dir))
+    out = D.ngram_jaccard_pairs(sh)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+@query(
+    "embedding_neardup",
+    oracle="""
+SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b,
+       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.45
+""",
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (τ=0.45). Exact all-pairs
+    here; at scale the LSH-bucketed path prunes candidates first."""
+    m = embeddings_matrix(spark, sf_dir)
+    return SIM.cosine_pairs(m, min_cosine=0.45)
+
+
+@query(
+    "knn_cosine",
+    oracle="""
+WITH q AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT q.vec_id AS qid, c.vec_id AS nid,
+           round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+    FROM q JOIN embeddings c ON c.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT qid, nid, cosine,
+           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid::BIGINT AS qid, nid::BIGINT AS nid, cosine,
+       rank::INTEGER AS rank
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the query subset
+    (vec_id % 50 = 0): broadcast queries × corpus scan → salted
+    two-phase select_k. The exact-baseline ANN path."""
+    m = embeddings_matrix(spark, sf_dir)
+    queries_df = m.filter(F.col("id") % 50 == 0)
+    out = SIM.knn_brute(m, queries_df, k=5)
+    return out.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("nid").cast("long").alias("nid"),
+        "cosine",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+@query(
+    "text_stats",
+    oracle=r"""
+SELECT doc_id::BIGINT AS doc_id,
+       len(string_split_regex(text, '\s+'))::BIGINT AS ws_tokens,
+       len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+'))::BIGINT AS re_tokens,
+       CASE WHEN regexp_extract_all(text, '[a-zA-Z]') = [] THEN 0.0
+            ELSE len(regexp_extract_all(text, '[aeiouAEIOU]'))
+                 / len(regexp_extract_all(text, '[a-zA-Z]')) END AS vowel_ratio,
+       CASE WHEN length(text) = 0 THEN 0.0
+            ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) / length(text) END AS punct_ratio,
+       list_reduce(
+           list_prepend(0::BIGINT,
+               list_transform(string_split(substring(text, 1, 64), ''), c -> ascii(c)::BIGINT)),
+           (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+FROM documents
+""",
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), vowel/punct ratios,
+    rolling-hash fingerprint — single narrow projection."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TQ.ws_token_count("text").alias("ws_tokens"),
+        TQ.re_token_count("text").alias("re_tokens"),
+        TQ.vowel_ratio("text").alias("vowel_ratio"),
+        TQ.punct_ratio("text").alias("punct_ratio"),
+        TQ.fingerprint("text").alias("fingerprint"),
+    )
+
+
+@query(
+    "lang_quality",
+    oracle=r"""
+WITH f AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN regexp_extract_all(text, '[a-zA-Z]') = [] THEN 0.0
+                ELSE len(regexp_extract_all(text, '[aeiouAEIOU]'))
+                     / len(regexp_extract_all(text, '[a-zA-Z]')) END AS vr,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) / length(text) END AS pr,
+           len(string_split_regex(text, '\s+')) AS nt,
+           len(list_filter(string_split_regex(text, '\s+'),
+               t -> list_contains(['the','a','of','and','to','in','is'], t))) AS stops
+    FROM documents
+)
+SELECT doc_id::BIGINT AS doc_id,
+       CASE WHEN vr >= 0.40 THEN 'en' WHEN vr >= 0.34 THEN 'es'
+            WHEN vr >= 0.28 THEN 'fr' WHEN vr >= 0.22 THEN 'de'
+            ELSE 'zh' END AS pred_lang,
+       lang AS true_lang,
+       round(least(1.0, greatest(0.0,
+           0.2 + 1.5 * (CASE WHEN nt = 0 THEN 0.0 ELSE stops / nt END)
+               - 2.0 * pr + least(nt, 200) / 500.0)), 6) AS quality
+FROM f
+""",
+)
+def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic + composite quality score per document."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        TQ.lang_id("text").alias("pred_lang"),
+        F.col("lang").alias("true_lang"),
+        F.round(TQ.quality_score("text"), 6).alias("quality"),
+    )
+
+
+@query(
+    "multimodal_meta",
+    oracle="""
+SELECT doc_id::BIGINT AS doc_id,
+       octet_length(encode(text))::BIGINT AS n_bytes,
+       (16 + ascii(substring(text, 1, 1)) % 64)::INTEGER AS width,
+       (16 + octet_length(encode(text)) % 64)::INTEGER AS height,
+       'FAKE' AS format
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing: utf-8 payload → mapInPandas (Arrow
+    batches) → typed metadata. The decoder is a deterministic stub
+    (real image libs absent); the Spark-side schema/batch path is
+    real and this oracle checks the full pipeline output."""
+    frame = MM.with_binary_payload(load(spark, "documents", sf_dir))
+    return MM.decode_image_meta(frame)
