@@ -1,0 +1,82 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is executed to completion (count() over the result — forces
+full materialization without driver-side row transfer). A warmup query
+absorbs session/JIT startup so per-query numbers measure the plans.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from raft_spark.queries import QUERIES  # noqa: E402
+from raft_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, the scale-relevant ones.
+HEADLINE = [
+    "bm25_topk",          # text encoding + window normalize + grouped top-k
+    "tfidf",              # aggregate + join encoding
+    "row_norms",          # zero-shuffle per-row reduction
+    "col_moments",        # column-direction reduction (posexplode + partial agg)
+    "covariance",         # 64x64 gram / centered cross-products
+    "select_k_dense",     # per-row top-k
+    "histogram_events",   # fixed-width binning
+    "reduce_rows_by_key", # grouped row-sum (k-means update shape)
+    "cluster_metrics",    # contingency-derived metric stack
+    "coo_dedup_max",      # sparse dedup groupBy
+    "symmetrize_graph",   # union + re-aggregate
+    "spmm",               # sparse x dense join-agg
+    "gemm",               # long-form matmul
+    "minhash_lsh",        # signature + band join dedup
+    "simhash",            # bit-vote fingerprint
+    "ngram_jaccard",      # shingle inverted-index join
+    "knn_cosine",         # brute-force ANN baseline + salted top-k
+    "exact_dedup",        # content-hash dedup
+    "text_stats",         # narrow text projection stack
+    "lang_quality",       # narrow text projection stack
+    "rng_distributions",  # generator throughput
+    "sample_without_replacement",  # exp-sort weighted sampling
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="raft_spark_bench")
+
+    # Warmup: session + codegen + parquet footer reads.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -65,61 +65,65 @@ def minhash_signatures(
     coo: DataFrame, doc_col: str = "doc_id", term_col: str = "term",
     num_perms: int = NUM_PERMS,
 ) -> DataFrame:
-    """(doc, perm, mh): mh = min over the doc's terms of
-    (a_p·tid + b_p) mod P — the classic MinHash estimator."""
+    """(doc, sig: array<long>[num_perms]): sig[p] = min over the doc's
+    terms of (a_p·tid + b_p) mod P — the classic MinHash estimator.
+
+    One groupBy with num_perms min-aggregates (map-side combinable) —
+    no row explosion; shuffle volume = docs × 1 row.
+    """
     tids = term_ids(coo, term_col)
     with_tid = coo.join(tids, term_col).select(doc_col, "tid")
-    perms = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(i).alias("perm"),
-                F.lit(perm_consts(i)[0]).alias("a"),
-                F.lit(perm_consts(i)[1]).alias("b"),
-            )
-            for i in range(num_perms)
-        ])
-    )
-    expanded = with_tid.select(doc_col, "tid", perms.alias("_p")).select(
-        doc_col,
-        F.col("_p.perm").alias("perm"),
-        ((F.col("_p.a") * F.col("tid") + F.col("_p.b")) % P31).alias("h"),
-    )
-    return expanded.groupBy(doc_col, "perm").agg(F.min("h").alias("mh"))
+    mins = [
+        F.min((F.lit(perm_consts(i)[0]) * F.col("tid") + F.lit(perm_consts(i)[1])) % P31)
+        for i in range(num_perms)
+    ]
+    return with_tid.groupBy(doc_col).agg(F.array(*mins).alias("sig"))
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, doc_col: str = "doc_id", band_rows: int = BAND_ROWS
+    sigs: DataFrame, doc_col: str = "doc_id", band_rows: int = BAND_ROWS,
+    num_perms: int = NUM_PERMS,
 ) -> DataFrame:
     """Band-bucket join → candidate pairs (a < b) with estimated
-    Jaccard = fraction of matching minhashes across all perms."""
-    bands = (
-        sigs.withColumn("band", (F.col("perm") / band_rows).cast("int"))
-        .groupBy(doc_col, "band")
-        .agg(
+    Jaccard = fraction of matching minhashes across all perms.
+
+    Each doc emits num_perms/band_rows (band, band-signature) rows; the
+    join is keyed on the band signature — candidate volume is bucket
+    occupancy, never an all-pairs product.
+    """
+    n_bands = num_perms // band_rows
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
             F.concat_ws(
                 "_",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                    lambda s: s["mh"].cast("string"),
-                ),
-            ).alias("sig")
+                *[F.col("sig")[b * band_rows + r].cast("string") for r in range(band_rows)],
+            ).alias("bsig"),
         )
+        for b in range(n_bands)
+    ])
+    bands = sigs.select(F.col(doc_col).alias("_d"), F.explode(band_structs).alias("_b")).select(
+        "_d", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig")
     )
-    left = bands.select(F.col(doc_col).alias("a"), "band", "sig")
-    right = bands.select(F.col(doc_col).alias("b"), "band", "sig")
+    left = bands.select(F.col("_d").alias("a"), "band", "bsig")
+    right = bands.select(F.col("_d").alias("b"), "band", "bsig")
     cand = (
-        left.join(right, ["band", "sig"])
+        left.join(right, ["band", "bsig"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
-    sa = sigs.select(F.col(doc_col).alias("a"), "perm", F.col("mh").alias("mha"))
-    sb = sigs.select(F.col(doc_col).alias("b"), "perm", F.col("mh").alias("mhb"))
+    sa = sigs.select(F.col(doc_col).alias("a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col(doc_col).alias("b"), F.col("sig").alias("_sb"))
+    est = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perms))
     return (
         cand.join(sa, "a")
-        .join(sb, ["b", "perm"])
-        .groupBy("a", "b")
-        .agg(F.avg((F.col("mha") == F.col("mhb")).cast("double")).alias("est_jaccard"))
+        .join(sb, "b")
+        .select("a", "b", est.alias("est_jaccard"))
     )
 
 
@@ -135,34 +139,23 @@ def simhash(
     """
     tids = term_ids(coo, term_col)
     with_tid = coo.join(tids, term_col).select(doc_col, "tid", value_col)
-    bits = F.explode(
-        F.array(*[
-            F.struct(
-                F.lit(j).alias("j"),
-                F.lit(perm_consts(j)[0]).alias("a"),
-                F.lit(perm_consts(j)[1]).alias("b"),
-            )
-            for j in range(n_bits)
-        ])
+
+    def vote(j: int):
+        a, b = perm_consts(j)
+        sign = F.when(
+            ((F.lit(a) * F.col("tid") + F.lit(b)) % P31) % 2 == 1, 1
+        ).otherwise(-1)
+        return F.sum(F.col(value_col) * sign)
+
+    # one groupBy with n_bits sum-aggregates (map-side combinable)
+    sums = with_tid.groupBy(doc_col).agg(
+        *[vote(j).alias(f"_s{j}") for j in range(n_bits)]
     )
-    votes = with_tid.select(doc_col, "tid", F.col(value_col).alias("w"), bits.alias("_b")).select(
-        doc_col,
-        F.col("_b.j").alias("j"),
-        (
-            F.col("w")
-            * F.when(((F.col("_b.a") * F.col("tid") + F.col("_b.b")) % P31) % 2 == 1, 1).otherwise(-1)
-        ).alias("vote"),
-    )
-    return (
-        votes.groupBy(doc_col, "j")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy(doc_col)
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2.0), F.col("j"))).otherwise(F.lit(0.0))
-            ).cast("long").alias("simhash")
-        )
-    )
+    sim = None
+    for j in range(n_bits):
+        bit = F.when(F.col(f"_s{j}") > 0, F.lit(float(2 ** j))).otherwise(F.lit(0.0))
+        sim = bit if sim is None else sim + bit
+    return sums.select(doc_col, sim.cast("long").alias("simhash"))
 
 
 def shingles(

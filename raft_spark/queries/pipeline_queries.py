@@ -87,7 +87,10 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     with estimated Jaccard. Candidates come from the band-bucket join,
     never an all-pairs product."""
     coo = doc_terms(spark, sf_dir)
-    sigs = D.minhash_signatures(coo)
+    # signatures feed the band explode AND both sides of the pair join —
+    # cache the doc-sized signature table so the vocab-rank + min-agg
+    # pipeline runs once
+    sigs = D.minhash_signatures(coo).cache()
     out = D.minhash_lsh_candidates(sigs)
     return out.select(
         F.col("a").cast("long").alias("a"),
@@ -143,6 +146,9 @@ JOIN sizes sb ON sb.doc_id = common.b
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-3-gram Jaccard for pairs sharing ≥1 shingle (inverted-index
     candidate join)."""
+    # NOTE: deliberately not cached — the shingle subplan is a cheap
+    # narrow projection; recomputing it in the 3 consuming branches is
+    # faster cold than serializing a cache copy first.
     sh = D.shingles(load(spark, "documents", sf_dir))
     out = D.ngram_jaccard_pairs(sh)
     return out.select(

@@ -133,10 +133,14 @@ def q_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey") * 10 + F.col("l_linenumber"), F.col("l_quantity"), seed=303
     )
     keyed = li.select("l_orderkey", "l_partkey", key.alias("k"))
-    ranked = keyed.withColumn(
+    # orderBy().limit() → TakeOrderedAndProject: per-partition partial
+    # top-k merged on the driver — no global sort, no single-partition
+    # window. The rank window then runs over just 100 rows.
+    top = keyed.orderBy(F.col("k").asc(), "l_orderkey", "l_partkey").limit(100)
+    ranked = top.withColumn(
         "rn", F.row_number().over(W.orderBy(F.col("k").asc(), "l_orderkey", "l_partkey"))
     )
-    return ranked.filter(F.col("rn") <= 100).select("l_orderkey", "l_partkey", "rn")
+    return ranked.select("l_orderkey", "l_partkey", "rn")
 
 
 @query(
