@@ -1,0 +1,489 @@
+"""Decompositions & iterative solvers (SURVEY.md §2.8) — the
+"driver-loop" pattern: distributed passes produce small (k×k or
+k-vector) aggregates; the driver does the tiny dense algebra (numpy);
+big-matrix products stay distributed.
+
+This mirrors the reference's division of labor exactly: RAFT's eig/svd
+wrap cuSOLVER on device-resident small matrices while the data-sized
+products run as kernels (``linalg/eig.cuh:32``, ``svd.cuh:36``); here
+the "device" is the cluster and the small matrices live on the driver.
+
+Operators and reference parity:
+- lstsq (normal equations): ``linalg/lstsq.cuh:31-219``
+- PCA fit/transform (cov → eig, sign-flip): ``linalg/pca.cuh:41-178``,
+  ``matrix/sign_flip.cuh:22``
+- truncated SVD: ``linalg/tsvd.cuh:34-160``
+- randomized SVD (oversampling + power iters): ``linalg/rsvd.cuh:41-236``,
+  defaults from ``python/pylibraft/.../svds.pyx:73``
+- QR (tall-skinny, Cholesky-QR): ``linalg/qr.cuh:29``
+- power iteration / eigsh largest eigenpair: the Lanczos entry point
+  ``sparse/solver/lanczos.cuh:35`` (thick-restart replaced by the
+  simplest convergent scheme; restarts are a later refinement)
+- MST (Borůvka rounds): ``sparse/solver/mst.cuh``, ``mst_solver.cuh:32``
+- connected components / merge_labels: ``label/merge_labels.cuh:18``
+- LAP (Hungarian, batched): ``solver/linear_assignment.cuh:50``
+- cholesky rank-1 update: ``linalg/cholesky_r1_update.cuh:19``
+
+Scale notes: every full-data pass is a DataFrame job (join/agg); the
+driver only ever holds O(k²) or O(#components) state. MST collects
+min-edges per component per round — bounded by the shrinking component
+count; the fully-distributed hash-min variant is the documented scale
+path for the first rounds on billion-node graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# least squares (linalg/lstsq.cuh) — normal equations
+# ---------------------------------------------------------------------------
+
+def lstsq_normal(df: DataFrame, x_cols: list[str], y_col: str) -> np.ndarray:
+    """OLS via normal equations: w = (XᵀX)⁻¹Xᵀy with intercept.
+
+    XᵀX is (p+1)² scalars from ONE distributed aggregate pass
+    (map-side combinable sums); the solve is driver-side numpy —
+    the lstsqEig path of linalg/lstsq.cuh:72.
+    """
+    cols = ["_one"] + list(x_cols)
+    base = df.withColumn("_one", F.lit(1.0))
+    aggs = []
+    for i, ci in enumerate(cols):
+        for cj in cols[i:]:
+            aggs.append(F.sum(F.col(ci) * F.col(cj)).alias(f"xx_{ci}_{cj}"))
+        aggs.append(F.sum(F.col(ci) * F.col(y_col)).alias(f"xy_{ci}"))
+    row = base.agg(*aggs).collect()[0].asDict()
+    p = len(cols)
+    xtx = np.zeros((p, p))
+    xty = np.zeros(p)
+    for i, ci in enumerate(cols):
+        for j in range(i, p):
+            v = row[f"xx_{ci}_{cols[j]}"]
+            xtx[i, j] = xtx[j, i] = v
+        xty[i] = row[f"xy_{ci}"]
+    return np.linalg.solve(xtx, xty)
+
+
+# ---------------------------------------------------------------------------
+# covariance → PCA / tSVD (linalg/pca.cuh, tsvd.cuh)
+# ---------------------------------------------------------------------------
+
+def covariance_matrix(df: DataFrame, features: str = "features") -> np.ndarray:
+    """Driver-side d×d covariance from one distributed pass
+    (stats/cov.cuh:18): E[xxᵀ] − μμᵀ, sample-normalized."""
+    d = df.select(F.size(features).alias("d")).first()["d"]
+    long = df.select(F.posexplode(features).alias("i", "xi"), F.col(features).alias("_f"))
+    pairs = long.select("i", "xi", F.posexplode("_f").alias("j", "xj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("xi") * F.col("xj")).alias("sxx")
+    ).collect()
+    mrow = (
+        df.select(F.posexplode(features).alias("i", "x"))
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"), F.count("x").alias("n"))
+        .collect()
+    )
+    n = mrow[0]["n"]
+    mu = np.zeros(d)
+    for r in mrow:
+        mu[r["i"]] = r["sx"] / n
+    cov = np.zeros((d, d))
+    for r in sums:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["sxx"]
+    cov = (cov - n * np.outer(mu, mu)) / (n - 1)
+    return cov
+
+
+def sign_flip(components: np.ndarray) -> np.ndarray:
+    """Stabilize eigenvector signs: each component's max-|.| coordinate
+    made positive (matrix/sign_flip.cuh:22)."""
+    flip = np.sign(components[np.arange(components.shape[0]),
+                              np.abs(components).argmax(axis=1)])
+    flip[flip == 0] = 1.0
+    return components * flip[:, None]
+
+
+def pca_fit(df: DataFrame, n_components: int, features: str = "features"):
+    """PCA via covariance eigendecomposition (linalg/pca.cuh:41,
+    solver COV_EIG_DQ → numpy eigh). Returns (components [k×d],
+    explained_var [k], explained_var_ratio [k], mean [d])."""
+    cov = covariance_matrix(df, features)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:n_components]
+    comps = sign_flip(v[:, order].T)
+    ev = w[order]
+    return comps, ev, ev / w.sum(), None
+
+
+def pca_transform(df: DataFrame, components: np.ndarray, features: str = "features") -> DataFrame:
+    """Distributed projection X·Wᵀ (linalg/pca.cuh:126) — one narrow
+    pass, components embedded as literals (k×d, broadcast-sized)."""
+    outs = []
+    for ci, c in enumerate(components):
+        vec = F.array(*[F.lit(float(x)) for x in c])
+        outs.append(
+            F.aggregate(
+                F.zip_with(features, vec, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"pc{ci}")
+        )
+    return df.select("id", *outs)
+
+
+def tsvd_singular_values(df: DataFrame, k: int, features: str = "features") -> np.ndarray:
+    """Truncated SVD singular values via XᵀX eigenvalues
+    (linalg/tsvd.cuh:34 cal_eig path): σᵢ = √λᵢ(XᵀX)."""
+    d = df.select(F.size(features).alias("d")).first()["d"]
+    long = df.select(F.posexplode(features).alias("i", "xi"), F.col(features).alias("_f"))
+    pairs = long.select("i", "xi", F.posexplode("_f").alias("j", "xj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    rows = pairs.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s")).collect()
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["s"]
+    w = np.linalg.eigvalsh(g)
+    return np.sqrt(np.clip(np.sort(w)[::-1][:k], 0, None))
+
+
+# ---------------------------------------------------------------------------
+# tall-skinny Cholesky-QR and randomized SVD (linalg/qr.cuh, rsvd.cuh)
+# ---------------------------------------------------------------------------
+
+def cholesky_qr_r(df: DataFrame, features: str = "features") -> np.ndarray:
+    """R factor of a tall-skinny QR via Gram + Cholesky
+    (linalg/qr.cuh:29; one distributed Gram pass, driver chol)."""
+    d = df.select(F.size(features).alias("d")).first()["d"]
+    long = df.select(F.posexplode(features).alias("i", "xi"), F.col(features).alias("_f"))
+    pairs = long.select("i", "xi", F.posexplode("_f").alias("j", "xj")).filter(
+        F.col("j") >= F.col("i")
+    )
+    rows = pairs.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s")).collect()
+    g = np.zeros((d, d))
+    for r in rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["s"]
+    return np.linalg.cholesky(g).T  # upper-triangular R
+
+
+def rsvd_singular_values(
+    df: DataFrame, k: int, n_oversamples: int = 10, n_power_iters: int = 2,
+    seed: int = 42, features: str = "features",
+) -> np.ndarray:
+    """Randomized truncated SVD (linalg/rsvd.cuh:41; defaults mirror
+    svds.pyx:73 — oversampling 10, 2 power iterations).
+
+    Distributed steps: Y = (AAᵀ)^q·A·Ω via narrow projections, with a
+    re-orthonormalization of Y after every power pass (symmetric
+    whitening Q = Y·G^{-1/2} from the ell×ell Gram — the stabilized
+    subspace iteration the reference's rsvd relies on cuSOLVER QR
+    for; Cholesky alone fails once cond(G) ~ (σ₁/σℓ)^{2(2q+1)}
+    overflows double precision); B = QᵀA via one aggregate pass;
+    small SVD of B on driver.
+    """
+    rng = np.random.default_rng(seed)
+    d = df.select(F.size(features).alias("d")).first()["d"]
+    ell = min(k + n_oversamples, d)
+    omega = rng.standard_normal((d, ell))
+    y_cols = [f"y{c}" for c in range(ell)]
+
+    def project(frame: DataFrame, mat: np.ndarray, out_prefix: str) -> DataFrame:
+        outs = []
+        for c in range(mat.shape[1]):
+            vec = F.array(*[F.lit(float(x)) for x in mat[:, c]])
+            outs.append(
+                F.aggregate(
+                    F.zip_with(features, vec, lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias(f"{out_prefix}{c}")
+            )
+        return frame.select("id", F.col(features), *outs)
+
+    def gram(frame: DataFrame) -> np.ndarray:
+        row = frame.agg(
+            *[
+                F.sum(F.col(y_cols[i]) * F.col(y_cols[j])).alias(f"g_{i}_{j}")
+                for i in range(ell)
+                for j in range(i, ell)
+            ]
+        ).collect()[0].asDict()
+        g = np.zeros((ell, ell))
+        for i in range(ell):
+            for j in range(i, ell):
+                g[i, j] = g[j, i] = row[f"g_{i}_{j}"]
+        return g
+
+    def orthonormalize(frame: DataFrame) -> DataFrame:
+        # Q = Y·G^{-1/2}: eigh-based whitening tolerates numerically
+        # rank-deficient G (tiny eigenvalues clipped); column mix is a
+        # narrow expression-level pass. localCheckpoint truncates the
+        # lineage so each power pass plans O(ell·d) expressions, not a
+        # tree that compounds across iterations (at cluster scale:
+        # reliable checkpoint to HDFS instead).
+        frame = frame.localCheckpoint(eager=True)
+        w, v = np.linalg.eigh(gram(frame))
+        w = np.clip(w, np.max(w) * 1e-14, None)
+        mix = v @ np.diag(1.0 / np.sqrt(w)) @ v.T
+        outs = [
+            sum(
+                (F.col(y_cols[i]) * float(mix[i, c]) for i in range(ell)),
+                F.lit(0.0),
+            ).alias(y_cols[c])
+            for c in range(ell)
+        ]
+        return frame.select("id", F.col(features), *outs).localCheckpoint(eager=True)
+
+    y = orthonormalize(project(df, omega, "y"))  # n×ell alongside features
+
+    for _ in range(n_power_iters):
+        # Z = Aᵀ·Y  (d×ell, one aggregate pass), then Y = A·Z, re-orth
+        long = y.select(F.posexplode(features).alias("i", "x"), *y_cols)
+        z_rows = long.groupBy("i").agg(
+            *[F.sum(F.col("x") * F.col(c)).alias(c) for c in y_cols]
+        ).collect()
+        z = np.zeros((d, ell))
+        for r in z_rows:
+            for c in range(ell):
+                z[r["i"], c] = r[f"y{c}"]
+        y = orthonormalize(project(df, z, "y"))
+
+    # B = QᵀA  (ell×d, one aggregate pass)
+    long = y.select(F.posexplode(features).alias("j", "x"), *y_cols)
+    yta_rows = long.groupBy("j").agg(
+        *[F.sum(F.col("x") * F.col(c)).alias(c) for c in y_cols]
+    ).collect()
+    b = np.zeros((ell, d))
+    for r in yta_rows:
+        for c in range(ell):
+            b[c, r["j"]] = r[f"y{c}"]
+    return np.linalg.svd(b, compute_uv=False)[:k]
+
+
+# ---------------------------------------------------------------------------
+# power iteration (largest eigenpair of a sparse symmetric matrix)
+# ---------------------------------------------------------------------------
+
+def spmv(coo: DataFrame, v: DataFrame) -> DataFrame:
+    """Distributed SpMV: (row,col,value) × (idx,val) → (idx,val).
+    The per-iteration kernel of the Lanczos/power loops
+    (sparse/solver/lanczos.cuh:35's apply step)."""
+    vv = v.select(F.col("idx").alias("col"), F.col("val").alias("_v"))
+    return (
+        coo.join(vv, "col")
+        .groupBy("row")
+        .agg(F.sum(F.col("value") * F.col("_v")).alias("val"))
+        .select(F.col("row").alias("idx"), "val")
+    )
+
+
+def power_iteration(
+    spark: SparkSession, coo: DataFrame, n: int, iters: int = 30
+) -> tuple[float, DataFrame]:
+    """Largest-|λ| eigenpair by power iteration with per-step
+    normalization. Each step = one join+agg job; the vector stays
+    distributed (collected only for the n≤driver-scale norm, computed
+    as an aggregate)."""
+    v = spark.range(n).select(F.col("id").alias("idx"), F.lit(1.0).alias("val"))
+    lam = 0.0
+    for _ in range(iters):
+        # localCheckpoint per step: without it the logical plan grows by
+        # one join+agg per iteration and Catalyst analysis dominates.
+        w = spmv(coo, v).localCheckpoint(eager=True)
+        nrm_lam = w.agg(
+            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+        ).collect()[0]["nrm"]
+        if nrm_lam == 0:
+            break
+        lam = nrm_lam
+        v = w.select("idx", (F.col("val") / F.lit(nrm_lam)).alias("val"))
+    # Rayleigh quotient for the signed eigenvalue
+    av = spmv(coo, v)
+    num = (
+        v.join(av.select(F.col("idx"), F.col("val").alias("_av")), "idx")
+        .agg(F.sum(F.col("val") * F.col("_av")).alias("q"))
+        .collect()[0]["q"]
+    )
+    return float(num), v
+
+
+# ---------------------------------------------------------------------------
+# MST (Borůvka) and connected components (label/merge_labels.cuh)
+# ---------------------------------------------------------------------------
+
+def mst(coo: DataFrame) -> list[tuple[int, int, float]]:
+    """Borůvka MST (sparse/solver/mst.cuh): each round, every component
+    picks its cheapest outgoing edge (distributed min_by), the driver
+    union-finds the ≤#components candidate edges, and relabeled
+    components feed the next round. O(log V) rounds.
+
+    Driver state is one int per *component* (shrinks geometrically);
+    the edge table never leaves the cluster.
+    """
+    edges = coo.select("row", "col", "value").filter(F.col("row") < F.col("col")).cache()
+    nodes = [r["n"] for r in edges.select(F.explode(F.array("row", "col")).alias("n")).distinct().collect()]
+    comp = {n: n for n in nodes}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    result: list[tuple[int, int, float]] = []
+    spark = edges.sparkSession
+    for _ in range(64):
+        mapping = spark.createDataFrame(
+            [(n, find(n)) for n in nodes], "node long, comp long"
+        )
+        e = (
+            edges.join(mapping.withColumnRenamed("node", "row").withColumnRenamed("comp", "ca"), "row")
+            .join(mapping.withColumnRenamed("node", "col").withColumnRenamed("comp", "cb"), "col")
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        if e.isEmpty():
+            break
+        # cheapest outgoing edge per component (both directions)
+        both = e.select(F.col("ca").alias("c"), "row", "col", "value").unionAll(
+            e.select(F.col("cb").alias("c"), "row", "col", "value")
+        )
+        picks = (
+            both.groupBy("c")
+            .agg(F.min_by(F.struct("value", "row", "col"), F.struct("value", "row", "col")).alias("e"))
+            .select("e.value", "e.row", "e.col")
+            .collect()
+        )
+        added = False
+        for r in sorted(picks, key=lambda r: (r["value"], r["row"], r["col"])):
+            ra, rb = find(r["row"]), find(r["col"])
+            if ra != rb:
+                comp[ra] = rb
+                result.append((r["row"], r["col"], r["value"]))
+                added = True
+        if not added:
+            break
+    return result
+
+
+def connected_components(coo: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Smallest-label propagation (label/merge_labels.cuh:18 semantics):
+    label(v) ← min(label(v), min label of neighbors) to fixpoint.
+    Each iteration is one join+agg; lineage cut by caching per step
+    (checkpointing at real scale)."""
+    edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
+    sym = edges.unionAll(edges.select(F.col("col").alias("row"), F.col("row").alias("col")))
+    labels = (
+        sym.select(F.col("row").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels.withColumnRenamed("node", "col").withColumnRenamed("label", "_nl"), "col")
+            .groupBy("row")
+            .agg(F.min("_nl").alias("_min_nl"))
+            .withColumnRenamed("row", "node")
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_min_nl", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)  # cut lineage per round (SURVEY §7 hard part 4)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "_new")
+            .join(labels, "node")
+            .filter(F.col("_new") != F.col("label"))
+            .isEmpty()
+        )
+        labels = new_labels
+        if changed:
+            break
+    return labels
+
+
+# ---------------------------------------------------------------------------
+# batched linear assignment (solver/linear_assignment.cuh)
+# ---------------------------------------------------------------------------
+
+def _hungarian(cost: np.ndarray) -> np.ndarray:
+    """O(n³) Hungarian (potentials / JV-style) — exact LAP on one small
+    cost matrix; numpy only (no scipy in this environment)."""
+    n = cost.shape[0]
+    INF = float("inf")
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=int)  # p[j] = row matched to column j (1-based)
+    way = np.zeros(n + 1, dtype=int)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, INF)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = 0
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = cost[i0 - 1, j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    assign = np.zeros(n, dtype=int)
+    for j in range(1, n + 1):
+        assign[p[j] - 1] = j - 1
+    return assign
+
+
+def lap_batched(problems: DataFrame) -> DataFrame:
+    """Batched LAP (solver/linear_assignment.cuh:50): input long form
+    (batch, i, j, cost); one applyInPandas group per batch (cost
+    matrices are per-problem small — the batch dim is the parallelism,
+    exactly like the reference's batched solver)."""
+    import pandas as pd
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = int(pdf["i"].max()) + 1
+        c = np.zeros((n, n))
+        c[pdf["i"].to_numpy(), pdf["j"].to_numpy()] = pdf["cost"].to_numpy()
+        a = _hungarian(c)
+        obj = float(c[np.arange(n), a].sum())
+        return pd.DataFrame(
+            {
+                "batch": pdf["batch"].iloc[0],
+                "i": np.arange(n),
+                "assigned_j": a,
+                "objective": obj,
+            }
+        )
+
+    return problems.groupBy("batch").applyInPandas(
+        solve, schema="batch long, i long, assigned_j long, objective double"
+    )

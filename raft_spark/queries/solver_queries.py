@@ -1,0 +1,212 @@
+"""Solver / decomposition queries (SURVEY.md §2.8).
+
+SQL-expressible ones carry DuckDB oracles (1-feature OLS via regr_*,
+spectral partition metrics); the iterative/eigen solvers are genuinely
+non-SQL-expressible → no oracle entry (driver records rows-only), with
+numpy-oracle unit tests in tests/test_solvers.py standing in (the
+reference's own test pattern: compare against a naive implementation,
+SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raft_spark.functions import rng
+from raft_spark.operators import solvers as SV
+from raft_spark.queries.registry import query
+from raft_spark.queries.rng_queries import q_make_regression
+from raft_spark.queries.sparse_queries import _graph
+from raft_spark.sources.tables import embeddings_matrix
+
+
+@query(
+    "lstsq_simple",
+    oracle="""
+WITH d AS (SELECT o_totalprice AS y, o_custkey::DOUBLE AS x FROM orders)
+SELECT round(regr_slope(y, x), 6) AS slope,
+       round(regr_intercept(y, x), 6) AS intercept,
+       round(regr_r2(y, x), 6) AS r2
+FROM d
+""",
+)
+def q_lstsq_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linalg/lstsq.cuh single-feature closed form — slope/intercept/R²
+    as one aggregate pass (the SQL-checkable corner of lstsq)."""
+    d = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_totalprice").alias("y"), F.col("o_custkey").cast("double").alias("x")
+    )
+    sxy = F.covar_pop("x", "y")
+    sxx = F.var_pop("x")
+    slope = sxy / sxx
+    out = d.agg(
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg("y") - slope * F.avg("x"), 6).alias("intercept"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+    )
+    return out
+
+
+@query("lstsq_normal")  # no SQL oracle: driver-side solve (rows-only + pytest)
+def q_lstsq_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linalg/lstsq.cuh:72 lstsqEig — normal equations over the
+    make_regression problem; recovers (bias≈1, w≈[3,−2,0.5])."""
+    reg = q_make_regression(spark, sf_dir)
+    w = SV.lstsq_normal(reg, ["x1", "x2", "x3"], "y")
+    names = ["intercept", "w_x1", "w_x2", "w_x3"]
+    return spark.createDataFrame(
+        [(n, round(float(c), 6)) for n, c in zip(names, w)], "coef string, value double"
+    )
+
+
+@query("pca_explained_variance")  # rows-only + pytest vs numpy
+def q_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linalg/pca.cuh:41 fit — top-5 explained variance (ratio) from the
+    distributed covariance pass + driver eigh + sign_flip."""
+    m = embeddings_matrix(spark, sf_dir)
+    _, ev, ratio, _ = SV.pca_fit(m, n_components=5)
+    return spark.createDataFrame(
+        [(i, round(float(ev[i]), 6), round(float(ratio[i]), 6)) for i in range(len(ev))],
+        "component int, explained_variance double, explained_variance_ratio double",
+    )
+
+
+@query("tsvd_singular_values")  # rows-only + pytest vs numpy
+def q_tsvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linalg/tsvd.cuh:34 — top-5 singular values via the XᵀX
+    eigenvalue path (exact), distributed Gram pass."""
+    m = embeddings_matrix(spark, sf_dir)
+    sv = SV.tsvd_singular_values(m, k=5)
+    return spark.createDataFrame(
+        [(i, round(float(s), 6)) for i, s in enumerate(sv)],
+        "component int, sigma double",
+    )
+
+
+@query("rsvd_singular_values")  # rows-only + pytest vs numpy/tsvd
+def q_rsvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linalg/rsvd.cuh:41 randomized SVD (oversampling 10, 2 power
+    iterations, distributed passes + Cholesky-QR); approximates the
+    exact tsvd singular values."""
+    m = embeddings_matrix(spark, sf_dir)
+    sv = SV.rsvd_singular_values(m, k=5)
+    return spark.createDataFrame(
+        [(i, round(float(s), 6)) for i, s in enumerate(sv)],
+        "component int, sigma double",
+    )
+
+
+@query("eigsh_power")  # rows-only + pytest vs numpy
+def q_eigsh_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparse/solver/lanczos.cuh:35 entry (LM mode) via power iteration:
+    largest eigenvalue of the 50-node graph's normalized Laplacian.
+    Each iteration = one distributed SpMV (join+agg)."""
+    from raft_spark.operators.sparse import laplacian
+
+    lap = laplacian(_graph(spark, sf_dir), normalized=True).cache()
+    lam, _ = SV.power_iteration(spark, lap, n=50, iters=30)
+    return spark.createDataFrame([(round(lam, 4),)], "eigenvalue double")
+
+
+@query("mst_weight")  # rows-only + pytest vs python Kruskal
+def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparse/solver/mst.cuh — Borůvka MST of the 50-node graph;
+    returns edge count + total weight (deterministic)."""
+    edges = SV.mst(_graph(spark, sf_dir))
+    total = round(sum(w for _, _, w in edges), 6)
+    return edges and spark.createDataFrame(
+        [(len(edges), total)], "n_edges long, total_weight double"
+    )
+
+
+@query("connected_components")  # rows-only + pytest vs union-find
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label/merge_labels.cuh:18 — smallest-label propagation over the
+    graph restricted to heavy edges (weight ≥ 4 disconnects it)."""
+    g = _graph(spark, sf_dir).filter(F.col("value") >= 4.0)
+    labels = SV.connected_components(g)
+    return labels.groupBy("label").agg(F.count("*").alias("size")).orderBy("label")
+
+
+@query("lap_assignment")  # rows-only + pytest vs brute force
+def q_lap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """solver/linear_assignment.cuh:50 — 20 batched 8×8 LAPs with
+    LCG-generated costs, solved exactly per batch via applyInPandas."""
+    n, batches = 8, 20
+    probs = spark.range(batches * n * n).select(
+        (F.col("id") / (n * n)).cast("long").alias("batch"),
+        ((F.col("id") % (n * n)) / n).cast("long").alias("i"),
+        (F.col("id") % n).alias("j"),
+        rng.uniform("id", seed=515).alias("cost"),
+    )
+    out = SV.lap_batched(probs)
+    return out.select(
+        "batch", "i", "assigned_j", F.round("objective", 6).alias("objective")
+    )
+
+
+@query(
+    "spectral_partition",
+    oracle="""
+WITH edges AS (
+    SELECT (l_partkey % 50) AS row, (l_suppkey % 50) AS col,
+           count(*)::DOUBLE AS value
+    FROM lineitem
+    WHERE (l_partkey % 50) <> (l_suppkey % 50)
+    GROUP BY 1, 2
+),
+adj AS (
+    SELECT row, col, sum(value) AS value FROM (
+        SELECT row, col, value FROM edges
+        UNION ALL
+        SELECT col AS row, row AS col, value FROM edges
+    ) GROUP BY 1, 2
+),
+lbl AS (SELECT row, col, value, row % 4 AS la, col % 4 AS lb FROM adj),
+m AS (SELECT sum(value) / 2.0 AS m2 FROM adj),
+deg AS (SELECT row, sum(value) AS d FROM adj GROUP BY 1),
+cut AS (SELECT sum(CASE WHEN la <> lb THEN value ELSE 0 END) / 2.0 AS edge_cut FROM lbl),
+intra AS (
+    SELECT la AS c, sum(CASE WHEN la = lb THEN value ELSE 0 END) AS w_in
+    FROM lbl GROUP BY 1
+),
+dsum AS (SELECT row % 4 AS c, sum(d) AS dtot FROM deg GROUP BY 1)
+SELECT round(edge_cut, 6) AS edge_cut,
+       round(sum(w_in / (2 * m2) - (dtot / (2 * m2)) * (dtot / (2 * m2))), 6) AS modularity
+FROM intra JOIN dsum USING (c) CROSS JOIN cut CROSS JOIN m
+GROUP BY edge_cut
+""",
+)
+def q_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spectral/partition.cuh:38 analyzePartition (edge cut) +
+    modularity_maximization.hpp:47 analyzeModularity for the
+    partition label = node mod 4 — contingency-style aggregates."""
+    adj = _graph(spark, sf_dir)
+    lbl = adj.select(
+        "row", "col", "value",
+        (F.col("row") % 4).alias("la"), (F.col("col") % 4).alias("lb"),
+    ).cache()
+    m2 = lbl.agg((F.sum("value") / 2.0).alias("m2")).collect()[0]["m2"]
+    edge_cut = lbl.agg(
+        (F.sum(F.when(F.col("la") != F.col("lb"), F.col("value")).otherwise(0.0)) / 2.0).alias("c")
+    ).collect()[0]["c"]
+    deg = adj.groupBy("row").agg(F.sum("value").alias("d"))
+    dsum = deg.groupBy((F.col("row") % 4).alias("c")).agg(F.sum("d").alias("dtot"))
+    intra = (
+        lbl.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("c"))
+        .agg(F.sum("value").alias("w_in"))
+    )
+    mod = (
+        intra.join(dsum, "c")
+        .agg(
+            F.sum(
+                F.col("w_in") / (2 * m2) - F.pow(F.col("dtot") / (2 * m2), 2)
+            ).alias("modularity")
+        )
+        .collect()[0]["modularity"]
+    )
+    return spark.createDataFrame(
+        [(round(edge_cut, 6), round(mod, 6))], "edge_cut double, modularity double"
+    )

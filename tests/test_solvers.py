@@ -1,0 +1,158 @@
+"""Solver/decomposition ops vs numpy/naive oracles (SURVEY.md §5.1:
+the reference tests every op against a naive implementation with
+tolerance compare — cpp/tests/linalg/{svd,eig,lstsq}.cu pattern)."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators import solvers as SV
+
+
+def _matrix_df(spark, a: np.ndarray):
+    rows = [(i, [float(x) for x in a[i]]) for i in range(a.shape[0])]
+    return spark.createDataFrame(rows, "id long, features array<double>")
+
+
+def _coo_df(spark, a: np.ndarray):
+    rows = [
+        (i, j, float(a[i, j]))
+        for i in range(a.shape[0])
+        for j in range(a.shape[1])
+        if a[i, j] != 0.0
+    ]
+    return spark.createDataFrame(rows, "row long, col long, value double")
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_lstsq_normal_matches_numpy(spark, rng):
+    x = rng.standard_normal((200, 3))
+    w_true = np.array([3.0, -2.0, 0.5])
+    y = 1.0 + x @ w_true + 0.01 * rng.standard_normal(200)
+    df = spark.createDataFrame(
+        [(float(r[0]), float(r[1]), float(r[2]), float(yy)) for r, yy in zip(x, y)],
+        "x1 double, x2 double, x3 double, y double",
+    )
+    w = SV.lstsq_normal(df, ["x1", "x2", "x3"], "y")
+    design = np.column_stack([np.ones(200), x])
+    expect, *_ = np.linalg.lstsq(design, y, rcond=None)
+    assert np.allclose(w, expect, atol=1e-8)
+
+
+def test_covariance_and_pca_match_numpy(spark, rng):
+    a = rng.standard_normal((60, 5)) @ np.diag([3.0, 2.0, 1.0, 0.5, 0.1])
+    df = _matrix_df(spark, a)
+    cov = SV.covariance_matrix(df)
+    assert np.allclose(cov, np.cov(a, rowvar=False), atol=1e-9)
+
+    comps, ev, ratio, _ = SV.pca_fit(df, n_components=3)
+    w = np.linalg.eigvalsh(np.cov(a, rowvar=False))[::-1]
+    assert np.allclose(ev, w[:3], atol=1e-9)
+    assert np.allclose(ratio, w[:3] / w.sum(), atol=1e-9)
+    # components orthonormal + sign-stabilized (max-|.| coord positive)
+    assert np.allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    for c in comps:
+        assert c[np.abs(c).argmax()] > 0
+
+
+def test_pca_transform_projects(spark, rng):
+    a = rng.standard_normal((20, 4))
+    df = _matrix_df(spark, a)
+    comps = np.eye(2, 4)
+    out = SV.pca_transform(df, comps).orderBy("id").collect()
+    got = np.array([[r["pc0"], r["pc1"]] for r in out])
+    assert np.allclose(got, a @ comps.T, atol=1e-12)
+
+
+def test_tsvd_and_rsvd_match_numpy(spark, rng):
+    a = rng.standard_normal((80, 8)) @ np.diag([10, 8, 6, 4, 2, 1, 0.5, 0.1])
+    df = _matrix_df(spark, a)
+    expect = np.linalg.svd(a, compute_uv=False)[:4]
+    assert np.allclose(SV.tsvd_singular_values(df, k=4), expect, rtol=1e-8)
+    # randomized: tight for well-separated spectrum with oversampling
+    assert np.allclose(SV.rsvd_singular_values(df, k=4), expect, rtol=1e-4)
+
+
+def test_cholesky_qr_r(spark, rng):
+    a = rng.standard_normal((50, 4))
+    r = SV.cholesky_qr_r(_matrix_df(spark, a))
+    _, r_np = np.linalg.qr(a)
+    # R unique up to row signs
+    assert np.allclose(np.abs(r), np.abs(r_np), atol=1e-8)
+
+
+def test_power_iteration_matches_numpy(spark, rng):
+    a = rng.standard_normal((12, 12))
+    a = a + a.T + 12 * np.eye(12)  # dominant positive eigenvalue
+    lam, _ = SV.power_iteration(spark, _coo_df(spark, a), n=12, iters=60)
+    assert abs(lam - np.linalg.eigvalsh(a)[-1]) < 1e-6
+
+
+def _kruskal(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total, n = 0.0, 0
+    for w, a, b in sorted((w, a, b) for a, b, w in edges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            total += w
+            n += 1
+    return n, total
+
+
+def test_mst_matches_kruskal(spark, rng):
+    nodes = 15
+    edges = []
+    for a in range(nodes):
+        for b in range(a + 1, nodes):
+            if rng.random() < 0.4:
+                edges.append((a, b, float(rng.integers(1, 100))))
+    df = spark.createDataFrame(edges, "row long, col long, value double")
+    got = SV.mst(df)
+    n_exp, w_exp = _kruskal(edges)
+    assert len(got) == n_exp
+    assert abs(sum(w for _, _, w in got) - w_exp) < 1e-9
+
+
+def test_connected_components(spark):
+    # two components: {0,1,2}, {5,6}; isolated pairs via edges only
+    edges = [(0, 1, 1.0), (1, 2, 1.0), (5, 6, 1.0)]
+    df = spark.createDataFrame(edges, "row long, col long, value double")
+    labels = {r["node"]: r["label"] for r in SV.connected_components(df).collect()}
+    assert labels[0] == labels[1] == labels[2] == 0
+    assert labels[5] == labels[6] == 5
+
+
+def test_lap_matches_bruteforce(spark, rng):
+    n, batches = 4, 3
+    rows = []
+    costs = {}
+    for b in range(batches):
+        c = rng.random((n, n))
+        costs[b] = c
+        rows += [(b, i, j, float(c[i, j])) for i in range(n) for j in range(n)]
+    df = spark.createDataFrame(rows, "batch long, i long, j long, cost double")
+    out = SV.lap_batched(df).collect()
+    obj = {r["batch"]: r["objective"] for r in out}
+    for b, c in costs.items():
+        best = min(
+            sum(c[i, p[i]] for i in range(n)) for p in itertools.permutations(range(n))
+        )
+        assert abs(obj[b] - best) < 1e-9
