@@ -1,0 +1,151 @@
+"""Structured-Streaming operator queries (engine extension; the
+reference has no streaming, SURVEY.md §2.12 — these are the
+aggregation-shaped operators recomputed incrementally over `events`).
+
+Each query drains the events file-source with an availableNow trigger
+into a memory sink, then returns the sink as a batch DataFrame; the
+DuckDB oracle computes the same windowed aggregate over the parquet
+directly, so the streaming path is held to the exact batch answer
+(complete output mode ⇒ every window, closed or open, is emitted).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from raft_spark.queries.registry import query
+from raft_spark.streaming import incremental as S
+
+# DuckDB reads the parquet TIMESTAMP(NANOS) column natively (Spark
+# must read it as long + convert, see session.py nanosAsLong); hour
+# truncation is identical at either precision.
+SQL_EVT = """
+evt AS (
+    SELECT ts::TIMESTAMP AS ts, user_id, event_type, value, event_id
+    FROM events
+)
+"""
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """File-source streams need a directory: stage a symlink to the
+    events parquet under /tmp (read-only testdata stays untouched)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/raft_spark_stream/{name}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, "events.parquet"), link)
+    return d
+
+
+def _drain(spark: SparkSession, stream: DataFrame, name: str) -> DataFrame:
+    S.run_to_memory_sink(stream, name, output_mode="complete")
+    return spark.sql(f"select * from {name}")
+
+
+@query(
+    "stream_windowed_moments",
+    oracle=f"""
+WITH {SQL_EVT}
+SELECT date_trunc('hour', ts) AS win_start, event_type,
+       count(*)::BIGINT AS n,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS stddev,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM evt GROUP BY 1, 2
+""",
+)
+def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-hour moments over the event stream
+    (stats/mean.cuh / stddev.cuh / minmax.cuh semantics, streaming)."""
+    stream = S.windowed_moments(S.read_events_stream(spark, _stage_events_dir(sf_dir)))
+    out = _drain(spark, stream, "sink_stream_moments")
+    return out.select(
+        "win_start",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.round("mean", 6).alias("mean"),
+        F.round("stddev", 6).alias("stddev"),
+        F.round("min_v", 6).alias("min_v"),
+        F.round("max_v", 6).alias("max_v"),
+    )
+
+
+@query(
+    "stream_windowed_histogram",
+    oracle=f"""
+WITH {SQL_EVT}
+SELECT date_trunc('hour', ts) AS win_start,
+       least(greatest(floor(value / 25.0), 0), 7)::BIGINT AS bin,
+       count(*)::BIGINT AS cnt
+FROM evt GROUP BY 1, 2
+""",
+)
+def q_stream_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental per-hour fixed-width histogram of event values
+    (stats/histogram.cuh semantics, streaming)."""
+    stream = S.windowed_histogram(S.read_events_stream(spark, _stage_events_dir(sf_dir)))
+    out = _drain(spark, stream, "sink_stream_histogram")
+    return out.select(
+        "win_start",
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+    )
+
+
+@query(
+    "stream_topk_users",
+    oracle=f"""
+WITH {SQL_EVT},
+sums AS (
+    SELECT date_trunc('hour', ts) AS win_start, user_id,
+           sum(value) AS total
+    FROM evt GROUP BY 1, 2
+),
+ranked AS (
+    SELECT win_start, user_id, total,
+           row_number() OVER (
+               PARTITION BY win_start ORDER BY total DESC, user_id DESC
+           ) AS rank
+    FROM sums
+)
+SELECT win_start, rank::BIGINT AS rank, user_id,
+       round(total, 6) AS total
+FROM ranked WHERE rank <= 3
+""",
+)
+def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase streaming grouped top-k (matrix/select_k.cuh shape):
+    stream maintains per-(hour, user) sums; batch finalizer takes exact
+    top-3 per closed window via single-groupBy partial top-k."""
+    stream = S.windowed_topk_events(S.read_events_stream(spark, _stage_events_dir(sf_dir)))
+    partials = _drain(spark, stream, "sink_stream_topk")
+    out = S.finalize_topk(partials, k=3)
+    return out.select(
+        "win_start",
+        F.col("rank").cast("bigint").alias("rank"),
+        "user_id",
+        F.round("total", 6).alias("total"),
+    )
+
+
+@query("stream_running_topk")  # stateful custom operator: rows-only + pytest
+def q_stream_running_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState running top-4 events per type — custom
+    bounded-state streaming operator (O(k) state per key)."""
+    stream = S.running_topk_stateful(
+        S.read_events_stream(spark, _stage_events_dir(sf_dir)), k=4
+    )
+    S.run_to_memory_sink(stream, "sink_stream_running_topk", output_mode="update")
+    out = spark.sql("select * from sink_stream_running_topk")
+    return out.select(
+        "event_type",
+        F.col("rank").cast("bigint").alias("rank"),
+        F.round("value", 6).alias("value"),
+        "event_id",
+    )

@@ -1,0 +1,219 @@
+"""Structured Streaming variants of the aggregation-shaped operators.
+
+The reference has no streaming (SURVEY.md §2.12) — this is the engine's
+extension: the moments / histogram / top-k primitives (stats/mean.cuh,
+stats/histogram.cuh, matrix/select_k.cuh semantics) recomputed
+incrementally over an event stream with watermarked event-time windows.
+
+Design for scale:
+- All windowed aggregates use built-in partial-aggregating functions
+  (count/sum/avg/stddev) — state per (window, key) only, map-side
+  combined, no per-event state.
+- Late data bounded by the watermark; state is evicted when windows
+  close (append mode), so state size = open windows × keys.
+- Grouped top-k is split "stream partial, batch finalize": the stream
+  maintains the per-(window,key) sums (cheap, incremental); the exact
+  top-k over a closed window runs as a batch select_k on the sink —
+  the same two-phase shape as the batch operator's partial-then-merge.
+- ``running_topk_stateful`` shows the custom-stateful path
+  (applyInPandasWithState): bounded O(k) state per key, Arrow-batched.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# ts is stored as raw INT64 epoch-nanoseconds (no parquet logical type);
+# read as long, convert to a proper event-time timestamp for watermarks.
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _with_event_time(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    )
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over a directory of events parquet files.
+
+    At scale this is the replayable on-arrival source (object-store
+    listing); swap for Kafka by replacing this one reader — every
+    operator below is source-agnostic.
+    """
+    return _with_event_time(spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir))
+
+
+def windowed_moments(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    key: str = "event_type",
+) -> DataFrame:
+    """Incremental per-window moments (stats/mean.cuh, stddev.cuh,
+    minmax.cuh semantics): count/mean/stddev/min/max of ``value`` per
+    (event-time window, key). Pure built-in aggregates → incremental
+    partial aggregation, state evicted at watermark."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col(key))
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            F.stddev_samp("value").alias("stddev"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col(key),
+            "n",
+            "mean",
+            "stddev",
+            "min_v",
+            "max_v",
+        )
+    )
+
+
+def windowed_histogram(
+    events: DataFrame,
+    lo: float = 0.0,
+    width: float = 25.0,
+    n_bins: int = 8,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Incremental fixed-width histogram per window (stats/histogram.cuh
+    semantics, same binning as the batch ``histogram_events`` query):
+    bin = clamp(floor((value-lo)/width), 0, n_bins-1)."""
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("value") - lo) / width), F.lit(0)),
+        F.lit(n_bins - 1),
+    ).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), bin_col.alias("bin"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "bin", "cnt")
+    )
+
+
+def windowed_topk_events(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming partial stage of grouped top-k (matrix/select_k.cuh
+    shape): per-(window, user) value sums, incrementally maintained.
+    Finalize on the sink with ``finalize_topk`` once windows close —
+    rank-within-group is not incrementally maintainable in append mode,
+    and the two-phase split keeps streaming state O(windows×users)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), F.col("user_id"))
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "total")
+    )
+
+
+def finalize_topk(partials: DataFrame, k: int = 5) -> DataFrame:
+    """Batch finalizer: exact top-k users per closed window from the
+    streamed partial sums (single partial-agg groupBy, no full sort)."""
+    return (
+        partials.groupBy("win_start")
+        .agg(
+            F.slice(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("total"), F.col("user_id"))),
+                    asc=False,
+                ),
+                1,
+                k,
+            ).alias("top")
+        )
+        .select(
+            "win_start",
+            F.posexplode("top").alias("rank0", "e"),
+        )
+        .select(
+            "win_start",
+            (F.col("rank0") + 1).alias("rank"),
+            F.col("e.user_id").alias("user_id"),
+            F.col("e.total").alias("total"),
+        )
+    )
+
+
+def running_topk_stateful(
+    events: DataFrame, k: int = 5, key: str = "event_type"
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: a running
+    top-k of (value, event_id) per key across the whole stream.
+
+    State is the current top-k list only (O(k) per key, never the
+    events); each trigger merges the Arrow batch into the state with a
+    driver-free vectorized pandas nlargest — the streaming analogue of
+    select_k's per-partition partial top-k (matrix/select_k.cuh:75).
+    """
+
+    out_schema = f"{key} string, rank int, value double, event_id long"
+    state_schema = "values array<double>, ids array<long>"
+
+    def update(
+        key_tuple: Any,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        if state.exists:
+            vals, ids = state.get
+            cur = pd.DataFrame({"value": list(vals), "event_id": list(ids)})
+        else:
+            cur = pd.DataFrame({"value": [], "event_id": []})
+        for pdf in pdfs:
+            cur = pd.concat([cur, pdf[["value", "event_id"]]], ignore_index=True)
+            cur = cur.nlargest(k, "value", keep="first")
+        cur = cur.sort_values("value", ascending=False).reset_index(drop=True)
+        state.update((cur["value"].tolist(), cur["event_id"].astype("int64").tolist()))
+        yield pd.DataFrame(
+            {
+                key: key_tuple[0],
+                "rank": range(1, len(cur) + 1),
+                "value": cur["value"],
+                "event_id": cur["event_id"].astype("int64"),
+            }
+        )
+
+    return events.groupBy(key).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory_sink(
+    stream_df: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming DataFrame to completion over the currently
+    available files (availableNow trigger) into an in-memory sink table
+    ``name`` — the test/bench harness runner."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,132 @@
+"""Structured Streaming operators vs their batch equivalents on the
+same events data (availableNow trigger drains the file source, memory
+sink collects; results must equal the one-shot batch aggregation)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from raft_spark.streaming import incremental as S
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    # File-source streams list a directory; stage the single parquet
+    # file into one (simulates files arriving in an object-store path).
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, events_dir):
+    return S._with_event_time(spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir))
+
+
+def _rows(spark, name):
+    return spark.sql(f"select * from {name}").collect()
+
+
+def test_windowed_moments_matches_batch(spark, events_dir, batch_events):
+    stream = S.windowed_moments(S.read_events_stream(spark, events_dir))
+    S.run_to_memory_sink(stream, "moments_sink", output_mode="complete")
+    got = {
+        (r["win_start"], r["event_type"]): (r["n"], r["mean"], r["min_v"], r["max_v"])
+        for r in _rows(spark, "moments_sink")
+    }
+    expect = {
+        (r["win_start"], r["event_type"]): (r["n"], r["mean"], r["min_v"], r["max_v"])
+        for r in batch_events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.avg("value").alias("mean"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        .select(F.col("win.start").alias("win_start"), "event_type", "n", "mean", "min_v", "max_v")
+        .collect()
+    }
+    assert got.keys() == expect.keys() and len(got) > 0
+    for k, (n, mean, lo, hi) in expect.items():
+        gn, gmean, glo, ghi = got[k]
+        assert gn == n and abs(gmean - mean) < 1e-9 and glo == lo and ghi == hi
+
+
+def test_windowed_histogram_matches_batch(spark, events_dir, batch_events):
+    stream = S.windowed_histogram(S.read_events_stream(spark, events_dir))
+    S.run_to_memory_sink(stream, "hist_sink", output_mode="complete")
+    got = {(r["win_start"], r["bin"]): r["cnt"] for r in _rows(spark, "hist_sink")}
+    bin_col = F.least(
+        F.greatest(F.floor((F.col("value") - 0.0) / 25.0), F.lit(0)), F.lit(7)
+    ).cast("long")
+    expect = {
+        (r["win_start"], r["bin"]): r["cnt"]
+        for r in batch_events.groupBy(
+            F.window("ts", "1 hour").alias("win"), bin_col.alias("bin")
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "bin", "cnt")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_streaming_topk_two_phase(spark, events_dir, batch_events):
+    stream = S.windowed_topk_events(S.read_events_stream(spark, events_dir))
+    S.run_to_memory_sink(stream, "topk_sink", output_mode="complete")
+    partials = spark.sql("select * from topk_sink")
+    got = {
+        (r["win_start"], r["rank"]): (r["user_id"], r["total"])
+        for r in S.finalize_topk(partials, k=3).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("win_start").orderBy(
+        F.desc("total"), F.desc("user_id")
+    )
+    expect = {
+        (r["win_start"], r["rank"]): (r["user_id"], r["total"])
+        for r in batch_events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "user_id"
+        )
+        .agg(F.sum("value").alias("total"))
+        .select(F.col("win.start").alias("win_start"), "user_id", "total")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got.keys() == expect.keys() and len(got) > 0
+    for k, (uid, total) in expect.items():
+        assert abs(got[k][1] - total) < 1e-9  # ties may swap user ids
+
+
+def test_running_topk_stateful(spark, events_dir, batch_events):
+    stream = S.running_topk_stateful(S.read_events_stream(spark, events_dir), k=4)
+    S.run_to_memory_sink(stream, "state_sink", output_mode="update")
+    # last update per key is the final running top-k
+    rows = _rows(spark, "state_sink")
+    got: dict[str, list[tuple[float, int]]] = {}
+    for r in rows:  # memory sink appends every trigger's updates; one trigger here
+        got.setdefault(r["event_type"], []).append((r["rank"], r["value"], r["event_id"]))
+    expect = (
+        batch_events.groupBy("event_type")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("value", "event_id")), asc=False),
+                1,
+                4,
+            ).alias("top")
+        )
+        .collect()
+    )
+    assert len(got) > 0
+    for r in expect:
+        vals = sorted((e["value"] for e in r["top"]), reverse=True)
+        got_vals = sorted((v for _, v, _ in got[r["event_type"]]), reverse=True)
+        assert got_vals == pytest.approx(vals)
