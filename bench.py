@@ -46,6 +46,11 @@ HEADLINE = [
     "lang_quality",       # narrow text projection stack
     "rng_distributions",  # generator throughput
     "sample_without_replacement",  # exp-sort weighted sampling
+    "select_k_csr",       # per-group top-k over sparse long form
+    "masked_matmul",      # mask-join-pruned pairwise dot products
+    "matrix_gather",      # broadcast-join row gather
+    "sort_cols_per_row",  # in-row sort (zero shuffle)
+    "stream_windowed_moments",  # structured-streaming incremental agg
 ]
 
 

@@ -34,18 +34,32 @@ def _c(col) -> Column:
 def uniform(id_col, seed: int = 42, stream: int = 0) -> Column:
     """U(0,1), pure function of (id, seed, stream) — rng.cuh uniform.
 
+    Multiply-mod rounds interleaved with xor-shift folds: an LCG alone
+    is linear, so streams whose seeds differ by a constant stay
+    linearly correlated forever (measurably biased Box–Muller); the
+    xor-shift breaks the linearity (same reason PCG adds a permutation
+    on top of its LCG). The `% (M-1) + 1` re-clamps keep every state
+    in [1, M-1] so no stream can hit the absorbing 0 and u is never
+    exactly 0 or 1 (safe for log()).
+
     SQL-equivalent (DuckDB oracle)::
 
-        s0 = (id*2654435761 + seed*97531 + stream*7919) % 2147483646 + 1
-        s1 = (48271*s0) % 2147483647
-        s2 = (48271*s1) % 2147483647
-        u  = s2 / 2147483647.0
+        s0  = (id*2654435761 + seed*97531 + stream*7919) % 2147483646 + 1
+        s1  = (48271*s0) % 2147483647
+        s1x = xor(s1, s1 >> 17) % 2147483646 + 1
+        s2  = (48271*s1x) % 2147483647
+        s2x = xor(s2, s2 >> 13) % 2147483646 + 1
+        s3  = (48271*s2x) % 2147483647
+        u   = s3 / 2147483647.0
     """
     idc = _c(id_col).cast("long")
     s0 = (idc * F.lit(2_654_435_761) + F.lit(seed) * 97_531 + F.lit(stream) * 7_919) % F.lit(_M - 1) + 1
     s1 = (F.lit(_A) * s0) % F.lit(_M)
-    s2 = (F.lit(_A) * s1) % F.lit(_M)
-    return s2.cast("double") / F.lit(float(_M))
+    s1x = s1.bitwiseXOR(F.shiftright(s1, 17)) % F.lit(_M - 1) + 1
+    s2 = (F.lit(_A) * s1x) % F.lit(_M)
+    s2x = s2.bitwiseXOR(F.shiftright(s2, 13)) % F.lit(_M - 1) + 1
+    s3 = (F.lit(_A) * s2x) % F.lit(_M)
+    return s3.cast("double") / F.lit(float(_M))
 
 
 def uniform_range(id_col, lo: float, hi: float, seed: int = 42, stream: int = 0) -> Column:

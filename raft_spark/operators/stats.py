@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from raft_spark.functions import arrays as A
 
@@ -224,3 +225,71 @@ def information_criterion(
         (aic + 2.0 * k * (k + 1.0) / (F.col("n") - k - 1.0)).alias("aicc"),
         (-2.0 * llh + k * F.log(F.col("n"))).alias("bic"),
     )
+
+
+def _pairwise_sims(a: DataFrame, features: str = "features") -> DataFrame:
+    """All ordered pairs (i,j), i≠j, with cosine similarity — the
+    pairwise kernel behind recall/trustworthiness. O(n²) shuffle by
+    construction: gate by sampling before calling (the reference's
+    batched silhouette takes the same chunked approach,
+    stats/detail/silhouette_score.cuh)."""
+    l = a.select(
+        F.col("id").alias("i"),
+        F.col(features).alias("_fa"),
+    )
+    r = a.select(F.col("id").alias("j"), F.col(features).alias("_fb"))
+    dot = F.aggregate(
+        F.zip_with("_fa", "_fb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("_fa", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("_fb", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    return (
+        l.crossJoin(r)
+        .filter(F.col("i") != F.col("j"))
+        .select("i", "j", (dot / (na * nb)).alias("sim"))
+    )
+
+
+def neighborhood_recall(
+    truth_topk: DataFrame, pred_topk: DataFrame, n: int, k: int
+) -> DataFrame:
+    """stats/neighborhood_recall.cuh:31 — fraction of (query, neighbor)
+    pairs in the predicted top-k that appear in the true top-k:
+    |pred ∩ truth| / (n·k). A join + one count."""
+    hits = pred_topk.join(truth_topk, ["i", "j"], "left_semi").count()
+    spark = truth_topk.sparkSession
+    return spark.createDataFrame(
+        [(round(hits / (n * k), 6),)], "recall double"
+    )
+
+
+def trustworthiness_score(
+    orig: DataFrame, emb: DataFrame, k: int, features: str = "features"
+) -> DataFrame:
+    """stats/trustworthiness_score.cuh:19 — rank-penalty score of an
+    embedding: T = 1 - 2/(n·k·(2n-3k-1)) · Σ_{j∈kNN_emb(i)\\kNN_orig(i)}
+    (rank_orig(i,j) - k).
+
+    Both rank tables come from the pairwise-similarity windows; the
+    penalty is one join + aggregate. Distance = 1 - cosine here (the
+    metric is a template parameter in the reference too).
+    """
+    n = orig.count()
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    r_orig = _pairwise_sims(orig, features).select(
+        "i", "j", F.row_number().over(w).alias("rank_orig")
+    )
+    nn_emb = (
+        _pairwise_sims(emb, features)
+        .select("i", "j", F.row_number().over(w).alias("rank_emb"))
+        .filter(F.col("rank_emb") <= k)
+    )
+    penalty = (
+        nn_emb.join(r_orig, ["i", "j"])
+        .filter(F.col("rank_orig") > k)
+        .agg(F.coalesce(F.sum(F.col("rank_orig") - k), F.lit(0)).alias("p"))
+        .collect()[0]["p"]
+    )
+    t = 1.0 - (2.0 / (n * k * (2.0 * n - 3.0 * k - 1.0))) * float(penalty)
+    spark = orig.sparkSession
+    return spark.createDataFrame([(round(t, 6),)], "trustworthiness double")

@@ -17,4 +17,5 @@ from raft_spark.queries import pipeline_queries  # noqa: F401, E402
 from raft_spark.queries import rng_queries  # noqa: F401, E402
 from raft_spark.queries import solver_queries  # noqa: F401, E402
 from raft_spark.queries import streaming_queries  # noqa: F401, E402
+from raft_spark.queries import matrix_queries  # noqa: F401, E402
 from raft_spark.queries.text_queries import flagship  # noqa: F401, E402

@@ -12,11 +12,16 @@ A = 48_271
 
 
 def sql_uniform(id_expr: str, seed: int = 42, stream: int = 0) -> str:
-    """DuckDB expression for rng.uniform(id, seed, stream) — U(0,1)."""
+    """DuckDB expression for rng.uniform(id, seed, stream) — U(0,1).
+    Mirrors the multiply-mod + xor-shift rounds of rng.uniform exactly
+    (see its docstring for why the xor-shift folds are required)."""
     s0 = f"(({id_expr})*2654435761 + {seed}*97531 + {stream}*7919) % {M - 1} + 1"
-    s1 = f"({A}*({s0})) % {M}"
-    s2 = f"({A}*({s1})) % {M}"
-    return f"(({s2}) / {M}.0)"
+    s1 = f"(({A}*({s0})) % {M})"
+    s1x = f"(xor({s1}, {s1} >> 17) % {M - 1} + 1)"
+    s2 = f"(({A}*{s1x}) % {M})"
+    s2x = f"(xor({s2}, {s2} >> 13) % {M - 1} + 1)"
+    s3 = f"({A}*{s2x}) % {M}"
+    return f"(({s3}) / {M}.0)"
 
 
 def sql_uniform_int(id_expr: str, lo: int, hi: int, seed: int = 42, stream: int = 0) -> str:

@@ -161,3 +161,94 @@ def q_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("new_pos"),
     )
+
+
+# ---- R-MAT generator (random/rmat_rectangular_generator.cuh) ---------------
+
+_RMAT_LEVELS = 6
+_RMAT_EDGES = 2000
+_RMAT_SEED = 777
+# theta quadrant probs (a,b,c,d) = (0.57, 0.19, 0.19, 0.05): cumulative
+# splits at 0.57 / 0.76 / 0.95 pick (rbit, cbit) per recursion level.
+
+
+def _rmat_sql() -> str:
+    rbits, cbits = [], []
+    for l in range(_RMAT_LEVELS):
+        u = sql_uniform("i", _RMAT_SEED, stream=l)
+        rbits.append(f"(CASE WHEN {u} >= 0.76 THEN {1 << l} ELSE 0 END)")
+        cbits.append(
+            f"(CASE WHEN ({u} >= 0.57 AND {u} < 0.76) OR {u} >= 0.95"
+            f" THEN {1 << l} ELSE 0 END)"
+        )
+    return f"""
+SELECT i::BIGINT AS edge_id,
+       ({' + '.join(rbits)})::BIGINT AS row,
+       ({' + '.join(cbits)})::BIGINT AS col
+FROM range(0, {_RMAT_EDGES}) t(i)
+"""
+
+
+@query("rmat_graph", oracle=_rmat_sql())
+def q_rmat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random/rmat_rectangular_generator.cuh:22 — per-edge recursive
+    quadrant sampling over a 2^6×2^6 adjacency: level l consumes one
+    counter-based uniform (edge_id, stream=l), so edges are independent
+    rows and the generator is embarrassingly parallel at any scale."""
+    e = spark.range(_RMAT_EDGES)
+    row = F.lit(0)
+    col = F.lit(0)
+    for l in range(_RMAT_LEVELS):
+        u = rng.uniform("id", _RMAT_SEED, stream=l)
+        row = row + F.when(u >= 0.76, F.lit(1 << l)).otherwise(0)
+        col = col + F.when(
+            ((u >= 0.57) & (u < 0.76)) | (u >= 0.95), F.lit(1 << l)
+        ).otherwise(0)
+    return e.select(
+        F.col("id").cast("bigint").alias("edge_id"),
+        row.cast("bigint").alias("row"),
+        col.cast("bigint").alias("col"),
+    )
+
+
+# ---- multi-variable Gaussian (random/multi_variable_gaussian.cuh) ----------
+
+_MVN_SEED = 888
+_MVN_N = 5000
+_MVN_COV = [[4.0, 2.0, 1.0], [2.0, 3.0, 0.5], [1.0, 0.5, 2.0]]
+
+
+def _mvn_chol() -> list[list[float]]:
+    import numpy as np
+
+    return np.linalg.cholesky(np.array(_MVN_COV)).tolist()
+
+
+def _mvn_sql() -> str:
+    L = _mvn_chol()
+    zs = [sql_normal("i", 0.0, 1.0, _MVN_SEED + j) for j in range(3)]
+    xs = []
+    for r in range(3):
+        terms = [f"({L[r][j]!r} * {zs[j]})" for j in range(r + 1)]
+        xs.append(f"round({' + '.join(terms)}, 6) AS x{r}")
+    return f"""
+SELECT i::BIGINT AS id, {', '.join(xs)}
+FROM range(0, {_MVN_N}) t(i)
+"""
+
+
+@query("mvn_sample", oracle=_mvn_sql())
+def q_mvn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """random/multi_variable_gaussian.cuh — MVN(0, Σ) sampling via
+    driver-side Cholesky of the (small) covariance + distributed
+    counter-based standard normals: x = L·z, a narrow projection."""
+    L = _mvn_chol()
+    e = spark.range(_MVN_N)
+    zs = [rng.normal("id", 0.0, 1.0, seed=_MVN_SEED + j) for j in range(3)]
+    xs = []
+    for r in range(3):
+        acc = F.lit(L[r][0]) * zs[0]
+        for j in range(1, r + 1):
+            acc = acc + F.lit(L[r][j]) * zs[j]
+        xs.append(F.round(acc, 6).alias(f"x{r}"))
+    return e.select(F.col("id").cast("bigint").alias("id"), *xs)

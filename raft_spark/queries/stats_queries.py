@@ -245,3 +245,96 @@ def q_information_criterion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("aicc", 6).alias("aicc"),
         F.round("bic", 6).alias("bic"),
     )
+
+
+# ---- neighborhood metrics (SURVEY §2.6 tail) -------------------------------
+
+_SQL_PAIR_SIMS = """
+v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS f FROM embeddings WHERE vec_id < {n}),
+l AS (SELECT id, unnest(f) AS x, generate_subscripts(f, 1) AS pos FROM v),
+l16 AS (SELECT id, x, pos FROM l WHERE pos <= 16),
+nrm AS (SELECT id, sqrt(sum(x*x)) AS n FROM l GROUP BY 1),
+nrm16 AS (SELECT id, sqrt(sum(x*x)) AS n FROM l16 GROUP BY 1),
+sim_full AS (
+    SELECT a.id AS i, b.id AS j, sum(a.x*b.x) / (na.n * nb.n) AS sim
+    FROM l a JOIN l b ON a.pos = b.pos AND a.id <> b.id
+    JOIN nrm na ON na.id = a.id JOIN nrm nb ON nb.id = b.id
+    GROUP BY 1, 2, na.n, nb.n
+),
+sim_16 AS (
+    SELECT a.id AS i, b.id AS j, sum(a.x*b.x) / (na.n * nb.n) AS sim
+    FROM l16 a JOIN l16 b ON a.pos = b.pos AND a.id <> b.id
+    JOIN nrm16 na ON na.id = a.id JOIN nrm16 nb ON nb.id = b.id
+    GROUP BY 1, 2, na.n, nb.n
+)
+"""
+
+
+@query(
+    "neighborhood_recall",
+    oracle=f"""
+WITH {_SQL_PAIR_SIMS.format(n=80)},
+truth AS (
+    SELECT i, j FROM (
+        SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rk
+        FROM sim_full) WHERE rk <= 5
+),
+pred AS (
+    SELECT i, j FROM (
+        SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rk
+        FROM sim_16) WHERE rk <= 5
+)
+SELECT round(count(*) / (80 * 5.0), 6) AS recall
+FROM pred JOIN truth USING (i, j)
+""",
+)
+def q_neighborhood_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats/neighborhood_recall.cuh:31 — recall@5 of the 16-dim-
+    projection ANN against the exact 64-dim cosine top-5 (n=80)."""
+    from pyspark.sql.window import Window
+
+    base = embeddings_matrix(spark, sf_dir).filter(F.col("id") < 80)
+    emb16 = base.select("id", F.slice("features", 1, 16).alias("features"))
+    w = Window.partitionBy("i").orderBy(F.desc("sim"), F.asc("j"))
+    truth = (
+        S._pairwise_sims(base)
+        .select("i", "j", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("i", "j")
+    )
+    pred = (
+        S._pairwise_sims(emb16)
+        .select("i", "j", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 5)
+        .select("i", "j")
+    )
+    return S.neighborhood_recall(truth, pred, n=80, k=5)
+
+
+@query(
+    "trustworthiness",
+    oracle=f"""
+WITH {_SQL_PAIR_SIMS.format(n=60)},
+r_orig AS (
+    SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rank_orig
+    FROM sim_full
+),
+nn_emb AS (
+    SELECT i, j FROM (
+        SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rank_emb
+        FROM sim_16) WHERE rank_emb <= 5
+),
+pen AS (
+    SELECT coalesce(sum(rank_orig - 5), 0) AS p
+    FROM nn_emb JOIN r_orig USING (i, j) WHERE rank_orig > 5
+)
+SELECT round(1.0 - (2.0 / (60 * 5.0 * (2.0*60 - 3.0*5 - 1))) * p, 6) AS trustworthiness
+FROM pen
+""",
+)
+def q_trustworthiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stats/trustworthiness_score.cuh:19 — rank-penalty quality of the
+    16-dim projection as an embedding of the 64-dim data (n=60, k=5)."""
+    base = embeddings_matrix(spark, sf_dir).filter(F.col("id") < 60)
+    emb16 = base.select("id", F.slice("features", 1, 16).alias("features"))
+    return S.trustworthiness_score(base, emb16, k=5)

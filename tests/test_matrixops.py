@@ -1,0 +1,67 @@
+"""Matrix-manipulation ops vs numpy oracles (reference test pattern:
+cpp/tests/matrix/{gather,slice,reverse}.cu — naive reference compare)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators import matrixops as M
+
+
+def _matrix_df(spark, a):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in a[i]]) for i in range(a.shape[0])],
+        "id long, features array<double>",
+    )
+
+
+def test_gather_scatter_roundtrip(spark):
+    a = np.arange(24.0).reshape(6, 4)
+    df = _matrix_df(spark, a)
+    # permutation map: out/dst = (i*5) % 6 is a bijection on 0..5
+    perm = [(i, (i * 5) % 6) for i in range(6)]
+    gmap = spark.createDataFrame([(o, s) for o, s in perm], "out_id long, src_id long")
+    got = {r["out_id"]: r["features"] for r in M.gather(df, gmap).collect()}
+    for o, s in perm:
+        assert got[o] == list(a[s])
+
+    smap = spark.createDataFrame([(s, o) for o, s in perm], "src_id long, dst_id long")
+    got = {r["out_id"]: r["features"] for r in M.scatter(df, smap).collect()}
+    for o, s in perm:
+        assert got[o] == list(a[s])
+
+
+def test_shift_cols_both_directions(spark):
+    a = np.array([[1.0, 2.0, 3.0, 4.0]])
+    df = _matrix_df(spark, a)
+    right = M.shift_cols(df, 2, fill=9.0).collect()[0]["features"]
+    assert right == [9.0, 9.0, 1.0, 2.0]
+    left = M.shift_cols(df, -1, fill=0.0).collect()[0]["features"]
+    assert left == [2.0, 3.0, 4.0, 0.0]
+
+
+def test_masked_matmul_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    a = rng.standard_normal((10, 6))
+    b = rng.standard_normal((8, 6))
+    mask = [(i, j) for i in range(10) for j in range(8) if (i + j) % 3 == 0]
+    out = M.masked_matmul(
+        _matrix_df(spark, a),
+        _matrix_df(spark, b),
+        spark.createDataFrame(mask, "i long, j long"),
+    ).collect()
+    got = {(r["i"], r["j"]): r["value"] for r in out}
+    assert set(got) == set(mask)
+    for i, j in mask:
+        assert abs(got[(i, j)] - float(a[i] @ b[j])) < 1e-9
+
+
+def test_mvn_sample_covariance(spark):
+    # property test: sample covariance of the MVN query ≈ target Σ
+    from raft_spark.queries.rng_queries import q_mvn, _MVN_COV
+
+    pdf = q_mvn(spark, "").toPandas()
+    sample_cov = np.cov(pdf[["x0", "x1", "x2"]].to_numpy(), rowvar=False)
+    assert np.allclose(sample_cov, np.array(_MVN_COV), atol=0.25)
