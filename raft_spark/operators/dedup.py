@@ -162,7 +162,16 @@ def shingles(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:
     """Distinct word n-gram shingles per doc → (doc_id, shingle)."""
-    toks = F.split(F.col(text_col), r"\s+")
+    # Materialize the token array ONCE per row before the shingle
+    # lambda. Referencing F.split(...) directly inside the transform
+    # would inline the split into every element_at — a huge generated
+    # method that trips the JIT's compile limits (observed: the same
+    # plan flip-flopping between 1s and 30s at sf0.1 depending on
+    # whether the generated code got JIT-compiled).
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     # guard: sequence(0, -1) would DESCEND in Spark, not return empty
     sh = F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
         F.transform(
@@ -172,10 +181,7 @@ def shingles(
             ),
         )
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return toked.select("doc_id", F.explode(sh).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(

@@ -487,3 +487,137 @@ def lap_batched(problems: DataFrame) -> DataFrame:
     return problems.groupBy("batch").applyInPandas(
         solve, schema="batch long, i long, assigned_j long, objective double"
     )
+
+
+def lanczos_eigsh(
+    spark: SparkSession,
+    coo: DataFrame,
+    n: int,
+    k: int = 3,
+    m: int | None = None,
+    which: str = "LM",
+    reorthogonalize: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Lanczos eigsh for a sparse symmetric matrix in COO long form
+    (sparse/solver/lanczos.cuh:35; Python entry lanczos.pyx:100).
+
+    Each iteration runs ONE distributed SpMV (join+agg); the driver
+    holds only the m×m tridiagonal T and the m Lanczos vectors'
+    coefficients. The Lanczos basis itself stays distributed as a
+    (idx, array<double>) frame; full reorthogonalization is a narrow
+    per-row pass against the basis columns (m ≤ ~40 doubles per row).
+    Returns (eigenvalues[k], ritz-residual T-norms) — eigenvectors
+    recoverable as basis × T-eigenvectors, one more narrow pass.
+
+    which: "LM"/"LA" largest magnitude/algebraic, "SA" smallest
+    algebraic (same selection semantics as lanczos.pyx `which`).
+    """
+    m = m or min(n, max(4 * k, 20))
+    # v0: deterministic unit vector (seeded counter RNG would also do)
+    v = spark.range(n).select(
+        F.col("id").alias("idx"), (F.lit(1.0) / F.lit(float(np.sqrt(n)))).alias("val")
+    ).localCheckpoint(eager=True)
+    basis = v.select("idx", F.array("val").alias("vs"))  # columns so far
+    alphas: list[float] = []
+    betas: list[float] = []
+    v_prev = None
+    for j in range(m):
+        w = spmv(coo, v)
+        # full reorthogonalization w -= Σ_i <w, q_i> q_i  (one join +
+        # one agg over the basis array; coefficient vector is tiny)
+        if reorthogonalize and j > 0:
+            joined = w.join(basis, "idx")
+            coefs = joined.agg(
+                *[
+                    F.sum(F.col("val") * F.col("vs")[i]).alias(f"c{i}")
+                    for i in range(j + 1)
+                ]
+            ).collect()[0]
+            w = (
+                joined.select(
+                    "idx",
+                    (
+                        F.col("val")
+                        - sum(
+                            (F.col("vs")[i] * float(coefs[f"c{i}"]) for i in range(j + 1)),
+                            F.lit(0.0),
+                        )
+                    ).alias("val"),
+                )
+            )
+            alpha = float(coefs[f"c{j}"])
+        else:
+            alpha = (
+                w.join(v.select("idx", F.col("val").alias("_v")), "idx")
+                .agg(F.sum(F.col("val") * F.col("_v")).alias("a"))
+                .collect()[0]["a"]
+            ) or 0.0
+            if v_prev is not None and betas:
+                w = (
+                    w.join(v.select("idx", F.col("val").alias("_v")), "idx")
+                    .join(v_prev.select("idx", F.col("val").alias("_p")), "idx")
+                    .select(
+                        "idx",
+                        (
+                            F.col("val")
+                            - F.lit(alpha) * F.col("_v")
+                            - F.lit(betas[-1]) * F.col("_p")
+                        ).alias("val"),
+                    )
+                )
+            else:
+                w = (
+                    w.join(v.select("idx", F.col("val").alias("_v")), "idx")
+                    .select("idx", (F.col("val") - F.lit(alpha) * F.col("_v")).alias("val"))
+                )
+        w = w.localCheckpoint(eager=True)
+        alphas.append(alpha)
+        beta = w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("b")).collect()[0]["b"]
+        beta = float(beta or 0.0)
+        if j == m - 1 or beta < 1e-12:
+            break
+        betas.append(beta)
+        v_prev = v
+        v = w.select("idx", (F.col("val") / beta).alias("val")).localCheckpoint(eager=True)
+        basis = (
+            basis.join(v, "idx")
+            .select("idx", F.concat("vs", F.array("val")).alias("vs"))
+            .localCheckpoint(eager=True)
+        )
+    t = np.diag(np.array(alphas))
+    if betas:
+        off = np.array(betas[: len(alphas) - 1])
+        t += np.diag(off, 1) + np.diag(off, -1)
+    evals = np.linalg.eigvalsh(t)
+    if which == "LM":
+        order = np.argsort(-np.abs(evals))
+    elif which == "LA":
+        order = np.argsort(-evals)
+    elif which == "SA":
+        order = np.argsort(evals)
+    else:
+        raise ValueError(f"unknown which: {which}")
+    sel = np.sort(evals[order[:k]])[::-1]
+    return sel, np.array(betas[: len(alphas)])
+
+
+def cholesky_r1_update(L: np.ndarray, x: np.ndarray, sign: float = 1.0) -> np.ndarray:
+    """Rank-1 Cholesky update/downdate: factor of A ± xxᵀ given L with
+    A = LLᵀ (linalg/cholesky_r1_update.cuh:19). Driver-side O(d²) —
+    the factor is small by the engine's driver-memory contract; the
+    distributed part is producing x (one aggregate pass upstream)."""
+    L = L.copy().astype(float)
+    x = x.copy().astype(float)
+    n = L.shape[0]
+    for i in range(n):
+        a = L[i, i] ** 2 + sign * x[i] ** 2
+        if a <= 0:
+            raise np.linalg.LinAlgError("downdate breaks positive definiteness")
+        r = np.sqrt(a)
+        c = r / L[i, i]
+        s = x[i] / L[i, i]
+        L[i, i] = r
+        if i + 1 < n:
+            L[i + 1 :, i] = (L[i + 1 :, i] + sign * s * x[i + 1 :]) / c
+            x[i + 1 :] = c * x[i + 1 :] - s * L[i + 1 :, i]
+    return L

@@ -210,3 +210,19 @@ def q_spectral_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(edge_cut, 6), round(mod, 6))], "edge_cut double, modularity double"
     )
+
+
+@query("eigsh_lanczos")  # rows-only + pytest vs numpy
+def q_eigsh_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sparse/solver/lanczos.cuh:35 eigsh (which=LM): top-3 eigenvalues
+    of the 50-node graph's normalized Laplacian via distributed-SpMV
+    Lanczos with full reorthogonalization (driver holds only the
+    tridiagonal T)."""
+    from raft_spark.operators.sparse import laplacian
+
+    lap = laplacian(_graph(spark, sf_dir), normalized=True).localCheckpoint(eager=True)
+    evals, _ = SV.lanczos_eigsh(spark, lap, n=50, k=3, which="LM")
+    return spark.createDataFrame(
+        [(i, round(float(v), 4)) for i, v in enumerate(evals)],
+        "rank int, eigenvalue double",
+    )

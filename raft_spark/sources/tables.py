@@ -39,8 +39,27 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
 
 def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Read one synthetic table (see /root/repo/TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one synthetic table (see /root/repo/TESTDATA.md).
+
+    The testdata ships as single-row-group files, so the scan yields
+    ONE task no matter how heavy the downstream per-row compute is
+    (shingling, 64-dim dot products). Repartition UP to the session's
+    parallelism when the scan under-splits — compute-bound-but-small
+    inputs are exactly the case Spark's size-based splitting misses.
+    On a real cluster the scan already produces thousands of splits,
+    so this is a no-op there (we never repartition DOWN). Catalyst
+    still pushes filters/pruning through the repartition node into
+    the scan (PushDownPredicates handles Repartition).
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        # hash-repartition on the table's leading key (not round-robin):
+        # downstream groupBy/join keyed on it — doc_terms' (doc_id,term)
+        # count, shingle distinct — then SATISFIES its clustering from
+        # this exchange and skips its own shuffle.
+        df = df.repartition(target, df[df.columns[0]])
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:

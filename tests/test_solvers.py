@@ -156,3 +156,31 @@ def test_lap_matches_bruteforce(spark, rng):
             sum(c[i, p[i]] for i in range(n)) for p in itertools.permutations(range(n))
         )
         assert abs(obj[b] - best) < 1e-9
+
+
+def test_lanczos_eigsh_matches_numpy(spark, rng):
+    a = rng.standard_normal((16, 16))
+    a = (a + a.T) / 2
+    evals, _ = SV.lanczos_eigsh(spark, _coo_df(spark, a), n=16, k=3, m=16, which="LM")
+    w = np.linalg.eigvalsh(a)
+    expect = np.sort(w[np.argsort(-np.abs(w))[:3]])[::-1]
+    assert np.allclose(evals, expect, atol=1e-6)
+
+
+def test_lanczos_eigsh_smallest(spark, rng):
+    a = rng.standard_normal((12, 12))
+    a = a @ a.T + np.eye(12)  # SPD
+    evals, _ = SV.lanczos_eigsh(spark, _coo_df(spark, a), n=12, k=2, m=12, which="SA")
+    w = np.sort(np.linalg.eigvalsh(a))
+    assert np.allclose(np.sort(evals), np.sort(w[:2]), atol=1e-6)
+
+
+def test_cholesky_r1_update(rng):
+    a = rng.standard_normal((6, 6))
+    a = a @ a.T + 6 * np.eye(6)
+    x = rng.standard_normal(6)
+    L = np.linalg.cholesky(a)
+    up = SV.cholesky_r1_update(L, x, sign=1.0)
+    assert np.allclose(up @ up.T, a + np.outer(x, x), atol=1e-9)
+    dn = SV.cholesky_r1_update(up, x, sign=-1.0)
+    assert np.allclose(dn @ dn.T, a, atol=1e-8)
