@@ -149,3 +149,61 @@ def q_stream_running_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 6).alias("value"),
         "event_id",
     )
+
+
+@query(
+    "sessionize_events",
+    oracle=f"""
+WITH {SQL_EVT},
+marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                THEN 1 ELSE 0 END AS brk
+    FROM evt
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+islands AS (
+    SELECT user_id, ts, value,
+           sum(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sess
+    FROM marked
+)
+SELECT min(ts) AS session_start, user_id,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM islands GROUP BY user_id, sess
+""",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) via session_window — the
+    operator runs unchanged on batch or stream input; oracle is the
+    classic gaps-and-islands SQL."""
+    ev = S._with_event_time(
+        spark.read.schema(S.EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
+    )
+    out = S.sessionize(ev, gap="30 minutes")
+    return out.select(
+        "session_start",
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+@query(
+    "stream_dedup",
+    oracle="""
+SELECT event_type, count(*)::BIGINT AS n
+FROM events GROUP BY 1
+""",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming exact-dedup: the source is read TWICE
+    (simulating at-least-once redelivery), dropDuplicates(event_id)
+    restores exactly-once; counts per type must equal the batch truth."""
+    d = _stage_events_dir(sf_dir)
+    doubled = S.read_events_stream(spark, d).unionAll(S.read_events_stream(spark, d))
+    deduped = S.streaming_dedup(doubled)
+    S.run_to_memory_sink(deduped, "sink_stream_dedup", output_mode="append")
+    out = spark.sql("select * from sink_stream_dedup")
+    return out.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))

@@ -39,9 +39,9 @@ EVENTS_SCHEMA = (
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # integer div, NOT `/1000` + cast: float division of an int64 epoch
+    # (~1.7e18 > 2^53) rounds the last microsecond
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -217,3 +217,43 @@ def run_to_memory_sink(
         .start()
     )
     q.awaitTermination()
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    key: str = "user_id",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Session-window aggregation (gap-based): events of one key closer
+    than ``gap`` merge into one session; emits per-session count/sum
+    and the session start. Works identically on batch and streaming
+    input (pass ``watermark`` for streams; state is evicted once a
+    session's end falls behind it).
+
+    This is the classic stateful operator the reference cannot express
+    (no streaming, SURVEY.md §2.12); Spark's session_window keeps
+    per-open-session state only.
+    """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("sw"), F.col(key))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col(key),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once projection of a stream with redelivery: drop exact
+    duplicates by event_id within the watermark (state = seen ids inside
+    the watermark horizon only — bounded, unlike a global distinct)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
