@@ -1,0 +1,72 @@
+"""Compensated summation vs math.fsum (reference KBN parity,
+linalg/detail/coalesced_reduction-inl.cuh:36) and the SURVEY §5.5
+determinism contract: fixed seed ⇒ identical results across
+partitionings."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from raft_spark.functions import precise, rng
+
+
+ADVERSARIAL = [1e16, 1.0, -1e16, 1.0, 1e100, 1.0, -1e100, math.pi, -math.pi, 1e-8]
+
+
+def test_fsum_column_exact(spark):
+    # plain double sum of this series is wrong; fsum must be exact
+    df = spark.createDataFrame([(x,) for x in ADVERSARIAL * 50], "v double")
+    df = df.repartition(7)
+    got = precise.fsum_column(df, "v")
+    expect = math.fsum(ADVERSARIAL * 50)
+    assert got == expect
+    naive = df.agg(F.sum("v")).collect()[0][0]
+    assert naive != expect  # the built-in really does lose the 1e-8s
+
+
+def test_kahan_array_expr_beats_naive(spark):
+    vals = [1e16, 1.0, 1.0, -1e16]  # naive left fold gives 0.0
+    df = spark.createDataFrame([([float(x) for x in vals],)], "arr array<double>")
+    kahan = df.select(precise.kahan_sum_expr("arr").alias("s")).collect()[0]["s"]
+    naive = df.select(
+        F.aggregate("arr", F.lit(0.0), lambda a, x: a + x).alias("s")
+    ).collect()[0]["s"]
+    assert kahan == 2.0
+    assert naive == 0.0
+
+
+def test_rng_partitioning_invariance(spark):
+    """Counter-based RNG: values are a pure function of (id, seed) —
+    identical under any partitioning (SURVEY §5.5 item 4)."""
+    base = spark.range(10_000)
+    a = base.select("id", rng.normal("id", seed=5).alias("x"))
+    b = base.repartition(13).select("id", rng.normal("id", seed=5).alias("x"))
+    diff = (
+        a.join(b.withColumnRenamed("x", "y"), "id")
+        .filter(F.col("x") != F.col("y"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_grouped_aggregation_partitioning_invariance(spark, sf_dir):
+    """Rounded grouped aggregates are partitioning-independent."""
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir)
+    out1 = {
+        (r["label"],): r["s"]
+        for r in m.groupBy("label")
+        .agg(F.round(F.sum(F.element_at("features", 1)), 6).alias("s"))
+        .collect()
+    }
+    out2 = {
+        (r["label"],): r["s"]
+        for r in m.repartition(17)
+        .groupBy("label")
+        .agg(F.round(F.sum(F.element_at("features", 1)), 6).alias("s"))
+        .collect()
+    }
+    assert out1 == out2
