@@ -141,3 +141,158 @@ def knn_lsh(
     return select_k(
         scored, ["qid"], "cosine", k, ascending=False, payload_cols=["nid"]
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the scale path beyond LSH buckets
+# ---------------------------------------------------------------------------
+
+def kmeans_centroids(
+    df: DataFrame,
+    k: int,
+    n_iters: int = 5,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "features",
+):
+    """Lloyd iterations built from the engine's own primitives: assign =
+    argmin over broadcast centroids (narrow pass), update =
+    reduce_rows_by_key (the k-means-update primitive,
+    linalg/reduce_rows_by_key.cuh:31). Returns k×d numpy centroids.
+
+    Init: k deterministic data points (ids hashed by seed) — the
+    driver never holds more than k×d floats.
+    """
+    import numpy as np
+
+    d = df.select(F.size(vec_col).alias("d")).first()["d"]
+    n = df.count()
+    # seeded spread of k distinct row ids
+    init_ids = sorted({(seed + 31 * i) * 2_654_435_761 % n for i in range(3 * k)})[:k]
+    cents = np.array(
+        [
+            r[vec_col]
+            for r in df.filter(F.col(id_col).isin([int(x) for x in init_ids]))
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        ]
+    )
+    k = cents.shape[0]
+    for _ in range(n_iters):
+        dists = [
+            F.aggregate(
+                F.zip_with(
+                    vec_col,
+                    F.array(*[F.lit(float(x)) for x in cents[c]]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias(f"d{c}")
+            for c in range(k)
+        ]
+        with_d = df.select(id_col, vec_col, *dists)
+        arr = F.array(*[F.col(f"d{c}") for c in range(k)])
+        assigned = with_d.select(
+            id_col, vec_col,
+            (F.array_position(arr, F.array_min(arr)) - 1).alias("cluster"),
+        )
+        # update: per-cluster mean via posexplode + groupBy (map-side combined)
+        sums = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count("x").alias("cnt"))
+            .collect()
+        )
+        new = np.array(cents)
+        for r in sums:
+            new[r["cluster"], r["pos"]] = r["s"] / r["cnt"]
+        cents = new
+    return cents
+
+
+def ivf_assign(df: DataFrame, cents, vec_col: str = "features") -> DataFrame:
+    """Attach the nearest-centroid list id (one narrow pass, centroids
+    as broadcast literals)."""
+    k = len(cents)
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in cents[c]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in range(k)
+    ]
+    arr = F.array(*dists)
+    return df.withColumn("list_id", F.array_position(arr, F.array_min(arr)) - 1)
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 3,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """IVF approximate top-k: corpus partitioned into n_lists Voronoi
+    cells (k-means coarse quantizer); each query probes its n_probe
+    nearest cells only — candidate volume drops to ~n_probe/n_lists of
+    brute force. The standard scale path when LSH recall is too low.
+
+    Output matches knn_brute's schema (qid, nid, cosine, rank).
+    """
+    import numpy as np
+
+    # spherical IVF: quantize in the L2-normalized space (the same
+    # space the cosine scoring runs in)
+    norm_c = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    cents = kmeans_centroids(norm_c, n_lists, n_iters=kmeans_iters,
+                             id_col="_id", vec_col=vec_col)
+    n_lists = len(cents)
+    n_probe = min(n_probe, n_lists)
+    c_assigned = ivf_assign(norm_c, cents, vec_col).select(
+        F.col("_id").alias("nid"), F.col(vec_col).alias("_vc"), "list_id"
+    )
+
+    # query → its n_probe nearest lists (explode the probe set)
+    q_norm = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    kq = len(cents)
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in cents[c]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for c in range(kq)
+    ])
+    zipped = F.arrays_zip(
+        dists.alias("d"), F.sequence(F.lit(0), F.lit(kq - 1)).alias("i")
+    )
+    probes = F.transform(
+        F.slice(F.array_sort(zipped), 1, n_probe), lambda e: e["i"]
+    )
+    probe = q_norm.select(
+        F.col("_id").alias("qid"), F.col(vec_col).alias("_vq"),
+        F.explode(probes).alias("list_id"),
+    )
+    scored = (
+        probe.join(c_assigned, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+    )
+    return select_k(
+        scored, group_cols=["qid"], order_col="cosine", k=k,
+        ascending=False, payload_cols=["nid"],
+    )

@@ -295,3 +295,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     real and this oracle checks the full pipeline output."""
     frame = MM.with_binary_payload(load(spark, "documents", sf_dir))
     return MM.decode_image_meta(frame)
+
+
+@query("knn_ivf_recall")  # rows-only + pytest (k-means not SQL-expressible)
+def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (spherical k-means coarse quantizer, 8 lists, 2 probes)
+    scored by recall@5 against the exact brute-force neighbors — the
+    scale path for similarity search (probe fraction bounds candidate
+    volume at n_probe/n_lists of brute force)."""
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    queries = m.filter(F.col("id") % 50 == 0)
+    exact = SIM.knn_brute(m, queries, k=5)
+    approx = SIM.knn_ivf(m, queries, k=5, n_lists=8, n_probe=2, kmeans_iters=2)
+    n_q = queries.count()
+    hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    return spark.createDataFrame(
+        [(round(hits / (n_q * 5.0), 4),)], "recall double"
+    )

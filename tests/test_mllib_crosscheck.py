@@ -15,7 +15,11 @@ from raft_spark.sources.tables import embeddings_matrix
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return embeddings_matrix(spark, sf_dir).cache()
+    df = embeddings_matrix(spark, sf_dir).cache()
+    yield df
+    # unpersist so later plan-audit tests see the parquet scan, not a
+    # cache-substituted InMemoryRelation (which reads every column)
+    df.unpersist()
 
 
 def test_pca_matches_mllib(spark, emb):
