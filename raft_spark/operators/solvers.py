@@ -73,32 +73,67 @@ def lstsq_normal(df: DataFrame, x_cols: list[str], y_col: str) -> np.ndarray:
 # covariance → PCA / tSVD (linalg/pca.cuh, tsvd.cuh)
 # ---------------------------------------------------------------------------
 
-def covariance_matrix(df: DataFrame, features: str = "features") -> np.ndarray:
-    """Driver-side d×d covariance from one distributed pass
-    (stats/cov.cuh:18): E[xxᵀ] − μμᵀ, sample-normalized."""
-    d = df.select(F.size(features).alias("d")).first()["d"]
-    long = df.select(F.posexplode(features).alias("i", "xi"), F.col(features).alias("_f"))
-    pairs = long.select("i", "xi", F.posexplode("_f").alias("j", "xj")).filter(
-        F.col("j") >= F.col("i")
-    )
-    sums = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("xi") * F.col("xj")).alias("sxx")
-    ).collect()
-    mrow = (
-        df.select(F.posexplode(features).alias("i", "x"))
-        .groupBy("i")
-        .agg(F.sum("x").alias("sx"), F.count("x").alias("n"))
+def gram_matrix(df: DataFrame, features: str = "features") -> tuple[np.ndarray, np.ndarray, int]:
+    """One distributed pass → (XᵀX [d×d], column sums [d], n).
+
+    Physical plan: per-partition numpy ``XᵀX`` inside mapInPandas
+    (Arrow-batched, BLAS-backed) emitting d²+d+1 partial scalars per
+    partition; a tiny groupBy-sum merges partials. This replaces the
+    naive double-posexplode formulation whose shuffle is d²× the input
+    rows — here the shuffle is O(partitions·d²) regardless of n, the
+    same work division as the reference's two-phase device reductions
+    (stats/cov.cuh:18 runs gemm then subtracts the mean outer product).
+    """
+    import pandas as pd
+
+    def pp(batches):
+        acc = None
+        s = None
+        cnt = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[features].to_numpy()).astype(float)
+            g = m.T @ m
+            acc = g if acc is None else acc + g
+            s = m.sum(0) if s is None else s + m.sum(0)
+            cnt += m.shape[0]
+        if acc is None:
+            return
+        d = acc.shape[0]
+        i, j = np.triu_indices(d)
+        out = pd.DataFrame({"i": i, "j": j, "v": acc[i, j]})
+        sums = pd.DataFrame({"i": np.arange(d), "j": np.full(d, -1), "v": s})
+        n_row = pd.DataFrame({"i": [-1], "j": [-1], "v": [float(cnt)]})
+        yield pd.concat([out, sums, n_row], ignore_index=True)
+
+    rows = (
+        df.select(features)
+        .mapInPandas(pp, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
         .collect()
     )
-    n = mrow[0]["n"]
-    mu = np.zeros(d)
-    for r in mrow:
-        mu[r["i"]] = r["sx"] / n
-    cov = np.zeros((d, d))
-    for r in sums:
-        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["sxx"]
-    cov = (cov - n * np.outer(mu, mu)) / (n - 1)
-    return cov
+    d = max(r["i"] for r in rows) + 1
+    g = np.zeros((d, d))
+    sx = np.zeros(d)
+    n = 0
+    for r in rows:
+        if r["i"] == -1:
+            n = int(r["v"])
+        elif r["j"] == -1:
+            sx[r["i"]] = r["v"]
+        else:
+            g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["v"]
+    return g, sx, n
+
+
+def covariance_matrix(df: DataFrame, features: str = "features") -> np.ndarray:
+    """Driver-side d×d covariance from one distributed Gram pass
+    (stats/cov.cuh:18): (XᵀX − n·μμᵀ)/(n−1)."""
+    g, sx, n = gram_matrix(df, features)
+    mu = sx / n
+    return (g - n * np.outer(mu, mu)) / (n - 1)
 
 
 def sign_flip(components: np.ndarray) -> np.ndarray:
@@ -141,15 +176,7 @@ def pca_transform(df: DataFrame, components: np.ndarray, features: str = "featur
 def tsvd_singular_values(df: DataFrame, k: int, features: str = "features") -> np.ndarray:
     """Truncated SVD singular values via XᵀX eigenvalues
     (linalg/tsvd.cuh:34 cal_eig path): σᵢ = √λᵢ(XᵀX)."""
-    d = df.select(F.size(features).alias("d")).first()["d"]
-    long = df.select(F.posexplode(features).alias("i", "xi"), F.col(features).alias("_f"))
-    pairs = long.select("i", "xi", F.posexplode("_f").alias("j", "xj")).filter(
-        F.col("j") >= F.col("i")
-    )
-    rows = pairs.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s")).collect()
-    g = np.zeros((d, d))
-    for r in rows:
-        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["s"]
+    g, _, _ = gram_matrix(df, features)
     w = np.linalg.eigvalsh(g)
     return np.sqrt(np.clip(np.sort(w)[::-1][:k], 0, None))
 
@@ -161,15 +188,7 @@ def tsvd_singular_values(df: DataFrame, k: int, features: str = "features") -> n
 def cholesky_qr_r(df: DataFrame, features: str = "features") -> np.ndarray:
     """R factor of a tall-skinny QR via Gram + Cholesky
     (linalg/qr.cuh:29; one distributed Gram pass, driver chol)."""
-    d = df.select(F.size(features).alias("d")).first()["d"]
-    long = df.select(F.posexplode(features).alias("i", "xi"), F.col(features).alias("_f"))
-    pairs = long.select("i", "xi", F.posexplode("_f").alias("j", "xj")).filter(
-        F.col("j") >= F.col("i")
-    )
-    rows = pairs.groupBy("i", "j").agg(F.sum(F.col("xi") * F.col("xj")).alias("s")).collect()
-    g = np.zeros((d, d))
-    for r in rows:
-        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["s"]
+    g, _, _ = gram_matrix(df, features)
     return np.linalg.cholesky(g).T  # upper-triangular R
 
 
@@ -180,90 +199,71 @@ def rsvd_singular_values(
     """Randomized truncated SVD (linalg/rsvd.cuh:41; defaults mirror
     svds.pyx:73 — oversampling 10, 2 power iterations).
 
-    Distributed steps: Y = (AAᵀ)^q·A·Ω via narrow projections, with a
-    re-orthonormalization of Y after every power pass (symmetric
-    whitening Q = Y·G^{-1/2} from the ell×ell Gram — the stabilized
-    subspace iteration the reference's rsvd relies on cuSOLVER QR
-    for; Cholesky alone fails once cond(G) ~ (σ₁/σℓ)^{2(2q+1)}
-    overflows double precision); B = QᵀA via one aggregate pass;
-    small SVD of B on driver.
+    The sketch basis Y = A·W is never materialized: W (d×ell) lives on
+    the driver, and each stabilized power iteration is ONE Arrow-batched
+    mapInPandas pass that accumulates z = AᵀAW (d×ell) and
+    g = (AW)ᵀ(AW) (ell×ell) per partition — shuffle volume
+    O(partitions·d·ell), independent of n. Re-orthonormalization is the
+    eigh whitening Q = A·W·G^{-1/2} applied in W-space (plain
+    Cholesky-QR breaks once cond(G) ~ (σ₁/σℓ)^{2(2q+1)} overflows
+    doubles), and the final projection B = QᵀA = mixᵀ·zᵀ falls out of
+    the same pass, so the whole algorithm is n_power_iters+1 passes.
     """
+    import pandas as pd
+
     rng = np.random.default_rng(seed)
     d = df.select(F.size(features).alias("d")).first()["d"]
     ell = min(k + n_oversamples, d)
-    omega = rng.standard_normal((d, ell))
-    y_cols = [f"y{c}" for c in range(ell)]
+    w = rng.standard_normal((d, ell))
 
-    def project(frame: DataFrame, mat: np.ndarray, out_prefix: str) -> DataFrame:
-        outs = []
-        for c in range(mat.shape[1]):
-            vec = F.array(*[F.lit(float(x)) for x in mat[:, c]])
-            outs.append(
-                F.aggregate(
-                    F.zip_with(features, vec, lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ).alias(f"{out_prefix}{c}")
+    def zg_pass(wmat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        wb = wmat.copy()
+
+        def pp(batches):
+            z = None
+            g = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf[features].to_numpy()).astype(float)
+                y = m @ wb
+                z = m.T @ y if z is None else z + m.T @ y
+                g = y.T @ y if g is None else g + y.T @ y
+            if z is None:
+                return
+            di, dj = np.meshgrid(np.arange(d), np.arange(ell), indexing="ij")
+            gi, gj = np.meshgrid(np.arange(ell), np.arange(ell), indexing="ij")
+            yield pd.concat(
+                [
+                    pd.DataFrame({"tag": 0, "i": di.ravel(), "j": dj.ravel(), "v": z.ravel()}),
+                    pd.DataFrame({"tag": 1, "i": gi.ravel(), "j": gj.ravel(), "v": g.ravel()}),
+                ],
+                ignore_index=True,
             )
-        return frame.select("id", F.col(features), *outs)
 
-    def gram(frame: DataFrame) -> np.ndarray:
-        row = frame.agg(
-            *[
-                F.sum(F.col(y_cols[i]) * F.col(y_cols[j])).alias(f"g_{i}_{j}")
-                for i in range(ell)
-                for j in range(i, ell)
-            ]
-        ).collect()[0].asDict()
+        rows = (
+            df.select(features)
+            .mapInPandas(pp, "tag int, i int, j int, v double")
+            .groupBy("tag", "i", "j")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+        z = np.zeros((d, ell))
         g = np.zeros((ell, ell))
-        for i in range(ell):
-            for j in range(i, ell):
-                g[i, j] = g[j, i] = row[f"g_{i}_{j}"]
-        return g
+        for r in rows:
+            (z if r["tag"] == 0 else g)[r["i"], r["j"]] = r["v"]
+        return z, g
 
-    def orthonormalize(frame: DataFrame) -> DataFrame:
-        # Q = Y·G^{-1/2}: eigh-based whitening tolerates numerically
-        # rank-deficient G (tiny eigenvalues clipped); column mix is a
-        # narrow expression-level pass. localCheckpoint truncates the
-        # lineage so each power pass plans O(ell·d) expressions, not a
-        # tree that compounds across iterations (at cluster scale:
-        # reliable checkpoint to HDFS instead).
-        frame = frame.localCheckpoint(eager=True)
-        w, v = np.linalg.eigh(gram(frame))
-        w = np.clip(w, np.max(w) * 1e-14, None)
-        mix = v @ np.diag(1.0 / np.sqrt(w)) @ v.T
-        outs = [
-            sum(
-                (F.col(y_cols[i]) * float(mix[i, c]) for i in range(ell)),
-                F.lit(0.0),
-            ).alias(y_cols[c])
-            for c in range(ell)
-        ]
-        return frame.select("id", F.col(features), *outs).localCheckpoint(eager=True)
-
-    y = orthonormalize(project(df, omega, "y"))  # n×ell alongside features
+    def whiten(g: np.ndarray) -> np.ndarray:
+        vals, vecs = np.linalg.eigh(g)
+        vals = np.clip(vals, np.max(vals) * 1e-14, None)
+        return vecs @ np.diag(1.0 / np.sqrt(vals)) @ vecs.T
 
     for _ in range(n_power_iters):
-        # Z = Aᵀ·Y  (d×ell, one aggregate pass), then Y = A·Z, re-orth
-        long = y.select(F.posexplode(features).alias("i", "x"), *y_cols)
-        z_rows = long.groupBy("i").agg(
-            *[F.sum(F.col("x") * F.col(c)).alias(c) for c in y_cols]
-        ).collect()
-        z = np.zeros((d, ell))
-        for r in z_rows:
-            for c in range(ell):
-                z[r["i"], c] = r[f"y{c}"]
-        y = orthonormalize(project(df, z, "y"))
-
-    # B = QᵀA  (ell×d, one aggregate pass)
-    long = y.select(F.posexplode(features).alias("j", "x"), *y_cols)
-    yta_rows = long.groupBy("j").agg(
-        *[F.sum(F.col("x") * F.col(c)).alias(c) for c in y_cols]
-    ).collect()
-    b = np.zeros((ell, d))
-    for r in yta_rows:
-        for c in range(ell):
-            b[c, r["j"]] = r[f"y{c}"]
+        z, g = zg_pass(w)
+        w = z @ whiten(g)  # Y ← A·AᵀQ with Q = A·W·G^{-1/2}, in W-space
+    z, g = zg_pass(w)
+    b = whiten(g).T @ z.T  # B = QᵀA  (ell×d)
     return np.linalg.svd(b, compute_uv=False)[:k]
 
 
