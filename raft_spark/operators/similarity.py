@@ -58,14 +58,21 @@ def knn_brute(
     k: int = 5,
     id_col: str = "id",
     vec_col: str = "features",
-    strategy: str = "salted",
+    strategy: str = "numpy",
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query (self-matches excluded)
     → (qid, nid, cosine, rank).
 
-    Query side is expected small relative to the corpus → broadcast;
-    scores reduce through the salted two-phase select_k, so no global
-    per-query sort materializes.
+    strategy="numpy" (default): query matrix ships to every partition
+    as a closure (queries are small relative to the corpus by
+    contract); each corpus partition scores its batch with one BLAS
+    matmul and emits only its LOCAL top-k per query, so the shuffle
+    carries O(partitions·|Q|·k) rows — the literal partial-then-merge
+    design of the reference's select_k (matrix/select_k.cuh:75) with
+    the dot products batched instead of per-pair expressions.
+
+    strategy="expr"/"salted"/...: JVM-expression scoring through the
+    salted two-phase select_k (no driver collect of the query side).
     """
     c = _norm_table(corpus, id_col, vec_col).select(
         F.col("_id").alias("nid"), F.col("_v").alias("_vc")
@@ -73,10 +80,46 @@ def knn_brute(
     q = _norm_table(queries, id_col, vec_col).select(
         F.col("_id").alias("qid"), F.col("_v").alias("_vq")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
-    )
+    if strategy == "numpy":
+        import numpy as np
+        import pandas as pd
+
+        q_rows = q.collect()
+        qids = np.array([r["qid"] for r in q_rows])
+        qm = np.array([r["_vq"] for r in q_rows])  # |Q|×d
+
+        def pp(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.stack(pdf["_vc"].to_numpy()).astype(float)
+                nids = pdf["nid"].to_numpy()
+                s = np.round(m @ qm.T, 6)  # batch×|Q|
+                kk = min(k, len(nids))
+                for qi in range(len(qids)):
+                    col = s[:, qi]
+                    mask = nids != qids[qi]
+                    cand_idx = np.nonzero(mask)[0]
+                    if len(cand_idx) == 0:
+                        continue
+                    take = min(kk, len(cand_idx))
+                    # total order (cosine desc, nid asc) — the same
+                    # order the merge and the oracle rank by, so the
+                    # per-partition cut is exact even across ties
+                    order = np.lexsort((nids[cand_idx], -col[cand_idx]))
+                    top = cand_idx[order[:take]]
+                    yield pd.DataFrame(
+                        {"qid": qids[qi], "nid": nids[top], "cosine": col[top]}
+                    )
+
+        scored = c.mapInPandas(pp, "qid long, nid long, cosine double")
+        merge = "agg"  # ≤ partitions·k rows per query survive
+    else:
+        scored = (
+            c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+            .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+        )
+        merge = strategy
     return select_k(
         scored,
         group_cols=["qid"],
@@ -84,7 +127,7 @@ def knn_brute(
         k=k,
         ascending=False,
         payload_cols=["nid"],
-        strategy=strategy,
+        strategy=merge,
     )
 
 
