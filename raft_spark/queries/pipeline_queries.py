@@ -86,7 +86,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash (16 perms) + LSH (4 bands × 4 rows) near-dup candidates
     with estimated Jaccard. Candidates come from the band-bucket join,
     never an all-pairs product."""
-    coo = doc_terms(spark, sf_dir)
+    # materialize the tokenize+count once: the encoding plan reads the
+    # COO table 2-4x (idf, doc-length, main join)
+    coo = doc_terms(spark, sf_dir).localCheckpoint(eager=True)
     # signatures feed the band explode AND both sides of the pair join —
     # cache the doc-sized signature table so the vocab-rank + min-agg
     # pipeline runs once
@@ -115,7 +117,7 @@ FROM votes GROUP BY 1
 )
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit weighted SimHash fingerprint per document."""
-    out = D.simhash(doc_terms(spark, sf_dir))
+    out = D.simhash(doc_terms(spark, sf_dir).localCheckpoint(eager=True))
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "simhash")
 
 

@@ -63,7 +63,9 @@ FROM coo c JOIN dfreq USING (term) CROSS JOIN stats
 """,
 )
 def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    coo = doc_terms(spark, sf_dir)
+    # materialize the tokenize+count once: the encoding plan reads the
+    # COO table 2-4x (idf, doc-length, main join)
+    coo = doc_terms(spark, sf_dir).localCheckpoint(eager=True)
     out = text.encode_tfidf(coo)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -81,7 +83,9 @@ SELECT doc_id::BIGINT AS doc_id, term, round(bm25, 6) AS bm25 FROM bm
 """,
 )
 def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    coo = doc_terms(spark, sf_dir)
+    # materialize the tokenize+count once: the encoding plan reads the
+    # COO table 2-4x (idf, doc-length, main join)
+    coo = doc_terms(spark, sf_dir).localCheckpoint(eager=True)
     out = text.encode_bm25(coo)
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -111,7 +115,7 @@ FROM ranked WHERE rank <= 5
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
     """Flagship: BM25 → sparse L2 row-normalize → top-k terms per doc."""
-    bm = text.encode_bm25(doc_terms(spark, sf_dir))
+    bm = text.encode_bm25(doc_terms(spark, sf_dir).localCheckpoint(eager=True))
     w = W.partitionBy("doc_id")
     normed = bm.select(
         "doc_id",
