@@ -44,6 +44,34 @@ def q_matrix_gather(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "matrix_scatter",
+    oracle="""
+WITH map AS (
+    SELECT range AS src, (range * 7 + 3) % 500 AS dst FROM range(0, 500)
+)
+SELECT m.dst::BIGINT AS out_id, e.vec_id::BIGINT AS id,
+       list_transform(e.embedding::DOUBLE[], x -> round(x, 6)) AS features
+FROM map m JOIN embeddings e ON e.vec_id = m.src
+""",
+)
+def q_matrix_scatter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """matrix/scatter.cuh:16 — permute the first 500 rows through the
+    bijection dst = (7·src + 3) mod 500 (gcd(7,500)=1); forward map is
+    tiny → broadcast join, big side never shuffles."""
+    m = embeddings_matrix(spark, sf_dir).filter(F.col("id") < 500)
+    index_map = spark.range(500).select(
+        F.col("id").alias("src_id"),
+        ((F.col("id") * 7 + 3) % 500).alias("dst_id"),
+    )
+    out = M.scatter(m, index_map)
+    return out.select(
+        F.col("out_id").cast("bigint").alias("out_id"),
+        F.col("id").cast("bigint").alias("id"),
+        F.transform("features", lambda x: F.round(x, 6)).alias("features"),
+    )
+
+
+@query(
     "matrix_slice",
     oracle="""
 SELECT vec_id::BIGINT AS id,

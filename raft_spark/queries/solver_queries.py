@@ -84,6 +84,32 @@ def q_tsvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("cholesky_qr_r")  # rows-only + pytest vs numpy.linalg.qr
+def q_cholesky_qr_r(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linalg/qr.cuh:29 tall-skinny Cholesky-QR (one distributed Gram
+    pass, driver chol) + linalg/cholesky_r1_update.cuh:19 rank-1 update:
+    R of the embeddings matrix, then R′ after appending the column-mean
+    row (means from one distributed agg pass). Returns both upper
+    triangles, labeled."""
+    import numpy as np
+
+    m = embeddings_matrix(spark, sf_dir)
+    r = SV.cholesky_qr_r(m)
+    d = r.shape[0]
+    mean_row = m.select(
+        *[F.avg(F.col("features")[i]).alias(f"m{i}") for i in range(d)]
+    ).first()
+    x = np.array([float(v) for v in mean_row])
+    r_up = SV.cholesky_r1_update(r.T.copy(), x).T
+    rows = [
+        (which, i, j, round(float(mat[i, j]), 6))
+        for which, mat in (("r", r), ("r_updated", r_up))
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return spark.createDataFrame(rows, "which string, i int, j int, val double")
+
+
 @query("rsvd_singular_values")  # rows-only + pytest vs numpy/tsvd
 def q_rsvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """linalg/rsvd.cuh:41 randomized SVD (oversampling 10, 2 power
