@@ -181,6 +181,49 @@ def pack_rows(long_df: DataFrame, key_cols: list[str], pos_col: str = "pos", val
     )
 
 
+def global_rank(
+    df: DataFrame,
+    order_cols: list,
+    rank_name: str = "rank",
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact 1-based global rank by ``order_cols`` WITHOUT a
+    single-partition window (random/permute.cuh:58 shape).
+
+    Two-phase: range-repartition on the sort key (partition p holds
+    keys ≤ partition p+1's — Spark's RangePartitioner contract), rank
+    within each partition via a PARTITIONED window, then add each
+    partition's row-count prefix sum (a partitions-sized table,
+    broadcast back). Exact for any tie-free total order; scales as a
+    sort, not as one task.
+    """
+    from pyspark.sql.window import Window
+
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    parted = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    counts = parted.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # offsets table is O(partitions) rows — the window below runs on
+    # that tiny frame only, then broadcasts back.
+    offsets = counts.select(
+        "_pid",
+        (
+            F.sum("_n").over(
+                Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+            )
+        ).alias("_off"),
+    ).fillna(0, ["_off"])
+    local = F.row_number().over(Window.partitionBy("_pid").orderBy(*order_cols))
+    return (
+        parted.withColumn("_lr", local)
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(rank_name, (F.col("_off") + F.col("_lr")).cast("long"))
+        .drop("_pid", "_lr", "_off")
+    )
+
+
 def covariance(df: DataFrame, features_col: str = "features", sample: bool = True) -> DataFrame:
     """Covariance matrix in long form (i, j, cov) — stats/cov.cuh:18.
 

@@ -94,7 +94,11 @@ def knn_brute(
                     continue
                 m = np.stack(pdf["_vc"].to_numpy()).astype(float)
                 nids = pdf["nid"].to_numpy()
-                s = np.round(m @ qm.T, 6)  # batch×|Q|
+                raw = m @ qm.T  # batch×|Q|
+                # half-AWAY-from-zero to match F.round / DuckDB round()
+                # (np.round is banker's half-to-even: a cosine landing
+                # exactly on .5e-6 would flip rank across engines)
+                s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
                 kk = min(k, len(nids))
                 for qi in range(len(qids)):
                     col = s[:, qi]
@@ -137,14 +141,20 @@ def lsh_buckets(
     seed: int = 77,
     id_col: str = "id",
     vec_col: str = "features",
+    dim: int | None = None,
 ) -> DataFrame:
     """Random-hyperplane signature per vector → (id, bucket).
 
     Planes are generated from the deterministic LCG (plane p, dim j ←
     uniform(p·dim+j)), so buckets are reproducible anywhere. One
     narrow projection pass; no shuffle.
+
+    ``dim`` defaults to the width of the first row (one-row probe): a
+    plane shorter/longer than the vector would zip_with-pad with nulls
+    and silently NULL every bucket.
     """
-    dim = 64  # embeddings dim; parameterize when other tables appear
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
     planes = [
         F.array(*[
             (uniform(F.lit(p * dim + j), seed) * 2 - 1) for j in range(dim)
@@ -168,8 +178,9 @@ def knn_lsh(
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to same-bucket pairs,
     then exact cosine + select_k on the shortlist."""
-    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col)
-    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col)
+    dim = corpus.select(F.size(F.col(vec_col))).first()[0]
+    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
+    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
     c = _norm_table(corpus, id_col, vec_col).join(
         cb.select(F.col("id").alias("_id"), "bucket"), "_id"
     ).select(F.col("_id").alias("nid"), F.col("_v").alias("_vc"), "bucket")

@@ -15,7 +15,9 @@ def sql_uniform(id_expr: str, seed: int = 42, stream: int = 0) -> str:
     """DuckDB expression for rng.uniform(id, seed, stream) — U(0,1).
     Mirrors the multiply-mod + xor-shift rounds of rng.uniform exactly
     (see its docstring for why the xor-shift folds are required)."""
-    s0 = f"(({id_expr})*2654435761 + {seed}*97531 + {stream}*7919) % {M - 1} + 1"
+    # id reduced mod (M-1) before the multiply — same value mod (M-1),
+    # but no bigint overflow at any id (lockstep with rng.uniform).
+    s0 = f"((({id_expr}) % {M - 1})*2654435761 + {seed}*97531 + {stream}*7919) % {M - 1} + 1"
     s1 = f"(({A}*({s0})) % {M})"
     s1x = f"(xor({s1}, {s1} >> 17) % {M - 1} + 1)"
     s2 = f"(({A}*{s1x}) % {M})"

@@ -128,7 +128,9 @@ def q_sample_without_replacement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """random/sample_without_replacement.cuh:48 via the Gumbel/exp-sort
     trick (rng.cuh:775): keep the 100 smallest −ln(u)/w keys, weight =
     l_quantity. Global top-k → TakeOrderedAndProject, no full sort."""
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    from raft_spark.sources.tables import load
+
+    li = load(spark, "lineitem", sf_dir)
     key = rng.exp_sort_key(
         F.col("l_orderkey") * 10 + F.col("l_linenumber"), F.col("l_quantity"), seed=303
     )
@@ -152,15 +154,17 @@ FROM embeddings
 """,
 )
 def q_permute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """random/permute.cuh:58 — random row permutation by seeded sort key."""
-    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return e.select(
+    """random/permute.cuh:58 — random row permutation by seeded sort
+    key, ranked by the two-phase distributed rank (no global window)."""
+    from raft_spark.operators.reductions import global_rank
+    from raft_spark.sources.tables import load
+
+    e = load(spark, "embeddings", sf_dir).select(
         F.col("vec_id").cast("long").alias("id"),
-        F.row_number()
-        .over(W.orderBy(rng.uniform("vec_id", 404), "vec_id"))
-        .cast("long")
-        .alias("new_pos"),
+        rng.uniform("vec_id", 404).alias("_k"),
     )
+    out = global_rank(e, ["_k", "id"], rank_name="new_pos")
+    return out.select("id", "new_pos")
 
 
 # ---- R-MAT generator (random/rmat_rectangular_generator.cuh) ---------------

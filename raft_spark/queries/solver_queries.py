@@ -34,7 +34,9 @@ FROM d
 def q_lstsq_simple(spark: SparkSession, sf_dir: str) -> DataFrame:
     """linalg/lstsq.cuh single-feature closed form — slope/intercept/R²
     as one aggregate pass (the SQL-checkable corner of lstsq)."""
-    d = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+    from raft_spark.sources.tables import load
+
+    d = load(spark, "orders", sf_dir).select(
         F.col("o_totalprice").alias("y"), F.col("o_custkey").cast("double").alias("x")
     )
     sxy = F.covar_pop("x", "y")
@@ -141,7 +143,7 @@ def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
     returns edge count + total weight (deterministic)."""
     edges = SV.mst(_graph(spark, sf_dir))
     total = round(sum(w for _, _, w in edges), 6)
-    return edges and spark.createDataFrame(
+    return spark.createDataFrame(
         [(len(edges), total)], "n_edges long, total_weight double"
     )
 

@@ -51,6 +51,11 @@ def load(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFr
     still pushes filters/pruning through the repartition node into
     the scan (PushDownPredicates handles Repartition).
     """
+    # events.ts is raw INT64 epoch-nanos; this is a runtime SQL conf, so
+    # set it HERE (not only in our session builder) — the correctness
+    # driver runs queries under its own SparkSession and must still be
+    # able to read the table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     target = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -51,6 +51,10 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     listing); swap for Kafka by replacing this one reader — every
     operator below is source-agnostic.
     """
+    # ts is raw INT64 epoch-nanos; required even with an explicit schema,
+    # and the caller's session (e.g. the correctness driver's) may not
+    # have it set.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return _with_event_time(spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir))
 
 
