@@ -225,21 +225,24 @@ def global_rank(
 
 
 def covariance(df: DataFrame, features_col: str = "features", sample: bool = True) -> DataFrame:
-    """Covariance matrix in long form (i, j, cov) — stats/cov.cuh:18.
+    """Covariance matrix in long form (i, j, cov) — stats/cov.cuh:18
+    (gemm then subtract the mean outer product).
 
-    Pairwise expansion per row (n_cols² terms) then a single groupBy —
-    the Gram-matrix pattern; output is k×k (driver-scale by design).
+    Routed through the mapInPandas Gram pass (solvers.gram_matrix):
+    shuffle carries O(partitions·d²) partial scalars — constant in row
+    count — where the old double-posexplode formulation shuffled d²×
+    the input rows. Output is d×d (driver-scale by design):
+    cov = (XᵀX − n·μμᵀ) / (n − sample).
     """
-    n = F.size(features_col)
-    centered = mean_center(df, features_col)
-    ij = centered.select(
-        F.posexplode(features_col).alias("i", "xi"),
-        F.col(features_col).alias("_f"),
-    ).select("i", "xi", F.posexplode("_f").alias("j", "xj"))
-    denom = F.count("*") - (1 if sample else 0)
-    return (
-        ij.groupBy("i", "j")
-        .agg((F.sum(F.col("xi") * F.col("xj")) / denom).alias("cov"))
-        .withColumn("i", F.col("i").cast("long"))
-        .withColumn("j", F.col("j").cast("long"))
-    )
+    from raft_spark.operators.solvers import gram_matrix
+
+    import numpy as np
+
+    g, sx, n = gram_matrix(df, features_col)
+    mu = sx / n
+    cov = (g - n * np.outer(mu, mu)) / (n - (1 if sample else 0))
+    d = cov.shape[0]
+    rows = [
+        (int(i), int(j), float(cov[i, j])) for i in range(d) for j in range(d)
+    ]
+    return df.sparkSession.createDataFrame(rows, "i long, j long, cov double")

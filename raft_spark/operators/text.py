@@ -2,16 +2,20 @@
 
 Reference: ``cpp/include/raft/sparse/matrix/preprocessing.cuh`` —
 ``encode_tfidf`` (:28 COO, :63 CSR) and ``encode_bm25`` (:101, :167),
-impl ``sparse/matrix/detail/preprocessing.cuh`` (216 LoC). The
-reference computes, per nonzero (doc, term, tf):
+impl ``sparse/matrix/detail/preprocessing.cuh`` (``transform_tfidf``
+:199, ``transform_bm25`` :162). The reference computes, per nonzero
+(doc, term, raw count c):
 
-  idf(term)        = log((1 + N) / (1 + df(term))) + 1
+  tf               = log(c)                      (log-damped, NOT raw)
+  idf(term)        = log(N / df(term) + 1)
   tfidf            = tf * idf
-  bm25             = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+  bm25             = idf * (k1+1)*tf / (k1*(1 - b + b*dl/avgdl) + tf)
 
-with N = #docs, df = #docs containing term, dl = doc length (sum tf
-over the doc), avgdl = mean dl, defaults k1 = 1.6, b = 0.75 (see
-``preprocessing.cuh:101`` parameter docs).
+with N = #docs, df = #docs containing term (featIdCount), dl = doc
+length (sum of raw counts over the doc, fit_bm25's rowFeatCnts),
+avgdl = total count / N (fullFeatCount / num_rows), defaults k1 = 1.6,
+b = 0.75. Note log(1) = 0: single-occurrence terms weigh 0 — that is
+the reference's behavior, reproduced exactly.
 
 Spark plan shape (and why it scales):
 - df(term):   groupBy(term) count — map-side combinable, shuffle is
@@ -41,13 +45,13 @@ def _doc_stats(coo: DataFrame, doc_col: str, term_col: str, value_col: str):
 def idf_table(
     coo: DataFrame, doc_col: str = "doc_id", term_col: str = "term"
 ) -> DataFrame:
-    """Per-term smoothed idf = log((1+N)/(1+df)) + 1
-    (detail/preprocessing.cuh fit_idf)."""
+    """Per-term idf = log(N/df + 1)
+    (detail/preprocessing.cuh transform_tfidf:199 idf_in + 1)."""
     n_docs, df_tbl = _doc_stats(coo, doc_col, term_col, "tf")
     return df_tbl.crossJoin(F.broadcast(n_docs)).select(
         term_col,
         "term_df",
-        (F.log((1.0 + F.col("n_docs")) / (1.0 + F.col("term_df"))) + 1.0).alias("idf"),
+        F.log(F.col("n_docs") / F.col("term_df") + 1.0).alias("idf"),
     )
 
 
@@ -57,10 +61,11 @@ def encode_tfidf(
     term_col: str = "term",
     value_col: str = "tf",
 ) -> DataFrame:
-    """TF-IDF weight per nonzero (sparse/matrix/preprocessing.cuh:28)."""
+    """TF-IDF weight per nonzero (sparse/matrix/preprocessing.cuh:28):
+    log(c) * log(N/df + 1), exactly transform_tfidf:199."""
     idf = idf_table(coo, doc_col, term_col)
     return coo.join(idf, term_col).select(
-        doc_col, term_col, (F.col(value_col) * F.col("idf")).alias("tfidf")
+        doc_col, term_col, (F.log(value_col) * F.col("idf")).alias("tfidf")
     )
 
 
@@ -72,12 +77,13 @@ def encode_bm25(
     k1: float = 1.6,
     b: float = 0.75,
 ) -> DataFrame:
-    """Okapi BM25 weight per nonzero (sparse/matrix/preprocessing.cuh:101)."""
+    """Okapi BM25 weight per nonzero (sparse/matrix/preprocessing.cuh:101,
+    transform_bm25:162): tf = log(c), denominator k1*(1-b+b*dl/avgdl)+tf."""
     idf = idf_table(coo, doc_col, term_col)
     dl = coo.groupBy(doc_col).agg(F.sum(value_col).alias("doc_len"))
     avg = dl.select(F.avg("doc_len").alias("avg_dl"))
-    tf = F.col(value_col)
-    denom = tf + F.lit(k1) * (1.0 - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avg_dl"))
+    tf = F.log(value_col)
+    denom = F.lit(k1) * (1.0 - F.lit(b) + F.lit(b) * F.col("doc_len") / F.col("avg_dl")) + tf
     return (
         coo.join(idf, term_col)
         .join(dl, doc_col)
@@ -85,7 +91,7 @@ def encode_bm25(
         .select(
             doc_col,
             term_col,
-            (F.col("idf") * tf * (F.lit(k1) + 1.0) / denom).alias("bm25"),
+            (F.col("idf") * (F.lit(k1) + 1.0) * tf / denom).alias("bm25"),
         )
     )
 

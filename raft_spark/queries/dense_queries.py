@@ -319,17 +319,24 @@ def q_reduce_cols_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "covariance",
+    # Same algebra as the engine's Gram pass — (Σxy − n·μi·μj)/(n−1) —
+    # NOT covar_samp: a different summation algebra lands differently
+    # at the 6th decimal and flips round() on boundary cells.
     oracle="WITH "
     + SQL_LONG
-    + """
+    + """,
+mu AS (SELECT pos, avg(x) AS m, count(*) AS n FROM long GROUP BY 1)
 SELECT a.pos::BIGINT AS i, b.pos::BIGINT AS j,
-       round(covar_samp(a.x, b.x), 6) AS cov
+       round((sum(a.x * b.x) - ma.n * ma.m * mb.m) / (ma.n - 1), 6) AS cov
 FROM long a JOIN long b USING (vec_id)
-GROUP BY 1, 2
+JOIN mu ma ON ma.pos = a.pos
+JOIN mu mb ON mb.pos = b.pos
+GROUP BY a.pos, b.pos, ma.n, ma.m, mb.m
 """,
 )
 def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stats/cov.cuh:18 — 64×64 covariance via centered cross products."""
+    """stats/cov.cuh:18 — 64×64 covariance via the distributed Gram
+    pass (one mapInPandas partial per partition, d² shuffle scalars)."""
     m = embeddings_matrix(spark, sf_dir)
     out = R.covariance(m)
     return out.select("i", "j", F.round("cov", 6).alias("cov"))

@@ -29,6 +29,8 @@ coo AS (
 )
 """
 
+# Reference formulas (detail/preprocessing.cuh transform_bm25:162):
+# tf = ln(count), idf = ln(N/df + 1), denom = k1*(1-b+b*dl/avgdl) + tf.
 SQL_BM25 = (
     SQL_COO
     + r""",
@@ -38,9 +40,9 @@ dl AS (SELECT doc_id, sum(tf) AS doc_len FROM coo GROUP BY 1),
 avgdl AS (SELECT avg(doc_len) AS avg_dl FROM dl),
 bm AS (
     SELECT c.doc_id, c.term,
-           (ln((1.0 + n_docs) / (1.0 + term_df)) + 1.0)
-             * c.tf * (1.6 + 1.0)
-             / (c.tf + 1.6 * (1.0 - 0.75 + 0.75 * doc_len / avg_dl)) AS bm25
+           ln(n_docs / term_df + 1.0)
+             * (1.6 + 1.0) * ln(c.tf)
+             / (1.6 * (1.0 - 0.75 + 0.75 * doc_len / avg_dl) + ln(c.tf)) AS bm25
     FROM coo c
     JOIN dfreq USING (term)
     JOIN dl USING (doc_id)
@@ -58,7 +60,7 @@ bm AS (
 stats AS (SELECT count(DISTINCT doc_id) AS n_docs FROM coo),
 dfreq AS (SELECT term, count(DISTINCT doc_id) AS term_df FROM coo GROUP BY 1)
 SELECT c.doc_id::BIGINT AS doc_id, c.term AS term,
-       round(c.tf * (ln((1.0 + n_docs) / (1.0 + term_df)) + 1.0), 6) AS tfidf
+       round(ln(c.tf) * ln(n_docs / term_df + 1.0), 6) AS tfidf
 FROM coo c JOIN dfreq USING (term) CROSS JOIN stats
 """,
 )
@@ -99,10 +101,11 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="WITH "
     + SQL_BM25
     + r""",
+nz AS (SELECT doc_id, term, bm25 FROM bm WHERE bm25 > 0),
 norm AS (
     SELECT doc_id, term,
            bm25 / sqrt(sum(bm25 * bm25) OVER (PARTITION BY doc_id)) AS w
-    FROM bm
+    FROM nz
 ),
 ranked AS (
     SELECT doc_id, term, w,
@@ -114,8 +117,13 @@ FROM ranked WHERE rank <= 5
 """,
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
-    """Flagship: BM25 → sparse L2 row-normalize → top-k terms per doc."""
+    """Flagship: BM25 → sparse L2 row-normalize → top-k terms per doc.
+
+    Zero-weight entries (log-tf makes single-occurrence terms 0) are
+    dropped before normalization: a doc whose terms ALL weigh 0 would
+    otherwise divide by a zero norm."""
     bm = text.encode_bm25(doc_terms(spark, sf_dir).localCheckpoint(eager=True))
+    bm = bm.filter(F.col("bm25") > 0)
     w = W.partitionBy("doc_id")
     normed = bm.select(
         "doc_id",

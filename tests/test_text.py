@@ -28,7 +28,8 @@ def test_tfidf_matches_formula(spark):
     df = {"a": 2, "b": 1, "c": 2}
     for (d, t), v in out.items():
         tf = {(0, "a"): 2.0, (0, "b"): 1.0, (1, "a"): 1.0, (1, "c"): 3.0, (2, "c"): 1.0}[(d, t)]
-        expect = tf * (math.log((1 + n) / (1 + df[t])) + 1)
+        # reference transform_tfidf: log-tf, idf = log(N/df + 1)
+        expect = math.log(tf) * math.log(n / df[t] + 1)
         assert abs(v - expect) < 1e-9
 
 
@@ -40,8 +41,10 @@ def test_bm25_matches_formula(spark):
     avgdl = (3 + 4 + 1) / 3
     for (d, t), v in out.items():
         tf = {(0, "a"): 2.0, (0, "b"): 1.0, (1, "a"): 1.0, (1, "c"): 3.0, (2, "c"): 1.0}[(d, t)]
-        idf = math.log((1 + n) / (1 + df[t])) + 1
-        expect = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl[d] / avgdl))
+        # reference transform_bm25: log-tf, denom k1*(1-b+b*dl/avgdl)+tf
+        idf = math.log(n / df[t] + 1)
+        ltf = math.log(tf)
+        expect = idf * (k1 + 1) * ltf / (k1 * (1 - b + b * dl[d] / avgdl) + ltf)
         assert abs(v - expect) < 1e-9
 
 
