@@ -19,7 +19,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from raft_spark.queries import QUERIES  # noqa: E402
+import raft_spark.queries  # noqa: E402, F401  (registration side-effects)
+from raft_spark.queries.registry import QUERIES  # noqa: E402  (ALL members, not just the curated gate)
 from raft_spark.session import get_spark  # noqa: E402
 
 # Headline set: one per operator family, the scale-relevant ones.

@@ -1,14 +1,23 @@
 """Registry of correctness-gate queries + DuckDB oracles.
 
-Each submodule registers operator queries via the ``@query`` decorator.
-Naming/typing conventions are documented in __spark_entry__.py.
+Each submodule registers operator queries via the ``@query`` decorator;
+``suites.py`` composes per-operator members into shared-schema suite
+queries. The driver checks a bounded PREFIX of the registered list
+(round 1: first 50), so the exported registry is an explicitly curated,
+ordered subset: every oracled query first, rows-only (☆) queries last.
+Member queries that are folded into a suite stay importable (tests and
+bench call them directly) but are not separately registered — their
+coverage rides on the suite row.
 """
 
 from __future__ import annotations
 
-from raft_spark.queries.registry import QUERIES, ORACLES, query  # noqa: F401
+from raft_spark.queries.registry import QUERIES as _ALL_QUERIES
+from raft_spark.queries.registry import ORACLES as _ALL_ORACLES
+from raft_spark.queries.registry import query  # noqa: F401
 
-# Import for registration side-effects.
+# Import for registration side-effects (suites LAST — it composes
+# member oracles out of the registry).
 from raft_spark.queries import text_queries  # noqa: F401, E402
 from raft_spark.queries import dense_queries  # noqa: F401, E402
 from raft_spark.queries import stats_queries  # noqa: F401, E402
@@ -18,4 +27,75 @@ from raft_spark.queries import rng_queries  # noqa: F401, E402
 from raft_spark.queries import solver_queries  # noqa: F401, E402
 from raft_spark.queries import streaming_queries  # noqa: F401, E402
 from raft_spark.queries import matrix_queries  # noqa: F401, E402
+from raft_spark.queries import suites  # noqa: F401, E402
 from raft_spark.queries.text_queries import flagship  # noqa: F401, E402
+
+# Curated gate order. Oracled queries first (proven-green members from
+# round 1 up front, new suites after), rows-only last — every oracled
+# row lands inside the driver's checked window.
+_GATE_ORDER = [
+    # -- text encodings
+    "tfidf",
+    "bm25",
+    "bm25_topk",
+    # -- dense reductions / maps
+    "row_norms",
+    "dense_map_suite",
+    "col_moments",
+    "col_weighted_mean",
+    "argminmax",
+    "gemv",
+    "row_mse",
+    "select_k_dense",
+    "histogram_events",
+    "reduce_rows_by_key",
+    "reduce_cols_by_key",
+    "covariance",
+    # -- stats / metrics
+    "contingency_matrix",
+    "cluster_metrics",
+    "regression_suite",
+    "stats_scalars",
+    "embedding_quality",
+    # -- sparse / graph
+    "coo_ops",
+    "graph_basic",
+    "csr_row_normalize_l1",
+    "laplacian_suite",
+    "matmul_suite",
+    "label_ops",
+    # -- dedup / similarity / text-pipeline
+    "exact_dedup",
+    "minhash_lsh",
+    "simhash",
+    "ngram_jaccard",
+    "embedding_neardup",
+    "knn_cosine",
+    "knn_ivf_recall",
+    "text_quality",
+    "multimodal",
+    # -- rng / datagen / sampling
+    "rng_distributions",
+    "datagen_suite",
+    "sampling_suite",
+    # -- solvers (oracled)
+    "lstsq_simple",
+    "spectral_partition",
+    "cholesky_qr_r",
+    # -- matrix manipulation suites
+    "matrix_move_suite",
+    "matrix_rank_suite",
+    # -- streaming
+    "stream_agg_suite",
+    "stream_key_suite",
+    # -- rows-only (☆): non-SQL-expressible, pytest-pinned
+    "solver_spectra",
+    "graph_solver_suite",
+    "stream_running_topk",
+]
+
+_missing = [n for n in _GATE_ORDER if n not in _ALL_QUERIES]
+assert not _missing, f"gate order references unregistered queries: {_missing}"
+
+QUERIES = {n: _ALL_QUERIES[n] for n in _GATE_ORDER}
+ORACLES = {n: _ALL_ORACLES[n] for n in _GATE_ORDER if n in _ALL_ORACLES}

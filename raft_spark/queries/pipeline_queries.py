@@ -299,7 +299,15 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_meta(frame)
 
 
-@query("knn_ivf_recall")  # rows-only + pytest (k-means not SQL-expressible)
+@query(
+    "knn_ivf_recall",
+    # The k-means quantizer is deterministic but not SQL-expressible;
+    # the adjudicable contract is the recall floor: the query emits
+    # recall@5 >= 0.5 as an int, the oracle the literal 1. A quantizer
+    # or probe regression drops recall and reddens the row (the exact
+    # recall value is pinned by tests/test_similarity_ivf.py).
+    oracle="SELECT 1::INTEGER AS recall_ok",
+)
 def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (spherical k-means coarse quantizer, 8 lists, 2 probes)
     scored by recall@5 against the exact brute-force neighbors — the
@@ -311,8 +319,9 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx = SIM.knn_ivf(m, queries, k=5, n_lists=8, n_probe=2, kmeans_iters=2)
     n_q = queries.count()
     hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    recall = hits / (n_q * 5.0)
     return spark.createDataFrame(
-        [(round(hits / (n_q * 5.0), 4),)], "recall double"
+        [(int(recall >= 0.5),)], "recall_ok int"
     )
 
 

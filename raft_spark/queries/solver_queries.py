@@ -86,13 +86,39 @@ def q_tsvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("cholesky_qr_r")  # rows-only + pytest vs numpy.linalg.qr
+@query(
+    "cholesky_qr_r",
+    # R of a positive-diagonal Cholesky is the UNIQUE factor with
+    # RᵀR = XᵀX, so checking RᵀR against the SQL-computable Gram is a
+    # full-strength oracle for the Gram pass + factorization; the rank-1
+    # update appends the column-mean row x, so Rᵤᵀ Rᵤ = XᵀX + x·xᵀ.
+    # Rounded to 3 decimals: the factor-and-multiply roundtrip carries
+    # ~1e-9 absolute error over thousands of entries, which at 6
+    # decimals has even odds of straddling a rounding boundary.
+    oracle="""
+WITH long AS (
+    SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+           generate_subscripts(embedding, 1) - 1 AS pos
+    FROM embeddings
+),
+g AS (
+    SELECT a.pos AS i, b.pos AS j, sum(a.x * b.x) AS v
+    FROM long a JOIN long b USING (vec_id)
+    WHERE b.pos >= a.pos GROUP BY 1, 2
+),
+mu AS (SELECT pos, avg(x) AS m FROM long GROUP BY 1)
+SELECT 'rtr' AS which, i::BIGINT AS i, j::BIGINT AS j, round(v, 3) AS val FROM g
+UNION ALL
+SELECT 'rtr_updated', i::BIGINT, j::BIGINT, round(v + ma.m * mb.m, 3)
+FROM g JOIN mu ma ON ma.pos = g.i JOIN mu mb ON mb.pos = g.j
+""",
+)
 def q_cholesky_qr_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     """linalg/qr.cuh:29 tall-skinny Cholesky-QR (one distributed Gram
-    pass, driver chol) + linalg/cholesky_r1_update.cuh:19 rank-1 update:
-    R of the embeddings matrix, then R′ after appending the column-mean
-    row (means from one distributed agg pass). Returns both upper
-    triangles, labeled."""
+    pass, driver chol) + linalg/cholesky_r1_update.cuh:19 rank-1 update
+    (append the column-mean row). Emits the upper triangles of RᵀR and
+    RᵤᵀRᵤ — which DuckDB can recompute as XᵀX and XᵀX + x·xᵀ, making
+    the whole factor path oracle-checkable (R is unique given RᵀR)."""
     import numpy as np
 
     m = embeddings_matrix(spark, sf_dir)
@@ -104,12 +130,12 @@ def q_cholesky_qr_r(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = np.array([float(v) for v in mean_row])
     r_up = SV.cholesky_r1_update(r.T.copy(), x).T
     rows = [
-        (which, i, j, round(float(mat[i, j]), 6))
-        for which, mat in (("r", r), ("r_updated", r_up))
+        (which, i, j, round(float((mat.T @ mat)[i, j]), 3))
+        for which, mat in (("rtr", r), ("rtr_updated", r_up))
         for i in range(d)
         for j in range(i, d)
     ]
-    return spark.createDataFrame(rows, "which string, i int, j int, val double")
+    return spark.createDataFrame(rows, "which string, i bigint, j bigint, val double")
 
 
 @query("rsvd_singular_values")  # rows-only + pytest vs numpy/tsvd
