@@ -51,14 +51,16 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
 def term_ids(coo: DataFrame, term_col: str = "term") -> DataFrame:
     """Vocabulary rank table: term → tid (1-based, lexicographic).
 
-    Deterministic and SQL-reproducible. The vocabulary is orders of
-    magnitude smaller than the corpus; the rank window runs over the
-    distinct-term table only. (Scale path: xxhash64(term), no vocab.)
+    Deterministic and SQL-reproducible. Ranked by the two-phase
+    distributed rank (range repartition + partitioned window + offset
+    join) — no single-partition global window even when the vocabulary
+    itself is huge. (Scale path: xxhash64(term), no vocab build at all —
+    same downstream plan, loses SQL-oracle parity.)
     """
+    from raft_spark.operators.reductions import global_rank
+
     vocab = coo.select(term_col).distinct()
-    return vocab.withColumn(
-        "tid", F.dense_rank().over(Window.orderBy(term_col)).cast("long")
-    )
+    return global_rank(vocab, [term_col], rank_name="tid")
 
 
 def minhash_signatures(
@@ -80,9 +82,13 @@ def minhash_signatures(
     return with_tid.groupBy(doc_col).agg(F.array(*mins).alias("sig"))
 
 
+MAX_BUCKET_DOCS = 256
+MAX_SHINGLE_DF = 512
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, doc_col: str = "doc_id", band_rows: int = BAND_ROWS,
-    num_perms: int = NUM_PERMS,
+    num_perms: int = NUM_PERMS, max_bucket_docs: int = MAX_BUCKET_DOCS,
 ) -> DataFrame:
     """Band-bucket join → candidate pairs (a < b) with estimated
     Jaccard = fraction of matching minhashes across all perms.
@@ -90,6 +96,13 @@ def minhash_lsh_candidates(
     Each doc emits num_perms/band_rows (band, band-signature) rows; the
     join is keyed on the band signature — candidate volume is bucket
     occupancy, never an all-pairs product.
+
+    Hot-bucket cap: a degenerate band signature (e.g. the all-empty-doc
+    signature, or a boilerplate-dominated corpus) otherwise produces a
+    quadratic bucket; buckets holding more than ``max_bucket_docs``
+    docs are dropped BEFORE the pair join (count via one extra
+    map-side-combinable agg over the band table). The cap is part of
+    the operator contract and mirrored in the SQL oracle.
     """
     n_bands = num_perms // band_rows
     band_structs = F.array(*[
@@ -105,6 +118,10 @@ def minhash_lsh_candidates(
     bands = sigs.select(F.col(doc_col).alias("_d"), F.explode(band_structs).alias("_b")).select(
         "_d", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig")
     )
+    if max_bucket_docs is not None:
+        occupancy = bands.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
+        keep = occupancy.filter(F.col("_n") <= max_bucket_docs).drop("_n")
+        bands = bands.join(keep, ["band", "bsig"], "left_semi")
     left = bands.select(F.col("_d").alias("a"), "band", "bsig")
     right = bands.select(F.col("_d").alias("b"), "band", "bsig")
     cand = (
@@ -185,10 +202,22 @@ def shingles(
 
 
 def ngram_jaccard_pairs(
-    sh: DataFrame, min_jaccard: float = 0.0
+    sh: DataFrame, min_jaccard: float = 0.0,
+    max_shingle_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Jaccard over shingle sets for pairs sharing ≥1 shingle
-    (inverted-index join — candidate set, not a crossJoin)."""
+    (inverted-index join — candidate set, not a crossJoin).
+
+    Stop-shingle cap: shingles appearing in more than ``max_shingle_df``
+    docs are removed before BOTH the pair join and the set sizes (so
+    Jaccard stays consistent over the filtered sets). On a real corpus
+    one boilerplate shingle otherwise turns the inverted-index join
+    quadratic. Mirrored in the SQL oracle.
+    """
+    if max_shingle_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        keep = dfreq.filter(F.col("_df") <= max_shingle_df).drop("_df")
+        sh = sh.join(keep, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")

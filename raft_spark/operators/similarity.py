@@ -38,18 +38,52 @@ def cosine_pairs(
     id_col: str = "id",
     vec_col: str = "features",
     min_cosine: float = 0.8,
+    n_blocks: int = 16,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine ≥ threshold — embedding near-dup.
-    O(n²) candidate product; at scale route through lsh_buckets first
-    and reuse this on the bucketed candidates."""
-    n = _norm_table(df, id_col, vec_col)
-    a = n.select(F.col("_id").alias("a"), F.col("_v").alias("_va"))
-    b = n.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"))
-    pairs = a.join(b, F.col("a") < F.col("b"))
-    cos = F.round(A.dot("_va", "_vb"), 6)
-    return pairs.select("a", "b", cos.alias("cosine")).filter(
-        F.col("cosine") >= min_cosine
+    """EXACT all pairs (a < b) with cosine ≥ threshold — embedding
+    near-dup.
+
+    Exact pairwise is inherently O(n²) work, so the scale question is
+    execution shape, not asymptotics: the naive ``a < b`` theta-join
+    compiles to a BroadcastNestedLoopJoin (one side fully broadcast —
+    dies when the table outgrows the driver). Here the product is
+    realized as the classic BLOCKED matrix: each vector is assigned a
+    deterministic block (hash mod n_blocks), the n_blocks(n_blocks+1)/2
+    block PAIRS form a tiny broadcast table, and two shuffle equi-joins
+    materialize exactly the (a, b) candidates of each block pair — so
+    work is spread over block-pair tasks with bounded memory and no
+    full-table broadcast. For sub-quadratic candidates accept
+    approximate recall and use knn_lsh/knn_ivf instead.
+    """
+    spark = df.sparkSession
+    n = _norm_table(df, id_col, vec_col).withColumn(
+        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks))
     )
+    pairs_of_blocks = spark.range(n_blocks * n_blocks).select(
+        (F.col("id") / n_blocks).cast("long").alias("_ba"),
+        (F.col("id") % n_blocks).alias("_bb"),
+    ).filter(F.col("_ba") <= F.col("_bb"))
+    a = n.select(F.col("_id").alias("a"), F.col("_v").alias("_va"),
+                 F.col("_blk").alias("_ba"))
+    b = n.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"),
+                 F.col("_blk").alias("_bb"))
+    cand = (
+        a.join(F.broadcast(pairs_of_blocks), "_ba")
+        .join(b, "_bb")
+        .filter(
+            (F.col("_ba") < F.col("_bb"))
+            | ((F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
+        )
+    )
+    # a pair whose blocks are unordered surfaces with ids swapped (the
+    # a-side is always the lower BLOCK, not the lower id) — relabel to
+    # the (a < b) output convention; cosine is symmetric.
+    cos = F.round(A.dot("_va", "_vb"), 6)
+    return cand.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        cos.alias("cosine"),
+    ).filter(F.col("cosine") >= min_cosine)
 
 
 def knn_brute(

@@ -65,8 +65,28 @@ def transpose(coo: DataFrame) -> DataFrame:
 
 
 def symmetrize(coo: DataFrame) -> DataFrame:
-    """A ∪ Aᵀ with summed values (sparse/linalg/symmetrize.cuh:19)."""
-    return sparse_add(coo, transpose(coo))
+    """A ∪ Aᵀ with summed values (sparse/linalg/symmetrize.cuh:19).
+
+    Emitted as a per-row 2-element explode, NOT union(A, Aᵀ): a union
+    duplicates the upstream lineage (the input subplan — scan, filters,
+    aggregations — runs once per branch), while the explode reads the
+    input ONCE and doubles rows map-side, so the whole op is one narrow
+    pass plus the single groupBy shuffle at any scale.
+    """
+    both = F.explode(
+        F.array(
+            F.struct(F.col("row").alias("r"), F.col("col").alias("c"), F.col("value").alias("v")),
+            F.struct(F.col("col").alias("r"), F.col("row").alias("c"), F.col("value").alias("v")),
+        )
+    )
+    return (
+        coo.select(both.alias("_e"))
+        .select(
+            F.col("_e.r").alias("row"), F.col("_e.c").alias("col"), F.col("_e.v").alias("value")
+        )
+        .groupBy("row", "col")
+        .agg(F.sum("value").alias("value"))
+    )
 
 
 # ---------------------------------------------------------------------------

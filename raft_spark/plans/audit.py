@@ -53,11 +53,18 @@ def audit_plan(df: DataFrame) -> PlanReport:
                         "schema": schema.group(1) if schema else "",
                     }
                 )
+    # formatted mode prints each operator twice (tree + numbered detail
+    # section) — count the numbered details so each physical operator
+    # counts once; ReusedExchange is excluded (it is a reuse, not a new
+    # shuffle).
+    def op_count(op: str) -> int:
+        return len(re.findall(rf"\(\d+\) {op}\b", text))
+
     return PlanReport(
         text=text,
-        n_exchanges=len(re.findall(r"\bExchange\b", text)),
-        n_broadcast_joins=len(re.findall(r"BroadcastHashJoin", text)),
-        n_sortmerge_joins=len(re.findall(r"SortMergeJoin", text)),
+        n_exchanges=op_count("Exchange"),
+        n_broadcast_joins=op_count("BroadcastHashJoin"),
+        n_sortmerge_joins=op_count("SortMergeJoin"),
         n_codegen_spans=len(re.findall(r"WholeStageCodegen", text)),
         scans=scans,
     )

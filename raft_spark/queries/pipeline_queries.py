@@ -70,9 +70,11 @@ bands AS (
            string_agg(mh::VARCHAR, '_' ORDER BY perm) AS sig
     FROM sigs GROUP BY 1, 2
 ),
+keep AS (SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 256),
+bandsk AS (SELECT b.* FROM bands b JOIN keep USING (band, sig)),
 cand AS (
     SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-    FROM bands l JOIN bands r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+    FROM bandsk l JOIN bandsk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 )
 SELECT a::BIGINT AS a, b::BIGINT AS b,
        round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
@@ -131,7 +133,9 @@ shl AS (
                           i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS shs
     FROM tok
 ),
-sh AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM shl),
+sh0 AS (SELECT DISTINCT doc_id, unnest(shs) AS shingle FROM shl),
+okshingle AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING count(*) <= 512),
+sh AS (SELECT sh0.* FROM sh0 JOIN okshingle USING (shingle)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
 common AS (
     SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS c

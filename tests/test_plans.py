@@ -43,3 +43,48 @@ def test_bm25_no_cartesian(spark, sf_dir):
     # the only nested-loop join allowed is the 1-row avgdl scalar
     # broadcast; a CartesianProduct would mean a real pair blowup
     assert "CartesianProduct" not in rep.text
+
+
+def test_neardup_no_nested_loop(spark, sf_dir):
+    # blocked all-pairs: the n x n product must be realized through
+    # block-pair equi-joins, never a BroadcastNestedLoopJoin of the
+    # whole table (dies when the corpus outgrows the driver)
+    rep = audit_plan(QUERIES["embedding_neardup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in rep.text
+    assert "CartesianProduct" not in rep.text
+
+
+def test_covariance_no_posexplode_square(spark, sf_dir):
+    # covariance runs the mapInPandas Gram pass: d^2 partial scalars per
+    # partition, never a posexplode^2 row blowup (the result frame is a
+    # driver-built d x d table, so its plan must be a local scan)
+    rep = audit_plan(QUERIES["covariance"](spark, sf_dir))
+    assert "Generate" not in rep.text  # no explode anywhere
+
+
+def test_matmul_shuffle_budget(spark, sf_dir):
+    # spmm/gemm/sddmm are join+agg forms over tiny generated inputs:
+    # no sort-merge join (all sides are broadcastable at gate scale),
+    # and a bounded exchange count — a regression here is what turned
+    # round-1 bench numbers 8-9x over baseline
+    for name, budget in (("spmm", 4), ("gemm", 1), ("sddmm", 3)):
+        rep = audit_plan(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in rep.text, name
+        assert rep.n_exchanges <= budget, (name, rep.n_exchanges)
+
+
+def test_symmetrize_single_shuffle(spark, sf_dir):
+    # explode + re-aggregate: source repartition + edges groupBy +
+    # final groupBy = 3 shuffles; the old union(A, A^T) form re-ran the
+    # whole edges subplan per branch
+    rep = audit_plan(QUERIES["symmetrize_graph"](spark, sf_dir))
+    assert rep.n_exchanges <= 3, rep.n_exchanges
+
+
+def test_knn_cosine_no_global_sort(spark, sf_dir):
+    # partial top-k then merge: a global Sort over the scored pairs
+    # would mean the select_k went through a single-partition window
+    rep = audit_plan(QUERIES["knn_cosine"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in rep.text
+    # the only windows allowed run AFTER the partial cut (rows ≤ P*Q*k)
+    assert rep.n_sortmerge_joins == 0
