@@ -139,6 +139,24 @@ def discrete(id_col, weights: list[float], seed: int = 42, stream: int = 0) -> C
     return expr.cast("int")
 
 
+def uniform_np(ids, seed: int = 42, stream: int = 0):
+    """Numpy twin of ``uniform`` — bit-identical values for the same
+    (id, seed, stream), evaluated vectorized on int64 arrays. Used by
+    operators that pre-compute generated structures (LSH plane banks,
+    IVF inits) driver-side or inside Arrow batches without shipping
+    O(k·d) literal expressions into the plan."""
+    import numpy as np
+
+    idc = np.asarray(ids, dtype=np.int64) % (_M - 1)
+    s0 = (idc * 2_654_435_761 + seed * 97_531 + stream * 7_919) % (_M - 1) + 1
+    s1 = (_A * s0) % _M
+    s1x = (s1 ^ (s1 >> 17)) % (_M - 1) + 1
+    s2 = (_A * s1x) % _M
+    s2x = (s2 ^ (s2 >> 13)) % (_M - 1) + 1
+    s3 = (_A * s2x) % _M
+    return s3.astype(np.float64) / float(_M)
+
+
 def exp_sort_key(id_col, weight_col, seed: int = 42, stream: int = 0) -> Column:
     """Gumbel-trick key for weighted sampling WITHOUT replacement
     (rng.cuh:775 sample_without_replacement): take the k smallest

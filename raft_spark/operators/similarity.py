@@ -186,9 +186,37 @@ def lsh_buckets(
     ``dim`` defaults to the width of the first row (one-row probe): a
     plane shorter/longer than the vector would zip_with-pad with nulls
     and silently NULL every bucket.
+
+    Plane bank size governs the physical strategy: small banks inline
+    as JVM expressions (SQL-reproducible, zero Python); large banks
+    (n_planes·dim > 1024) switch to an Arrow-batched numpy pass with
+    the planes in the closure — same LCG, bit-identical buckets, plan
+    size O(1) instead of O(n_planes·dim) literals.
     """
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if n_planes * dim > 1024:
+        import numpy as np
+
+        from raft_spark.functions.rng import uniform_np
+
+        P = (
+            uniform_np(np.arange(n_planes * dim), seed).reshape(n_planes, dim)
+            * 2.0 - 1.0
+        )
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+        def pp(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+                bits = (M @ P.T) > 0
+                yield pdf[[id_col]].rename(columns={id_col: "id"}).assign(
+                    bucket=(bits @ weights)
+                )
+
+        return df.select(id_col, vec_col).mapInPandas(pp, "id long, bucket long")
     planes = [
         F.array(*[
             (uniform(F.lit(p * dim + j), seed) * 2 - 1) for j in range(dim)
@@ -235,6 +263,53 @@ def knn_lsh(
 # IVF (inverted-file) ANN — the scale path beyond LSH buckets
 # ---------------------------------------------------------------------------
 
+def _assign_lists(
+    df: DataFrame,
+    cents,
+    vec_col: str = "features",
+    n_probe: int = 1,
+    list_col: str = "list_id",
+) -> DataFrame:
+    """Attach the ``n_probe`` nearest-centroid list ids via one
+    Arrow-batched numpy pass (mapInPandas).
+
+    The centroid matrix rides in the task closure (k×d floats — a few
+    MB even at n_lists=10⁴, broadcast once per executor), so the PLAN
+    stays O(1) regardless of k — the previous formulation inlined k·d
+    literal expressions, capping n_lists at O(100) before Catalyst
+    analysis blew up. Each batch computes all distances with one BLAS
+    matmul. With n_probe > 1 the output has one row per (input, probe).
+    """
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(cents, dtype=float)
+    cc = (C * C).sum(1)
+    in_cols = df.columns
+    schema = df.schema.simpleString()[7:-1]  # strip struct<...>
+    out_schema = f"{schema},{list_col} int"
+
+    def pp(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + cc[None, :]
+            if n_probe == 1:
+                yield pdf.assign(**{list_col: d2.argmin(1).astype("int32")})
+            else:
+                p = min(n_probe, C.shape[0])
+                idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
+                # order probes by actual distance for determinism
+                row = np.arange(len(M))[:, None]
+                order = np.argsort(d2[row, idx], axis=1)
+                idx = idx[row, order]
+                rep = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
+                yield rep.assign(**{list_col: idx.ravel().astype("int32")})
+
+    return df.mapInPandas(pp, out_schema).select(*in_cols, list_col)
+
+
 def kmeans_centroids(
     df: DataFrame,
     k: int,
@@ -244,16 +319,15 @@ def kmeans_centroids(
     vec_col: str = "features",
 ):
     """Lloyd iterations built from the engine's own primitives: assign =
-    argmin over broadcast centroids (narrow pass), update =
-    reduce_rows_by_key (the k-means-update primitive,
-    linalg/reduce_rows_by_key.cuh:31). Returns k×d numpy centroids.
+    argmin via the Arrow-batched numpy pass (_assign_lists), update =
+    the reduce_rows_by_key shape (posexplode + map-side-combined
+    groupBy, linalg/reduce_rows_by_key.cuh:31). Returns k×d numpy
+    centroids; the driver never holds more than k×d floats.
 
-    Init: k deterministic data points (ids hashed by seed) — the
-    driver never holds more than k×d floats.
+    Init: k deterministic data points (ids hashed by seed).
     """
     import numpy as np
 
-    d = df.select(F.size(vec_col).alias("d")).first()["d"]
     n = df.count()
     # seeded spread of k distinct row ids
     init_ids = sorted({(seed + 31 * i) * 2_654_435_761 % n for i in range(3 * k)})[:k]
@@ -266,27 +340,12 @@ def kmeans_centroids(
             .collect()
         ]
     )
-    k = cents.shape[0]
     for _ in range(n_iters):
-        dists = [
-            F.aggregate(
-                F.zip_with(
-                    vec_col,
-                    F.array(*[F.lit(float(x)) for x in cents[c]]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"d{c}")
-            for c in range(k)
-        ]
-        with_d = df.select(id_col, vec_col, *dists)
-        arr = F.array(*[F.col(f"d{c}") for c in range(k)])
-        assigned = with_d.select(
-            id_col, vec_col,
-            (F.array_position(arr, F.array_min(arr)) - 1).alias("cluster"),
+        assigned = _assign_lists(
+            df.select(id_col, vec_col), cents, vec_col, list_col="cluster"
         )
-        # update: per-cluster mean via posexplode + groupBy (map-side combined)
+        # update: per-cluster mean via posexplode + groupBy (map-side
+        # combined — shuffle is k×d rows, not n)
         sums = (
             assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -301,23 +360,8 @@ def kmeans_centroids(
 
 
 def ivf_assign(df: DataFrame, cents, vec_col: str = "features") -> DataFrame:
-    """Attach the nearest-centroid list id (one narrow pass, centroids
-    as broadcast literals)."""
-    k = len(cents)
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in cents[c]]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in range(k)
-    ]
-    arr = F.array(*dists)
-    return df.withColumn("list_id", F.array_position(arr, F.array_min(arr)) - 1)
+    """Attach the nearest-centroid list id (one Arrow-batched pass)."""
+    return _assign_lists(df, cents, vec_col, n_probe=1, list_col="list_id")
 
 
 def knn_ivf(
@@ -337,8 +381,6 @@ def knn_ivf(
 
     Output matches knn_brute's schema (qid, nid, cosine, rank).
     """
-    import numpy as np
-
     # spherical IVF: quantize in the L2-normalized space (the same
     # space the cosine scoring runs in)
     norm_c = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
@@ -350,30 +392,11 @@ def knn_ivf(
         F.col("_id").alias("nid"), F.col(vec_col).alias("_vc"), "list_id"
     )
 
-    # query → its n_probe nearest lists (explode the probe set)
+    # query → its n_probe nearest lists (one probe row per list, from
+    # the same Arrow-batched assigner — plan size independent of k)
     q_norm = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
-    kq = len(cents)
-    dists = F.array(*[
-        F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(float(x)) for x in cents[c]]),
-                lambda a, b: (a - b) * (a - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        for c in range(kq)
-    ])
-    zipped = F.arrays_zip(
-        dists.alias("d"), F.sequence(F.lit(0), F.lit(kq - 1)).alias("i")
-    )
-    probes = F.transform(
-        F.slice(F.array_sort(zipped), 1, n_probe), lambda e: e["i"]
-    )
-    probe = q_norm.select(
-        F.col("_id").alias("qid"), F.col(vec_col).alias("_vq"),
-        F.explode(probes).alias("list_id"),
+    probe = _assign_lists(q_norm, cents, vec_col, n_probe=n_probe).select(
+        F.col("_id").alias("qid"), F.col(vec_col).alias("_vq"), "list_id"
     )
     scored = (
         probe.join(c_assigned, "list_id")
