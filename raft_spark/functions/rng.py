@@ -86,6 +86,34 @@ def normal(id_col, mu: float = 0.0, sigma: float = 1.0, seed: int = 42) -> Colum
     return F.lit(mu) + F.lit(sigma) * z
 
 
+def normal_int(id_col, mu: float, sigma: float, seed: int = 42) -> Column:
+    """Integer-rounded normal (rng.cuh:195 normalInt — normal samples
+    cast to the integral output type; we round-half-up like the device
+    float→int conversion of a .5-free continuous draw)."""
+    return F.round(normal(id_col, mu, sigma, seed)).cast("long")
+
+
+def normal_table(id_col, mus: list[float], sigmas, seed: int = 42) -> Column:
+    """Per-column (mu, sigma) normal row → array<double> of
+    len(mus) (rng.cuh:257 normalTable; sigma may be a scalar or a
+    per-column vector). Column j draws from stream 10+j so entries are
+    independent across the row."""
+    if not isinstance(sigmas, (list, tuple)):
+        sigmas = [float(sigmas)] * len(mus)
+    cols = []
+    for j, (m, s) in enumerate(zip(mus, sigmas)):
+        u1 = uniform(id_col, seed + 7919 * (j + 1), stream=1)
+        u2 = uniform(id_col, seed + 7919 * (j + 1), stream=2)
+        z = F.sqrt(-2.0 * F.log(u1)) * F.cos(F.lit(2.0 * 3.141592653589793) * u2)
+        cols.append(F.lit(m) + F.lit(s) * z)
+    return F.array(*cols)
+
+
+def fill(value: float) -> Column:
+    """Constant fill (rng.cuh:347) — lit as a Column for API parity."""
+    return F.lit(value)
+
+
 def lognormal(id_col, mu: float = 0.0, sigma: float = 1.0, seed: int = 42) -> Column:
     return F.exp(normal(id_col, mu, sigma, seed))
 

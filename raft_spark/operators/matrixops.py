@@ -125,6 +125,24 @@ def bitset_stats(df: DataFrame, mask_a: Column, mask_b: Column) -> DataFrame:
     )
 
 
+def bitmap_to_csr(df: DataFrame, bits_col: str, row_col: str = "id") -> DataFrame:
+    """Bitmap matrix (row, bits: array<boolean|numeric>) → CSR/COO long
+    form (row, col, value=1.0) of the SET positions
+    (core/bitset.hpp:200 bitset_to_csr / bitmap.hpp conversions).
+
+    One narrow posexplode + filter — the explode emits only set bits
+    downstream of the filter pushout, so output volume is nnz.
+    """
+    return (
+        df.select(
+            F.col(row_col).alias("row"),
+            F.posexplode(bits_col).alias("col", "_b"),
+        )
+        .filter(F.col("_b").cast("boolean"))
+        .select("row", F.col("col").cast("long").alias("col"), F.lit(1.0).alias("value"))
+    )
+
+
 def masked_matmul(
     a: DataFrame, b: DataFrame, mask: DataFrame
 ) -> DataFrame:

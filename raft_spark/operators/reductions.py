@@ -50,9 +50,20 @@ def col_reduce(
     )
 
 
-def col_moments(df: DataFrame, features_col: str = "features") -> DataFrame:
+def col_moments(
+    df: DataFrame, features_col: str = "features", rowids: DataFrame | None = None,
+    id_col: str = "id",
+) -> DataFrame:
     """Fused per-column sum/mean/var/std/min/max (stats/meanvar.cuh —
-    one pass, sample semantics like RAFT's default sample=true)."""
+    one pass, sample semantics like RAFT's default sample=true).
+
+    ``rowids``: optional (id) frame restricting the reduction to a row
+    subset — the stats/minmax.cuh:70 rowids overload; a left-semi join
+    (broadcast when small) ahead of the reduction.
+    """
+    if rowids is not None:
+        df = df.join(rowids.select(F.col(rowids.columns[0]).alias(id_col)),
+                     id_col, "left_semi")
     return col_reduce(
         df,
         [

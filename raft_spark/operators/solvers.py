@@ -149,28 +149,64 @@ def pca_fit(df: DataFrame, n_components: int, features: str = "features"):
     """PCA via covariance eigendecomposition (linalg/pca.cuh:41,
     solver COV_EIG_DQ → numpy eigh). Returns (components [k×d],
     explained_var [k], explained_var_ratio [k], mean [d])."""
-    cov = covariance_matrix(df, features)
+    g, sx, n = gram_matrix(df, features)
+    mu = sx / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
     w, v = np.linalg.eigh(cov)
     order = np.argsort(w)[::-1][:n_components]
     comps = sign_flip(v[:, order].T)
     ev = w[order]
-    return comps, ev, ev / w.sum(), None
+    return comps, ev, ev / w.sum(), mu
 
 
-def pca_transform(df: DataFrame, components: np.ndarray, features: str = "features") -> DataFrame:
-    """Distributed projection X·Wᵀ (linalg/pca.cuh:126) — one narrow
-    pass, components embedded as literals (k×d, broadcast-sized)."""
+def _project(df: DataFrame, mat: np.ndarray, offset=None,
+             features: str = "features", prefix: str = "pc",
+             id_col: str = "id") -> DataFrame:
+    """Distributed narrow projection (X − offset)·matᵀ, mat k×d on the
+    driver (broadcast-sized literals)."""
     outs = []
-    for ci, c in enumerate(components):
+    for ci, c in enumerate(mat):
         vec = F.array(*[F.lit(float(x)) for x in c])
-        outs.append(
-            F.aggregate(
-                F.zip_with(features, vec, lambda a, b: a * b),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ).alias(f"pc{ci}")
+        dot = F.aggregate(
+            F.zip_with(features, vec, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-    return df.select("id", *outs)
+        if offset is not None:
+            dot = dot - F.lit(float(np.dot(offset, c)))
+        outs.append(dot.alias(f"{prefix}{ci}"))
+    return df.select(id_col, *outs)
+
+
+def pca_transform(
+    df: DataFrame, components: np.ndarray, mean: np.ndarray | None = None,
+    features: str = "features",
+) -> DataFrame:
+    """Distributed projection (X − μ)·Wᵀ (linalg/pca.cuh:126) — one
+    narrow pass; the mean-shift folds into a per-component constant
+    (x−μ)·w = x·w − μ·w, so centering costs nothing distributed."""
+    return _project(df, components, offset=mean, features=features)
+
+
+def pca_inverse_transform(
+    scores: DataFrame, components: np.ndarray, mean: np.ndarray | None = None,
+    id_col: str = "id",
+) -> DataFrame:
+    """Inverse PCA map scores·W + μ → (id, features) —
+    linalg/pca.cuh:126's pcaInverseTransform. One narrow pass; W is
+    k×d driver-side."""
+    k, d = components.shape
+    pcs = [F.col(f"pc{i}") for i in range(k)]
+    cols = []
+    for j in range(d):
+        acc = sum(
+            (pcs[i] * float(components[i, j]) for i in range(1, k)),
+            pcs[0] * float(components[0, j]),
+        )
+        if mean is not None:
+            acc = acc + F.lit(float(mean[j]))
+        cols.append(acc)
+    return scores.select(id_col, F.array(*cols).alias("features"))
 
 
 def tsvd_singular_values(df: DataFrame, k: int, features: str = "features") -> np.ndarray:
@@ -179,6 +215,45 @@ def tsvd_singular_values(df: DataFrame, k: int, features: str = "features") -> n
     g, _, _ = gram_matrix(df, features)
     w = np.linalg.eigvalsh(g)
     return np.sqrt(np.clip(np.sort(w)[::-1][:k], 0, None))
+
+
+def tsvd_factors(
+    df: DataFrame, k: int, features: str = "features"
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Full truncated-SVD factors (linalg/svd.cuh:36 svdQR returns
+    U,S,V; tsvd.cuh fit): V from the Gram eigenvectors (driver d×d),
+    σ = √λ, and U = X·V·Σ⁻¹ as a DISTRIBUTED narrow projection —
+    (U_df (id, u: array[k]), s [k], V [d×k]).
+
+    U columns are unit-norm left singular vectors; reconstruction
+    X ≈ U·Σ·Vᵀ (svd.cuh:382 svd_reconstruction) is one more narrow
+    pass over U_df.
+    """
+    g, _, _ = gram_matrix(df, features)
+    w, v = np.linalg.eigh(g)
+    order = np.argsort(w)[::-1][:k]
+    s = np.sqrt(np.clip(w[order], 0, None))
+    vk = sign_flip(v[:, order].T)  # k×d, sign-stabilized
+    proj = vk / np.where(s > 0, s, 1.0)[:, None]  # rows = vᵢ/σᵢ
+    u = _project(df, proj, features=features, prefix="u")
+    u = u.select("id", F.array(*[F.col(f"u{i}") for i in range(k)]).alias("u"))
+    return u, s, vk.T
+
+
+def svd_reconstruction(
+    u_df: DataFrame, s: np.ndarray, v: np.ndarray, id_col: str = "id"
+) -> DataFrame:
+    """X̂ = U·Σ·Vᵀ (linalg/svd.cuh:382) — narrow pass over the
+    distributed U frame; Σ·Vᵀ (k×d) is a driver-side constant."""
+    sv = (v * s[None, :]).T  # k×d
+    k, d = sv.shape
+    us = [F.col("u")[i] for i in range(k)]
+    cols = [
+        sum((us[i] * float(sv[i, j]) for i in range(1, k)),
+            us[0] * float(sv[0, j]))
+        for j in range(d)
+    ]
+    return u_df.select(id_col, F.array(*cols).alias("features"))
 
 
 # ---------------------------------------------------------------------------
@@ -194,8 +269,8 @@ def cholesky_qr_r(df: DataFrame, features: str = "features") -> np.ndarray:
 
 def rsvd_singular_values(
     df: DataFrame, k: int, n_oversamples: int = 10, n_power_iters: int = 2,
-    seed: int = 42, features: str = "features",
-) -> np.ndarray:
+    seed: int = 42, features: str = "features", _factors: bool = False,
+):
     """Randomized truncated SVD (linalg/rsvd.cuh:41; defaults mirror
     svds.pyx:73 — oversampling 10, 2 power iterations).
 
@@ -263,13 +338,33 @@ def rsvd_singular_values(
         z, g = zg_pass(w)
         w = z @ whiten(g)  # Y ← A·AᵀQ with Q = A·W·G^{-1/2}, in W-space
     z, g = zg_pass(w)
-    b = whiten(g).T @ z.T  # B = QᵀA  (ell×d)
-    return np.linalg.svd(b, compute_uv=False)[:k]
+    wh = whiten(g)
+    b = wh.T @ z.T  # B = QᵀA  (ell×d)
+    if not _factors:
+        return np.linalg.svd(b, compute_uv=False)[:k]
+    ub, s, vt = np.linalg.svd(b, full_matrices=False)
+    # U = Q·Ub = A·(W·G^{-1/2}·Ub): one distributed narrow projection
+    mix = (w @ wh @ ub[:, :k]).T  # k×d
+    u = _project(df, mix, features=features, prefix="u")
+    u = u.select("id", F.array(*[F.col(f"u{i}") for i in range(k)]).alias("u"))
+    return u, s[:k], vt[:k].T
 
 
 # ---------------------------------------------------------------------------
 # power iteration (largest eigenpair of a sparse symmetric matrix)
 # ---------------------------------------------------------------------------
+
+def rsvd_factors(
+    df: DataFrame, k: int, n_oversamples: int = 10, n_power_iters: int = 2,
+    seed: int = 42, features: str = "features",
+) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Randomized SVD with factors (linalg/rsvd.cuh:41 gen_U/gen_V
+    paths): (U_df (id, u: array[k]), s [k], V [d×k]); U distributed,
+    V/s driver-side — same pass count as the values-only path."""
+    return rsvd_singular_values(
+        df, k, n_oversamples, n_power_iters, seed, features, _factors=True
+    )
+
 
 def spmv(coo: DataFrame, v: DataFrame) -> DataFrame:
     """Distributed SpMV: (row,col,value) × (idx,val) → (idx,val).
@@ -497,7 +592,8 @@ def lanczos_eigsh(
     m: int | None = None,
     which: str = "LM",
     reorthogonalize: bool = True,
-) -> tuple[np.ndarray, np.ndarray]:
+    return_vectors: bool = False,
+) -> tuple[np.ndarray, np.ndarray | DataFrame]:
     """Lanczos eigsh for a sparse symmetric matrix in COO long form
     (sparse/solver/lanczos.cuh:35; Python entry lanczos.pyx:100).
 
@@ -506,17 +602,28 @@ def lanczos_eigsh(
     coefficients. The Lanczos basis itself stays distributed as a
     (idx, array<double>) frame; full reorthogonalization is a narrow
     per-row pass against the basis columns (m ≤ ~40 doubles per row).
-    Returns (eigenvalues[k], ritz-residual T-norms) — eigenvectors
-    recoverable as basis × T-eigenvectors, one more narrow pass.
+    Returns (eigenvalues[k], betas); with ``return_vectors=True`` the
+    second element is instead the distributed Ritz-vector frame
+    (idx, evec: array<double>[k]) = basis × T-eigenvectors — the "one
+    more narrow pass".
 
-    which: "LM"/"LA" largest magnitude/algebraic, "SA" smallest
-    algebraic (same selection semantics as lanczos.pyx `which`).
+    which: "LM"/"LA" largest magnitude/algebraic, "SA"/"SM" smallest
+    algebraic/magnitude (the full lanczos_types.hpp:23-28 enum).
     """
     m = m or min(n, max(4 * k, 20))
-    # v0: deterministic unit vector (seeded counter RNG would also do)
-    v = spark.range(n).select(
-        F.col("id").alias("idx"), (F.lit(1.0) / F.lit(float(np.sqrt(n)))).alias("val")
-    ).localCheckpoint(eager=True)
+    # v0: seeded counter-RNG vector, normalized. NOT the constant
+    # vector — that is the exact null vector of an unnormalized graph
+    # Laplacian, which makes the first residual vanish and kills the
+    # recurrence at step 0.
+    from raft_spark.functions.rng import uniform as _uniform
+
+    raw = spark.range(n).select(
+        F.col("id").alias("idx"), (_uniform("id", seed=1234) - 0.5).alias("val")
+    )
+    nrm0 = raw.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n")).collect()[0]["n"]
+    v = raw.select("idx", (F.col("val") / F.lit(float(nrm0))).alias("val")).localCheckpoint(
+        eager=True
+    )
     basis = v.select("idx", F.array("val").alias("vs"))  # columns so far
     alphas: list[float] = []
     betas: list[float] = []
@@ -588,17 +695,40 @@ def lanczos_eigsh(
     if betas:
         off = np.array(betas[: len(alphas) - 1])
         t += np.diag(off, 1) + np.diag(off, -1)
-    evals = np.linalg.eigvalsh(t)
+    evals, tvecs = np.linalg.eigh(t)
     if which == "LM":
         order = np.argsort(-np.abs(evals))
     elif which == "LA":
         order = np.argsort(-evals)
     elif which == "SA":
         order = np.argsort(evals)
+    elif which == "SM":
+        # smallest magnitude (lanczos_types.hpp:23-28 enumerates
+        # MAGNITUDE_SMALLEST): rank Ritz values by |λ|. Without
+        # shift-invert the interior accuracy depends on m — callers
+        # should raise m (the default 4k steps suffice for the PSD
+        # Laplacian case where SM == SA).
+        order = np.argsort(np.abs(evals))
     else:
         raise ValueError(f"unknown which: {which}")
-    sel = np.sort(evals[order[:k]])[::-1]
-    return sel, np.array(betas[: len(alphas)])
+    keep = order[:k]
+    desc = np.argsort(-evals[keep])
+    sel = evals[keep][desc]
+    if not return_vectors:
+        return sel, np.array(betas[: len(alphas)])
+    # Ritz vectors = distributed basis × T-eigenvectors: one narrow
+    # per-row pass (basis row is m doubles, Y is m×k on the driver)
+    y = tvecs[:, keep][:, desc]
+    m_used = y.shape[0]
+    cols = [
+        sum(
+            (F.col("vs")[i] * float(y[i, c]) for i in range(1, m_used)),
+            F.col("vs")[0] * float(y[0, c]),
+        ).alias(f"v{c}")
+        for c in range(y.shape[1])
+    ]
+    vecs = basis.select("idx", F.array(*cols).alias("evec"))
+    return sel, vecs
 
 
 def cholesky_r1_update(L: np.ndarray, x: np.ndarray, sign: float = 1.0) -> np.ndarray:

@@ -32,7 +32,10 @@ SELECT i::BIGINT AS id,
        (CASE WHEN {sql_uniform('i', SEED, 5)} < 0.3 THEN 1 ELSE 0 END)::INTEGER AS bernoulli,
        (CASE WHEN {sql_uniform('i', SEED, 6)} < 0.2 THEN 0
              WHEN {sql_uniform('i', SEED, 6)} < 0.5 THEN 1
-             ELSE 2 END)::INTEGER AS discrete
+             ELSE 2 END)::INTEGER AS discrete,
+       round({sql_normal('i', 10.0, 3.0, SEED + 1)})::BIGINT AS normal_int,
+       round({sql_normal('i', -1.0, 0.5, SEED + 7919)}, 6) AS ntable_0,
+       round({sql_normal('i', 2.0, 1.5, SEED + 15838)}, 6) AS ntable_1
 FROM range(0, {N_GEN}) t(i)
 """,
 )
@@ -50,6 +53,9 @@ def q_rng_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rng.lognormal("id", 0.0, 1.0, SEED), 6).alias("lognormal"),
         rng.bernoulli("id", 0.3, SEED, stream=5).alias("bernoulli"),
         rng.discrete("id", [0.2, 0.3, 0.5], SEED, stream=6).alias("discrete"),
+        rng.normal_int("id", 10.0, 3.0, seed=SEED + 1).alias("normal_int"),
+        F.round(rng.normal_table("id", [-1.0, 2.0], [0.5, 1.5], seed=SEED)[0], 6).alias("ntable_0"),
+        F.round(rng.normal_table("id", [-1.0, 2.0], [0.5, 1.5], seed=SEED)[1], 6).alias("ntable_1"),
     )
 
 

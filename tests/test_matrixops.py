@@ -65,3 +65,28 @@ def test_mvn_sample_covariance(spark):
     pdf = q_mvn(spark, "").toPandas()
     sample_cov = np.cov(pdf[["x0", "x1", "x2"]].to_numpy(), rowvar=False)
     assert np.allclose(sample_cov, np.array(_MVN_COV), atol=0.25)
+
+
+def test_bitmap_to_csr(spark):
+    from raft_spark.operators.matrixops import bitmap_to_csr
+
+    rows = [(0, [True, False, True]), (1, [False, False, False]), (2, [False, True, False])]
+    df = spark.createDataFrame(rows, "id long, bits array<boolean>")
+    out = sorted((r.row, r.col, r.value) for r in bitmap_to_csr(df, "bits").collect())
+    assert out == [(0, 0, 1.0), (0, 2, 1.0), (2, 1, 1.0)]
+
+
+def test_col_moments_rowids_subset(spark):
+    import numpy as np
+
+    from raft_spark.operators.reductions import col_moments
+
+    a = np.arange(20, dtype=float).reshape(10, 2)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in a[i]]) for i in range(10)], "id long, features array<double>"
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 3, 5)], "id long")
+    out = {r.pos: (r.min, r.max, r.mean) for r in col_moments(df, rowids=ids).collect()}
+    sub = a[[1, 3, 5]]
+    for pos in (0, 1):
+        assert out[pos] == (sub[:, pos].min(), sub[:, pos].max(), sub[:, pos].mean())

@@ -184,3 +184,78 @@ def test_cholesky_r1_update(rng):
     assert np.allclose(up @ up.T, a + np.outer(x, x), atol=1e-9)
     dn = SV.cholesky_r1_update(up, x, sign=-1.0)
     assert np.allclose(dn @ dn.T, a, atol=1e-8)
+
+
+def test_tsvd_factors_reconstruct(spark, rng):
+    a = rng.standard_normal((80, 6)) @ np.diag([5.0, 3.0, 2.0, 1.0, 0.5, 0.2])
+    df = _matrix_df(spark, a)
+    k = 4
+    u_df, s, v = SV.tsvd_factors(df, k=k)
+    _, s_np, vt_np = np.linalg.svd(a, full_matrices=False)
+    assert np.allclose(s, s_np[:k], atol=1e-8)
+    u = np.zeros((80, k))
+    for r in u_df.collect():
+        u[r["id"]] = r["u"]
+    # left factors orthonormal and reconstruction error = tail spectrum
+    assert np.allclose(u.T @ u, np.eye(k), atol=1e-8)
+    recon_df = SV.svd_reconstruction(u_df, s, v)
+    recon = np.zeros_like(a)
+    for r in recon_df.collect():
+        recon[r["id"]] = r["features"]
+    expect_err = np.sqrt((s_np[k:] ** 2).sum())
+    assert abs(np.linalg.norm(a - recon) - expect_err) < 1e-6
+
+
+def test_rsvd_factors_approximate(spark, rng):
+    a = rng.standard_normal((100, 8)) @ np.diag([10.0, 6.0, 3.0, 1.0, 0.3, 0.1, 0.05, 0.01])
+    df = _matrix_df(spark, a)
+    k = 3
+    u_df, s, v = SV.rsvd_factors(df, k=k)
+    _, s_np, _ = np.linalg.svd(a, full_matrices=False)
+    assert np.allclose(s, s_np[:k], rtol=1e-6)
+    u = np.zeros((100, k))
+    for r in u_df.collect():
+        u[r["id"]] = r["u"]
+    assert np.allclose(u.T @ u, np.eye(k), atol=1e-6)
+    assert np.allclose(v.T @ v, np.eye(k), atol=1e-8)
+
+
+def test_pca_transform_roundtrip(spark, rng):
+    a = rng.standard_normal((50, 5)) @ np.diag([4.0, 2.0, 1.0, 0.1, 0.01]) + 7.0
+    df = _matrix_df(spark, a)
+    comps, ev, ratio, mean = SV.pca_fit(df, n_components=5)
+    assert np.allclose(mean, a.mean(0), atol=1e-9)
+    scores = SV.pca_transform(df, comps, mean)
+    back = SV.pca_inverse_transform(scores, comps, mean)
+    recon = np.zeros_like(a)
+    for r in back.collect():
+        recon[r["id"]] = r["features"]
+    # full-rank round trip is exact
+    assert np.allclose(recon, a, atol=1e-7)
+
+
+def test_lanczos_sm_and_vectors(spark, rng):
+    # symmetric PSD matrix: graph Laplacian of a small ring + chords
+    n = 24
+    a = np.zeros((n, n))
+    for i in range(n):
+        for j in (i + 1, i + 5):
+            w = 1.0 + ((i * 7 + j) % 3)
+            a[i, j % n] += w
+            a[j % n, i] += w
+    lap = np.diag(a.sum(1)) - a
+    coo = _coo_df(spark, lap)
+    evals, vecs_df = SV.lanczos_eigsh(
+        spark, coo, n=n, k=3, m=n, which="SM", return_vectors=True
+    )
+    w_np = np.linalg.eigvalsh(lap)
+    # smallest-magnitude == smallest-algebraic on a PSD Laplacian
+    assert np.allclose(np.sort(evals), np.sort(w_np[:3]), atol=1e-6)
+    v = np.zeros((n, 3))
+    for r in vecs_df.collect():
+        v[r["idx"]] = r["evec"]
+    # Ritz vectors: normalized and satisfying L v = lambda v
+    for c in range(3):
+        lam = evals[c]
+        assert abs(np.linalg.norm(v[:, c]) - 1.0) < 1e-6
+        assert np.linalg.norm(lap @ v[:, c] - lam * v[:, c]) < 1e-5
