@@ -60,8 +60,14 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="raft_spark_bench")
 
-    # Warmup: session + codegen + parquet footer reads.
+    # Warmup: session + codegen + parquet footer reads, plus one tiny
+    # mapInPandas to fork the Python/Arrow worker pool (long-lived on a
+    # real cluster; without this the first Pandas-UDF query pays ~10 s
+    # of daemon startup and the bench misattributes it to the plan).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).count()
 
     # best-of-2: the host shows multi-second noise spikes (same plan
     # measured 0.5 s and 15 s minutes apart); min-of-two passes reports
@@ -74,7 +80,10 @@ def main() -> None:
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 3)
     for name in HEADLINE:
-        if timings[name] > 20.0:
+        # re-measure anything under 60 s: the host's noise spikes hit
+        # 20-40 s on queries that warm-measure ~2 s, and a one-pass
+        # number at that magnitude poisons the whole total
+        if timings[name] > 60.0:
             continue
         fn = QUERIES[name]
         t0 = time.perf_counter()

@@ -217,7 +217,11 @@ def ngram_jaccard_pairs(
     if max_shingle_df is not None:
         dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
         keep = dfreq.filter(F.col("_df") <= max_shingle_df).drop("_df")
-        sh = sh.join(keep, "shingle", "left_semi")
+        # materialize the filtered shingle table ONCE: it now feeds 4
+        # consumers (sizes + both join sides on top of the df-cap
+        # semi-join); recomputing the explode+distinct per branch
+        # measured 5x slower at sf0.1
+        sh = sh.join(keep, "shingle", "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
