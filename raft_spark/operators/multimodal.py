@@ -3,10 +3,12 @@ processed by Arrow-batched pandas UDFs via mapInPandas.
 
 The engine treats image/audio/video as ``binary`` columns with a typed
 metadata struct — the schema, partitioning, UDF signature and batch
-shape are real and tested; the actual media decode is STUBBED because
-the runtime image/audio libraries are not available in this
-environment. ``decode_image_meta`` documents the seam: swap
-``_fake_decode`` for a PIL/libav call and nothing else changes.
+shape are real and tested. The decode seam is an import-try: when
+Pillow is installed on the executors, non-fake media types route
+through a real PIL decode (``_real_decode``); this container ships no
+media libs, so the deterministic ``_fake_decode`` stands in (and is
+ALWAYS used for media_type 'image/fake' so the SQL oracle stays
+engine-independent).
 
 Scale notes: payloads stay in executor-side Arrow batches end to end
 (never collected); mapInPandas streams record batches so one huge
@@ -36,19 +38,34 @@ def with_binary_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+try:  # real decoder seam: used automatically when PIL is installed
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:  # this container ships no media libs
+    _PILImage = None
+
+
+def _real_decode(payload: bytes) -> tuple[int, int, str]:
+    """PIL image decode (active when the executor env has Pillow)."""
+    import io
+
+    im = _PILImage.open(io.BytesIO(payload))
+    return im.width, im.height, im.format or "UNKNOWN"
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, str]:
-    """Deterministic stand-in for an image decoder.
-
-    Real implementation (requires PIL/opencv — not in this container):
-
-        from PIL import Image; im = Image.open(io.BytesIO(payload))
-        return im.width, im.height, im.format
-
-    The fake derives stable dims from the byte content so the plumbing
-    is testable end to end.
+    """Deterministic stand-in for an image decoder (used when PIL is
+    absent, and always for media_type 'image/fake' so tests and the
+    SQL oracle stay engine-independent). Derives stable dims from the
+    byte content so the plumbing is testable end to end.
     """
     first = payload[0] if payload else 0
     return 16 + first % 64, 16 + len(payload) % 64, "FAKE"
+
+
+def _decode(payload: bytes, media_type: str = "image/fake") -> tuple[int, int, str]:
+    if _PILImage is not None and media_type != "image/fake":
+        return _real_decode(payload)
+    return _fake_decode(payload)
 
 
 def decode_image_meta(frame: DataFrame) -> DataFrame:
@@ -59,7 +76,12 @@ def decode_image_meta(frame: DataFrame) -> DataFrame:
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [_fake_decode(p) for p in payloads]
+            mtypes = (
+                pdf["media_type"]
+                if "media_type" in pdf.columns
+                else ["image/fake"] * len(pdf)
+            )
+            dims = [_decode(p, m) for p, m in zip(payloads, mtypes)]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
