@@ -95,6 +95,74 @@ def decode_image_meta(frame: DataFrame) -> DataFrame:
     return frame.mapInPandas(op, schema=META_SCHEMA)
 
 
+def extract_features(frame: DataFrame, n_bins: int = 64) -> DataFrame:
+    """Per-payload feature vector: normalized byte-value histogram
+    (n_bins buckets over 0..255) → (doc_id, features array<double>).
+
+    A REAL feature extractor (not a stub): byte histograms are the
+    classic cheap binary fingerprint (format detection, corruption
+    screens, near-dup pre-filters). Arrow-batched; numpy bincount per
+    batch; output plugs straight into the engine's embedding operators
+    (knn_*, cosine_pairs, lsh_buckets)."""
+    import numpy as np
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for p in pdf["payload"]:
+                b = np.frombuffer(bytes(p), dtype=np.uint8)
+                if len(b) == 0:
+                    feats.append([0.0] * n_bins)
+                    continue
+                h = np.bincount(b // (256 // n_bins), minlength=n_bins).astype(float)
+                feats.append(list(h / h.sum()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return frame.mapInPandas(op, schema="doc_id long, features array<double>")
+
+
+def resize_image(frame: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize pass → (doc_id, payload binary, width, height).
+
+    With Pillow on the executors (import-try seam, like decode) real
+    images are decoded, resized and re-encoded; otherwise the
+    deterministic stand-in strided-samples the payload bytes to
+    width·height bytes — preserving the real contract: bounded-size
+    binary out, Arrow-batched, payloads never leave the executors."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf["payload"], pdf.get("media_type", ["image/fake"] * len(pdf))):
+                raw = bytes(p)
+                if _PILImage is not None and m != "image/fake":
+                    import io
+
+                    im = _PILImage.open(io.BytesIO(raw)).resize((width, height))
+                    buf = io.BytesIO()
+                    im.save(buf, format=im.format or "PNG")
+                    out.append(buf.getvalue())
+                elif len(raw) == 0:
+                    out.append(b"\x00" * target)
+                else:
+                    step = max(len(raw) // target, 1)
+                    sampled = raw[::step][:target]
+                    out.append(sampled + b"\x00" * (target - len(sampled)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": out,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return frame.mapInPandas(
+        op, schema="doc_id long, payload binary, width int, height int"
+    )
+
+
 def frame_sample(frame: DataFrame, every_n_bytes: int = 256) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per byte-window — the
     Spark-side shape of video frame extraction (explode to frames,

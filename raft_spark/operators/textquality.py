@@ -39,9 +39,8 @@ def vowel_ratio(text) -> Column:
 def lang_id(text) -> Column:
     """N-gram-free heuristic language ID over vowel density.
 
-    A real deployment plugs a fastText-style model in as a pandas_udf;
-    the thresholds here keep the operator deterministic and
-    SQL-checkable end to end.
+    The thresholds keep the operator deterministic and SQL-checkable
+    end to end; ``lang_id_model`` below is the model-backed seam.
     """
     r = vowel_ratio(text)
     return (
@@ -51,6 +50,46 @@ def lang_id(text) -> Column:
         .when(r >= 0.22, F.lit("de"))
         .otherwise(F.lit("zh"))
     )
+
+
+def lang_id_model(df, text_col: str = "text", id_col: str = "doc_id",
+                  model_path: str | None = None):
+    """Model-backed language ID (import-try seam, mirrors the
+    multimodal decode): with fasttext installed and a model path, runs
+    an Arrow-batched mapInPandas predict; otherwise falls back to the
+    expression heuristic so pipelines keep working in model-less
+    environments → (id, pred_lang, confidence)."""
+    try:  # pragma: no cover - fasttext absent in this container
+        import fasttext  # type: ignore
+
+        if model_path is None:
+            raise ImportError("no model path")
+        model = fasttext.load_model(model_path)
+
+        def op(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                labels, probs = model.predict(
+                    [t.replace("\n", " ") for t in pdf[text_col]]
+                )
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "pred_lang": [l[0].replace("__label__", "") for l in labels],
+                        "confidence": [float(p[0]) for p in probs],
+                    }
+                )
+
+        return df.select(id_col, text_col).mapInPandas(
+            op, schema=f"{id_col} long, pred_lang string, confidence double"
+        )
+    except ImportError:
+        return df.select(
+            F.col(id_col),
+            lang_id(text_col).alias("pred_lang"),
+            F.lit(1.0).alias("confidence"),
+        )
 
 
 def punct_ratio(text) -> Column:

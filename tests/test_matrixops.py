@@ -90,3 +90,34 @@ def test_col_moments_rowids_subset(spark):
     sub = a[[1, 3, 5]]
     for pos in (0, 1):
         assert out[pos] == (sub[:, pos].min(), sub[:, pos].max(), sub[:, pos].mean())
+
+
+def test_multimodal_extract_and_resize(spark):
+    from raft_spark.operators import multimodal as MM
+
+    docs = spark.createDataFrame(
+        [(0, "hello world " * 40), (1, ""), (2, "zz")], "doc_id long, text string"
+    )
+    frame = MM.with_binary_payload(docs)
+    feats = {r.doc_id: r.features for r in MM.extract_features(frame, n_bins=16).collect()}
+    assert len(feats[0]) == 16 and abs(sum(feats[0]) - 1.0) < 1e-9
+    assert feats[1] == [0.0] * 16  # empty payload
+    rs = {r.doc_id: r for r in MM.resize_image(frame, 8, 8).collect()}
+    for d in (0, 1, 2):
+        assert len(rs[d].payload) == 64 and rs[d].width == 8
+
+
+def test_lang_id_model_fallback(spark):
+    from raft_spark.operators.textquality import lang_id_model
+
+    from raft_spark.operators.textquality import lang_id
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    out = lang_id_model(docs).collect()
+    # fasttext absent here → fallback must agree with the expression
+    # heuristic exactly, with confidence pinned to 1.0
+    expect = docs.select(lang_id("text").alias("l")).collect()[0].l
+    assert out[0].pred_lang == expect and out[0].confidence == 1.0
