@@ -125,6 +125,25 @@ def bitset_stats(df: DataFrame, mask_a: Column, mask_b: Column) -> DataFrame:
     )
 
 
+def row_op(
+    df: DataFrame,
+    fn,
+    schema: str,
+    group_col: str = "id",
+) -> DataFrame:
+    """Arbitrary per-row-group computation (matrix/detail row_op /
+    linewise custom lambdas that no expression covers): groups by
+    ``group_col`` and runs ``fn(pandas.DataFrame) -> pandas.DataFrame``
+    per group via applyInPandas (Arrow-batched; the LAP solver is the
+    canonical in-repo instance of this pattern).
+
+    Use ONLY when expressions genuinely can't express the semantics —
+    one Python crossing per group; expressions and mapInPandas batches
+    beat it whenever applicable.
+    """
+    return df.groupBy(group_col).applyInPandas(fn, schema=schema)
+
+
 def bitmap_to_csr(df: DataFrame, bits_col: str, row_col: str = "id") -> DataFrame:
     """Bitmap matrix (row, bits: array<boolean|numeric>) → CSR/COO long
     form (row, col, value=1.0) of the SET positions

@@ -121,3 +121,20 @@ def test_lang_id_model_fallback(spark):
     # heuristic exactly, with confidence pinned to 1.0
     expect = docs.select(lang_id("text").alias("l")).collect()[0].l
     assert out[0].pred_lang == expect and out[0].confidence == 1.0
+
+
+def test_row_op_applies_per_group(spark):
+    import pandas as pd
+
+    from raft_spark.operators.matrixops import row_op
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (0, 3.0), (1, 10.0)], "id long, v double"
+    )
+
+    def center(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["v"] = pdf["v"] - pdf["v"].mean()
+        return pdf
+
+    out = sorted((r.id, r.v) for r in row_op(df, center, "id long, v double").collect())
+    assert out == [(0, -1.0), (0, 1.0), (1, 0.0)]
