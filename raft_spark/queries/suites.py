@@ -704,12 +704,13 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
     """pca / tsvd / rsvd spectra, power-iteration + Lanczos
     eigenvalues, lstsq coefficients — (method, i, value)."""
+    pca = SQ.q_pca(spark, sf_dir).localCheckpoint(eager=True)  # one Gram pass
     frames = [
-        SQ.q_pca(spark, sf_dir).select(
+        pca.select(
             F.lit("pca_ev").alias("method"),
             F.col("component").cast("long").alias("i"),
             F.col("explained_variance").alias("value")),
-        SQ.q_pca(spark, sf_dir).select(
+        pca.select(
             F.lit("pca_ratio").alias("method"),
             F.col("component").cast("long").alias("i"),
             F.col("explained_variance_ratio").alias("value")),
