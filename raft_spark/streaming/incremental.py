@@ -67,26 +67,42 @@ def windowed_moments(
     """Incremental per-window moments (stats/mean.cuh, stddev.cuh,
     minmax.cuh semantics): count/mean/stddev/min/max of ``value`` per
     (event-time window, key). Pure built-in aggregates → incremental
-    partial aggregation, state evicted at watermark."""
-    return (
-        events.withWatermark("ts", watermark)
+    partial aggregation, state evicted at watermark.
+
+    mean/stddev derive from INTEGER-scaled sums: each value is
+    quantized per-row to v_int = round(value·10⁶) (a pure row function,
+    identical on any engine), and Σv_int / Σv_int² are exact int64
+    sums — order-INDEPENDENT, so the streaming state's micro-batch
+    merge order and a batch engine's scan order produce bit-identical
+    sums, and the derived mean/stddev cannot drift across engines
+    (float sums differed at ~1e-8 and flipped rounded cells at sf0.1).
+    int64 bounds: Σv_int² per group < 2⁶³ up to ~900 k rows·(|v|≤100);
+    past that switch the two sums to decimal(38,0) — same algebra.
+    """
+    vi = F.round(F.col("value") * 1_000_000).cast("long")
+    base = (
+        events.withColumn("_vi", vi)
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col(key))
         .agg(
             F.count("*").alias("n"),
-            F.avg("value").alias("mean"),
-            F.stddev_samp("value").alias("stddev"),
+            F.sum("_vi").alias("_s"),
+            F.sum(F.col("_vi") * F.col("_vi")).alias("_ssq"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
         )
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col(key),
-            "n",
-            "mean",
-            "stddev",
-            "min_v",
-            "max_v",
-        )
+    )
+    s = F.col("_s").cast("double") / 1e6
+    ssq = F.col("_ssq").cast("double") / 1e12
+    var = (ssq - s * s / F.col("n")) / (F.col("n") - 1)
+    return base.select(
+        F.col("win.start").alias("win_start"),
+        F.col(key),
+        "n",
+        (s / F.col("n")).alias("mean"),
+        F.when(F.col("n") > 1, F.sqrt(F.greatest(var, F.lit(0.0)))).alias("stddev"),
+        "min_v",
+        "max_v",
     )
 
 
