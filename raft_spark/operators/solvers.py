@@ -414,13 +414,11 @@ def power_iteration(
 # ---------------------------------------------------------------------------
 
 def mst(coo: DataFrame) -> list[tuple[int, int, float]]:
-    """Borůvka MST (sparse/solver/mst.cuh): each round, every component
-    picks its cheapest outgoing edge (distributed min_by), the driver
-    union-finds the ≤#components candidate edges, and relabeled
-    components feed the next round. O(log V) rounds.
-
-    Driver state is one int per *component* (shrinks geometrically);
-    the edge table never leaves the cluster.
+    """Borůvka MST, small-graph variant: cheapest outgoing edges are
+    picked distributed (min_by), but the union-find runs on the driver
+    over an O(V) node map — fine up to millions of nodes, after which
+    use ``mst_edges`` above (fully distributed labels, O(1) driver
+    state). O(log V) rounds either way.
     """
     edges = coo.select("row", "col", "value").filter(F.col("row") < F.col("col")).cache()
     nodes = [r["n"] for r in edges.select(F.explode(F.array("row", "col")).alias("n")).distinct().collect()]
@@ -465,6 +463,80 @@ def mst(coo: DataFrame) -> list[tuple[int, int, float]]:
         if not added:
             break
     return result
+
+
+def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
+    """Fully distributed Borůvka MST (sparse/solver/mst.cuh) →
+    DataFrame (row, col, value) of tree edges. Driver state: NONE per
+    node — unlike ``mst`` below (which union-finds node ids on the
+    driver), labels live in a distributed (node, comp) frame and each
+    round's merges are resolved by the distributed smallest-label
+    propagation (connected_components) over the COMPONENT graph.
+
+    Per round: each component picks its cheapest outgoing edge under
+    the TOTAL order (value, row, col) — a total order makes parallel
+    picks between the same component pair impossible (both sides pick
+    the same minimal edge), so the picked set is a forest and a
+    distinct() dedup suffices. O(log V) rounds.
+    """
+    edges = (
+        coo.select("row", "col", "value")
+        .filter(F.col("row") < F.col("col"))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.explode(F.array("row", "col")).alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    chosen: DataFrame | None = None
+    for _ in range(max_rounds):
+        e = (
+            edges.join(
+                labels.select(F.col("node").alias("row"), F.col("comp").alias("ca")),
+                "row",
+            )
+            .join(
+                labels.select(F.col("node").alias("col"), F.col("comp").alias("cb")),
+                "col",
+            )
+            .filter(F.col("ca") != F.col("cb"))
+        )
+        if e.isEmpty():
+            break
+        both = e.select(F.col("ca").alias("c"), "ca", "cb", "row", "col", "value").unionAll(
+            e.select(F.col("cb").alias("c"), "ca", "cb", "row", "col", "value")
+        )
+        picks = (
+            both.groupBy("c")
+            .agg(
+                F.min_by(
+                    F.struct("value", "row", "col", "ca", "cb"),
+                    F.struct("value", "row", "col"),
+                ).alias("e")
+            )
+            .select("e.value", "e.row", "e.col", "e.ca", "e.cb")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_edges = picks.select("row", "col", "value")
+        chosen = new_edges if chosen is None else chosen.unionAll(new_edges)
+        chosen = chosen.localCheckpoint(eager=True)
+        # merge: connected components OF THE COMPONENT GRAPH, then one
+        # relabel join — comp count shrinks ≥2× per round
+        merge_graph = picks.select(F.col("ca").alias("row"), F.col("cb").alias("col"))
+        cc = connected_components(
+            merge_graph.withColumn("value", F.lit(1.0))
+        ).select(F.col("node").alias("comp"), F.col("label").alias("_newc"))
+        labels = (
+            labels.join(cc, "comp", "left")
+            .select("node", F.coalesce("_newc", F.col("comp")).alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+    if chosen is None:
+        return coo.sparkSession.createDataFrame([], "row long, col long, value double")
+    return chosen
 
 
 def connected_components(coo: DataFrame, max_iters: int = 20) -> DataFrame:

@@ -165,12 +165,13 @@ def q_eigsh_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("mst_weight")  # rows-only + pytest vs python Kruskal
 def q_mst(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sparse/solver/mst.cuh — Borůvka MST of the 50-node graph;
-    returns edge count + total weight (deterministic)."""
-    edges = SV.mst(_graph(spark, sf_dir))
-    total = round(sum(w for _, _, w in edges), 6)
-    return spark.createDataFrame(
-        [(len(edges), total)], "n_edges long, total_weight double"
+    """sparse/solver/mst.cuh — fully distributed Borůvka MST of the
+    50-node graph; returns edge count + total weight (the MST weight is
+    unique even under ties, so this matches any correct MST)."""
+    tree = SV.mst_edges(_graph(spark, sf_dir))
+    return tree.agg(
+        F.count("*").alias("n_edges"),
+        F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 6).alias("total_weight"),
     )
 
 

@@ -129,6 +129,11 @@ def test_mst_matches_kruskal(spark, rng):
     n_exp, w_exp = _kruskal(edges)
     assert len(got) == n_exp
     assert abs(sum(w for _, _, w in got) - w_exp) < 1e-9
+    # fully distributed Borůvka (O(1) driver state) agrees with the
+    # driver union-find variant and with Kruskal
+    tree = SV.mst_edges(df).collect()
+    assert len(tree) == n_exp
+    assert abs(sum(r.value for r in tree) - w_exp) < 1e-9
 
 
 def test_connected_components(spark):
