@@ -235,7 +235,12 @@ def global_rank(
     )
 
 
-def covariance(df: DataFrame, features_col: str = "features", sample: bool = True) -> DataFrame:
+def covariance(
+    df: DataFrame,
+    features_col: str = "features",
+    sample: bool = True,
+    quantize: float | None = None,
+) -> DataFrame:
     """Covariance matrix in long form (i, j, cov) — stats/cov.cuh:18
     (gemm then subtract the mean outer product).
 
@@ -244,14 +249,31 @@ def covariance(df: DataFrame, features_col: str = "features", sample: bool = Tru
     count — where the old double-posexplode formulation shuffled d²×
     the input rows. Output is d×d (driver-scale by design):
     cov = (XᵀX − n·μμᵀ) / (n − sample).
+
+    With ``quantize=s`` the pass runs over the half-up-quantized
+    integers ``q = floor(x·s + 0.5)`` with exact (order-independent)
+    integer sums, then evaluates
+    ``cov = (Sxy − Sx·Sy/n) / (n − sample) / s²`` in one fixed IEEE
+    expression — any engine that mirrors the same quantization and
+    expression produces the bit-identical double (the streaming-moments
+    trick, streaming/incremental.py, applied to the Gram pass).
     """
-    from raft_spark.operators.solvers import gram_matrix
+    from raft_spark.operators.solvers import gram_matrix, gram_matrix_exact
 
     import numpy as np
 
-    g, sx, n = gram_matrix(df, features_col)
-    mu = sx / n
-    cov = (g - n * np.outer(mu, mu)) / (n - (1 if sample else 0))
+    ddof = 1 if sample else 0
+    if quantize is None:
+        g, sx, n = gram_matrix(df, features_col)
+        mu = sx / n
+        cov = (g - n * np.outer(mu, mu)) / (n - ddof)
+    else:
+        gi, sxi, n = gram_matrix_exact(df, features_col, scale=quantize)
+        sxf = np.array([float(v) for v in sxi])
+        gf = np.array([[float(v) for v in row] for row in gi])
+        # fixed op order: (Sxy − (Sx·Sy)/n) / (n−ddof) / s² — mirrored
+        # verbatim by the DuckDB oracle so doubles match bit-for-bit.
+        cov = (gf - np.outer(sxf, sxf) / n) / (n - ddof) / (quantize * quantize)
     d = cov.shape[0]
     rows = [
         (int(i), int(j), float(cov[i, j])) for i in range(d) for j in range(d)

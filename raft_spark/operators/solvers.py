@@ -128,6 +128,71 @@ def gram_matrix(df: DataFrame, features: str = "features") -> tuple[np.ndarray, 
     return g, sx, n
 
 
+def gram_matrix_exact(
+    df: DataFrame, features: str = "features", scale: float = 1e6
+) -> tuple[list[list[int]], list[int], int]:
+    """One distributed pass → EXACT integer (XᵀX, column sums, n) over
+    the half-up-quantized matrix ``q = floor(x·scale + 0.5)`` (int64).
+
+    Same physical shape as :func:`gram_matrix` (per-partition BLAS-free
+    int64 matmul inside mapInPandas, O(partitions·d²) shuffle scalars),
+    but the merge sums are decimal(38,0) — order-independent and
+    overflow-free — so two engines that quantize identically produce
+    bit-identical results regardless of partitioning or scan order
+    (stats/cov.cuh:18 semantics, cross-engine-exact variant).
+
+    Per-partition int64 partials bound: |q|≈scale·|x|, products ≈
+    (scale·|x|)², so a partition of r rows stays exact while
+    r·(scale·max|x|)² < 2⁶³ — at scale 1e6 and |x|≤100 that is
+    ~900 rows/partition·10¹⁶; the decimal merge removes the global
+    bound entirely.
+    """
+    import pandas as pd
+
+    def pp(batches):
+        acc = None
+        s = None
+        cnt = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf[features].to_numpy()).astype(float)
+            q = np.floor(m * scale + 0.5).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+            s = q.sum(0) if s is None else s + q.sum(0)
+            cnt += q.shape[0]
+        if acc is None:
+            return
+        d = acc.shape[0]
+        i, j = np.triu_indices(d)
+        out = pd.DataFrame({"i": i, "j": j, "v": acc[i, j]})
+        sums = pd.DataFrame({"i": np.arange(d), "j": np.full(d, -1), "v": s})
+        n_row = pd.DataFrame({"i": [-1], "j": [-1], "v": [cnt]})
+        yield pd.concat([out, sums, n_row], ignore_index=True)
+
+    rows = (
+        df.select(features)
+        .mapInPandas(pp, "i int, j int, v long")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .collect()
+    )
+    d = max(r["i"] for r in rows) + 1
+    g = [[0] * d for _ in range(d)]
+    sx = [0] * d
+    n = 0
+    for r in rows:
+        v = int(r["v"])
+        if r["i"] == -1:
+            n = v
+        elif r["j"] == -1:
+            sx[r["i"]] = v
+        else:
+            g[r["i"]][r["j"]] = g[r["j"]][r["i"]] = v
+    return g, sx, n
+
+
 def covariance_matrix(df: DataFrame, features: str = "features") -> np.ndarray:
     """Driver-side d×d covariance from one distributed Gram pass
     (stats/cov.cuh:18): (XᵀX − n·μμᵀ)/(n−1)."""
