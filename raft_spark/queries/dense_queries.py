@@ -319,24 +319,29 @@ def q_reduce_cols_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "covariance",
-    # Same algebra as the engine's Gram pass — (Σxy − n·μi·μj)/(n−1) —
-    # NOT covar_samp: a different summation algebra lands differently
-    # at the 6th decimal and flips round() on boundary cells.
+    # Exact-integer Gram algebra (the streaming-moments trick): both
+    # engines half-up-quantize x to q = floor(x·1e6 + 0.5), sum q and
+    # q_i·q_j EXACTLY (int64 partials / HUGEINT merge — order-free),
+    # then evaluate (Sxy − Sx·Sy/n)/(n−1)/1e12 in one fixed IEEE
+    # expression — bit-identical doubles regardless of scan order, so
+    # the 6-decimal round can never straddle a boundary differently.
     oracle="WITH "
     + SQL_LONG
     + """,
-mu AS (SELECT pos, avg(x) AS m, count(*) AS n FROM long GROUP BY 1)
-SELECT a.pos::BIGINT AS i, b.pos::BIGINT AS j,
-       round((sum(a.x * b.x) - ma.n * ma.m * mb.m) / (ma.n - 1), 6) AS cov
-FROM long a JOIN long b USING (vec_id)
-JOIN mu ma ON ma.pos = a.pos
-JOIN mu mb ON mb.pos = b.pos
-GROUP BY a.pos, b.pos, ma.n, ma.m, mb.m
+q AS (SELECT vec_id, pos, CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT) AS qx FROM long),
+s AS (SELECT pos, sum(qx) AS sx, count(*) AS n FROM q GROUP BY 1),
+g AS (SELECT a.pos AS i, b.pos AS j, sum(a.qx * b.qx) AS sxy
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2)
+SELECT g.i::BIGINT AS i, g.j::BIGINT AS j,
+       round((g.sxy::DOUBLE - (sa.sx::DOUBLE * sb.sx::DOUBLE) / sa.n)
+             / (sa.n - 1) / 1000000000000.0, 6) AS cov
+FROM g JOIN s sa ON sa.pos = g.i JOIN s sb ON sb.pos = g.j
 """,
 )
 def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """stats/cov.cuh:18 — 64×64 covariance via the distributed Gram
-    pass (one mapInPandas partial per partition, d² shuffle scalars)."""
+    """stats/cov.cuh:18 — 64×64 covariance via the distributed exact
+    Gram pass (one mapInPandas int64 partial per partition, d² shuffle
+    scalars merged as decimal(38,0))."""
     m = embeddings_matrix(spark, sf_dir)
-    out = R.covariance(m)
+    out = R.covariance(m, quantize=1e6)
     return out.select("i", "j", F.round("cov", 6).alias("cov"))
