@@ -556,6 +556,7 @@ def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     chosen: DataFrame | None = None
+    converged = False
     for _ in range(max_rounds):
         e = (
             edges.join(
@@ -569,6 +570,7 @@ def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
             .filter(F.col("ca") != F.col("cb"))
         )
         if e.isEmpty():
+            converged = True
             break
         both = e.select(F.col("ca").alias("c"), "ca", "cb", "row", "col", "value").unionAll(
             e.select(F.col("cb").alias("c"), "ca", "cb", "row", "col", "value")
@@ -586,10 +588,22 @@ def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         new_edges = picks.select("row", "col", "value")
+        if chosen is not None:
+            # defense-in-depth: a re-pick of an already-chosen edge would
+            # mean the labels below failed to converge — never admit a
+            # duplicate tree edge (the silent-corruption mode ADVICE r2
+            # flagged); connected_components raising is the primary guard.
+            new_edges = new_edges.join(
+                chosen.select("row", "col"), ["row", "col"], "left_anti"
+            )
         chosen = new_edges if chosen is None else chosen.unionAll(new_edges)
         chosen = chosen.localCheckpoint(eager=True)
         # merge: connected components OF THE COMPONENT GRAPH, then one
-        # relabel join — comp count shrinks ≥2× per round
+        # relabel join — comp count shrinks ≥2× per round. The merge
+        # graph can be a LONG CHAIN (e.g. a path with monotone weights
+        # merges all V components in round 1), so the label solver must
+        # converge regardless of chain length — pointer-jumping inside
+        # connected_components makes that O(log V), verified-fixpoint.
         merge_graph = picks.select(F.col("ca").alias("row"), F.col("cb").alias("col"))
         cc = connected_components(
             merge_graph.withColumn("value", F.lit(1.0))
@@ -599,22 +613,36 @@ def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
             .select("node", F.coalesce("_newc", F.col("comp")).alias("comp"))
             .localCheckpoint(eager=True)
         )
+    if not converged:
+        raise RuntimeError(
+            f"mst_edges: {max_rounds} Boruvka rounds exhausted before all "
+            "components merged — raise max_rounds (forest would be partial)"
+        )
     if chosen is None:
         return coo.sparkSession.createDataFrame([], "row long, col long, value double")
     return chosen
 
 
-def connected_components(coo: DataFrame, max_iters: int = 20) -> DataFrame:
-    """Smallest-label propagation (label/merge_labels.cuh:18 semantics):
-    label(v) ← min(label(v), min label of neighbors) to fixpoint.
-    Each iteration is one join+agg; lineage cut by caching per step
-    (checkpointing at real scale)."""
+def connected_components(coo: DataFrame, max_iters: int = 64) -> DataFrame:
+    """Smallest-label propagation WITH pointer jumping
+    (label/merge_labels.cuh:18 semantics, O(log V) rounds):
+
+    each round does (1) label(v) ← min(label(v), min label(neighbors))
+    — one join+agg — then (2) label(v) ← label(label(v)) — one
+    self-join (every label value is itself a node id, so the lookup is
+    total). The jump contracts label chains exponentially, so a path
+    graph of length L converges in O(log L) rounds where plain
+    propagation needs L — the failure mode ADVICE r2 flagged for
+    Boruvka merge chains. Runs to a VERIFIED fixpoint and raises if
+    max_iters (default 64 ≈ log₂ of any int64 node space) is exhausted,
+    rather than returning unconverged labels silently. Lineage cut by
+    localCheckpoint per round (checkpointing at real scale)."""
     edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
     sym = edges.unionAll(edges.select(F.col("col").alias("row"), F.col("row").alias("col")))
     labels = (
         sym.select(F.col("row").alias("node")).distinct()
         .withColumn("label", F.col("node"))
-        .cache()
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iters):
         neigh = (
@@ -623,24 +651,38 @@ def connected_components(coo: DataFrame, max_iters: int = 20) -> DataFrame:
             .agg(F.min("_nl").alias("_min_nl"))
             .withColumnRenamed("row", "node")
         )
+        prop = labels.join(neigh, "node", "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("_min_nl", F.col("label"))).alias("label"),
+        )
+        # pointer jump: label ← label(label). min-propagation keeps every
+        # label a node id present in `labels`, so the left join is total;
+        # least() guards monotonicity (jump can only lower a label).
         new_labels = (
-            labels.join(neigh, "node", "left")
+            prop.join(
+                labels.select(F.col("node").alias("label"), F.col("label").alias("_ll")),
+                "label",
+                "left",
+            )
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce("_min_nl", F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)  # cut lineage per round (SURVEY §7 hard part 4)
         )
-        changed = (
+        stable = (
             new_labels.withColumnRenamed("label", "_new")
             .join(labels, "node")
             .filter(F.col("_new") != F.col("label"))
             .isEmpty()
         )
         labels = new_labels
-        if changed:
-            break
-    return labels
+        if stable:
+            return labels
+    raise RuntimeError(
+        f"connected_components: no fixpoint after {max_iters} rounds — "
+        "labels would be unconverged (graph larger than 2^max_iters?)"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -136,6 +136,32 @@ def test_mst_matches_kruskal(spark, rng):
     assert abs(sum(r.value for r in tree) - w_exp) < 1e-9
 
 
+def test_mst_long_merge_chain(spark):
+    """Regression (ADVICE r2 high): a path graph with monotone weights
+    merges ALL components in Boruvka round 1, so the merge graph is a
+    chain of length V-1 — far past plain label propagation's old
+    20-iteration cap. Pointer jumping must converge the labels, the
+    tree must be exactly the path (no duplicate edges), and the loop
+    must terminate in O(log V) rounds."""
+    v = 60
+    edges = [(i, i + 1, float(i + 1)) for i in range(v - 1)]
+    df = spark.createDataFrame(edges, "row long, col long, value double")
+    tree = SV.mst_edges(df).collect()
+    assert len(tree) == v - 1  # duplicates would inflate this
+    assert len({(r.row, r.col) for r in tree}) == v - 1
+    assert abs(sum(r.value for r in tree) - sum(w for _, _, w in edges)) < 1e-9
+
+
+def test_connected_components_long_path(spark):
+    """A 150-node path converges to one label in ≤64 pointer-jumping
+    rounds (old propagation needed diameter=149 and silently returned
+    unconverged labels at its 20-round cap)."""
+    edges = [(i, i + 1, 1.0) for i in range(149)]
+    df = spark.createDataFrame(edges, "row long, col long, value double")
+    labels = {r["node"]: r["label"] for r in SV.connected_components(df).collect()}
+    assert set(labels.values()) == {0}
+
+
 def test_connected_components(spark):
     # two components: {0,1,2}, {5,6}; isolated pairs via edges only
     edges = [(0, 1, 1.0), (1, 2, 1.0), (5, 6, 1.0)]
