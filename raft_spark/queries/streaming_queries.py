@@ -199,10 +199,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) via session_window — the
     operator runs unchanged on batch or stream input; oracle is the
     classic gaps-and-islands SQL."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = S._with_event_time(
-        spark.read.schema(S.EVENTS_SCHEMA).parquet(f"{sf_dir}/events.parquet")
-    )
+    ev = S.read_events_batch(spark, f"{sf_dir}/events.parquet")
     out = S.sessionize(ev, gap="30 minutes")
     return out.select(
         "session_start",

@@ -30,8 +30,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# ts is stored as raw INT64 epoch-nanoseconds (no parquet logical type);
-# read as long, convert to a proper event-time timestamp for watermarks.
+# events.ts has shipped as EITHER raw INT64 epoch-nanoseconds (no
+# parquet logical type — read as long via nanosAsLong, converted
+# explicitly) OR parquet TIMESTAMP(MICROS) (read natively). Readers
+# probe the file's real schema and _with_event_time normalizes both
+# encodings to one event-time timestamp, so a testdata regeneration
+# can't silently collapse windows again.
 EVENTS_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
     "value double, props string"
@@ -39,9 +43,22 @@ EVENTS_SCHEMA = (
 
 
 def _with_event_time(df: DataFrame) -> DataFrame:
-    # integer div, NOT `/1000` + cast: float division of an int64 epoch
-    # (~1.7e18 > 2^53) rounds the last microsecond
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    t = dict(df.dtypes)["ts"]
+    if t in ("bigint", "long"):
+        # integer div, NOT `/1000` + cast: float division of an int64
+        # epoch (~1.7e18 > 2^53) rounds the last microsecond
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # timestamp / timestamp_ntz: one cast; session tz is UTC, so the
+    # wall-clock reading matches DuckDB's naive TIMESTAMP exactly.
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def read_events_batch(spark: SparkSession, events_path: str) -> DataFrame:
+    """Batch read of an events parquet (file or directory) with the
+    event-time column normalized — the single seam every batch query
+    over `events` goes through."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return _with_event_time(spark.read.parquet(events_path))
 
 
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
@@ -51,11 +68,12 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     listing); swap for Kafka by replacing this one reader — every
     operator below is source-agnostic.
     """
-    # ts is raw INT64 epoch-nanos; required even with an explicit schema,
-    # and the caller's session (e.g. the correctness driver's) may not
-    # have it set.
+    # needed only for the legacy raw-nanos encoding; harmless otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return _with_event_time(spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir))
+    # probe the on-disk schema (one driver-side footer read) instead of
+    # forcing one — the stream source requires an explicit schema.
+    sch = spark.read.parquet(events_dir).schema
+    return _with_event_time(spark.readStream.schema(sch).parquet(events_dir))
 
 
 def windowed_moments(
@@ -76,8 +94,12 @@ def windowed_moments(
     merge order and a batch engine's scan order produce bit-identical
     sums, and the derived mean/stddev cannot drift across engines
     (float sums differed at ~1e-8 and flipped rounded cells at sf0.1).
-    int64 bounds: Σv_int² per group < 2⁶³ up to ~900 k rows·(|v|≤100);
-    past that switch the two sums to decimal(38,0) — same algebra.
+
+    The sums accumulate as decimal(38,0): with |v|≤100, v_int²≈10¹⁶,
+    so an int64 Σv_int² would wrap SILENTLY (non-ANSI sum) after only
+    ~922 rows per (window,key) group while DuckDB widens to HUGEINT —
+    decimal(38,0) keeps both engines exact to ~10²² rows. Each per-row
+    term still fits int64 (10¹⁶ ≪ 2⁶³); only the accumulator widens.
     """
     vi = F.round(F.col("value") * 1_000_000).cast("long")
     base = (
@@ -86,8 +108,8 @@ def windowed_moments(
         .groupBy(F.window("ts", window).alias("win"), F.col(key))
         .agg(
             F.count("*").alias("n"),
-            F.sum("_vi").alias("_s"),
-            F.sum(F.col("_vi") * F.col("_vi")).alias("_ssq"),
+            F.sum(F.col("_vi").cast("decimal(38,0)")).alias("_s"),
+            F.sum((F.col("_vi") * F.col("_vi")).cast("decimal(38,0)")).alias("_ssq"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
         )

@@ -24,7 +24,7 @@ def events_dir(spark, sf_dir, tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def batch_events(spark, events_dir):
-    return S._with_event_time(spark.read.schema(S.EVENTS_SCHEMA).parquet(events_dir))
+    return S.read_events_batch(spark, events_dir)
 
 
 def _rows(spark, name):
