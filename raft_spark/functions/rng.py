@@ -42,15 +42,21 @@ def uniform(id_col, seed: int = 42, stream: int = 0) -> Column:
     in [1, M-1] so no stream can hit the absorbing 0 and u is never
     exactly 0 or 1 (safe for log()).
 
-    Overflow-safety: ``id`` is reduced mod (M-1) BEFORE the 2654435761
-    multiply — (id % (M-1))·c ≡ id·c (mod M-1), so values are identical,
-    but the product stays < 2^62 for ANY nonnegative int64 id (the
-    unreduced form overflows silently in Spark / raises in DuckDB past
-    id ≈ 3.47e9). Ids must be nonnegative (Spark's % keeps sign).
+    Overflow-safety: ``id`` is reduced to its POSITIVE residue mod
+    (M-1) BEFORE the 2654435761 multiply — pmod(id, M-1)·c ≡ id·c
+    (mod M-1), so values are unchanged for nonnegative ids while the
+    product stays < 2^62 for ANY int64 id (the unreduced form
+    overflows silently in Spark / raises in DuckDB past id ≈ 3.47e9).
+    NEGATIVE ids are well-defined too: Spark's `%` keeps sign, so the
+    old plain-mod form produced s0 ≤ 0 → log(0)/NaN draws diverging
+    from the numpy twin (numpy's `%` is already positive); pmod here
+    and ((x % k) + k) % k on the SQL side keep all three renderings in
+    lockstep over the full int64 domain.
 
     SQL-equivalent (DuckDB oracle)::
 
-        s0  = ((id % 2147483646)*2654435761 + seed*97531 + stream*7919) % 2147483646 + 1
+        s0  = ((((id % 2147483646) + 2147483646) % 2147483646)
+               *2654435761 + seed*97531 + stream*7919) % 2147483646 + 1
         s1  = (48271*s0) % 2147483647
         s1x = xor(s1, s1 >> 17) % 2147483646 + 1
         s2  = (48271*s1x) % 2147483647
@@ -58,7 +64,7 @@ def uniform(id_col, seed: int = 42, stream: int = 0) -> Column:
         s3  = (48271*s2x) % 2147483647
         u   = s3 / 2147483647.0
     """
-    idc = _c(id_col).cast("long") % F.lit(_M - 1)
+    idc = F.pmod(_c(id_col).cast("long"), F.lit(_M - 1))
     s0 = (idc * F.lit(2_654_435_761) + F.lit(seed) * 97_531 + F.lit(stream) * 7_919) % F.lit(_M - 1) + 1
     s1 = (F.lit(_A) * s0) % F.lit(_M)
     s1x = s1.bitwiseXOR(F.shiftright(s1, 17)) % F.lit(_M - 1) + 1
@@ -96,8 +102,9 @@ def normal_int(id_col, mu: float, sigma: float, seed: int = 42) -> Column:
 def normal_table(id_col, mus: list[float], sigmas, seed: int = 42) -> Column:
     """Per-column (mu, sigma) normal row → array<double> of
     len(mus) (rng.cuh:257 normalTable; sigma may be a scalar or a
-    per-column vector). Column j draws from stream 10+j so entries are
-    independent across the row."""
+    per-column vector). Column j's Box–Muller pair draws with seed
+    offset ``seed + 7919·(j+1)`` on streams 1/2 (mirrored verbatim by
+    the SQL oracle), so entries are independent across the row."""
     if not isinstance(sigmas, (list, tuple)):
         sigmas = [float(sigmas)] * len(mus)
     cols = []

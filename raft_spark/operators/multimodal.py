@@ -114,7 +114,13 @@ def extract_features(frame: DataFrame, n_bins: int = 64) -> DataFrame:
                 if len(b) == 0:
                     feats.append([0.0] * n_bins)
                     continue
-                h = np.bincount(b // (256 // n_bins), minlength=n_bins).astype(float)
+                # b*n_bins//256 gives EXACTLY n_bins buckets for any
+                # n_bins (floor-div by 256//n_bins produced >n_bins
+                # ragged buckets whenever n_bins doesn't divide 256,
+                # breaking the fixed-width contract downstream knn/
+                # cosine consumers rely on)
+                bins = b.astype(np.int64) * n_bins // 256
+                h = np.bincount(bins, minlength=n_bins).astype(float)
                 feats.append(list(h / h.sum()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 

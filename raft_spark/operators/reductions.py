@@ -211,9 +211,16 @@ def global_rank(
     from pyspark.sql.window import Window
 
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # materialize ONCE: RangePartitioner samples boundaries per plan
+    # instance, so if the counts branch and the rank branch below each
+    # re-planned this exchange (exchange reuse off, AQE divergence) the
+    # offsets would be computed against a DIFFERENT partitioning than
+    # the ranks — silent corruption. localCheckpoint pins one physical
+    # partitioning for both consumers.
     parted = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
     counts = parted.groupBy("_pid").agg(F.count("*").alias("_n"))
     # offsets table is O(partitions) rows — the window below runs on

@@ -15,9 +15,12 @@ def sql_uniform(id_expr: str, seed: int = 42, stream: int = 0) -> str:
     """DuckDB expression for rng.uniform(id, seed, stream) — U(0,1).
     Mirrors the multiply-mod + xor-shift rounds of rng.uniform exactly
     (see its docstring for why the xor-shift folds are required)."""
-    # id reduced mod (M-1) before the multiply — same value mod (M-1),
-    # but no bigint overflow at any id (lockstep with rng.uniform).
-    s0 = f"((({id_expr}) % {M - 1})*2654435761 + {seed}*97531 + {stream}*7919) % {M - 1} + 1"
+    # id reduced to its POSITIVE residue mod (M-1) before the multiply
+    # — same value mod (M-1), no bigint overflow at any id, and defined
+    # for negative ids too (DuckDB's % keeps sign, so the double-mod
+    # mirrors Spark's pmod; lockstep with rng.uniform / uniform_np).
+    idr = f"(((({id_expr}) % {M - 1}) + {M - 1}) % {M - 1})"
+    s0 = f"({idr}*2654435761 + {seed}*97531 + {stream}*7919) % {M - 1} + 1"
     s1 = f"(({A}*({s0})) % {M})"
     s1x = f"(xor({s1}, {s1} >> 17) % {M - 1} + 1)"
     s2 = f"(({A}*{s1x}) % {M})"

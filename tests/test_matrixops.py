@@ -102,6 +102,11 @@ def test_multimodal_extract_and_resize(spark):
     feats = {r.doc_id: r.features for r in MM.extract_features(frame, n_bins=16).collect()}
     assert len(feats[0]) == 16 and abs(sum(feats[0]) - 1.0) < 1e-9
     assert feats[1] == [0.0] * 16  # empty payload
+    # n_bins that does NOT divide 256: width must still be exactly n_bins
+    # (the old 256//n_bins binning yielded ragged >n_bins vectors)
+    f100 = {r.doc_id: r.features for r in MM.extract_features(frame, n_bins=100).collect()}
+    assert all(len(v) == 100 for v in f100.values())
+    assert abs(sum(f100[0]) - 1.0) < 1e-9
     rs = {r.doc_id: r for r in MM.resize_image(frame, 8, 8).collect()}
     for d in (0, 1, 2):
         assert len(rs[d].payload) == 64 and rs[d].width == 8
