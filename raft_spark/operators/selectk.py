@@ -14,14 +14,23 @@ physical plan is meaningfully worse than the reference's algorithm):
 - ``agg``     : groupBy(group).agg(slice(array_sort(collect_list(
   struct(...))), k)). Partial aggregation merges map-side, but the
   collected list is unbounded per group → memory risk on huge groups.
-- ``salted``  (default for huge groups): two-phase partial top-k that
-  mirrors RAFT's per-block-then-merge design: phase 1 computes top-k
-  within (group, salt) buckets — bounded state, map-side combinable —
-  phase 2 merges the ≤ salts·k survivors per group. Shuffle volume
-  drops from |rows| to ≤ groups·salts·k rows after phase 1's partial
-  aggregation; the full sort per group never happens.
-- ``auto``    : salted when k ≤ 256 (same small-k regime the radix
+- ``partial`` (default for huge groups; ``salted`` is an alias for
+  backward compat): two-phase partial top-k mirroring RAFT's
+  per-block-then-merge design. Phase 1 runs INSIDE each input
+  partition (mapInPandas, zero shuffle): a running per-group top-k is
+  folded over the Arrow batches, so task state is O(groups-present ×
+  k) rows — never O(|group|), no matter how skewed the group is (the
+  round-2 salted variant's (group,salt) collect_list still buffered
+  |group|/num_salts rows and could OOM one agg buffer on a hot key).
+  Phase 2 merges the ≤ partitions·k survivors per group with one
+  bounded groupBy. Shuffle volume after phase 1 is ≤ groups ×
+  partitions-holding-that-group × k rows. This is the
+  select_radix.cuh per-block bounded state, re-expressed.
+- ``auto``    : partial when k ≤ 256 (same small-k regime the radix
   kernel targets), else window.
+
+NaN order values rank last under every strategy except ``window``
+descending (Spark's sort treats NaN as the largest double).
 
 All variants break ties deterministically by payload id ascending so
 results are reproducible across partitionings (RAFT's radix select is
@@ -61,7 +70,9 @@ def select_k(
     """
     payload_cols = payload_cols or []
     if strategy == "auto":
-        strategy = "salted" if k <= 256 else "window"
+        strategy = "partial" if k <= 256 else "window"
+    if strategy == "salted":  # pre-r3 name for the bounded two-phase path
+        strategy = "partial"
 
     if strategy == "window":
         w = Window.partitionBy(*group_cols).orderBy(
@@ -80,19 +91,40 @@ def select_k(
         topk = df.groupBy(*group_cols).agg(
             F.slice(F.array_sort(F.collect_list(s)), 1, k).alias("_top")
         )
-    elif strategy == "salted":
-        # Phase 1: bounded top-k inside each (group, salt) bucket.
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in payload_cols] or [F.monotonically_increasing_id()]), F.lit(num_salts))
-        partial = (
-            df.withColumn("_salt", salt)
-            .groupBy(*group_cols, "_salt")
-            .agg(F.slice(F.array_sort(F.collect_list(s)), 1, k).alias("_top"))
+    elif strategy == "partial":
+        # Phase 1: bounded per-partition partial top-k, ZERO shuffle.
+        # Fold a running ≤k-rows-per-group state over the Arrow batches
+        # of each input partition — task memory is O(groups-present·k),
+        # never O(|group|) (select_radix.cuh's per-block bounded state).
+        import pandas as pd
+
+        cols = [*group_cols, *payload_cols, order_col]
+        proj = df.select(*cols)
+        schema = proj.schema
+        sort_cols = [*group_cols, order_col, *payload_cols]
+        sort_asc = (
+            [True] * len(group_cols) + [ascending] + [True] * len(payload_cols)
         )
-        # Phase 2: merge ≤ num_salts·k survivors per group.
-        topk = (
-            partial.select(*group_cols, F.explode("_top").alias("_s"))
-            .groupBy(*group_cols)
-            .agg(F.slice(F.array_sort(F.collect_list("_s")), 1, k).alias("_top"))
+        gcols = list(group_cols)
+
+        def _pp(batches):
+            state = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cur = pdf if state is None else pd.concat(
+                    [state, pdf], ignore_index=True
+                )
+                cur = cur.sort_values(sort_cols, ascending=sort_asc, kind="mergesort")
+                state = cur.groupby(gcols, sort=False).head(k)
+            if state is not None and len(state):
+                yield state
+
+        partial = proj.mapInPandas(_pp, schema=schema)
+        # Phase 2: merge the ≤ partitions·k survivors per group — the
+        # collect_list here is bounded by construction.
+        topk = partial.groupBy(*group_cols).agg(
+            F.slice(F.array_sort(F.collect_list(s)), 1, k).alias("_top")
         )
     else:
         raise ValueError(f"unknown strategy: {strategy}")

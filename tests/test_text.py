@@ -52,10 +52,39 @@ def test_select_k_strategies_agree(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     coo = text.tokenize(docs)
     outs = {}
-    for strat in ("window", "agg", "salted"):
+    for strat in ("window", "agg", "partial", "salted"):
         top = select_k(coo, ["doc_id"], "tf", 3, payload_cols=["term"], strategy=strat)
         outs[strat] = sorted(
             (r.doc_id, r.rank, r.term, r.tf) for r in top.collect()
         )
-    assert outs["window"] == outs["agg"] == outs["salted"]
+    assert outs["window"] == outs["agg"] == outs["partial"] == outs["salted"]
     assert len(outs["window"]) > 0
+
+
+def test_select_k_partial_bounded_on_hot_group(spark):
+    """One group holding 10⁶ rows: the partial strategy must (a) return
+    the exact top-k, (b) do ZERO shuffle before the Python partial pass
+    (phase-1 state is O(k) per group per task — the r2 salted variant
+    buffered |group|/32 rows in one agg buffer), (c) shuffle only the
+    ≤ partitions·k phase-1 survivors."""
+    from raft_spark.plans.audit import audit_plan
+
+    n = 1_000_000
+    df = (
+        spark.range(n)
+        .withColumn("g", F.lit(0))
+        .withColumn("v", F.pmod(F.col("id") * 48271, F.lit(n)).cast("double"))
+    )
+    top = select_k(df, ["g"], "v", 5, payload_cols=["id"], strategy="partial")
+    rows = sorted((r.rank, r.v) for r in top.collect())
+    # v is a permutation of 0..n-1, so top-5 desc is n-1 .. n-5
+    assert [v for _, v in rows] == [float(n - 1 - i) for i in range(5)]
+    plan = audit_plan(top)
+    # exactly one exchange: the phase-2 merge of ≤ partitions·k rows;
+    # the raw 10⁶ rows never shuffle (count the AQE final plan only —
+    # the formatted text repeats operators in the Initial Plan section)
+    import re
+
+    final = plan.text.split("== Initial Plan ==")[0]
+    assert len(re.findall(r"(?<!Reused)Exchange \(\d+\)", final)) == 1, plan.text
+    assert "MapInPandas" in final
