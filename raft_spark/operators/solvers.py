@@ -431,6 +431,34 @@ def rsvd_factors(
     )
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """localCheckpoint + rewrap as a FRESH DataFrame over the
+    materialized RDD.
+
+    A checkpointed Dataset still carries a hidden reference chain to
+    its origin plan; in a loop whose iterations checkpoint ≥2 frames
+    derived from each other (the CGS2 Lanczos recurrence), the chains
+    BRANCH and JVM-side planning (`Dataset.localCheckpoint` → `toRdd`)
+    becomes exponentially slow across iterations (measured: 0.1 s →
+    12 s per call by iteration 13 on a 16-row frame) while job
+    execution stays flat. Rebuilding the DataFrame from the
+    checkpointed InternalRow RDD drops the chain: planning cost stays
+    O(1) per iteration. The primary path stays JVM-side
+    (internalCreateDataFrame — the same API PySpark's Arrow conversion
+    uses); the fallback roundtrips rows through Python."""
+    ck = df.localCheckpoint(eager=True)
+    spark = df.sparkSession
+    try:
+        jdf = ck._jdf
+        jrdd = jdf.queryExecution().toRdd()
+        njdf = spark._jsparkSession.internalCreateDataFrame(
+            jrdd, jdf.schema(), False
+        )
+        return DataFrame(njdf, spark)
+    except Exception:
+        return spark.createDataFrame(ck.rdd, df.schema)
+
+
 def spmv(coo: DataFrame, v: DataFrame) -> DataFrame:
     """Distributed SpMV: (row,col,value) × (idx,val) → (idx,val).
     The per-iteration kernel of the Lanczos/power loops
@@ -809,29 +837,37 @@ def lanczos_eigsh(
     v_prev = None
     for j in range(m):
         w = spmv(coo, v)
-        # full reorthogonalization w -= Σ_i <w, q_i> q_i  (one join +
-        # one agg over the basis array; coefficient vector is tiny)
-        if reorthogonalize and j > 0:
-            joined = w.join(basis, "idx")
-            coefs = joined.agg(
-                *[
-                    F.sum(F.col("val") * F.col("vs")[i]).alias(f"c{i}")
-                    for i in range(j + 1)
-                ]
-            ).collect()[0]
-            w = (
-                joined.select(
-                    "idx",
-                    (
-                        F.col("val")
-                        - sum(
-                            (F.col("vs")[i] * float(coefs[f"c{i}"]) for i in range(j + 1)),
-                            F.lit(0.0),
-                        )
-                    ).alias("val"),
+        # full reorthogonalization w -= Σ_i <w, q_i> q_i, applied TWICE
+        # (Parlett's "twice is enough"): one classical-Gram-Schmidt pass
+        # leaves orthogonality error ~ ε·‖w‖/β, and β ≪ ‖w‖ happens on
+        # clustered spectra — a single pass let the basis lose
+        # orthonormality entirely and produced Ritz values OUTSIDE the
+        # operator's spectral range (caught by the r3 solver_spectra
+        # residual invariant). Each pass = one join + one tiny agg.
+        if reorthogonalize:
+            alpha = None
+            for _pass in range(2):
+                joined = w.join(basis, "idx")
+                coefs = joined.agg(
+                    *[
+                        F.sum(F.col("val") * F.col("vs")[i]).alias(f"c{i}")
+                        for i in range(j + 1)
+                    ]
+                ).collect()[0]
+                w = _pin(
+                    joined.select(
+                        "idx",
+                        (
+                            F.col("val")
+                            - sum(
+                                (F.col("vs")[i] * float(coefs[f"c{i}"]) for i in range(j + 1)),
+                                F.lit(0.0),
+                            )
+                        ).alias("val"),
+                    )
                 )
-            )
-            alpha = float(coefs[f"c{j}"])
+                if alpha is None:
+                    alpha = float(coefs[f"c{j}"])  # first-pass <Av_j, v_j>
         else:
             alpha = (
                 w.join(v.select("idx", F.col("val").alias("_v")), "idx")
@@ -856,7 +892,8 @@ def lanczos_eigsh(
                     w.join(v.select("idx", F.col("val").alias("_v")), "idx")
                     .select("idx", (F.col("val") - F.lit(alpha) * F.col("_v")).alias("val"))
                 )
-        w = w.localCheckpoint(eager=True)
+        if not reorthogonalize:
+            w = w.localCheckpoint(eager=True)
         alphas.append(alpha)
         beta = w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("b")).collect()[0]["b"]
         beta = float(beta or 0.0)
@@ -864,11 +901,9 @@ def lanczos_eigsh(
             break
         betas.append(beta)
         v_prev = v
-        v = w.select("idx", (F.col("val") / beta).alias("val")).localCheckpoint(eager=True)
-        basis = (
-            basis.join(v, "idx")
-            .select("idx", F.concat("vs", F.array("val")).alias("vs"))
-            .localCheckpoint(eager=True)
+        v = _pin(w.select("idx", (F.col("val") / beta).alias("val")))
+        basis = _pin(
+            basis.join(v, "idx").select("idx", F.concat("vs", F.array("val")).alias("vs"))
         )
     t = np.diag(np.array(alphas))
     if betas:

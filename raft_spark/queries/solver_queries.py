@@ -184,16 +184,23 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("label").agg(F.count("*").alias("size")).orderBy("label")
 
 
-@query("lap_assignment")  # rows-only + pytest vs brute force
+@query("lap_assignment")  # assignment rows: pytest vs brute force; the
+# objective is ★-checked in graph_solver_suite against a DuckDB
+# brute-force-over-all-permutations oracle.
 def q_lap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """solver/linear_assignment.cuh:50 — 20 batched 8×8 LAPs with
-    LCG-generated costs, solved exactly per batch via applyInPandas."""
+    LCG-generated costs, solved exactly per batch via applyInPandas.
+
+    Costs are INTEGER-quantized (floor(u·10⁶), exact in every engine)
+    so the optimal objective is an exact integer — cross-engine
+    comparable with no float-summation-order noise (the covariance
+    lesson applied to LAP)."""
     n, batches = 8, 20
     probs = spark.range(batches * n * n).select(
         (F.col("id") / (n * n)).cast("long").alias("batch"),
         ((F.col("id") % (n * n)) / n).cast("long").alias("i"),
         (F.col("id") % n).alias("j"),
-        rng.uniform("id", seed=515).alias("cost"),
+        F.floor(rng.uniform("id", seed=515) * 1_000_000).cast("double").alias("cost"),
     )
     out = SV.lap_batched(probs)
     return out.select(

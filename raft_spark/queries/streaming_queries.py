@@ -155,10 +155,30 @@ def q_stream_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_running_topk")  # stateful custom operator: rows-only + pytest
+@query(
+    "stream_running_topk",
+    # The stateful operator keeps a strict total order (value desc,
+    # event_id asc), so its final state over a fully drained stream IS
+    # the batch top-k — directly SQL-checkable.
+    oracle=f"""
+WITH {SQL_EVT},
+ranked AS (
+    SELECT event_type, value, event_id,
+           row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, event_id
+           ) AS rank
+    FROM evt
+)
+SELECT event_type, rank::BIGINT AS rank, round(value, 6) AS value, event_id
+FROM ranked WHERE rank <= 4
+""",
+)
 def q_stream_running_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState running top-4 events per type — custom
-    bounded-state streaming operator (O(k) state per key)."""
+    bounded-state streaming operator (O(k) state per key). The staged
+    source is a single file → one availableNow trigger, so the update-
+    mode memory sink holds exactly the final state."""
     stream = S.running_topk_stateful(
         S.read_events_stream(spark, _stage_events_dir(sf_dir)), k=4
     )

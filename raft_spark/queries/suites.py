@@ -700,50 +700,282 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("solver_spectra")
+def _solver_spectra_oracle() -> str:
+    """★ oracle for the solver invariants (r3 ☆→★ conversion).
+
+    Two rows are GENUINELY recomputed by DuckDB over the parquet —
+    the exact-int-quantized ‖X‖²_F and trace(cov) of the embeddings
+    (the covariance trick: both engines quantize per-cell, sum
+    exactly, evaluate one fixed IEEE expression). The remaining rows
+    are residual INVARIANTS the Spark side must drive to 0.0 at
+    6-decimal rounding (eigh trace identity, distributed-projection
+    variance vs eigenvalue, component orthonormality, Σσ²≤‖X‖²_F,
+    rsvd-vs-tsvd 1%-band, power/Lanczos eigenpair residual bands,
+    lstsq residual orthogonality) — DuckDB cannot eigendecompose, but
+    it CAN pin that every invariant holds; the raw spectra stay
+    numpy-pinned in tests/test_solvers.py."""
+    return """
+WITH ql AS (
+    SELECT vec_id,
+           generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS HUGEINT) AS q
+    FROM embeddings
+),
+s AS (
+    SELECT pos, sum(q) AS sx, sum(q * q) AS sxx, count(*) AS n
+    FROM ql GROUP BY pos
+)
+SELECT 'frob_q' AS method, 0::BIGINT AS i,
+       round((sum(sxx)::DOUBLE) / 1000000000000.0, 6) AS value
+FROM s
+UNION ALL
+SELECT 'trace_q', 0::BIGINT,
+       round(sum((sxx::DOUBLE - (sx::DOUBLE * sx::DOUBLE) / n)
+                 / (n - 1) / 1000000000000.0), 6)
+FROM s
+UNION ALL
+SELECT m, 0::BIGINT, 0.0 FROM (VALUES
+    ('pca_trace_gap'), ('pca_pc1_var_gap'), ('pca_orth'),
+    ('tsvd_energy_slack'), ('rsvd_vs_tsvd_slack'),
+    ('power_res_slack'), ('lanczos_res_slack'), ('lstsq_orth_slack')
+) t(m)
+"""
+
+
+@query("solver_spectra", oracle=_solver_spectra_oracle())
 def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """pca / tsvd / rsvd spectra, power-iteration + Lanczos
-    eigenvalues, lstsq coefficients — (method, i, value)."""
-    pca = SQ.q_pca(spark, sf_dir).localCheckpoint(eager=True)  # one Gram pass
-    frames = [
-        pca.select(
-            F.lit("pca_ev").alias("method"),
-            F.col("component").cast("long").alias("i"),
-            F.col("explained_variance").alias("value")),
-        pca.select(
-            F.lit("pca_ratio").alias("method"),
-            F.col("component").cast("long").alias("i"),
-            F.col("explained_variance_ratio").alias("value")),
-        SQ.q_tsvd(spark, sf_dir).select(
-            F.lit("tsvd").alias("method"),
-            F.col("component").cast("long").alias("i"),
-            F.col("sigma").alias("value")),
-        SQ.q_rsvd(spark, sf_dir).select(
-            F.lit("rsvd").alias("method"),
-            F.col("component").cast("long").alias("i"),
-            F.col("sigma").alias("value")),
-        SQ.q_eigsh_power(spark, sf_dir).select(
-            F.lit("power").alias("method"), F.lit(0).cast("long").alias("i"),
-            F.col("eigenvalue").alias("value")),
-        SQ.q_eigsh_lanczos(spark, sf_dir).select(
-            F.lit("lanczos").alias("method"),
-            F.col("rank").cast("long").alias("i"),
-            F.col("eigenvalue").alias("value")),
-        SQ.q_lstsq_normal(spark, sf_dir).select(
-            F.concat(F.lit("lstsq_"), F.col("coef")).alias("method"),
-            F.lit(0).cast("long").alias("i"), F.col("value")),
+    """Solver invariants for pca / tsvd / rsvd / power / Lanczos /
+    lstsq — (method, i, value), every value SQL-predictable (see
+    _solver_spectra_oracle). Raw spectra are numpy-pinned in pytest;
+    this row makes the driver gate check the DISTRIBUTED pipeline:
+    exact-quantized ‖X‖²_F + trace(cov) cross-engine, and residual
+    invariants that must round to exactly 0.0."""
+    import numpy as np
+
+    from raft_spark.operators.sparse import laplacian
+    from raft_spark.queries.sparse_queries import _graph
+
+    m = embeddings_matrix(spark, sf_dir)
+
+    # one exact-quantized per-position pass (decimal merge, order-free)
+    q = F.floor(F.col("x") * 1e6 + 0.5).cast("long")
+    per_pos = (
+        m.select(F.posexplode("features").alias("pos", "x"))
+        .select("pos", q.alias("q"))
+        .groupBy("pos")
+        .agg(
+            F.sum(F.col("q").cast("decimal(38,0)")).alias("sx"),
+            F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)")).alias("sxx"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    per_pos.sort(key=lambda r: r["pos"])
+    frob = float(sum(int(r["sxx"]) for r in per_pos)) / 1e12
+    trace = sum(
+        (float(r["sxx"]) - (float(r["sx"]) * float(r["sx"])) / r["n"])
+        / (r["n"] - 1) / 1e12
+        for r in per_pos
+    )
+
+    from raft_spark.operators import solvers as SV2
+
+    # pca: eigh trace identity + distributed-projection variance + orth
+    comps, ev, ratio, mu = SV2.pca_fit(m, n_components=4)
+    sum_ev_all = float(ev[0] / ratio[0])  # Σ all eigenvalues
+    var_float = (
+        m.select(F.posexplode("features").alias("pos", "x"))
+        .groupBy("pos").agg(F.var_samp("x").alias("v"))
+        .agg(F.sum("v").alias("t")).collect()[0]["t"]
+    )
+    pca_trace_gap = sum_ev_all - var_float  # ~1e-10, rounds to 0
+
+    scores = SV2._project(m, comps[:1], offset=mu)
+    pc1_var = scores.agg(F.var_samp("pc0").alias("v")).collect()[0]["v"]
+    pca_pc1_var_gap = (pc1_var - float(ev[0])) / float(ev[0])
+    pca_orth = float(np.abs(comps @ comps.T - np.eye(len(comps))).max())
+
+    # tsvd / rsvd
+    sig_t = SV2.tsvd_singular_values(m, k=4)
+    tsvd_energy_slack = max(0.0, float((sig_t**2).sum()) - frob) / frob
+    # 6 power iterations: the embeddings spectrum decays slowly, so the
+    # default 2 leaves σ₄ ~3.5% off tsvd; 6 brings every σ well inside
+    # the 2% band (band + iters chosen with ~10× margin, not at the
+    # observed edge)
+    sig_r = SV2.rsvd_singular_values(m, k=4, n_power_iters=6)
+    rsvd_vs_tsvd_slack = max(
+        0.0, float(np.max(np.abs(sig_r - sig_t[: len(sig_r)]) / sig_t[: len(sig_r)])) - 0.02
+    )
+
+    # power / lanczos eigenpair residuals on the 50-node Laplacian
+    lap = laplacian(_graph(spark, sf_dir), normalized=True).localCheckpoint(eager=True)
+    lam, v = SV2.power_iteration(spark, lap, n=50, iters=30)
+    av = SV2.spmv(lap, v)
+    res2 = (
+        v.select("idx", F.col("val").alias("_v"))
+        .join(av.select("idx", F.col("val").alias("_av")), "idx", "left")
+        .select(
+            (F.coalesce("_av", F.lit(0.0)) - F.lit(lam) * F.col("_v")).alias("r")
+        )
+        .agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("n2"))
+        .collect()[0]["n2"]
+    )
+    power_res_slack = max(0.0, float(res2) / max(abs(lam), 1e-12) - 0.05)
+
+    # m=40 on the clustered 50-node spectrum: the top-3 Ritz pairs
+    # converge well inside the 1% residual band (m=20 leaves pair 2-3
+    # at ~5e-2)
+    evals, vecs = SV2.lanczos_eigsh(
+        spark, lap, n=50, k=3, m=40, which="LM", return_vectors=True
+    )
+    lan_slack = 0.0
+    for ki in range(len(evals)):
+        vk = vecs.select("idx", F.col("evec")[ki].alias("val"))
+        avk = SV2.spmv(lap, vk)
+        rk = (
+            vk.select("idx", F.col("val").alias("_v"))
+            .join(avk.select("idx", F.col("val").alias("_av")), "idx", "left")
+            .select(
+                (F.coalesce("_av", F.lit(0.0)) - F.lit(float(evals[ki])) * F.col("_v")).alias("r")
+            )
+            .agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("n2"))
+            .collect()[0]["n2"]
+        )
+        lan_slack = max(lan_slack, float(rk) / max(abs(float(evals[ki])), 1e-12))
+    lanczos_res_slack = max(0.0, lan_slack - 0.01)
+
+    # lstsq residual orthogonality over the make_regression problem
+    reg = RQ.q_make_regression(spark, sf_dir)
+    w = SV2.lstsq_normal(reg, ["x1", "x2", "x3"], "y")
+    pred = F.lit(float(w[0]))
+    for j, c in enumerate(["x1", "x2", "x3"]):
+        pred = pred + F.lit(float(w[j + 1])) * F.col(c)
+    r = reg.withColumn("_r", F.col("y") - pred)
+    orth = r.agg(
+        *[
+            (F.abs(F.sum(F.col(c) * F.col("_r"))) / F.count("*")).alias(c)
+            for c in ["x1", "x2", "x3"]
+        ]
+    ).collect()[0]
+    lstsq_orth_slack = max(0.0, max(orth[c] for c in ["x1", "x2", "x3"]) - 1e-6)
+
+    rows = [
+        ("frob_q", 0, round(frob, 6)),
+        ("trace_q", 0, round(trace, 6)),
+        ("pca_trace_gap", 0, round(pca_trace_gap, 6)),
+        ("pca_pc1_var_gap", 0, round(pca_pc1_var_gap, 6)),
+        ("pca_orth", 0, round(pca_orth, 6)),
+        ("tsvd_energy_slack", 0, round(tsvd_energy_slack, 6)),
+        ("rsvd_vs_tsvd_slack", 0, round(rsvd_vs_tsvd_slack, 6)),
+        ("power_res_slack", 0, round(power_res_slack, 6)),
+        ("lanczos_res_slack", 0, round(lanczos_res_slack, 6)),
+        ("lstsq_orth_slack", 0, round(lstsq_orth_slack, 6)),
     ]
-    out = frames[0]
-    for p in frames[1:]:
-        out = out.unionByName(p)
-    return out
+    return spark.createDataFrame(rows, "method string, i long, value double")
 
 
-@query("graph_solver_suite")
+def _graph_solver_oracle() -> str:
+    """GENUINE independent DuckDB oracles for the three solvers (the
+    round-2 ☆→★ conversion):
+
+    - MST: Prim's algorithm as a recursive CTE — one row per step
+      carrying the visited set as a list; total weight and edge count
+      are MST-invariants (identical for every correct MST, ties or
+      not), so any correct tie-breaking matches Borůvka's.
+    - connected components: min-label transitive closure (recursive
+      UNION dedup), exact integer labels/sizes.
+    - LAP: brute force over all 8! permutations (recursive CTE builds
+      the permutations; 40320 × 20 batches) on the SAME integer-
+      quantized costs — exact integer objectives.
+    """
+    from raft_spark.queries._sqlutil import sql_uniform
+
+    return f"""
+WITH RECURSIVE
+edges AS (
+    SELECT (l_partkey % 50) AS row, (l_suppkey % 50) AS col,
+           count(*)::DOUBLE AS value
+    FROM lineitem
+    WHERE (l_partkey % 50) <> (l_suppkey % 50)
+    GROUP BY 1, 2
+),
+adj AS (
+    SELECT row, col, sum(value) AS value FROM (
+        SELECT row, col, value FROM edges
+        UNION ALL
+        SELECT col AS row, row AS col, value FROM edges
+    ) GROUP BY 1, 2
+),
+gnodes AS (SELECT DISTINCT row AS node FROM adj),
+prim AS (
+    SELECT [(SELECT min(node) FROM gnodes)] AS vis, 0.0::DOUBLE AS tw, 0 AS ne
+    UNION ALL
+    SELECT list_append(p.vis, e.nxt), p.tw + e.w, p.ne + e.isedge
+    FROM prim p, LATERAL (
+        SELECT * FROM (
+            (SELECT col AS nxt, value AS w, 1 AS isedge
+             FROM adj
+             WHERE list_contains(p.vis, row) AND NOT list_contains(p.vis, col)
+             ORDER BY value, row, col LIMIT 1)
+            UNION ALL
+            (SELECT node AS nxt, 0.0::DOUBLE AS w, 0 AS isedge
+             FROM gnodes WHERE NOT list_contains(p.vis, node)
+             ORDER BY node LIMIT 1)
+        ) ORDER BY isedge DESC LIMIT 1
+    ) e
+),
+heavy AS (SELECT row, col FROM adj WHERE value >= 4.0),
+reach AS (
+    SELECT row AS node, row AS lab FROM heavy
+    UNION
+    SELECT h.col AS node, r.lab
+    FROM reach r JOIN heavy h ON h.row = r.node
+),
+cells AS (
+    SELECT (t.id // 64) AS batch, ((t.id % 64) // 8) AS i, (t.id % 8) AS j,
+           floor({sql_uniform('t.id', 515, 0)} * 1000000)::BIGINT AS cq
+    FROM range(1280) t(id)
+),
+perms AS (
+    SELECT [j] AS p FROM range(8) t(j)
+    UNION ALL
+    SELECT list_append(p, j) FROM perms, range(8) t(j)
+    WHERE NOT list_contains(p, j)
+),
+lap_obj AS (
+    SELECT c.batch, f.p, sum(c.cq) AS total
+    FROM (SELECT p FROM perms WHERE len(p) = 8) f
+    JOIN cells c ON c.j = f.p[c.i + 1]
+    GROUP BY 1, 2
+)
+SELECT 'mst' AS method, ne::BIGINT AS a, 0::BIGINT AS b,
+       round(tw, 6) AS value
+FROM (SELECT * FROM prim ORDER BY len(vis) DESC LIMIT 1)
+UNION ALL
+SELECT 'cc', label::BIGINT, 0::BIGINT, size::DOUBLE FROM (
+    SELECT label, count(*) AS size FROM (
+        SELECT node, min(lab) AS label FROM reach GROUP BY node
+    ) GROUP BY label
+)
+UNION ALL
+SELECT 'lap_obj', batch::BIGINT, -1::BIGINT, min(total)::DOUBLE
+FROM lap_obj GROUP BY batch
+"""
+
+
+@query("graph_solver_suite", oracle=_graph_solver_oracle())
 def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MST (Borůvka) + connected components + batched LAP
     (sparse/solver/mst.cuh, label/merge_labels.cuh:18,
-    solver/linear_assignment.cuh:50) — (method, a, b, value)."""
+    solver/linear_assignment.cuh:50) — (method, a, b, value).
+
+    ★-oracled since r3: MST weight/count vs a recursive-CTE Prim,
+    component sizes vs a recursive closure, LAP objectives vs brute
+    force over all permutations (see _graph_solver_oracle). Per-(i)
+    assignment rows are NOT emitted here — under integer-quantized
+    costs two permutations can tie on the objective, making the
+    argmin engine-dependent; assignments stay pytest-pinned
+    (tests/test_solvers.py::test_lap_matches_bruteforce)."""
     mst = SQ.q_mst(spark, sf_dir).select(
         F.lit("mst").alias("method"), F.col("n_edges").alias("a"),
         F.lit(0).cast("long").alias("b"), F.col("total_weight").alias("value"),
@@ -752,14 +984,13 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cc").alias("method"), F.col("label").cast("long").alias("a"),
         F.lit(0).cast("long").alias("b"), F.col("size").cast("double").alias("value"),
     )
-    lapq = SQ.q_lap(spark, sf_dir).localCheckpoint(eager=True)
-    lap = lapq.select(
-        F.lit("lap").alias("method"), F.col("batch").cast("long").alias("a"),
-        F.col("i").cast("long").alias("b"),
-        F.col("assigned_j").cast("double").alias("value"),
+    lap_obj = (
+        SQ.q_lap(spark, sf_dir)
+        .groupBy("batch")
+        .agg(F.first("objective").alias("objective"))
+        .select(
+            F.lit("lap_obj").alias("method"), F.col("batch").cast("long").alias("a"),
+            F.lit(-1).cast("long").alias("b"), F.col("objective").alias("value"),
+        )
     )
-    lap_obj = lapq.groupBy("batch").agg(F.first("objective").alias("objective")).select(
-        F.lit("lap_obj").alias("method"), F.col("batch").cast("long").alias("a"),
-        F.lit(-1).cast("long").alias("b"), F.col("objective").alias("value"),
-    )
-    return mst.unionByName(cc).unionByName(lap).unionByName(lap_obj)
+    return mst.unionByName(cc).unionByName(lap_obj)

@@ -205,8 +205,14 @@ def running_topk_stateful(
 
     State is the current top-k list only (O(k) per key, never the
     events); each trigger merges the Arrow batch into the state with a
-    driver-free vectorized pandas nlargest — the streaming analogue of
-    select_k's per-partition partial top-k (matrix/select_k.cuh:75).
+    vectorized sort+head — the streaming analogue of select_k's
+    per-partition partial top-k (matrix/select_k.cuh:75).
+
+    Ties break by event_id ascending — a STRICT total order
+    (value desc, event_id asc), which makes the running top-k equal to
+    the batch top-k under the same order for ANY batching of the
+    stream (the true top-k under a total order survives every
+    intermediate cut), so the final state is exactly SQL-checkable.
     """
 
     out_schema = f"{key} string, rank int, value double, event_id long"
@@ -224,8 +230,10 @@ def running_topk_stateful(
             cur = pd.DataFrame({"value": [], "event_id": []})
         for pdf in pdfs:
             cur = pd.concat([cur, pdf[["value", "event_id"]]], ignore_index=True)
-            cur = cur.nlargest(k, "value", keep="first")
-        cur = cur.sort_values("value", ascending=False).reset_index(drop=True)
+            cur = cur.sort_values(
+                ["value", "event_id"], ascending=[False, True], kind="mergesort"
+            ).head(k)
+        cur = cur.reset_index(drop=True)
         state.update((cur["value"].tolist(), cur["event_id"].astype("int64").tolist()))
         yield pd.DataFrame(
             {
