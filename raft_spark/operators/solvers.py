@@ -800,22 +800,37 @@ def lanczos_eigsh(
     which: str = "LM",
     reorthogonalize: bool = True,
     return_vectors: bool = False,
+    max_restarts: int = 8,
+    tol: float = 1e-8,
 ) -> tuple[np.ndarray, np.ndarray | DataFrame]:
-    """Lanczos eigsh for a sparse symmetric matrix in COO long form
-    (sparse/solver/lanczos.cuh:35; Python entry lanczos.pyx:100).
+    """Thick-restart Lanczos eigsh (TRLan) for a sparse symmetric
+    matrix in COO long form (sparse/solver/lanczos.cuh:35 — the
+    reference is thick-restart, detail/lanczos.cuh; Python entry
+    lanczos.pyx:100,138-142).
 
     Each iteration runs ONE distributed SpMV (join+agg); the driver
-    holds only the m×m tridiagonal T and the m Lanczos vectors'
-    coefficients. The Lanczos basis itself stays distributed as a
-    (idx, array<double>) frame; full reorthogonalization is a narrow
-    per-row pass against the basis columns (m ≤ ~40 doubles per row).
-    Returns (eigenvalues[k], betas); with ``return_vectors=True`` the
-    second element is instead the distributed Ritz-vector frame
-    (idx, evec: array<double>[k]) = basis × T-eigenvectors — the "one
-    more narrow pass".
+    holds only the m×m projected matrix T. The Lanczos basis stays
+    distributed as a (idx, array<double>) frame CAPPED AT m COLUMNS:
+    when a cycle's m steps don't converge the k wanted pairs, the
+    basis is contracted to [k Ritz vectors, residual direction] in one
+    narrow per-row pass and the recurrence continues — restarts bound
+    the frame width and driver state for hard (clustered / interior /
+    SM) spectra where plain Lanczos would need m to grow unboundedly.
+
+    T is built column-by-column from the first-pass CGS coefficients
+    (c_i = <A q_j, q_i>), which stays exact under restarts where the
+    tridiagonal bookkeeping would break (post-restart T is arrowhead +
+    tridiagonal). Full reorthogonalization is two CGS passes per step
+    (Parlett's "twice is enough") — each a narrow join + tiny agg.
+
+    Returns (eigenvalues[k], residual-estimates[k]); with
+    ``return_vectors=True`` the second element is instead the
+    distributed Ritz-vector frame (idx, evec: array<double>[k]).
 
     which: "LM"/"LA" largest magnitude/algebraic, "SA"/"SM" smallest
     algebraic/magnitude (the full lanczos_types.hpp:23-28 enum).
+    ``reorthogonalize=False`` falls back to the plain three-term
+    recurrence, single cycle (no restarts).
     """
     m = m or min(n, max(4 * k, 20))
     # v0: seeded counter-RNG vector, normalized. NOT the constant
@@ -832,43 +847,28 @@ def lanczos_eigsh(
         eager=True
     )
     basis = v.select("idx", F.array("val").alias("vs"))  # columns so far
-    alphas: list[float] = []
-    betas: list[float] = []
-    v_prev = None
-    for j in range(m):
-        w = spmv(coo, v)
-        # full reorthogonalization w -= Σ_i <w, q_i> q_i, applied TWICE
-        # (Parlett's "twice is enough"): one classical-Gram-Schmidt pass
-        # leaves orthogonality error ~ ε·‖w‖/β, and β ≪ ‖w‖ happens on
-        # clustered spectra — a single pass let the basis lose
-        # orthonormality entirely and produced Ritz values OUTSIDE the
-        # operator's spectral range (caught by the r3 solver_spectra
-        # residual invariant). Each pass = one join + one tiny agg.
-        if reorthogonalize:
-            alpha = None
-            for _pass in range(2):
-                joined = w.join(basis, "idx")
-                coefs = joined.agg(
-                    *[
-                        F.sum(F.col("val") * F.col("vs")[i]).alias(f"c{i}")
-                        for i in range(j + 1)
-                    ]
-                ).collect()[0]
-                w = _pin(
-                    joined.select(
-                        "idx",
-                        (
-                            F.col("val")
-                            - sum(
-                                (F.col("vs")[i] * float(coefs[f"c{i}"]) for i in range(j + 1)),
-                                F.lit(0.0),
-                            )
-                        ).alias("val"),
-                    )
-                )
-                if alpha is None:
-                    alpha = float(coefs[f"c{j}"])  # first-pass <Av_j, v_j>
-        else:
+
+    def _order(evals: np.ndarray) -> np.ndarray:
+        if which == "LM":
+            return np.argsort(-np.abs(evals))
+        if which == "LA":
+            return np.argsort(-evals)
+        if which == "SA":
+            return np.argsort(evals)
+        if which == "SM":
+            # smallest magnitude (lanczos_types.hpp:23-28
+            # MAGNITUDE_SMALLEST): rank Ritz values by |λ|; restarts
+            # make interior pairs converge without growing m.
+            return np.argsort(np.abs(evals))
+        raise ValueError(f"unknown which: {which}")
+
+    if not reorthogonalize:
+        # plain three-term recurrence, single cycle (legacy path)
+        alphas: list[float] = []
+        betas: list[float] = []
+        v_prev = None
+        for j in range(m):
+            w = spmv(coo, v)
             alpha = (
                 w.join(v.select("idx", F.col("val").alias("_v")), "idx")
                 .agg(F.sum(F.col("val") * F.col("_v")).alias("a"))
@@ -892,46 +892,136 @@ def lanczos_eigsh(
                     w.join(v.select("idx", F.col("val").alias("_v")), "idx")
                     .select("idx", (F.col("val") - F.lit(alpha) * F.col("_v")).alias("val"))
                 )
-        if not reorthogonalize:
             w = w.localCheckpoint(eager=True)
-        alphas.append(alpha)
-        beta = w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("b")).collect()[0]["b"]
-        beta = float(beta or 0.0)
-        if j == m - 1 or beta < 1e-12:
-            break
-        betas.append(beta)
-        v_prev = v
-        v = _pin(w.select("idx", (F.col("val") / beta).alias("val")))
-        basis = _pin(
-            basis.join(v, "idx").select("idx", F.concat("vs", F.array("val")).alias("vs"))
-        )
-    t = np.diag(np.array(alphas))
-    if betas:
-        off = np.array(betas[: len(alphas) - 1])
-        t += np.diag(off, 1) + np.diag(off, -1)
-    evals, tvecs = np.linalg.eigh(t)
-    if which == "LM":
-        order = np.argsort(-np.abs(evals))
-    elif which == "LA":
-        order = np.argsort(-evals)
-    elif which == "SA":
-        order = np.argsort(evals)
-    elif which == "SM":
-        # smallest magnitude (lanczos_types.hpp:23-28 enumerates
-        # MAGNITUDE_SMALLEST): rank Ritz values by |λ|. Without
-        # shift-invert the interior accuracy depends on m — callers
-        # should raise m (the default 4k steps suffice for the PSD
-        # Laplacian case where SM == SA).
-        order = np.argsort(np.abs(evals))
+            alphas.append(alpha)
+            beta = float(
+                w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("b")).collect()[0]["b"]
+                or 0.0
+            )
+            if j == m - 1 or beta < 1e-12:
+                break
+            betas.append(beta)
+            v_prev = v
+            v = _pin(w.select("idx", (F.col("val") / beta).alias("val")))
+            basis = _pin(
+                basis.join(v, "idx").select("idx", F.concat("vs", F.array("val")).alias("vs"))
+            )
+        t = np.diag(np.array(alphas))
+        if betas:
+            off = np.array(betas[: len(alphas) - 1])
+            t += np.diag(off, 1) + np.diag(off, -1)
+        evals, tvecs = np.linalg.eigh(t)
+        filled = len(alphas)
+        last_beta = beta if alphas else 0.0  # ‖w‖ at the final step
     else:
-        raise ValueError(f"unknown which: {which}")
+        # thick-restart cycles: grow the basis to m columns with CGS2,
+        # then contract to [k Ritz vectors, residual] until converged
+        t_full = np.zeros((m, m))
+        ncols = 1
+        last_beta = 0.0
+        r_frame = None
+        for cycle in range(max_restarts + 1):
+            broke = False
+            for j in range(ncols - 1, m):
+                w = spmv(coo, v)
+                # two-pass CGS (Parlett's "twice is enough"): one pass
+                # leaves orthogonality error ~ ε·‖w‖/β, and β ≪ ‖w‖ on
+                # clustered spectra — a single pass let the basis lose
+                # orthonormality and produced Ritz values OUTSIDE the
+                # spectral range (caught by solver_spectra invariants).
+                cfirst = None
+                for _pass in range(2):
+                    joined = w.join(basis, "idx")
+                    coefs = joined.agg(
+                        *[
+                            F.sum(F.col("val") * F.col("vs")[i]).alias(f"c{i}")
+                            for i in range(j + 1)
+                        ]
+                    ).collect()[0]
+                    w = _pin(
+                        joined.select(
+                            "idx",
+                            (
+                                F.col("val")
+                                - sum(
+                                    (
+                                        F.col("vs")[i] * float(coefs[f"c{i}"])
+                                        for i in range(j + 1)
+                                    ),
+                                    F.lit(0.0),
+                                )
+                            ).alias("val"),
+                        )
+                    )
+                    if cfirst is None:
+                        cfirst = [float(coefs[f"c{i}"]) for i in range(j + 1)]
+                # T column j from first-pass coefficients (exact under
+                # restarts, where tridiagonal bookkeeping breaks)
+                t_full[: j + 1, j] = cfirst
+                t_full[j, : j + 1] = cfirst
+                beta = float(
+                    w.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("b")).collect()[
+                        0
+                    ]["b"]
+                    or 0.0
+                )
+                last_beta = beta
+                filled = j + 1
+                if beta < 1e-12:
+                    broke = True  # invariant subspace: Ritz pairs exact
+                    break
+                vq = _pin(w.select("idx", (F.col("val") / beta).alias("val")))
+                if j < m - 1:
+                    v = vq
+                    basis = _pin(
+                        basis.join(v, "idx").select(
+                            "idx", F.concat("vs", F.array("val")).alias("vs")
+                        )
+                    )
+                    ncols = j + 2
+                else:
+                    r_frame = vq  # residual direction for the restart
+            evals, tvecs = np.linalg.eigh(t_full[:filled, :filled])
+            resid = np.abs(last_beta * tvecs[filled - 1, :])
+            sel_order = _order(evals)
+            kk = min(k, filled)
+            keepi = sel_order[:kk]
+            scale = max(float(np.max(np.abs(evals))), 1e-30)
+            if (
+                broke
+                or r_frame is None
+                or cycle == max_restarts
+                or float(resid[keepi].max()) <= tol * scale
+            ):
+                break
+            # contract: basis ← [Ritz vectors, residual] in ONE narrow
+            # per-row pass; T ← diag(θ); the arrow column <A·r, y_i> is
+            # recomputed naturally by the next cycle's CGS pass
+            y = tvecs[:, keepi]
+            nb = basis.join(r_frame.select("idx", F.col("val").alias("_r")), "idx")
+            cols = [
+                sum(
+                    (F.col("vs")[i] * float(y[i, c]) for i in range(1, filled)),
+                    F.col("vs")[0] * float(y[0, c]),
+                ).alias(f"v{c}")
+                for c in range(kk)
+            ]
+            basis = _pin(nb.select("idx", F.array(*cols, F.col("_r")).alias("vs")))
+            v = basis.select("idx", F.col("vs")[kk].alias("val"))
+            t_full = np.zeros((m, m))
+            t_full[:kk, :kk] = np.diag(evals[keepi])
+            ncols = kk + 1
+            r_frame = None
+
+    order = _order(evals)
     keep = order[:k]
     desc = np.argsort(-evals[keep])
     sel = evals[keep][desc]
     if not return_vectors:
-        return sel, np.array(betas[: len(alphas)])
+        resid = np.abs(last_beta * tvecs[filled - 1, :]) if filled else np.array([])
+        return sel, resid[keep][desc] if filled else np.array([])
     # Ritz vectors = distributed basis × T-eigenvectors: one narrow
-    # per-row pass (basis row is m doubles, Y is m×k on the driver)
+    # per-row pass (basis row is ≤m doubles, Y is m×k on the driver)
     y = tvecs[:, keep][:, desc]
     m_used = y.shape[0]
     cols = [

@@ -265,6 +265,35 @@ def test_pca_transform_roundtrip(spark, rng):
     assert np.allclose(recon, a, atol=1e-7)
 
 
+def test_lanczos_thick_restart_converges_where_single_cycle_fails(spark):
+    """TRLan regression (sparse/solver/lanczos.cuh thick restart): the
+    two smallest eigenpairs of a 48-node weighted-ring Laplacian at
+    m=8 ≪ n. A single cycle at m=8 cannot resolve the tight low end of
+    the spectrum; restarts must converge it WITHOUT growing the basis
+    past 8 columns."""
+    n = 48
+    a = np.zeros((n, n))
+    for i in range(n):
+        w = 1.0 + (i % 4)
+        a[i, (i + 1) % n] += w
+        a[(i + 1) % n, i] += w
+    lap = np.diag(a.sum(1)) - a
+    coo = _coo_df(spark, lap)
+    w_np = np.linalg.eigvalsh(lap)
+
+    single, res_single = SV.lanczos_eigsh(
+        spark, coo, n=n, k=2, m=8, which="SA", max_restarts=0
+    )
+    restarted, res_restart = SV.lanczos_eigsh(
+        spark, coo, n=n, k=2, m=8, which="SA", max_restarts=12, tol=1e-9
+    )
+    err_single = np.abs(np.sort(single) - np.sort(w_np[:2])).max()
+    err_restart = np.abs(np.sort(restarted) - np.sort(w_np[:2])).max()
+    assert err_restart < 1e-6, (restarted, w_np[:2])
+    # the single cycle at the same m is off by orders of magnitude
+    assert err_single > 1e-2 * max(err_restart, 1e-12), (single, restarted)
+
+
 def test_lanczos_sm_and_vectors(spark, rng):
     # symmetric PSD matrix: graph Laplacian of a small ring + chords
     n = 24
