@@ -123,12 +123,16 @@ def knn_brute(
         qm = np.array([r["_vq"] for r in q_rows])  # |Q|×d
 
         def pp(batches):
+            from raft_spark.functions.xp import to_np, xp
+
+            ap = xp()  # GPU does the matmul only; rank/cut/round stay
+            qd = ap.asarray(qm.T)  # host float64 (engine-exact order)
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 m = np.stack(pdf["_vc"].to_numpy()).astype(float)
                 nids = pdf["nid"].to_numpy()
-                raw = m @ qm.T  # batch×|Q|
+                raw = to_np(ap.asarray(m) @ qd)  # batch×|Q|
                 # half-AWAY-from-zero to match F.round / DuckDB round()
                 # (np.round is banker's half-to-even: a cosine landing
                 # exactly on .5e-6 would flip rank across engines)
@@ -290,11 +294,15 @@ def _assign_lists(
     out_schema = f"{schema},{list_col} int"
 
     def pp(batches):
+        from raft_spark.functions.xp import to_np, xp
+
+        ap = xp()
+        cd = ap.asarray(C.T)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(float)
-            d2 = (M * M).sum(1)[:, None] - 2.0 * (M @ C.T) + cc[None, :]
+            d2 = (M * M).sum(1)[:, None] - 2.0 * to_np(ap.asarray(M) @ cd) + cc[None, :]
             if n_probe == 1:
                 yield pdf.assign(**{list_col: d2.argmin(1).astype("int32")})
             else:

@@ -87,19 +87,23 @@ def gram_matrix(df: DataFrame, features: str = "features") -> tuple[np.ndarray, 
     import pandas as pd
 
     def pp(batches):
+        from raft_spark.functions.xp import to_np, xp
+
+        ap = xp()  # cupy iff RAFT_SPARK_GPU=1 (CPU is source of truth)
         acc = None
         s = None
         cnt = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            m = np.stack(pdf[features].to_numpy()).astype(float)
+            m = ap.asarray(np.stack(pdf[features].to_numpy()).astype(float))
             g = m.T @ m
             acc = g if acc is None else acc + g
             s = m.sum(0) if s is None else s + m.sum(0)
             cnt += m.shape[0]
         if acc is None:
             return
+        acc, s = to_np(acc), to_np(s)
         d = acc.shape[0]
         i, j = np.triu_indices(d)
         out = pd.DataFrame({"i": i, "j": j, "v": acc[i, j]})
@@ -360,17 +364,22 @@ def rsvd_singular_values(
         wb = wmat.copy()
 
         def pp(batches):
+            from raft_spark.functions.xp import to_np, xp
+
+            ap = xp()
+            wd = ap.asarray(wb)
             z = None
             g = None
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
-                m = np.stack(pdf[features].to_numpy()).astype(float)
-                y = m @ wb
+                m = ap.asarray(np.stack(pdf[features].to_numpy()).astype(float))
+                y = m @ wd
                 z = m.T @ y if z is None else z + m.T @ y
                 g = y.T @ y if g is None else g + y.T @ y
             if z is None:
                 return
+            z, g = to_np(z), to_np(g)
             di, dj = np.meshgrid(np.arange(d), np.arange(ell), indexing="ij")
             gi, gj = np.meshgrid(np.arange(ell), np.arange(ell), indexing="ij")
             yield pd.concat(
