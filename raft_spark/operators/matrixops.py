@@ -80,6 +80,40 @@ def reverse_cols(df: DataFrame, features: str = "features") -> DataFrame:
     return df.withColumn(features, F.reverse(features))
 
 
+def shift_rows(
+    df: DataFrame, k: int, fill: float = 0.0,
+    id_col: str = "id", features: str = "features",
+) -> DataFrame:
+    """Shift ROWS down (k>0) / up (k<0) by |k|, vacated rows filled
+    with ``fill`` (matrix/shift.cuh:64 — the row-dimension variant of
+    shift_cols). Row ids are the matrix's row index, so the shift is
+    one equi-join on (id − k) — no matrix-wide data movement; Spark
+    co-partitions both sides on the id."""
+    d = df.select(F.size(features).alias("d")).first()["d"]
+    moved = df.select(
+        (F.col(id_col) + F.lit(k)).alias(id_col), F.col(features).alias("_f")
+    )
+    return (
+        df.select(id_col)
+        .join(moved, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("_f", F.array_repeat(F.lit(float(fill)), d)).alias(features),
+        )
+    )
+
+
+def reverse_rows(
+    df: DataFrame, n_rows: int, id_col: str = "id", features: str = "features"
+) -> DataFrame:
+    """matrix/reverse.cuh:23 — flip the ROW order: row i receives row
+    (n_rows−1−i). A pure id-relabeling projection (zero shuffle; any
+    downstream keyed op re-clusters on the new id lazily)."""
+    return df.select(
+        (F.lit(n_rows - 1) - F.col(id_col)).alias(id_col), features
+    )
+
+
 def triangular_upper(coo: DataFrame, strict: bool = False) -> DataFrame:
     """Upper-triangular extraction in long form
     (matrix/triangular.cuh:22): a pushdown-able filter."""

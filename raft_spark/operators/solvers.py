@@ -428,6 +428,27 @@ def rsvd_singular_values(
 # power iteration (largest eigenpair of a sparse symmetric matrix)
 # ---------------------------------------------------------------------------
 
+def rsvd_perc(
+    df: DataFrame,
+    pc_perc: float,
+    ups_perc: float = 0.15,
+    n_power_iters: int = 2,
+    seed: int = 42,
+    features: str = "features",
+) -> np.ndarray:
+    """rsvdPerc (linalg/rsvd.cuh:98): rank and oversampling chosen as
+    FRACTIONS of the column dimension — k = max(1, round(pc_perc·d)),
+    oversamples = max(2, round(ups_perc·d)) — then the same randomized
+    pass as :func:`rsvd_singular_values`."""
+    d = df.select(F.size(features).alias("d")).first()["d"]
+    k = max(1, int(round(pc_perc * d)))
+    ups = max(2, int(round(ups_perc * d)))
+    return rsvd_singular_values(
+        df, k, n_oversamples=ups, n_power_iters=n_power_iters,
+        seed=seed, features=features,
+    )
+
+
 def rsvd_factors(
     df: DataFrame, k: int, n_oversamples: int = 10, n_power_iters: int = 2,
     seed: int = 42, features: str = "features",

@@ -93,27 +93,41 @@ def q_matrix_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "matrix_shift_reverse",
     oracle="""
-SELECT vec_id::BIGINT AS id,
+WITH sl AS (
+    SELECT vec_id, (embedding::DOUBLE[])[1:8] AS f
+    FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id::BIGINT AS id,
        list_transform(
-           list_concat([0.0, 0.0], (embedding::DOUBLE[])[1:6]),
+           list_concat([0.0, 0.0], a.f[1:6]),
            x -> round(x, 6)) AS shifted,
+       list_transform(list_reverse(a.f), x -> round(x, 6)) AS reversed,
        list_transform(
-           list_reverse((embedding::DOUBLE[])[1:8]),
-           x -> round(x, 6)) AS reversed
-FROM embeddings WHERE vec_id < 50
+           coalesce(b.f, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+           x -> round(x, 6)) AS rshifted,
+       list_transform(c.f, x -> round(x, 6)) AS rreversed
+FROM sl a
+LEFT JOIN sl b ON b.vec_id = a.vec_id - 3
+JOIN sl c ON c.vec_id = 49 - a.vec_id
 """,
 )
 def q_matrix_shift_reverse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """matrix/shift.cuh:18 (right-shift by 2, zero fill) and
-    matrix/reverse.cuh:43 (flip each row) over an 8-col slice."""
+    """matrix/shift.cuh:18 (col right-shift by 2, zero fill), :64 (ROW
+    down-shift by 3, zero fill), matrix/reverse.cuh:43 (flip each row)
+    and :23 (flip the ROW order) over a 50×8 slice."""
     base = M.matrix_slice(embeddings_matrix(spark, sf_dir), 0, 49, 0, 8)
     shifted = M.shift_cols(base, 2).withColumnRenamed("features", "shifted")
     reversed_ = M.reverse_cols(base).withColumnRenamed("features", "reversed")
-    out = shifted.join(reversed_, "id")
+    rshift = M.shift_rows(base, 3).withColumnRenamed("features", "rshifted")
+    rrev = M.reverse_rows(base, n_rows=50).withColumnRenamed("features", "rreversed")
+    out = shifted.join(reversed_, "id").join(rshift, "id").join(rrev, "id")
+    r6 = lambda c: F.transform(c, lambda x: F.round(x, 6))  # noqa: E731
     return out.select(
         F.col("id").cast("bigint").alias("id"),
-        F.transform("shifted", lambda x: F.round(x, 6)).alias("shifted"),
-        F.transform("reversed", lambda x: F.round(x, 6)).alias("reversed"),
+        r6("shifted").alias("shifted"),
+        r6("reversed").alias("reversed"),
+        r6("rshifted").alias("rshifted"),
+        r6("rreversed").alias("rreversed"),
     )
 
 

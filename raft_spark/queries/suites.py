@@ -389,14 +389,22 @@ UNION ALL
 SELECT 'reverse', id, -1::BIGINT,
        generate_subscripts(reversed, 1) - 1, unnest(reversed)
 FROM {_sub('matrix_shift_reverse')}
+UNION ALL
+SELECT 'rshift', id, -1::BIGINT,
+       generate_subscripts(rshifted, 1) - 1, unnest(rshifted)
+FROM {_sub('matrix_shift_reverse')}
+UNION ALL
+SELECT 'rreverse', id, -1::BIGINT,
+       generate_subscripts(rreversed, 1) - 1, unnest(rreversed)
+FROM {_sub('matrix_shift_reverse')}
 """
 
 
 @query("matrix_move_suite", oracle=_matrix_move_oracle())
 def q_matrix_move_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """gather / scatter / slice / shift / reverse
-    (matrix/gather.cuh:25, scatter.cuh:16, slice.cuh:36, shift.cuh:18,
-    reverse.cuh:43) in long form (op, a, b, pos, value)."""
+    """gather / scatter / slice / col+row shift / col+row reverse
+    (matrix/gather.cuh:25, scatter.cuh:16, slice.cuh:36, shift.cuh:18
+    +:64, reverse.cuh:43+:23) in long form (op, a, b, pos, value)."""
 
     def long(op: str, frame: DataFrame, a, b, arr: str) -> DataFrame:
         return frame.select(
@@ -417,6 +425,8 @@ def q_matrix_move_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         long("slice", sl, F.col("id"), neg, "features"),
         long("shift", sr, F.col("id"), neg, "shifted"),
         long("reverse", sr, F.col("id"), neg, "reversed"),
+        long("rshift", sr, F.col("id"), neg, "rshifted"),
+        long("rreverse", sr, F.col("id"), neg, "rreversed"),
     ]:
         out = out.unionByName(p)
     return out
@@ -736,7 +746,7 @@ FROM s
 UNION ALL
 SELECT m, 0::BIGINT, 0.0 FROM (VALUES
     ('pca_trace_gap'), ('pca_pc1_var_gap'), ('pca_orth'),
-    ('tsvd_energy_slack'), ('rsvd_vs_tsvd_slack'),
+    ('tsvd_energy_slack'), ('rsvd_vs_tsvd_slack'), ('rsvd_perc_slack'),
     ('power_res_slack'), ('lanczos_res_slack'), ('lstsq_orth_slack')
 ) t(m)
 """
@@ -806,6 +816,13 @@ def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
     rsvd_vs_tsvd_slack = max(
         0.0, float(np.max(np.abs(sig_r - sig_t[: len(sig_r)]) / sig_t[: len(sig_r)])) - 0.02
     )
+    # rsvdPerc (linalg/rsvd.cuh:98): pc_perc=4/64 must reproduce the
+    # k=4 path — rank-by-fraction resolves to the same rank
+    sig_p = SV2.rsvd_perc(m, pc_perc=4 / 64, ups_perc=10 / 64, n_power_iters=6)
+    rsvd_perc_slack = max(
+        0.0,
+        float(np.max(np.abs(sig_p[:4] - sig_t[:4]) / sig_t[:4])) - 0.02,
+    )
 
     # power / lanczos eigenpair residuals on the 50-node Laplacian
     lap = laplacian(_graph(spark, sf_dir), normalized=True).localCheckpoint(eager=True)
@@ -867,6 +884,7 @@ def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("pca_orth", 0, round(pca_orth, 6)),
         ("tsvd_energy_slack", 0, round(tsvd_energy_slack, 6)),
         ("rsvd_vs_tsvd_slack", 0, round(rsvd_vs_tsvd_slack, 6)),
+        ("rsvd_perc_slack", 0, round(rsvd_perc_slack, 6)),
         ("power_res_slack", 0, round(power_res_slack, 6)),
         ("lanczos_res_slack", 0, round(lanczos_res_slack, 6)),
         ("lstsq_orth_slack", 0, round(lstsq_orth_slack, 6)),

@@ -42,6 +42,17 @@ def test_shift_cols_both_directions(spark):
     assert left == [2.0, 3.0, 4.0, 0.0]
 
 
+def test_shift_rows_and_reverse_rows(spark):
+    a = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    df = _matrix_df(spark, a)
+    down = {r["id"]: r["features"] for r in M.shift_rows(df, 1, fill=7.0).collect()}
+    assert down == {0: [7.0, 7.0], 1: [1.0, 2.0], 2: [3.0, 4.0]}
+    up = {r["id"]: r["features"] for r in M.shift_rows(df, -2).collect()}
+    assert up == {0: [5.0, 6.0], 1: [0.0, 0.0], 2: [0.0, 0.0]}
+    rev = {r["id"]: r["features"] for r in M.reverse_rows(df, n_rows=3).collect()}
+    assert rev == {0: [5.0, 6.0], 1: [3.0, 4.0], 2: [1.0, 2.0]}
+
+
 def test_masked_matmul_matches_numpy(spark):
     rng = np.random.default_rng(7)
     a = rng.standard_normal((10, 6))
