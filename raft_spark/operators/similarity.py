@@ -92,21 +92,30 @@ def knn_brute(
     k: int = 5,
     id_col: str = "id",
     vec_col: str = "features",
-    strategy: str = "numpy",
+    strategy: str = "auto",
+    max_collect_queries: int = 20_000,
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query (self-matches excluded)
     → (qid, nid, cosine, rank).
 
-    strategy="numpy" (default): query matrix ships to every partition
-    as a closure (queries are small relative to the corpus by
-    contract); each corpus partition scores its batch with one BLAS
-    matmul and emits only its LOCAL top-k per query, so the shuffle
-    carries O(partitions·|Q|·k) rows — the literal partial-then-merge
-    design of the reference's select_k (matrix/select_k.cuh:75) with
-    the dot products batched instead of per-pair expressions.
+    strategy="numpy": query matrix ships to every partition as a
+    closure (queries small relative to the corpus by contract); each
+    corpus partition scores its batch with one BLAS matmul and emits
+    only its LOCAL top-k per query, so the shuffle carries
+    O(partitions·|Q|·k) rows — the literal partial-then-merge design
+    of the reference's select_k (matrix/select_k.cuh:75) with the dot
+    products batched instead of per-pair expressions.
 
-    strategy="expr"/"salted"/...: JVM-expression scoring through the
-    salted two-phase select_k (no driver collect of the query side).
+    strategy="expr": JVM-expression scoring (broadcast join) through
+    the bounded two-phase select_k — no driver collect of the query
+    side at all.
+
+    strategy="auto" (default): ONE distributed count() probes the
+    query side; ≤ ``max_collect_queries`` rows (the Q≪N regime, ~10 MB
+    of closure at d=64) takes the numpy path, anything larger degrades
+    gracefully to the expr path instead of OOMing the driver on the
+    collect. The chosen path is recorded on the result as
+    ``_knn_strategy`` (for tests/plan audits).
     """
     c = _norm_table(corpus, id_col, vec_col).select(
         F.col("_id").alias("nid"), F.col("_v").alias("_vc")
@@ -114,6 +123,9 @@ def knn_brute(
     q = _norm_table(queries, id_col, vec_col).select(
         F.col("_id").alias("qid"), F.col("_v").alias("_vq")
     )
+    if strategy == "auto":
+        strategy = "numpy" if q.count() <= max_collect_queries else "expr"
+    chosen = strategy
     if strategy == "numpy":
         import numpy as np
         import pandas as pd
@@ -161,8 +173,8 @@ def knn_brute(
             c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
             .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
         )
-        merge = strategy
-    return select_k(
+        merge = "auto" if strategy == "expr" else strategy
+    out = select_k(
         scored,
         group_cols=["qid"],
         order_col="cosine",
@@ -171,6 +183,8 @@ def knn_brute(
         payload_cols=["nid"],
         strategy=merge,
     )
+    out._knn_strategy = chosen
+    return out
 
 
 def lsh_buckets(
