@@ -144,6 +144,55 @@ def minhash_lsh_candidates(
     )
 
 
+def dedup_clusters(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Duplicate-cluster assignment: candidate pairs → connected
+    components → per-doc (doc_id, cluster_id, cluster_size,
+    is_canonical).
+
+    This is the step an actual curation pipeline runs AFTER MinHash-LSH
+    / Jaccard candidate generation: near-dup similarity is not
+    transitive, but dedup policy treats it as if it were (keep one doc
+    per connected component of the candidate graph — the standard
+    MinHashLSH + union-find recipe). cluster_id = smallest doc_id in
+    the component; docs in no candidate pair are singleton clusters of
+    themselves; canonical = the cluster minimum (the kept doc).
+
+    Scale: the component solve is ``connected_components``
+    (solvers.py) — smallest-label propagation WITH pointer jumping,
+    O(log V) join rounds, O(1) driver state, lineage checkpointed per
+    round. Everything else is one left join + one count aggregation
+    over the doc table. Candidate-graph size is already bounded by the
+    LSH hot-bucket / stop-shingle caps upstream.
+    """
+    from raft_spark.operators.solvers import connected_components
+
+    coo = pairs.select(
+        F.col(a_col).cast("long").alias("row"), F.col(b_col).cast("long").alias("col")
+    )
+    labels = connected_components(coo)
+    base = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    sizes = base.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return base.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
 def simhash(
     coo: DataFrame, doc_col: str = "doc_id", term_col: str = "term",
     value_col: str = "tf", n_bits: int = 16,

@@ -386,6 +386,189 @@ def ivf_assign(df: DataFrame, cents, vec_col: str = "features") -> DataFrame:
     return _assign_lists(df, cents, vec_col, n_probe=1, list_col="list_id")
 
 
+def pq_train(
+    df: DataFrame,
+    m_subspaces: int = 8,
+    n_codes: int = 16,
+    n_iters: int = 8,
+    seed: int = 42,
+    vec_col: str = "features",
+    max_train_rows: int = 20_000,
+):
+    """Train product-quantization codebooks: the d dims are split into
+    ``m_subspaces`` contiguous subvectors; each subspace gets its own
+    ``n_codes``-word codebook via Lloyd k-means on a bounded training
+    sample (reference semantics: RAFT's ivf_pq trains the PQ codebooks
+    on a host-side subsample too — codebooks are model state, k·d
+    floats, never data-sized).
+
+    Returns a numpy array (m_subspaces, n_codes, d_sub). Driver holds
+    only the sample (≤ ``max_train_rows`` rows, a deterministic
+    hash-sample so the model is reproducible) and the codebooks.
+    """
+    import numpy as np
+
+    d = df.select(F.size(F.col(vec_col))).first()[0]
+    assert d % m_subspaces == 0, f"dim {d} not divisible by m={m_subspaces}"
+    dsub = d // m_subspaces
+    frac_probe = df.select(
+        F.col(vec_col), F.pmod(F.xxhash64(F.col(vec_col).cast("string")), F.lit(1_000_000)).alias("_h")
+    )
+    n = df.count()
+    if n > max_train_rows:
+        cut = int(1_000_000 * max_train_rows / n)
+        sample = frac_probe.filter(F.col("_h") < cut).select(vec_col).collect()
+    else:
+        sample = df.select(vec_col).collect()
+    X = np.array([r[vec_col] for r in sample], dtype=float)
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_subspaces, n_codes, dsub))
+    for s in range(m_subspaces):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        k = min(n_codes, len(Xs))
+        cents = Xs[rng.choice(len(Xs), size=k, replace=False)]
+        for _ in range(n_iters):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(2)
+            a = d2.argmin(1)
+            for c in range(k):
+                pts = Xs[a == c]
+                if len(pts):
+                    cents[c] = pts.mean(0)
+        if k < n_codes:  # degenerate tiny input: pad by repeating
+            cents = np.vstack([cents, cents[np.zeros(n_codes - k, dtype=int)]])
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Encode each vector as m_subspaces uint8-ish codes → (id, codes).
+
+    One Arrow-batched pass; per batch each subspace is a single BLAS
+    distance computation against its codebook. The codebooks ride the
+    task closure (m·n_codes·d_sub floats — KBs). Output rows carry
+    m_subspaces ints instead of d floats: at d=512/m=64 this is the
+    64× compression that lets a 100 TB embedding corpus fit a few TB
+    of code storage for in-memory ADC scanning.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = np.asarray(codebooks, dtype=float)  # m × k × dsub
+    m, _, dsub = B.shape
+
+    def pp(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for s in range(m):
+                Xs = X[:, s * dsub:(s + 1) * dsub]
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                d2 = -2.0 * (Xs @ B[s].T) + (B[s] * B[s]).sum(1)[None, :]
+                codes[:, s] = d2.argmin(1)
+            yield pd.DataFrame(
+                {"id": pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(pp, "id long, codes array<int>")
+
+
+def knn_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m_subspaces: int = 16,
+    n_codes: int = 16,
+    refine_factor: int = 8,
+    id_col: str = "id",
+    vec_col: str = "features",
+    codebooks=None,
+) -> DataFrame:
+    """PQ-compressed approximate top-k via asymmetric distance
+    computation (ADC) plus exact refinement: corpus vectors are scanned
+    only as codes; each query precomputes an m×n_codes inner-product
+    lookup table against the codebooks, a candidate's ADC score is the
+    sum of m table entries, and the top ``k·refine_factor`` shortlist
+    is re-ranked with EXACT cosines (one small join back to the raw
+    vectors — the reference's refine() step, neighbors/refine.cuh).
+
+    Scale shape: encode is one narrow pass (run once, store codes);
+    the ADC scan streams code batches through one numpy gather+sum and
+    emits only the local shortlist per partition (partial-then-merge,
+    same as knn_brute). Refinement touches |Q|·k·refine_factor raw
+    vectors — independent of corpus size. Composing with ivf_assign
+    (filter candidates to probed lists before ADC) gives IVF-PQ; the
+    flat variant keeps recall properties isolated.
+
+    Output matches knn_brute's schema (qid, nid, cosine, rank) with
+    exact cosines (post-refinement).
+    """
+    import numpy as np
+    import pandas as pd
+
+    cn = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    qn = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    if codebooks is None:
+        codebooks = pq_train(cn, m_subspaces, n_codes, vec_col=vec_col)
+    B = np.asarray(codebooks, dtype=float)
+    m, _, dsub = B.shape
+    codes_df = pq_encode(cn, B, id_col="_id", vec_col=vec_col)
+
+    q_rows = qn.collect()  # Q≪N contract, same as knn_brute numpy path
+    qids = np.array([r["_id"] for r in q_rows])
+    Q = np.array([r[vec_col] for r in q_rows], dtype=float)
+    # LUT[qi, s, c] = <q_sub, codeword> — approx IP decomposes per subspace
+    lut = np.stack([Q[:, s * dsub:(s + 1) * dsub] @ B[s].T for s in range(m)], axis=1)
+    k_short = k * refine_factor
+
+    def pp(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.stack(pdf["codes"].to_numpy()).astype(int)  # batch × m
+            nids = pdf["id"].to_numpy()
+            # scores[b, qi] = Σ_s lut[qi, s, C[b, s]]
+            scores = np.zeros((len(C), len(qids)))
+            for s in range(m):
+                scores += lut[:, s, C[:, s]].T
+            for qi in range(len(qids)):
+                col = scores[:, qi]
+                cand = np.nonzero(nids != qids[qi])[0]
+                if len(cand) == 0:
+                    continue
+                order = np.lexsort((nids[cand], -col[cand]))
+                top = cand[order[: min(k_short, len(cand))]]
+                yield pd.DataFrame(
+                    {"qid": qids[qi], "nid": nids[top], "adc": col[top]}
+                )
+
+    shortlist = codes_df.mapInPandas(pp, "qid long, nid long, adc double")
+    # global shortlist cut (ADC order), then exact re-rank: join the
+    # shortlist (tiny — broadcast side) back to the raw normalized
+    # vectors; the corpus scan prunes to the |Q|·k_short semi-join.
+    short = select_k(
+        shortlist, group_cols=["qid"], order_col="adc", k=k_short,
+        ascending=False, payload_cols=["nid"], strategy="agg",
+    ).select("qid", "nid")
+    qv = qn.select(F.col("_id").alias("qid"), F.col(vec_col).alias("_vq"))
+    refined = (
+        cn.select(F.col("_id").alias("nid"), F.col(vec_col).alias("_vc"))
+        .join(F.broadcast(short), "nid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+    )
+    return select_k(
+        refined, group_cols=["qid"], order_col="cosine", k=k,
+        ascending=False, payload_cols=["nid"], strategy="agg",
+    )
+
+
 def knn_ivf(
     corpus: DataFrame,
     queries: DataFrame,

@@ -69,9 +69,11 @@ _GATE_ORDER = [
     "minhash_lsh",
     "simhash",
     "ngram_jaccard",
+    "dedup_clusters",
     "embedding_neardup",
     "knn_cosine",
     "knn_ivf_recall",
+    "knn_pq_recall",
     "text_quality",
     "multimodal",
     # -- rng / datagen / sampling

@@ -104,6 +104,61 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle="WITH RECURSIVE " + SQL_COO + "," + SQL_VOCAB + "," + SQL_SIGS + """,
+bands AS (
+    SELECT doc_id, (perm // 4) AS band,
+           string_agg(mh::VARCHAR, '_' ORDER BY perm) AS sig
+    FROM sigs GROUP BY 1, 2
+),
+keep AS (SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 256),
+bandsk AS (SELECT b.* FROM bands b JOIN keep USING (band, sig)),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bandsk l JOIN bandsk r ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+est AS (
+    SELECT a, b FROM (
+        SELECT cand.a, cand.b,
+               avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS ej
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.a
+        JOIN sigs sb ON sb.doc_id = cand.b AND sb.perm = sa.perm
+        GROUP BY 1, 2
+    ) WHERE ej >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM est UNION SELECT b, a FROM est),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (SELECT u AS node, least(u, min(v)) AS label FROM reach GROUP BY u),
+base AS (
+    SELECT d.doc_id::BIGINT AS doc_id,
+           coalesce(l.label, d.doc_id)::BIGINT AS cluster_id
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+),
+cs AS (SELECT cluster_id, count(*) AS n FROM base GROUP BY 1)
+SELECT base.doc_id, base.cluster_id, cs.n::BIGINT AS cluster_size,
+       (CASE WHEN base.doc_id = base.cluster_id THEN 1 ELSE 0 END)::INTEGER AS is_canonical
+FROM base JOIN cs USING (cluster_id)
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup grouping: MinHash-LSH candidates
+    thresholded at est_jaccard ≥ 0.5 → connected components (pointer-
+    jumped smallest-label propagation) → per-doc cluster id / size /
+    canonical flag — the keep-one-per-component policy an actual
+    curation pipeline applies after candidate generation. The DuckDB
+    oracle recomputes the components with a recursive reachability CTE."""
+    coo = doc_terms(spark, sf_dir).localCheckpoint(eager=True)
+    sigs = D.minhash_signatures(coo).cache()
+    pairs = D.minhash_lsh_candidates(sigs).filter(F.col("est_jaccard") >= 0.5)
+    return D.dedup_clusters(pairs, load(spark, "documents", sf_dir))
+
+
+@query(
     "simhash",
     oracle="WITH " + SQL_COO + "," + SQL_VOCAB + """,
 votes AS (
@@ -327,6 +382,31 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(recall >= 0.5),)], "recall_ok int"
     )
+
+
+@query(
+    "knn_pq_recall",
+    # PQ codebooks (sampled k-means) are deterministic but not
+    # SQL-expressible; the adjudicable contract is the recall floor
+    # against exact brute force, same pattern as knn_ivf_recall (the
+    # exact recall value is pinned by tests/test_similarity_ivf.py).
+    oracle="SELECT 1::INTEGER AS recall_ok",
+)
+def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (16 subspaces × 16 codes, ADC lookup
+    scoring over compressed codes, exact refinement of the 8k-deep
+    shortlist) scored by recall@5 against exact brute force — the
+    memory-compression scale path: corpus floats are replaced by m
+    small ints, so a 100 TB embedding table ADC-scans from a few TB
+    of codes."""
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    queries = m.filter(F.col("id") % 50 == 0)
+    exact = SIM.knn_brute(m, queries, k=5)
+    approx = SIM.knn_pq(m, queries, k=5, m_subspaces=16, n_codes=16, refine_factor=8)
+    n_q = queries.count()
+    hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    recall = hits / (n_q * 5.0)
+    return spark.createDataFrame([(int(recall >= 0.5),)], "recall_ok int")
 
 
 @query(

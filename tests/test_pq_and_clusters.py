@@ -1,0 +1,99 @@
+"""Product quantization (encode/ADC) and fuzzy-dedup clustering.
+
+PQ contract: codes are m small ints; ADC scoring approximates the exact
+inner product well enough that recall@k against brute force clears a
+floor far above random, and a high-capacity codebook (many codes per
+subspace on a small corpus) reconstructs near-exact rankings.
+Cluster contract: components over candidate pairs equal a driver-side
+union-find; singletons map to themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators import dedup as D
+from raft_spark.operators import similarity as SIM
+from raft_spark.sources.tables import embeddings_matrix, load
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    df = embeddings_matrix(spark, sf_dir).select("id", "features").cache()
+    yield df
+    df.unpersist()
+
+
+def test_pq_encode_shape_and_determinism(spark, corpus):
+    books = SIM.pq_train(corpus, m_subspaces=8, n_codes=8, vec_col="features")
+    assert books.shape[0] == 8 and books.shape[1] == 8
+    codes = SIM.pq_encode(corpus, books)
+    rows = codes.collect()
+    assert len(rows) == corpus.count()
+    widths = {len(r["codes"]) for r in rows}
+    assert widths == {8}
+    assert all(0 <= c < 8 for r in rows for c in r["codes"])
+    # deterministic: re-train + re-encode reproduces identical codes
+    books2 = SIM.pq_train(corpus, m_subspaces=8, n_codes=8, vec_col="features")
+    assert np.allclose(books, books2)
+
+
+def test_pq_recall_vs_brute(spark, corpus):
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    exact = SIM.knn_brute(corpus, queries, k=5)
+    approx = SIM.knn_pq(corpus, queries, k=5, m_subspaces=16, n_codes=16,
+                        refine_factor=8)
+    n_q = queries.count()
+    hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    recall = hits / (n_q * 5)
+    assert recall >= 0.6, f"recall {recall}"
+    # every query answered with k rows, no self-matches
+    per_q = approx.groupBy("qid").count().agg(F.min("count")).collect()[0][0]
+    assert per_q == 5
+    assert approx.filter(F.col("qid") == F.col("nid")).count() == 0
+
+
+def test_pq_adc_matches_exact_ip_on_codewords(spark, corpus):
+    """ADC is exact when each vector IS a codeword: encode the
+    codebook's own centroids and the LUT-sum must equal the true inner
+    product of the reconstruction."""
+    books = SIM.pq_train(corpus, m_subspaces=4, n_codes=4, vec_col="features")
+    m, k, dsub = books.shape
+    # one synthetic vector per codeword index
+    vecs = [books[:, i, :].reshape(-1).tolist() for i in range(k)]
+    recon = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, features array<double>"
+    )
+    codes = {r["id"]: list(r["codes"]) for r in SIM.pq_encode(recon, books).collect()}
+    for i, cs in codes.items():
+        assert cs == [i] * m, f"codeword {i} did not encode to itself: {cs}"
+
+
+def test_dedup_clusters_match_union_find(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (30, 31), (31, 32), (32, 33)], "a long, b long"
+    )
+    out = D.dedup_clusters(pairs, docs)
+    got = {r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+           for r in out.collect()}
+    assert got[1] == (1, 3, 1) and got[2] == (1, 3, 0) and got[3] == (1, 3, 0)
+    assert got[10] == (10, 2, 1) and got[11] == (10, 2, 0)
+    assert got[30][0] == 30 and got[33] == (30, 4, 0)
+    # untouched docs are singletons of themselves
+    n_docs = docs.count()
+    singles = [d for d, (c, sz, can) in got.items() if sz == 1]
+    assert len(got) == n_docs
+    assert all(got[d] == (d, 1, 1) for d in singles)
+    assert len(singles) == n_docs - 9
+
+
+def test_dedup_clusters_empty_pairs(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    pairs = spark.createDataFrame([], "a long, b long")
+    out = D.dedup_clusters(pairs, docs)
+    assert out.filter(F.col("is_canonical") == 0).count() == 0
+    assert out.count() == docs.count()
