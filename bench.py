@@ -42,6 +42,8 @@ HEADLINE = [
     "simhash",            # bit-vote fingerprint
     "ngram_jaccard",      # shingle inverted-index join
     "knn_cosine",         # brute-force ANN baseline + salted top-k
+    "knn_pq_recall",      # PQ-compressed ADC scan + exact refine (vs brute)
+    "dedup_clusters",     # LSH candidates -> connected components -> clusters
     "exact_dedup",        # content-hash dedup
     "text_stats",         # narrow text projection stack
     "lang_quality",       # narrow text projection stack
@@ -74,6 +76,7 @@ def main() -> None:
     # the plan's real cost. Second pass skipped for long queries to
     # bound total bench time.
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
@@ -84,6 +87,19 @@ def main() -> None:
         # 20-40 s on queries that warm-measure ~2 s, and a one-pass
         # number at that magnitude poisons the whole total
         if timings[name] > 60.0:
+            continue
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        t = round(time.perf_counter() - t0, 3)
+        spread[name] = abs(t - timings[name]) / max(min(t, timings[name]), 1e-9)
+        timings[name] = min(timings[name], t)
+    for name in HEADLINE:
+        # third pass only where the first two disagreed badly (>50%):
+        # both samples may have landed on a noise spike, so neither is
+        # trustworthy; one more draw bounds the damage at ~no extra cost
+        # in quiet windows
+        if spread.get(name, 0.0) <= 0.5 or timings[name] > 60.0:
             continue
         fn = QUERIES[name]
         t0 = time.perf_counter()

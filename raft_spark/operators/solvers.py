@@ -696,7 +696,13 @@ def connected_components(coo: DataFrame, max_iters: int = 64) -> DataFrame:
     rather than returning unconverged labels silently. Lineage cut by
     localCheckpoint per round (checkpointing at real scale)."""
     edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
-    sym = edges.unionAll(edges.select(F.col("col").alias("row"), F.col("row").alias("col")))
+    sym = edges.unionAll(
+        edges.select(F.col("col").alias("row"), F.col("row").alias("col"))
+    # materialize ONCE: every propagation round joins against `sym`, and
+    # an un-checkpointed edge table re-executes its whole upstream DAG
+    # (e.g. a full MinHash-LSH candidate pipeline) per round — measured
+    # 15x slower end-to-end on dedup_clusters at sf0.1
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("row").alias("node")).distinct()
         .withColumn("label", F.col("node"))
@@ -711,11 +717,15 @@ def connected_components(coo: DataFrame, max_iters: int = 64) -> DataFrame:
         )
         prop = labels.join(neigh, "node", "left").select(
             "node",
+            F.col("label").alias("_old"),
             F.least(F.col("label"), F.coalesce("_min_nl", F.col("label"))).alias("label"),
         )
         # pointer jump: label ← label(label). min-propagation keeps every
         # label a node id present in `labels`, so the left join is total;
         # least() guards monotonicity (jump can only lower a label).
+        # The pre-round label rides along as _old so the fixpoint check
+        # below is a scan of the checkpointed result — not an extra
+        # join+shuffle job per round.
         new_labels = (
             prop.join(
                 labels.select(F.col("node").alias("label"), F.col("label").alias("_ll")),
@@ -724,17 +734,13 @@ def connected_components(coo: DataFrame, max_iters: int = 64) -> DataFrame:
             )
             .select(
                 "node",
+                "_old",
                 F.least(F.col("label"), F.coalesce("_ll", F.col("label"))).alias("label"),
             )
             .localCheckpoint(eager=True)  # cut lineage per round (SURVEY §7 hard part 4)
         )
-        stable = (
-            new_labels.withColumnRenamed("label", "_new")
-            .join(labels, "node")
-            .filter(F.col("_new") != F.col("label"))
-            .isEmpty()
-        )
-        labels = new_labels
+        stable = new_labels.filter(F.col("label") != F.col("_old")).isEmpty()
+        labels = new_labels.select("node", "label")
         if stable:
             return labels
     raise RuntimeError(

@@ -118,6 +118,93 @@ def quality_score(text) -> Column:
     return F.least(F.lit(1.0), F.greatest(F.lit(0.0), q))
 
 
+def _toks(text) -> Column:
+    return F.split(_c(text), r"\s+")
+
+
+def dup_word_frac(text) -> Column:
+    """Fraction of words that are repeats of an earlier word
+    (Gopher/MassiveText-style repetition rule). Pure expression —
+    zero shuffle, runs inside the same narrow pre-filter projection."""
+    toks = _toks(text)
+    n = F.size(toks)
+    return F.when(n == 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(toks))) / n
+    )
+
+
+def top_word_frac(text) -> Column:
+    """Fraction of the document taken by its single most frequent word.
+    O(distinct·n) per row as a pure expression — documents are short by
+    pre-filter contract (longer docs should pass through the exploded
+    groupBy form instead)."""
+    toks = _toks(text)
+    n = F.size(toks)
+    freq = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(F.array_max(freq) / n)
+
+
+def top_bigram_frac(text) -> Column:
+    """Fraction of word-bigram slots taken by the most frequent bigram
+    (the Gopher duplicated-2-gram rule), as a pure expression."""
+    toks = _toks(text)
+    n = F.size(toks)
+    grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    m = F.size(grams)
+    freq = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+    )
+    return F.when(m <= 0, F.lit(0.0)).otherwise(F.array_max(freq) / m)
+
+
+def contamination(docs, bench, n: int = 5, text_col: str = "text",
+                  id_col: str = "doc_id"):
+    """Benchmark decontamination: per-doc count of word n-gram shingles
+    shared with a benchmark set → (doc_id, bench_hits, contaminated).
+
+    The standard eval-leakage check an LLM training pipeline runs
+    before training: any document sharing ≥1 long n-gram with an eval
+    benchmark is flagged. Shape: distinct benchmark shingles (small —
+    broadcast side) inner-joined against corpus shingles, one groupBy,
+    left-joined back so clean docs report 0. At 100 TB the benchmark
+    side stays KBs–MBs, so the join is a broadcast hash join with no
+    corpus shuffle beyond the per-doc count aggregation.
+    """
+    from raft_spark.operators.dedup import shingles
+
+    corpus_sh = shingles(docs, text_col=text_col, id_col=id_col, n=n)
+    bench_sh = (
+        shingles(bench, text_col=text_col, id_col=id_col, n=n)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("bench_hits"))
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("bench_hits", F.lit(0)).cast("long").alias("bench_hits"),
+            (F.coalesce("bench_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
 def fingerprint(text, prefix_len: int = 64) -> Column:
     """Rolling polynomial hash (base 31, mod 1e9+7) of the first
     ``prefix_len`` chars — cheap near-prefix duplicate key."""

@@ -339,6 +339,69 @@ def q_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "repetition_stats",
+    oracle=r"""
+WITH tok AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+g AS (
+    SELECT doc_id, ts, list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bs
+    FROM tok
+)
+SELECT doc_id::BIGINT AS doc_id,
+       round(CASE WHEN len(ts) = 0 THEN 0.0
+             ELSE (len(ts) - len(list_distinct(ts))) / len(ts) END, 6) AS dup_word_frac,
+       round(CASE WHEN len(ts) = 0 THEN 0.0
+             ELSE list_max(list_transform(list_distinct(ts),
+                  w -> len(list_filter(ts, t -> t = w)))) / len(ts) END, 6) AS top_word_frac,
+       round(CASE WHEN len(bs) = 0 THEN 0.0
+             ELSE list_max(list_transform(list_distinct(bs),
+                  b -> len(list_filter(bs, x -> x = b)))) / len(bs) END, 6) AS top_bigram_frac
+FROM g
+""",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText-style repetition filters (duplicate-word
+    fraction, most-frequent word/bigram share) — pure expressions,
+    zero shuffle: the narrow pre-filter projection shape."""
+    docs = load(spark, "documents", sf_dir)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(TQ.dup_word_frac("text"), 6).alias("dup_word_frac"),
+        F.round(TQ.top_word_frac("text"), 6).alias("top_word_frac"),
+        F.round(TQ.top_bigram_frac("text"), 6).alias("top_bigram_frac"),
+    )
+
+
+@query(
+    "contamination",
+    oracle=r"""
+WITH tokc AS (SELECT doc_id, string_split_regex(text, '\s+') AS ts FROM documents),
+shc AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(range(1, greatest(len(ts) - 3, 1)),
+        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' ' || ts[i+3] || ' ' || ts[i+4])) AS shingle
+    FROM tokc
+),
+shb AS (SELECT DISTINCT shingle FROM shc WHERE doc_id % 97 = 0),
+hits AS (
+    SELECT shc.doc_id, count(*) AS h
+    FROM shc JOIN shb USING (shingle) GROUP BY 1
+)
+SELECT d.doc_id::BIGINT AS doc_id,
+       coalesce(h, 0)::BIGINT AS bench_hits,
+       (CASE WHEN coalesce(h, 0) > 0 THEN 1 ELSE 0 END)::INTEGER AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+""",
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-benchmark decontamination: flag documents sharing ≥1 word
+    5-gram with the benchmark subset (doc_id % 97 = 0; benchmark docs
+    flag themselves by construction). Broadcast join against the tiny
+    benchmark shingle set — no corpus-sized shuffle."""
+    docs = load(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return TQ.contamination(docs, bench, n=5)
+
+
+@query(
     "multimodal_meta",
     oracle="""
 SELECT doc_id::BIGINT AS doc_id,

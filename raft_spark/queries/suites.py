@@ -505,17 +505,27 @@ def q_matrix_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _text_quality_oracle() -> str:
     return f"""
 SELECT s.doc_id, s.ws_tokens, s.re_tokens, s.vowel_ratio, s.punct_ratio,
-       s.fingerprint, l.pred_lang, l.true_lang, l.quality
-FROM {_sub('text_stats')} s JOIN {_sub('lang_quality')} l USING (doc_id)
+       s.fingerprint, l.pred_lang, l.true_lang, l.quality,
+       r.dup_word_frac, r.top_word_frac, r.top_bigram_frac,
+       c.bench_hits, c.contaminated
+FROM {_sub('text_stats')} s
+JOIN {_sub('lang_quality')} l USING (doc_id)
+JOIN {_sub('repetition_stats')} r USING (doc_id)
+JOIN {_sub('contamination')} c USING (doc_id)
 """
 
 
 @query("text_quality", oracle=_text_quality_oracle())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text_stats + lang_quality joined on doc_id (token counts,
-    ratios, fingerprint, language-ID heuristic, quality score)."""
-    return PQ.q_text_stats(spark, sf_dir).join(
-        PQ.q_lang_quality(spark, sf_dir), "doc_id"
+    """text_stats + lang_quality + repetition filters + benchmark
+    decontamination joined on doc_id — the full per-document curation
+    pre-filter row (token counts, ratios, fingerprint, language-ID,
+    quality score, Gopher-style repetition shares, eval-leak flag)."""
+    return (
+        PQ.q_text_stats(spark, sf_dir)
+        .join(PQ.q_lang_quality(spark, sf_dir), "doc_id")
+        .join(PQ.q_repetition_stats(spark, sf_dir), "doc_id")
+        .join(PQ.q_contamination(spark, sf_dir), "doc_id")
     )
 
 
