@@ -512,7 +512,13 @@ def knn_pq(
     import numpy as np
     import pandas as pd
 
-    cn = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    # materialize the normalized corpus once: it feeds the codebook
+    # training (count + sample), the encode pass, and the refine join
+    cn = (
+        _norm_table(corpus, id_col, vec_col)
+        .withColumnRenamed("_v", vec_col)
+        .localCheckpoint(eager=True)
+    )
     qn = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
     if codebooks is None:
         codebooks = pq_train(cn, m_subspaces, n_codes, vec_col=vec_col)
@@ -552,6 +558,127 @@ def knn_pq(
     # global shortlist cut (ADC order), then exact re-rank: join the
     # shortlist (tiny — broadcast side) back to the raw normalized
     # vectors; the corpus scan prunes to the |Q|·k_short semi-join.
+    short = select_k(
+        shortlist, group_cols=["qid"], order_col="adc", k=k_short,
+        ascending=False, payload_cols=["nid"], strategy="agg",
+    ).select("qid", "nid")
+    qv = qn.select(F.col("_id").alias("qid"), F.col(vec_col).alias("_vq"))
+    refined = (
+        cn.select(F.col("_id").alias("nid"), F.col(vec_col).alias("_vc"))
+        .join(F.broadcast(short), "nid")
+        .join(F.broadcast(qv), "qid")
+        .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+    )
+    return select_k(
+        refined, group_cols=["qid"], order_col="cosine", k=k,
+        ascending=False, payload_cols=["nid"], strategy="agg",
+    )
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m_subspaces: int = 16,
+    n_codes: int = 16,
+    refine_factor: int = 8,
+    kmeans_iters: int = 3,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """IVF-PQ: the reference's flagship ANN index (neighbors/ivf_pq.cuh
+    semantics) — coarse k-means lists bound the candidate volume
+    (n_probe/n_lists of the corpus), PQ codes of the RESIDUAL
+    ``r = x − centroid(list)`` bound the memory (m ints per vector),
+    ADC lookup tables score candidates without touching raw floats,
+    and the shortlist is exactness-refined (refine.cuh).
+
+    Inner product decomposes as <q, c_list> + <q, r̂>: the first term
+    is one scalar per (query, probed list), the second is the LUT sum
+    over the residual codebooks. Index state shipped to tasks:
+    centroids (n_lists·d) + codebooks (m·n_codes·d/m) — KBs–MBs,
+    independent of corpus size.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cn = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    qn = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    cents = kmeans_centroids(cn, n_lists, n_iters=kmeans_iters,
+                             id_col="_id", vec_col=vec_col)
+    C = np.asarray(cents, dtype=float)
+    n_lists = len(C)
+    n_probe = min(n_probe, n_lists)
+    assigned = ivf_assign(cn, C, vec_col)
+
+    # residual column (one zip_with against the closure-free broadcast
+    # of the row's own centroid would need a join; the Arrow assigner
+    # already touched every row, so compute residuals the same way)
+    def rr(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            R = M - C[pdf["list_id"].to_numpy()]
+            yield pd.DataFrame({
+                "_id": pdf["_id"].to_numpy(),
+                "list_id": pdf["list_id"].to_numpy(),
+                "residual": list(R),
+            })
+
+    # materialize the residual table ONCE: it feeds the codebook
+    # training sample, the encode pass, and the list_id re-attach (at
+    # index scale this is the persisted index-build intermediate)
+    residuals = assigned.mapInPandas(
+        rr, "_id long, list_id int, residual array<double>"
+    ).localCheckpoint(eager=True)
+    books = pq_train(residuals, m_subspaces, n_codes, vec_col="residual")
+    B = np.asarray(books, dtype=float)
+    m, _, dsub = B.shape
+    codes = pq_encode(residuals, B, id_col="_id", vec_col="residual").join(
+        residuals.select(F.col("_id").alias("id"), "list_id"), "id"
+    )
+
+    q_rows = qn.collect()  # Q≪N contract
+    qids = np.array([r["_id"] for r in q_rows])
+    Q = np.array([r[vec_col] for r in q_rows], dtype=float)
+    qc = Q @ C.T  # |Q|×n_lists: the <q, centroid> offsets
+    # per-query probe sets: n_probe nearest centroids by L2 in the
+    # normalized space (same metric as the assigner)
+    d2 = (Q * Q).sum(1)[:, None] - 2.0 * qc + (C * C).sum(1)[None, :]
+    probes = np.argsort(d2, axis=1)[:, :n_probe]
+    probe_mask = np.zeros((len(qids), n_lists), dtype=bool)
+    for qi in range(len(qids)):
+        probe_mask[qi, probes[qi]] = True
+    lut = np.stack([Q[:, s * dsub:(s + 1) * dsub] @ B[s].T for s in range(m)], axis=1)
+    k_short = k * refine_factor
+
+    def pp(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            CC = np.stack(pdf["codes"].to_numpy()).astype(int)
+            lists = pdf["list_id"].to_numpy()
+            nids = pdf["id"].to_numpy()
+            adc = np.zeros((len(CC), len(qids)))
+            for s in range(m):
+                adc += lut[:, s, CC[:, s]].T
+            scores = adc + qc[:, lists].T  # + <q, centroid(list)>
+            for qi in range(len(qids)):
+                keep = probe_mask[qi, lists] & (nids != qids[qi])
+                cand = np.nonzero(keep)[0]
+                if len(cand) == 0:
+                    continue
+                col = scores[:, qi]
+                order = np.lexsort((nids[cand], -col[cand]))
+                top = cand[order[: min(k_short, len(cand))]]
+                yield pd.DataFrame(
+                    {"qid": qids[qi], "nid": nids[top], "adc": col[top]}
+                )
+
+    shortlist = codes.mapInPandas(pp, "qid long, nid long, adc double")
     short = select_k(
         shortlist, group_cols=["qid"], order_col="adc", k=k_short,
         ascending=False, payload_cols=["nid"], strategy="agg",

@@ -81,6 +81,26 @@ def test_symmetrize_single_shuffle(spark, sf_dir):
     assert rep.n_exchanges <= 3, rep.n_exchanges
 
 
+def test_repetition_stats_zero_shuffle(spark, sf_dir):
+    # Gopher-style repetition filters are pure per-row expressions: the
+    # plan must be scan -> (loader repartition) -> project — no
+    # aggregation/join shuffle (the 100 TB pre-filter contract: one
+    # narrow pass over the corpus)
+    rep = audit_plan(QUERIES["repetition_stats"](spark, sf_dir))
+    assert rep.n_exchanges <= 1, rep.n_exchanges  # source repartition only
+    assert rep.n_sortmerge_joins == 0
+    assert "partial_" not in rep.text  # no aggregate anywhere
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_dir):
+    # decontamination joins corpus shingles against the (tiny)
+    # benchmark shingle set: must be a broadcast hash join — a
+    # sort-merge join here would shuffle the full corpus shingle table
+    rep = audit_plan(QUERIES["contamination"](spark, sf_dir))
+    assert rep.n_broadcast_joins >= 1
+    assert "CartesianProduct" not in rep.text
+
+
 def test_knn_cosine_no_global_sort(spark, sf_dir):
     # partial top-k then merge: a global Sort over the scored pairs
     # would mean the select_k went through a single-partition window
