@@ -126,6 +126,37 @@ def ratio(x: ColumnLike) -> Column:
     return F.transform(xc, lambda a: a / total)
 
 
+def quantize_int8(x: ColumnLike) -> Column:
+    """Symmetric per-row int8 quantization: scale = max|x|/127,
+    code = clip(round_half_away(x/scale), ±127) — the standard storage
+    compression for large embedding tables (4 f32 bytes → 1 byte/dim;
+    at 100 TB this is what makes the corpus ADC/rerank tiers fit).
+    All-zero rows quantize to zero codes. Pure expression, zero
+    shuffle; SQL-reproducible (no float rounding ambiguity: the code
+    is sign·floor(|x|/scale·127 + 0.5))."""
+    xc = _c(x)
+    scale = F.array_max(F.transform(xc, F.abs))
+    def code(a):
+        raw = F.floor(F.abs(a) / scale * 127.0 + 0.5)
+        return F.when(scale == 0, F.lit(0.0)).otherwise(
+            F.signum(a) * F.least(raw, F.lit(127.0))
+        )
+    return F.transform(xc, code)
+
+
+def dequantize_int8(x: ColumnLike) -> Column:
+    """Round-trip reconstruction of :func:`quantize_int8` (code·scale/127)
+    — quantize→dequantize bounds the per-entry error at scale/254."""
+    xc = _c(x)
+    scale = F.array_max(F.transform(xc, F.abs))
+    def code(a):
+        raw = F.floor(F.abs(a) / scale * 127.0 + 0.5)
+        return F.when(scale == 0, F.lit(0.0)).otherwise(
+            F.signum(a) * F.least(raw, F.lit(127.0))
+        )
+    return F.transform(xc, lambda a: code(a) * scale / 127.0)
+
+
 def slice_cols(x: ColumnLike, start: int, length: int) -> Column:
     """Column-range slice (matrix/slice.cuh:36); 0-based start."""
     return F.slice(_c(x), start + 1, length)

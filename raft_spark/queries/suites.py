@@ -53,7 +53,8 @@ w AS (
     SELECT vec_id, pos, x,
            sqrt(sum(x*x) OVER (PARTITION BY vec_id)) AS nrm,
            sum(x)       OVER (PARTITION BY vec_id) AS rs,
-           avg(x)       OVER (PARTITION BY pos)    AS cm
+           avg(x)       OVER (PARTITION BY pos)    AS cm,
+           max(abs(x))  OVER (PARTITION BY vec_id) AS mx
     FROM long
 )
 SELECT 'normalize' AS op, vec_id::BIGINT AS id, pos::BIGINT AS pos,
@@ -68,6 +69,16 @@ SELECT 'ratio', vec_id::BIGINT, pos::BIGINT, round(x / rs, 6) FROM w
 UNION ALL
 SELECT 'threshold', vec_id::BIGINT, pos::BIGINT,
        CASE WHEN abs(x) < 0.05 THEN 0.0 ELSE round(x, 6) END FROM w
+UNION ALL
+SELECT 'quant_i8', vec_id::BIGINT, pos::BIGINT,
+       round(CASE WHEN mx = 0 THEN 0.0
+             ELSE sign(x) * least(floor(abs(x) / mx * 127.0 + 0.5), 127.0) END, 6)
+FROM w
+UNION ALL
+SELECT 'dequant_i8', vec_id::BIGINT, pos::BIGINT,
+       round(CASE WHEN mx = 0 THEN 0.0
+             ELSE sign(x) * least(floor(abs(x) / mx * 127.0 + 0.5), 127.0) * mx / 127.0 END, 6)
+FROM w
 """
 
 
@@ -100,6 +111,8 @@ def q_dense_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         long("ratio", m, A.ratio("features")),
         long("threshold", m, A.threshold("features", 0.05)),
+        long("quant_i8", m, A.quantize_int8("features")),
+        long("dequant_i8", m, A.dequantize_int8("features")),
     ]
     out = parts[0]
     for p in parts[1:]:
