@@ -86,6 +86,73 @@ def cosine_pairs(
     ).filter(F.col("cosine") >= min_cosine)
 
 
+_METRICS = {
+    "inner": lambda a, b: A.dot(a, b),
+    "cosine": lambda a, b: A.cosine_similarity(a, b),
+    "sqeuclidean": lambda a, b: F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ),
+    "l2": lambda a, b: F.sqrt(_METRICS["sqeuclidean"](a, b)),
+    "l1": lambda a, b: F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: F.abs(x - y)),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ),
+}
+
+
+def pairwise_distances(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "features",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """All-pairs distance/similarity table → (a, b, dist) — the
+    reference's pairwise-distance family (distance namespace; moved to
+    cuVS in this snapshot) over the blocked-join execution shape of
+    :func:`cosine_pairs`: both sides get a deterministic block id, the
+    block-pair table broadcasts, and two shuffle equi-joins realize the
+    product with bounded task memory — never a BroadcastNestedLoopJoin.
+
+    With ``right=None`` computes the symmetric self-product (a < b).
+    Metrics: l2, sqeuclidean, l1, cosine, inner. O(n·m) work is
+    inherent — this is the exact-computation primitive; use the knn_*
+    tiers when a shortlist is enough.
+    """
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    spark = left.sparkSession
+    symmetric = right is None
+    right = left if right is None else right
+    lb = left.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_ba"),
+    )
+    rb = right.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bb"),
+    )
+    blocks = spark.range(n_blocks * n_blocks).select(
+        (F.col("id") / n_blocks).cast("long").alias("_ba"),
+        (F.col("id") % n_blocks).alias("_bb"),
+    )
+    if symmetric:
+        blocks = blocks.filter(F.col("_ba") <= F.col("_bb"))
+    cand = lb.join(F.broadcast(blocks), "_ba").join(rb, "_bb")
+    if symmetric:
+        cand = cand.filter(
+            (F.col("_ba") < F.col("_bb"))
+            | ((F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
+        )
+        out_a, out_b = F.least("a", "b"), F.greatest("a", "b")
+    else:
+        out_a, out_b = F.col("a"), F.col("b")
+    d = F.round(_METRICS[metric]("_va", "_vb"), 6)
+    return cand.select(out_a.alias("a"), out_b.alias("b"), d.alias("dist"))
+
+
 def knn_brute(
     corpus: DataFrame,
     queries: DataFrame,
