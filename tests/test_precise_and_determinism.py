@@ -70,3 +70,33 @@ def test_grouped_aggregation_partitioning_invariance(spark, sf_dir):
         .collect()
     }
     assert out1 == out2
+
+
+def test_int8_quantization_roundtrip_bound(spark):
+    """quantize_int8 -> dequantize_int8 error is bounded by scale/254
+    per entry (half a quantization step), codes are integral in
+    [-127, 127], and all-zero rows survive."""
+    import numpy as np
+
+    from raft_spark.functions import arrays as A
+
+    rng = np.random.RandomState(0)
+    vecs = [rng.uniform(-5, 5, 16).tolist() for _ in range(50)] + [[0.0] * 16]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, features array<double>"
+    )
+    out = df.select(
+        "id",
+        A.quantize_int8("features").alias("q"),
+        A.dequantize_int8("features").alias("dq"),
+    ).collect()
+    for r in out:
+        orig = np.array(vecs[r["id"]])
+        q = np.array(r["q"])
+        dq = np.array(r["dq"])
+        assert np.all(q == np.round(q)) and np.all(np.abs(q) <= 127)
+        scale = np.abs(orig).max()
+        if scale == 0:
+            assert np.all(q == 0) and np.all(dq == 0)
+            continue
+        assert np.all(np.abs(orig - dq) <= scale / 254 + 1e-12), r["id"]
