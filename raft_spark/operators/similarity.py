@@ -33,6 +33,23 @@ def _norm_table(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+MAX_COLLECT_QUERIES = 20_000
+
+
+def _collect_queries(qn: DataFrame, limit: int = MAX_COLLECT_QUERIES):
+    """Driver-guarded collect of an ANN query side (the Q≪N contract of
+    the LUT/closure paths): raises with a clear remedy instead of
+    silently OOMing the driver when handed a corpus-sized frame."""
+    rows = qn.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"ANN query side exceeds the Q<<N contract ({limit} rows): "
+            "batch the queries (or use knn_brute strategy='expr' for "
+            "corpus-scale query sides)"
+        )
+    return rows
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -593,7 +610,7 @@ def knn_pq(
     m, _, dsub = B.shape
     codes_df = pq_encode(cn, B, id_col="_id", vec_col=vec_col)
 
-    q_rows = qn.collect()  # Q≪N contract, same as knn_brute numpy path
+    q_rows = _collect_queries(qn)  # Q≪N contract, same as knn_brute numpy path
     qids = np.array([r["_id"] for r in q_rows])
     Q = np.array([r[vec_col] for r in q_rows], dtype=float)
     # LUT[qi, s, c] = <q_sub, codeword> — approx IP decomposes per subspace
@@ -708,7 +725,7 @@ def knn_ivf_pq(
         residuals.select(F.col("_id").alias("id"), "list_id"), "id"
     )
 
-    q_rows = qn.collect()  # Q≪N contract
+    q_rows = _collect_queries(qn)  # Q≪N contract
     qids = np.array([r["_id"] for r in q_rows])
     Q = np.array([r[vec_col] for r in q_rows], dtype=float)
     qc = Q @ C.T  # |Q|×n_lists: the <q, centroid> offsets
