@@ -242,6 +242,35 @@ def global_rank(
     )
 
 
+def quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps: list[float],
+    tie_cols: list[str] | None = None,
+) -> DataFrame:
+    """EXACT distributed quantiles → (p, value): the element at 1-based
+    rank ``floor(p·(n−1)) + 1`` under the total order
+    (value, *tie_cols) — lower-interpolation discrete percentile with a
+    deterministic tie-break, so the result is unique and
+    SQL-reproducible.
+
+    Runs on :func:`global_rank` (range repartition + partitioned
+    window + offset join): scales as a distributed sort, never a
+    single-partition window — the shape percentile_disc needs at
+    100 TB. One count() for n, one broadcast of the |ps| target ranks.
+    """
+    tie_cols = tie_cols or []
+    order = [value_col, *tie_cols]
+    ranked = global_rank(df.select(*order), order, rank_name="_r")
+    n = df.count()
+    targets = [(float(p), int(p * (n - 1)) + 1) for p in ps]
+    tdf = df.sparkSession.createDataFrame(targets, "p double, _r long")
+    return (
+        ranked.join(F.broadcast(tdf), "_r")
+        .select("p", F.col(value_col).alias("value"))
+    )
+
+
 def covariance(
     df: DataFrame,
     features_col: str = "features",

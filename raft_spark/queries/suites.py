@@ -192,6 +192,11 @@ gm AS (SELECT pos, avg(x) AS g FROM longe GROUP BY 1),
 per AS (
     SELECT k, any_value(nc) AS nc, sum(pow(s / nc - g, 2)) AS sq
     FROM cl JOIN gm USING (pos) GROUP BY k
+),
+evr AS (
+    SELECT value, row_number() OVER (ORDER BY value, event_id) AS r,
+           count(*) OVER () AS n
+    FROM events
 )
 SELECT 'accuracy' AS metric,
        round(avg(CASE WHEN truth = pred THEN 1.0 ELSE 0.0 END), 6) AS value FROM cls
@@ -201,6 +206,12 @@ UNION ALL
 SELECT 'dispersion', round(sum(nc * sq), 6) FROM per
 UNION ALL
 SELECT 'n_clusters', count(DISTINCT k)::DOUBLE FROM per
+UNION ALL
+SELECT 'p50_ev', round(value, 6) FROM evr WHERE r = floor(0.5 * (n - 1)) + 1
+UNION ALL
+SELECT 'p90_ev', round(value, 6) FROM evr WHERE r = floor(0.9 * (n - 1)) + 1
+UNION ALL
+SELECT 'p99_ev', round(value, 6) FROM evr WHERE r = floor(0.99 * (n - 1)) + 1
 """
 )
 
@@ -221,7 +232,22 @@ def q_stats_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.round("dispersion", 6).alias("value"))
     d2 = disp.select(F.lit("n_clusters").alias("metric"),
                      F.col("n_clusters").cast("double").alias("value"))
-    return acc.unionByName(kl).unionByName(d1).unionByName(d2)
+    # exact distributed quantiles (rank-based, no single-partition sort)
+    from raft_spark.sources.tables import load
+
+    ev = load(spark, "events", sf_dir).select("value", "event_id")
+    qs = R.quantiles(ev, "value", [0.5, 0.9, 0.99], tie_cols=["event_id"])
+    qrows = qs.select(
+        F.concat(
+            F.lit("p"),
+            F.when(F.col("p") == 0.5, F.lit("50"))
+            .when(F.col("p") == 0.9, F.lit("90"))
+            .otherwise(F.lit("99")),
+            F.lit("_ev"),
+        ).alias("metric"),
+        F.round("value", 6).alias("value"),
+    )
+    return acc.unionByName(kl).unionByName(d1).unionByName(d2).unionByName(qrows)
 
 
 # ---------------------------------------------------------------------------
