@@ -1,0 +1,99 @@
+"""Parameter-sweep microbench, mirroring the reference's select_k
+googlebench sweep (cpp/bench/prims/matrix/select_k.cu:141-166: batch×len
+grids with k ∈ {1..256}) on the two operators whose physical strategy
+actually changes with the parameters:
+
+- grouped select_k over a long-form table: groups × rows/group × k
+  (partial two-phase vs window strategies)
+- brute-force kNN: corpus × queries × k (numpy partial-top-k path)
+
+Inputs are generated from the deterministic counter-based RNG (the
+reference's benches generate from rng too), so the sweep is reproducible
+anywhere. Prints one JSON line per cell plus a total; run:
+
+    python tools/sweep.py [--quick]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from raft_spark.functions.rng import uniform  # noqa: E402
+from raft_spark.operators.selectk import select_k  # noqa: E402
+from raft_spark.operators.similarity import knn_brute  # noqa: E402
+from raft_spark.session import get_spark  # noqa: E402
+
+
+def gen_long(spark, n_rows: int, n_groups: int):
+    """(group, payload, score) long-form table from the counter RNG."""
+    return (
+        spark.range(n_rows)
+        .select(
+            (F.col("id") % n_groups).alias("g"),
+            F.col("id").alias("payload"),
+            uniform(F.col("id"), seed=7).alias("score"),
+        )
+    )
+
+
+def gen_vectors(spark, n: int, d: int, tag: int):
+    cols = F.array(*[uniform(F.col("id") * d + j, seed=100 + tag) for j in range(d)])
+    return spark.range(n).select("id", cols.alias("features"))
+
+
+def main() -> None:
+    quick = "--quick" in sys.argv
+    spark = get_spark(app_name="raft_spark_sweep")
+    spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").count()
+
+    cells = []
+
+    sk_grid = [
+        (100_000, 100, 8),
+        (100_000, 100, 64),
+        (100_000, 10, 256),
+        (600_000, 1000, 8),
+        (600_000, 1, 64),       # one giant group — the skew case
+    ]
+    if quick:
+        sk_grid = sk_grid[:2]
+    for n_rows, n_groups, k in sk_grid:
+        df = gen_long(spark, n_rows, n_groups).localCheckpoint(eager=True)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            select_k(df, ["g"], "score", k, payload_cols=["payload"]).count()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        cells.append({"op": "select_k", "rows": n_rows, "groups": n_groups,
+                      "k": k, "sec": round(best, 3)})
+        print(json.dumps(cells[-1]), flush=True)
+
+    knn_grid = [(50_000, 100, 64, 10), (50_000, 500, 64, 10), (200_000, 100, 64, 10)]
+    if quick:
+        knn_grid = knn_grid[:1]
+    for n_corpus, n_q, d, k in knn_grid:
+        corpus = gen_vectors(spark, n_corpus, d, 1).localCheckpoint(eager=True)
+        queries = gen_vectors(spark, n_q, d, 2).localCheckpoint(eager=True)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            knn_brute(corpus, queries, k=k).count()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        cells.append({"op": "knn_brute", "corpus": n_corpus, "queries": n_q,
+                      "d": d, "k": k, "sec": round(best, 3)})
+        print(json.dumps(cells[-1]), flush=True)
+
+    print(json.dumps({"metric": "sweep_cells", "value": len(cells),
+                      "total_sec": round(sum(c["sec"] for c in cells), 3)}))
+
+
+if __name__ == "__main__":
+    main()
