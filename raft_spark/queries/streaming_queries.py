@@ -131,7 +131,7 @@ sums AS (
 ranked AS (
     SELECT win_start, user_id, total,
            row_number() OVER (
-               PARTITION BY win_start ORDER BY total DESC, user_id DESC
+               PARTITION BY win_start ORDER BY total DESC, user_id ASC
            ) AS rank
     FROM sums
 )

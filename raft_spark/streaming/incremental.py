@@ -171,30 +171,16 @@ def windowed_topk_events(
 
 def finalize_topk(partials: DataFrame, k: int = 5) -> DataFrame:
     """Batch finalizer: exact top-k users per closed window from the
-    streamed partial sums (single partial-agg groupBy, no full sort)."""
-    return (
-        partials.groupBy("win_start")
-        .agg(
-            F.slice(
-                F.sort_array(
-                    F.collect_list(F.struct(F.col("total"), F.col("user_id"))),
-                    asc=False,
-                ),
-                1,
-                k,
-            ).alias("top")
-        )
-        .select(
-            "win_start",
-            F.posexplode("top").alias("rank0", "e"),
-        )
-        .select(
-            "win_start",
-            (F.col("rank0") + 1).alias("rank"),
-            F.col("e.user_id").alias("user_id"),
-            F.col("e.total").alias("total"),
-        )
-    )
+    streamed partial sums, through the bounded two-phase ``select_k``
+    (O(k) aggregation state per task — a windows-worth of users never
+    buffers in one collect_list, the same unbounded-state trap the
+    salted select_k phase-1 had). Ties: total desc, user_id asc."""
+    from raft_spark.operators.selectk import select_k
+
+    return select_k(
+        partials, group_cols=["win_start"], order_col="total", k=k,
+        ascending=False, payload_cols=["user_id"],
+    ).select("win_start", "rank", "user_id", "total")
 
 
 def running_topk_stateful(
