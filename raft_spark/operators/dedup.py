@@ -144,6 +144,61 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_signature_expr(text_col, num_perms: int = NUM_PERMS):
+    """MinHash signature as ONE stateless per-row expression — no vocab
+    build, no explode/groupBy: term ids come from xxhash64(term) (the
+    documented 100 TB path) and sig[p] = array_min over the row's
+    distinct tokens. Because it is a pure projection it runs identically
+    on batch frames and un-watermarked streams (append mode), which is
+    what makes streaming near-dup lookup possible with ZERO stream
+    state."""
+    toks = F.array_distinct(F.split(_col(text_col), r"\s+"))
+
+    def perm_min(p: int):
+        a, b = perm_consts(p)
+        return F.array_min(
+            F.transform(
+                toks,
+                lambda t: (F.lit(a) * F.pmod(F.xxhash64(t), F.lit(P31)) + F.lit(b))
+                % P31,
+            )
+        )
+
+    return F.array(*[perm_min(p) for p in range(num_perms)])
+
+
+def band_table(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perms: int = NUM_PERMS,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """(doc_id, band, bsig) LSH band rows from the stateless signature
+    expression — valid on batch tables AND streaming frames (pure
+    projection + generator). The static side of a stream-static
+    near-dup lookup is exactly this table, precomputed and stored."""
+    n_bands = num_perms // band_rows
+    sig = minhash_signature_expr(text_col, num_perms)
+    structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[sig[b * band_rows + r].cast("string") for r in range(band_rows)],
+            ).alias("bsig"),
+        )
+        for b in range(n_bands)
+    ])
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.explode(structs).alias("_b")
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig"))
+
+
+def _col(c):
+    return F.col(c) if isinstance(c, str) else c
+
+
 def dedup_clusters(
     pairs: DataFrame,
     docs: DataFrame,

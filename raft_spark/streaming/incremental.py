@@ -288,6 +288,38 @@ def sessionize(
     )
 
 
+def streaming_neardup_candidates(
+    doc_stream: DataFrame,
+    static_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming near-duplicate candidate lookup: each arriving document
+    is banded by the STATELESS per-row MinHash expression
+    (dedup.minhash_signature_expr — no vocab, no aggregation, so the
+    stream carries zero state) and equi-joined against a precomputed
+    static band index (dedup.band_table over the reference corpus).
+    Emits (doc_id, cand_id, band) in append mode.
+
+    The stream-static join re-plans the static side per micro-batch;
+    at scale the index is a bucketed/partitioned table on (band, bsig)
+    so each batch's probe is a pruned lookup, and candidates feed the
+    same exact-verify stage as the batch pipeline (est_jaccard /
+    ngram_jaccard on the candidate pairs only).
+    """
+    from raft_spark.operators.dedup import band_table
+
+    stream_bands = band_table(doc_stream, text_col=text_col, id_col=id_col)
+    idx = static_index.select(
+        F.col("doc_id").alias("cand_id"), "band", "bsig"
+    )
+    return (
+        stream_bands.join(idx, ["band", "bsig"])
+        .filter(F.col("doc_id") != F.col("cand_id"))
+        .select("doc_id", "cand_id", "band")
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once projection of a stream with redelivery: drop exact
     duplicates by event_id within the watermark (state = seen ids inside

@@ -130,3 +130,38 @@ def test_running_topk_stateful(spark, events_dir, batch_events):
         vals = sorted((e["value"] for e in r["top"]), reverse=True)
         got_vals = sorted((v for _, v, _ in got[r["event_type"]]), reverse=True)
         assert got_vals == pytest.approx(vals)
+
+
+def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-static near-dup lookup: streaming the corpus against its
+    own precomputed band index must reproduce the batch twin exactly
+    (the signature expression is stateless, so stream == batch)."""
+    import shutil as _sh
+
+    from raft_spark.operators.dedup import band_table
+    from raft_spark.sources.tables import load
+
+    d = tmp_path_factory.mktemp("docs_stream")
+    _sh.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+    docs = load(spark, "documents", sf_dir)
+    index = band_table(docs)
+
+    sch = spark.read.parquet(str(d)).schema
+    doc_stream = spark.readStream.schema(sch).parquet(str(d))
+    out = S.streaming_neardup_candidates(doc_stream, index)
+    S.run_to_memory_sink(out, "neardup_sink", output_mode="append")
+    got = {(r["doc_id"], r["cand_id"], r["band"]) for r in _rows(spark, "neardup_sink")}
+
+    sb = band_table(docs)
+    want = {
+        (r["doc_id"], r["cand_id"], r["band"])
+        for r in sb.join(
+            index.select(F.col("doc_id").alias("cand_id"), "band", "bsig"),
+            ["band", "bsig"],
+        )
+        .filter(F.col("doc_id") != F.col("cand_id"))
+        .select("doc_id", "cand_id", "band")
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the synthetic corpus has near-dups
