@@ -92,6 +92,47 @@ def lang_id_model(df, text_col: str = "text", id_col: str = "doc_id",
         )
 
 
+def token_count_model(df, text_col: str = "text", id_col: str = "doc_id",
+                      tokenizer_path: str | None = None):
+    """Model-backed token counting (import-try seam, mirrors
+    lang_id_model / the multimodal decode): with HuggingFace
+    ``tokenizers`` installed and a tokenizer.json path, runs an
+    Arrow-batched mapInPandas encode (batch tokenization on the
+    executors — the real cost model of a 100 TB token-count pass);
+    otherwise falls back to the BPE-ish regex expression so pipelines
+    keep working in model-less environments → (id, n_tokens, method).
+    """
+    try:  # pragma: no cover - tokenizers absent in this container
+        import tokenizers  # type: ignore
+
+        if tokenizer_path is None:
+            raise ImportError("no tokenizer path")
+        tok = tokenizers.Tokenizer.from_file(tokenizer_path)
+
+        def op(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                encs = tok.encode_batch(list(pdf[text_col]))
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "n_tokens": [len(e.ids) for e in encs],
+                        "method": "bpe_model",
+                    }
+                )
+
+        return df.select(id_col, text_col).mapInPandas(
+            op, schema=f"{id_col} long, n_tokens long, method string"
+        )
+    except ImportError:
+        return df.select(
+            F.col(id_col),
+            re_token_count(text_col).alias("n_tokens"),
+            F.lit("regex_fallback").alias("method"),
+        )
+
+
 def punct_ratio(text) -> Column:
     t = _c(text)
     n = F.length(t)

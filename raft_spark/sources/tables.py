@@ -71,6 +71,34 @@ def load_all(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, Dat
     return {t: load(spark, t, sf_dir) for t in TABLES}
 
 
+DOCS_SCHEMA = "doc_id long, lang string, text string"
+
+
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, schema: str = DOCS_SCHEMA
+) -> DataFrame:
+    """LLM corpora ship as JSONL (one JSON doc per line, often
+    gzip-compressed — Spark's json source handles .gz transparently).
+    An EXPLICIT schema is required: schema inference re-reads the whole
+    input on the driver-coordinated sampling pass, which at 100 TB is a
+    second full scan before any work starts. Corrupt lines land in
+    ``_corrupt_record`` instead of failing the job (PERMISSIVE mode) so
+    one bad shard cannot kill a corpus-wide run."""
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+
+
+def write_jsonl_corpus(df: DataFrame, path: str, partitions: int | None = None) -> None:
+    """Write a corpus back to JSONL shards (one file per partition —
+    the interchange format downstream tokenizer/training jobs expect)."""
+    out = df if partitions is None else df.repartition(partitions)
+    out.write.mode("overwrite").json(path)
+
+
 def embeddings_matrix(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Canonical dense row-vector table from the embeddings parquet.
 
