@@ -83,6 +83,28 @@ def uniform_int(id_col, lo: int, hi: int, seed: int = 42, stream: int = 0) -> Co
     return (F.lit(lo) + F.floor(uniform(id_col, seed, stream) * F.lit(hi - lo))).cast("long")
 
 
+def stratified_sample(
+    df,
+    strata_col: str,
+    fracs: dict,
+    id_col: str = "id",
+    seed: int = 42,
+    default_frac: float = 0.0,
+):
+    """Deterministic per-stratum Bernoulli sampling: keep a row iff
+    uniform(id, seed) < frac(stratum) — the language/domain-mix
+    rebalancing step of a corpus pipeline. Counter-based draw ⇒ a
+    narrow filter (pushes to the scan), reproducible across retries /
+    partitionings / engines, and a row's fate never changes when other
+    rows appear (stable under incremental corpus growth). Returns the
+    input rows + the draw as ``_draw``."""
+    u = uniform(F.col(id_col), seed)
+    frac = F.lit(float(default_frac))
+    for k, v in sorted(fracs.items()):
+        frac = F.when(F.col(strata_col) == k, F.lit(float(v))).otherwise(frac)
+    return df.withColumn("_draw", u).filter(F.col("_draw") < frac)
+
+
 def normal(id_col, mu: float = 0.0, sigma: float = 1.0, seed: int = 42) -> Column:
     """N(mu, sigma) via Box–Muller on two independent streams
     (rng.cuh normal)."""

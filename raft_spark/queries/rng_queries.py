@@ -262,3 +262,31 @@ def q_mvn(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = acc + F.lit(L[r][j]) * zs[j]
         xs.append(F.round(acc, 6).alias(f"x{r}"))
     return e.select(F.col("id").cast("bigint").alias("id"), *xs)
+
+
+@query(
+    "stratified_sample",
+    oracle=f"""
+SELECT doc_id::BIGINT AS doc_id, lang,
+       round({sql_uniform('doc_id', SEED, 0)}, 6) AS draw
+FROM documents
+WHERE {sql_uniform('doc_id', SEED, 0)} <
+      CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 0.1 END
+""",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum Bernoulli sample (language-mix
+    rebalance): keep iff uniform(doc_id) < frac(lang). Counter-based
+    draw — reproducible across engines, partitionings and retries."""
+    from raft_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    out = rng.stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25}, id_col="doc_id",
+        seed=SEED, default_frac=0.1,
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "lang",
+        F.round("_draw", 6).alias("draw"),
+    )

@@ -650,6 +650,8 @@ UNION ALL
 SELECT 'permute', id, -1::BIGINT, new_pos::DOUBLE FROM {_sub('permute')}
 UNION ALL
 SELECT 'rmat', edge_id, row, col::DOUBLE FROM {_sub('rmat_graph')}
+UNION ALL
+SELECT 'strat', doc_id, -1::BIGINT, draw FROM {_sub('stratified_sample')}
 """
 
 
@@ -670,7 +672,11 @@ def q_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("rmat").alias("op"), F.col("edge_id").alias("a"),
         F.col("row").alias("b"), F.col("col").cast("double").alias("v"),
     )
-    return swr.unionByName(perm).unionByName(rmat)
+    strat = RQ.q_stratified_sample(spark, sf_dir).select(
+        F.lit("strat").alias("op"), F.col("doc_id").alias("a"),
+        F.lit(-1).cast("long").alias("b"), F.col("draw").alias("v"),
+    )
+    return swr.unionByName(perm).unionByName(rmat).unionByName(strat)
 
 
 # ---------------------------------------------------------------------------
