@@ -749,6 +749,78 @@ def connected_components(coo: DataFrame, max_iters: int = 64) -> DataFrame:
     )
 
 
+def pagerank(
+    coo: DataFrame,
+    alpha: float = 0.85,
+    max_iters: int = 50,
+    tol: float = 1e-6,
+) -> DataFrame:
+    """PageRank over a directed edge table (row → col) → (node, rank),
+    Σrank = 1. Extension beyond the reference surface (RAFT's spectral
+    partitioning covers the adjacent eigen-problem; PageRank itself
+    lives downstream in cuGraph) — included because it is THE canonical
+    iterative join-agg on the engine's COO model.
+
+    Distributed shape per iteration: one edges⋈ranks join + one groupBy
+    (shuffle O(edges)), one scalar agg for the dangling mass, lineage
+    cut via localCheckpoint. Driver state: two scalars. Converges when
+    the L1 delta < tol (checked on the same pass that computes it).
+    """
+    edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
+    nodes = (
+        edges.select(F.col("row").alias("node"))
+        .unionAll(edges.select(F.col("col").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return coo.sparkSession.createDataFrame([], "node long, rank double")
+    deg = edges.groupBy("row").agg(F.count("*").alias("_deg"))
+    # out-degree rides on the node table; dangling nodes keep _deg NULL
+    base = nodes.join(deg.withColumnRenamed("row", "node"), "node", "left") \
+        .localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    ranks = base.select("node", "_deg", F.lit(1.0 / n).alias("rank"))
+    for _ in range(max_iters):
+        dangling = (
+            ranks.filter(F.col("_deg").isNull()).agg(F.sum("rank").alias("s"))
+            .collect()[0]["s"] or 0.0
+        )
+        contrib = (
+            edges.join(
+                ranks.select(F.col("node").alias("row"),
+                             (F.col("rank") / F.col("_deg")).alias("_c")),
+                "row",
+            )
+            .groupBy("col")
+            .agg(F.sum("_c").alias("_in"))
+            .withColumnRenamed("col", "node")
+        )
+        new_ranks = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                "_deg",
+                (
+                    F.lit((1.0 - alpha) / n)
+                    + F.lit(alpha) * (F.coalesce("_in", F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.select("node", F.col("rank").alias("_new"))
+            .join(ranks.select("node", "rank"), "node")
+            .agg(F.sum(F.abs(F.col("_new") - F.col("rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks.select("node", "rank")
+
+
 # ---------------------------------------------------------------------------
 # batched linear assignment (solver/linear_assignment.cuh)
 # ---------------------------------------------------------------------------

@@ -319,3 +319,39 @@ def test_lanczos_sm_and_vectors(spark, rng):
         lam = evals[c]
         assert abs(np.linalg.norm(v[:, c]) - 1.0) < 1e-6
         assert np.linalg.norm(lap @ v[:, c] - lam * v[:, c]) < 1e-5
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from raft_spark.operators.solvers import pagerank
+
+    rng = np.random.RandomState(3)
+    n = 60
+    edges = set()
+    for _ in range(300):
+        a, b = rng.randint(0, n, 2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    edges = sorted(edges)
+    df = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "row long, col long, value double"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(df, alpha=0.85, tol=1e-10).collect()}
+
+    # numpy reference with identical dangling handling
+    present = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(present)}
+    m = len(present)
+    A = np.zeros((m, m))
+    for a, b in edges:
+        A[idx[b], idx[a]] = 1.0
+    outdeg = A.sum(0)
+    r = np.full(m, 1.0 / m)
+    for _ in range(200):
+        dangling = r[outdeg == 0].sum()
+        contrib = A @ np.divide(r, outdeg, out=np.zeros(m), where=outdeg > 0)
+        r = (1 - 0.85) / m + 0.85 * (contrib + dangling / m)
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    for v in present:
+        assert got[v] == pytest.approx(r[idx[v]], abs=1e-6)
