@@ -170,6 +170,80 @@ def pairwise_distances(
     return cand.select(out_a.alias("a"), out_b.alias("b"), d.alias("dist"))
 
 
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int = 4,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "features",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """DBSCAN from the engine's own primitives → (id, cluster, kind)
+    with kind ∈ {core, border, noise} and cluster = −1 for noise.
+
+    Composition (no new physical machinery): ε-neighborhood pairs from
+    the blocked :func:`pairwise_distances`; core points by a degree
+    count (≥ min_pts−1 neighbors, the point itself supplies the
+    min_pts-th); clusters = connected components over CORE–CORE edges
+    (pointer-jumped, checkpointed); border points attach to the
+    smallest adjacent core cluster (deterministic). Exact ε-pairing is
+    O(n²) like the reference's pairwise kernels — at corpus scale feed
+    the pair stage from LSH/IVF buckets instead; the composition after
+    the pair table is unchanged.
+    """
+    from raft_spark.operators.solvers import connected_components
+
+    pairs = pairwise_distances(
+        df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+    ).filter(F.col("dist") <= eps).select("a", "b").localCheckpoint(eager=True)
+    sym = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
+    core = deg.filter(F.col("_deg") >= min_pts - 1).select(F.col("a").alias("_c"))
+    core_edges = (
+        pairs.join(core.withColumnRenamed("_c", "a"), "a", "left_semi")
+        .join(core.withColumnRenamed("_c", "b"), "b", "left_semi")
+    )
+    labels = connected_components(
+        core_edges.select(F.col("a").alias("row"), F.col("b").alias("col"))
+    )
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    core_ids = core.select(F.col("_c").cast("long").alias("id")).localCheckpoint(
+        eager=True
+    )
+    # isolated core points (min_pts=1 style, no core neighbor) keep
+    # their own id as cluster
+    core_lab = (
+        core_ids.join(labels.withColumnRenamed("node", "id"), "id", "left")
+        .select("id", F.coalesce("label", F.col("id")).alias("cluster"))
+    )
+    # border: non-core with ≥1 core neighbor → smallest adjacent core cluster
+    border_lab = (
+        sym.withColumnRenamed("a", "id")
+        .join(core_ids.withColumnRenamed("id", "b"), "b", "left_semi")
+        .join(core_lab.select(F.col("id").alias("b"), "cluster"), "b")
+        .join(core_ids, "id", "left_anti")
+        .groupBy("id")
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = (
+        ids.join(core_lab.withColumn("kind", F.lit("core")), "id", "left")
+        .join(
+            border_lab.withColumnRenamed("cluster", "_bc").withColumn(
+                "_bk", F.lit("border")
+            ),
+            "id",
+            "left",
+        )
+        .select(
+            "id",
+            F.coalesce("cluster", "_bc", F.lit(-1)).cast("long").alias("cluster"),
+            F.coalesce("kind", "_bk", F.lit("noise")).alias("kind"),
+        )
+    )
+    return out
+
+
 def knn_brute(
     corpus: DataFrame,
     queries: DataFrame,

@@ -66,3 +66,62 @@ def test_pairwise_plan_is_blocked(spark, xs):
     rep = audit_plan(pairwise_distances(sub, metric="l1"))
     assert "BroadcastNestedLoopJoin" not in rep.text
     assert "CartesianProduct" not in rep.text
+
+
+def test_dbscan_matches_naive(spark):
+    """DBSCAN composition vs a naive driver implementation on blobby
+    2-D points: identical core/border/noise kinds and identical cluster
+    partitions (labels compared up to renaming)."""
+    import numpy as np
+
+    from raft_spark.operators.similarity import dbscan
+
+    rng = np.random.RandomState(7)
+    pts = np.vstack([
+        rng.normal((0, 0), 0.3, (30, 2)),
+        rng.normal((5, 5), 0.3, (30, 2)),
+        rng.normal((0, 5), 0.3, (5, 2)),     # small group (below min_pts reach)
+        rng.uniform(-10, 10, (8, 2)),        # scattered noise
+    ])
+    n = len(pts)
+    df = spark.createDataFrame(
+        [(i, pts[i].tolist()) for i in range(n)], "id long, features array<double>"
+    )
+    eps, min_pts = 0.9, 4
+    got = {r["id"]: (r["cluster"], r["kind"]) for r in dbscan(df, eps, min_pts).collect()}
+    assert len(got) == n
+
+    # naive reference
+    d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(2) ** 0.5
+    # mirror the operator's rounding of distances before thresholding
+    d2 = np.sign(d2) * np.floor(np.abs(d2) * 1e6 + 0.5) / 1e6
+    neigh = [set(np.nonzero((d2[i] <= eps))[0]) - {i} for i in range(n)]
+    is_core = [len(neigh[i]) >= min_pts - 1 for i in range(n)]
+    lab = [-1] * n
+    for i in range(n):
+        if is_core[i] and lab[i] == -1:
+            stack, comp = [i], []
+            seen = {i}
+            while stack:
+                u = stack.pop()
+                comp.append(u)
+                for v in neigh[u]:
+                    if is_core[v] and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            m = min(comp)
+            for u in comp:
+                lab[u] = m
+    kinds = []
+    for i in range(n):
+        if is_core[i]:
+            kinds.append("core")
+        elif any(is_core[v] for v in neigh[i]):
+            kinds.append("border")
+            lab[i] = min(lab[v] for v in neigh[i] if is_core[v])
+        else:
+            kinds.append("noise")
+
+    for i in range(n):
+        assert got[i][1] == kinds[i], (i, got[i], kinds[i])
+        assert got[i][0] == lab[i], (i, got[i], lab[i])
