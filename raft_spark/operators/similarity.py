@@ -445,6 +445,7 @@ def _assign_lists(
     vec_col: str = "features",
     n_probe: int = 1,
     list_col: str = "list_id",
+    dist_col: str | None = None,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest-centroid list ids via one
     Arrow-batched numpy pass (mapInPandas).
@@ -464,6 +465,8 @@ def _assign_lists(
     in_cols = df.columns
     schema = df.schema.simpleString()[7:-1]  # strip struct<...>
     out_schema = f"{schema},{list_col} int"
+    if dist_col is not None:
+        out_schema += f",{dist_col} double"
 
     def pp(batches):
         from raft_spark.functions.xp import to_np, xp
@@ -475,6 +478,12 @@ def _assign_lists(
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(float)
             d2 = (M * M).sum(1)[:, None] - 2.0 * to_np(ap.asarray(M) @ cd) + cc[None, :]
+            if dist_col is not None and n_probe == 1:
+                yield pdf.assign(**{
+                    list_col: d2.argmin(1).astype("int32"),
+                    dist_col: np.maximum(d2.min(1), 0.0),
+                })
+                continue
             if n_probe == 1:
                 yield pdf.assign(**{list_col: d2.argmin(1).astype("int32")})
             else:
@@ -487,7 +496,8 @@ def _assign_lists(
                 rep = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
                 yield rep.assign(**{list_col: idx.ravel().astype("int32")})
 
-    return df.mapInPandas(pp, out_schema).select(*in_cols, list_col)
+    extra = [list_col] if dist_col is None else [list_col, dist_col]
+    return df.mapInPandas(pp, out_schema).select(*in_cols, *extra)
 
 
 def kmeans_centroids(
@@ -537,6 +547,35 @@ def kmeans_centroids(
             new[r["cluster"], r["pos"]] = r["s"] / r["cnt"]
         cents = new
     return cents
+
+
+def kmeans(
+    df: DataFrame,
+    k: int,
+    n_iters: int = 10,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "features",
+):
+    """Public k-means API over the engine's Lloyd loop → (assignments
+    DataFrame (id, cluster, sq_dist), centroids ndarray k×d, inertia).
+
+    cluster::kmeans semantics (balanced driver/executor split): assign
+    = one Arrow-batched BLAS argmin pass (centroids in the closure,
+    plan O(1) in k), update = posexplode + map-side-combined groupBy
+    (shuffle k·d rows). Driver state k×d. Deterministic seeded init.
+    """
+    import numpy as np
+
+    cents = kmeans_centroids(df, k, n_iters=n_iters, seed=seed,
+                             id_col=id_col, vec_col=vec_col)
+    C = np.asarray(cents, dtype=float)
+    out = _assign_lists(
+        df.select(F.col(id_col).alias("id"), vec_col), C, vec_col,
+        list_col="cluster", dist_col="sq_dist",
+    ).select("id", F.col("cluster").cast("long").alias("cluster"), "sq_dist")
+    inertia = out.agg(F.sum("sq_dist")).collect()[0][0]
+    return out, C, float(inertia)
 
 
 def ivf_assign(df: DataFrame, cents, vec_col: str = "features") -> DataFrame:

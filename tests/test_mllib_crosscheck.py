@@ -56,3 +56,31 @@ def test_lstsq_matches_mllib_normal_solver(spark, emb):
     model = lr.fit(assembled)
     assert abs(w[0] - model.intercept) < 1e-6
     assert np.allclose(w[1:], np.array(model.coefficients.toArray()), atol=1e-6)
+
+
+def test_kmeans_quality_vs_mllib(spark, emb):
+    """Our Lloyd k-means must reach inertia within 15% of MLlib's
+    KMeans on the same data/k (exact centroids differ by init), and
+    every point must sit with its nearest centroid."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans as MLKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from raft_spark.operators.similarity import kmeans
+
+    k = 4
+    out, C, inertia = kmeans(emb, k=k, n_iters=10)
+    rows = out.collect()
+    X = {r["id"]: None for r in rows}
+    feats = {r["id"]: np.array(r["features"]) for r in emb.collect()}
+    for r in rows:
+        d = ((feats[r["id"]] - C) ** 2).sum(1)
+        assert r["cluster"] == int(d.argmin())
+        assert abs(r["sq_dist"] - d.min()) < 1e-6
+
+    ml = MLKMeans(k=k, seed=1, maxIter=10).fit(
+        emb.select(array_to_vector("features").alias("features"))
+    )
+    ml_inertia = ml.summary.trainingCost
+    assert inertia <= ml_inertia * 1.15, (inertia, ml_inertia)
