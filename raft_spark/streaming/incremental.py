@@ -320,6 +320,22 @@ def streaming_neardup_candidates(
     )
 
 
+def streaming_index_ingest(
+    vec_stream: DataFrame,
+    centroids,
+    vec_col: str = "features",
+) -> DataFrame:
+    """Streaming ANN-index ingest: arriving embeddings are assigned to
+    their IVF list by the same stateless Arrow-batched argmin pass the
+    batch quantizer uses (centroids in the task closure — zero stream
+    state, append mode). Write the result partitioned by ``list_id``
+    and the batch probe path reads the growing index unchanged: index
+    maintenance becomes ordinary streaming file output."""
+    from raft_spark.operators.similarity import _assign_lists
+
+    return _assign_lists(vec_stream, centroids, vec_col, list_col="list_id")
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once projection of a stream with redelivery: drop exact
     duplicates by event_id within the watermark (state = seen ids inside

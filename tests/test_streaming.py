@@ -165,3 +165,31 @@ def test_streaming_neardup_matches_batch(spark, sf_dir, tmp_path_factory):
     }
     assert got == want
     assert len(got) > 0  # the synthetic corpus has near-dups
+
+
+def test_streaming_index_ingest_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Streaming IVF assignment must equal the batch quantizer's
+    (stateless pass ⇒ stream == batch row-for-row)."""
+    import shutil as _sh
+
+    from raft_spark.operators.similarity import ivf_assign, kmeans_centroids
+    from raft_spark.sources.tables import embeddings_matrix
+
+    corpus = embeddings_matrix(spark, sf_dir).select("id", "features")
+    cents = kmeans_centroids(corpus, k=4, n_iters=2)
+
+    d = tmp_path_factory.mktemp("emb_stream")
+    _sh.copy(f"{sf_dir}/embeddings.parquet", d / "part-0.parquet")
+    sch = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(sch).parquet(str(d))
+        .select(F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("features"))
+    )
+    out = S.streaming_index_ingest(stream, cents)
+    S.run_to_memory_sink(out.select("id", "list_id"), "ingest_sink",
+                         output_mode="append")
+    got = {(r["id"], r["list_id"]) for r in _rows(spark, "ingest_sink")}
+    want = {(r["id"], r["list_id"])
+            for r in ivf_assign(corpus, cents).select("id", "list_id").collect()}
+    assert got == want and len(got) == corpus.count()
