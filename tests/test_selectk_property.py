@@ -61,3 +61,27 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="module")
 def spark_session_holder(spark):
     return spark
+
+
+RANK_ROW = st.tuples(
+    st.integers(min_value=-50, max_value=50),
+    st.integers(min_value=0, max_value=10_000),
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(rows=st.lists(RANK_ROW, min_size=1, max_size=80, unique=True))
+def test_global_rank_matches_pandas(spark_session_holder, rows):
+    """global_rank (range repartition + partitioned window + offsets)
+    must equal a single-node rank for any input under the total order."""
+    from raft_spark.operators.reductions import global_rank
+
+    spark = spark_session_holder
+    df = spark.createDataFrame(rows, "a long, b long")
+    got = {(r["a"], r["b"]): r["rank"]
+           for r in global_rank(df, ["a", "b"]).collect()}
+    want = {
+        (a, b): i + 1
+        for i, (a, b) in enumerate(sorted(rows))
+    }
+    assert got == want
