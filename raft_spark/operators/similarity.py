@@ -772,47 +772,42 @@ def knn_pq(
     )
 
 
-def knn_ivf_pq(
+def build_ivf_pq_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_lists: int = 8,
-    n_probe: int = 2,
     m_subspaces: int = 16,
     n_codes: int = 16,
-    refine_factor: int = 8,
     kmeans_iters: int = 3,
     id_col: str = "id",
     vec_col: str = "features",
-) -> DataFrame:
-    """IVF-PQ: the reference's flagship ANN index (neighbors/ivf_pq.cuh
-    semantics) — coarse k-means lists bound the candidate volume
-    (n_probe/n_lists of the corpus), PQ codes of the RESIDUAL
-    ``r = x − centroid(list)`` bound the memory (m ints per vector),
-    ADC lookup tables score candidates without touching raw floats,
-    and the shortlist is exactness-refined (refine.cuh).
-
-    Inner product decomposes as <q, c_list> + <q, r̂>: the first term
-    is one scalar per (query, probed list), the second is the LUT sum
-    over the residual codebooks. Index state shipped to tasks:
-    centroids (n_lists·d) + codebooks (m·n_codes·d/m) — KBs–MBs,
-    independent of corpus size.
-    """
+) -> dict:
+    """Build the IVF-PQ index once → {codes: DataFrame(id, list_id,
+    codes), centroids: n_lists×d, codebooks: m×n_codes×d/m}. The codes
+    frame is the only corpus-sized artifact (m small ints per vector);
+    persist with :func:`raft_spark.sources.sinks`-style writers via
+    ``write_ivf_pq_index`` and query many times."""
     import numpy as np
-    import pandas as pd
 
     cn = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
-    qn = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
     cents = kmeans_centroids(cn, n_lists, n_iters=kmeans_iters,
                              id_col="_id", vec_col=vec_col)
     C = np.asarray(cents, dtype=float)
-    n_lists = len(C)
-    n_probe = min(n_probe, n_lists)
     assigned = ivf_assign(cn, C, vec_col)
+    residuals = assigned.mapInPandas(
+        _residual_pass(C, vec_col), "_id long, list_id int, residual array<double>"
+    ).localCheckpoint(eager=True)
+    books = pq_train(residuals, m_subspaces, n_codes, vec_col="residual")
+    B = np.asarray(books, dtype=float)
+    codes = pq_encode(residuals, B, id_col="_id", vec_col="residual").join(
+        residuals.select(F.col("_id").alias("id"), "list_id"), "id"
+    )
+    return {"codes": codes, "centroids": C, "codebooks": B}
 
-    # residual column (one zip_with against the closure-free broadcast
-    # of the row's own centroid would need a join; the Arrow assigner
-    # already touched every row, so compute residuals the same way)
+
+def _residual_pass(C, vec_col):
+    import numpy as np
+    import pandas as pd
+
     def rr(batches):
         for pdf in batches:
             if len(pdf) == 0:
@@ -825,18 +820,92 @@ def knn_ivf_pq(
                 "residual": list(R),
             })
 
-    # materialize the residual table ONCE: it feeds the codebook
-    # training sample, the encode pass, and the list_id re-attach (at
-    # index scale this is the persisted index-build intermediate)
-    residuals = assigned.mapInPandas(
-        rr, "_id long, list_id int, residual array<double>"
-    ).localCheckpoint(eager=True)
-    books = pq_train(residuals, m_subspaces, n_codes, vec_col="residual")
-    B = np.asarray(books, dtype=float)
-    m, _, dsub = B.shape
-    codes = pq_encode(residuals, B, id_col="_id", vec_col="residual").join(
-        residuals.select(F.col("_id").alias("id"), "list_id"), "id"
+    return rr
+
+
+def write_ivf_pq_index(index: dict, path: str) -> None:
+    """Persist the index: codes partitioned by list_id (a probe reads
+    only its lists' directories), centroids/codebooks as small parquet
+    sidecars — everything reloadable by any Spark job."""
+    import pandas as pd
+
+    spark = index["codes"].sparkSession
+    index["codes"].write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
     )
+    C = index["centroids"]
+    spark.createDataFrame(
+        pd.DataFrame({"list_id": range(len(C)), "center": list(C)})
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+    B = index["codebooks"]
+    m, k, _ = B.shape
+    rows = [(s, c, B[s, c].tolist()) for s in range(m) for c in range(k)]
+    spark.createDataFrame(
+        rows, "subspace int, code int, word array<double>"
+    ).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_ivf_pq_index(spark, path: str) -> dict:
+    import numpy as np
+
+    codes = spark.read.parquet(f"{path}/codes")
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    C = np.array([r["center"] for r in sorted(crows, key=lambda r: r["list_id"])])
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = max(r["subspace"] for r in brows) + 1
+    k = max(r["code"] for r in brows) + 1
+    dsub = len(brows[0]["word"])
+    B = np.zeros((m, k, dsub))
+    for r in brows:
+        B[r["subspace"], r["code"]] = r["word"]
+    return {"codes": codes, "centroids": C, "codebooks": B}
+
+
+def knn_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 8,
+    n_probe: int = 2,
+    m_subspaces: int = 16,
+    n_codes: int = 16,
+    refine_factor: int = 8,
+    kmeans_iters: int = 3,
+    id_col: str = "id",
+    vec_col: str = "features",
+    index: dict | None = None,
+) -> DataFrame:
+    """IVF-PQ: the reference's flagship ANN index (neighbors/ivf_pq.cuh
+    semantics) — coarse k-means lists bound the candidate volume
+    (n_probe/n_lists of the corpus), PQ codes of the RESIDUAL
+    ``r = x − centroid(list)`` bound the memory (m ints per vector),
+    ADC lookup tables score candidates without touching raw floats,
+    and the shortlist is exactness-refined (refine.cuh).
+
+    Inner product decomposes as <q, c_list> + <q, r̂>: the first term
+    is one scalar per (query, probed list), the second is the LUT sum
+    over the residual codebooks. Index state shipped to tasks:
+    centroids (n_lists·d) + codebooks (m·n_codes·d/m) — KBs–MBs,
+    independent of corpus size. Pass ``index`` (from
+    build_ivf_pq_index / read_ivf_pq_index) to skip the build.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cn = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    qn = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    if index is None:
+        index = build_ivf_pq_index(
+            corpus, n_lists=n_lists, m_subspaces=m_subspaces, n_codes=n_codes,
+            kmeans_iters=kmeans_iters, id_col=id_col, vec_col=vec_col,
+        )
+    C = np.asarray(index["centroids"], dtype=float)
+    n_lists = len(C)
+    n_probe = min(n_probe, n_lists)
+
+    B = np.asarray(index["codebooks"], dtype=float)
+    m, _, dsub = B.shape
+    codes = index["codes"]
 
     q_rows = _collect_queries(qn)  # Q≪N contract
     qids = np.array([r["_id"] for r in q_rows])

@@ -116,3 +116,25 @@ def test_dedup_clusters_empty_pairs(spark, sf_dir):
     out = D.dedup_clusters(pairs, docs)
     assert out.filter(F.col("is_canonical") == 0).count() == 0
     assert out.count() == docs.count()
+
+
+def test_ivf_pq_index_persist_roundtrip(spark, corpus, tmp_path):
+    """build → write → read → query must equal querying the in-memory
+    index (the build-once / query-many contract), and the on-disk codes
+    are partitioned by list_id."""
+    import os
+
+    queries = corpus.filter(F.col("id") % 100 == 0)
+    idx = SIM.build_ivf_pq_index(corpus, n_lists=4, kmeans_iters=2)
+    a = {(r["qid"], r["nid"], r["rank"])
+         for r in SIM.knn_ivf_pq(corpus, queries, k=5, n_probe=2, index=idx).collect()}
+
+    p = str(tmp_path / "ivf_pq")
+    SIM.write_ivf_pq_index(idx, p)
+    assert any(d.startswith("list_id=") for d in os.listdir(f"{p}/codes"))
+    idx2 = SIM.read_ivf_pq_index(spark, p)
+    assert np.allclose(idx2["centroids"], idx["centroids"])
+    assert np.allclose(idx2["codebooks"], idx["codebooks"])
+    b = {(r["qid"], r["nid"], r["rank"])
+         for r in SIM.knn_ivf_pq(corpus, queries, k=5, n_probe=2, index=idx2).collect()}
+    assert a == b and len(a) > 0
