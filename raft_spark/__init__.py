@@ -13,8 +13,14 @@ Re-expresses the query and data-processing capabilities of rapidsai/raft
   (reference: ``sparse/matrix/preprocessing.cuh``)
 - seeded random generation (reference: ``cpp/include/raft/random``)
 - large-scale training-data pipeline extensions: dedup (exact /
-  MinHash-LSH / SimHash / n-gram Jaccard / embedding near-dup),
-  similarity search, text quality analysis, multimodal plumbing.
+  MinHash-LSH with cluster assignment / SimHash / n-gram Jaccard /
+  embedding near-dup), similarity search (brute, LSH, IVF, PQ+ADC,
+  IVF-PQ with persistent index), clustering (k-means, DBSCAN),
+  pairwise distances, text curation (quality, repetition,
+  decontamination, stratified rebalance, sequence packing), exact +
+  sketch quantiles/cardinality, PageRank, JSONL corpus IO, multimodal
+  plumbing, and streaming twins (windowed aggregates, sessionize,
+  dedup, near-dup lookup, index ingest).
 
 Everything is declared as a logical DataFrame plan so Catalyst/Tungsten
 (predicate pushdown, column pruning, whole-stage codegen, AQE) pick the
