@@ -248,6 +248,20 @@ def dedup_clusters(
     )
 
 
+def dedup_report(clusters: DataFrame) -> DataFrame:
+    """Corpus-level dedup summary from :func:`dedup_clusters` output →
+    one row (n_docs, n_clusters, n_duplicates, dup_rate,
+    max_cluster_size): the numbers a curation run logs per shard/day.
+    One pass over the (already doc-sized) cluster table."""
+    return clusters.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum(1 - F.col("is_canonical")).cast("long").alias("n_duplicates"),
+        F.round(F.avg(1 - F.col("is_canonical")), 6).alias("dup_rate"),
+        F.max("cluster_size").cast("long").alias("max_cluster_size"),
+    )
+
+
 def simhash(
     coo: DataFrame, doc_col: str = "doc_id", term_col: str = "term",
     value_col: str = "tf", n_bits: int = 16,

@@ -138,3 +138,15 @@ def test_ivf_pq_index_persist_roundtrip(spark, corpus, tmp_path):
     b = {(r["qid"], r["nid"], r["rank"])
          for r in SIM.knn_ivf_pq(corpus, queries, k=5, n_probe=2, index=idx2).collect()}
     assert a == b and len(a) > 0
+
+
+def test_dedup_report(spark, sf_dir):
+    docs = load(spark, "documents", sf_dir)
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "a long, b long")
+    rep = D.dedup_report(D.dedup_clusters(pairs, docs)).collect()[0]
+    n = docs.count()
+    assert rep["n_docs"] == n
+    assert rep["n_duplicates"] == 3          # 2,3 and 11 fold away
+    assert rep["n_clusters"] == n - 3
+    assert rep["max_cluster_size"] == 3
+    assert abs(rep["dup_rate"] - 3 / n) < 1e-9
