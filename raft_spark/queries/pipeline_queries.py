@@ -448,6 +448,27 @@ def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "pairwise_dist",
+    oracle="""
+SELECT a.vec_id::BIGINT AS a, b.vec_id::BIGINT AS b,
+       round(list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS dist
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 = 0
+""",
+)
+def q_pairwise_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact pairwise L2 distances (reference distance namespace) over
+    the blocked block-pair join — never a nested-loop broadcast —
+    on the vec_id % 10 subset (all-pairs output is O(n²) by nature)."""
+    m = embeddings_matrix(spark, sf_dir).filter(F.col("id") % 10 == 0)
+    return SIM.pairwise_distances(m, metric="l2").select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("dist"),
+    )
+
+
+@query(
     "knn_pq_recall",
     # PQ codebooks (sampled k-means) are deterministic but not
     # SQL-expressible; the adjudicable contract is the recall floor

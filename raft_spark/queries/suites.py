@@ -494,6 +494,8 @@ UNION ALL
 SELECT 'mm', i, j, -1::BIGINT, value FROM {_sub('masked_matmul')}
 UNION ALL
 SELECT 'skcsr', row, col, rank, value FROM {_sub('select_k_csr')}
+UNION ALL
+SELECT 'pdist', a, b, -1::BIGINT, dist FROM {_sub('pairwise_dist')}
 """
 
 
@@ -531,7 +533,11 @@ def q_matrix_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col").alias("b"), F.col("rank").alias("c"), F.col("value"),
     )
     out = srt
-    for p in [tri, *popc_parts, mm, sk]:
+    pdist = PQ.q_pairwise_dist(spark, sf_dir).select(
+        F.lit("pdist").alias("op"), F.col("a"), F.col("b"),
+        neg.alias("c"), F.col("dist").alias("value"),
+    )
+    for p in [tri, *popc_parts, mm, sk, pdist]:
         out = out.unionByName(p)
     return out
 
