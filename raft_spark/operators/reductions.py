@@ -111,6 +111,37 @@ def mean_center(df: DataFrame, features_col: str = "features", add: bool = False
     ).drop("_means")
 
 
+def standardize(df: DataFrame, features_col: str = "features") -> DataFrame:
+    """Per-column z-score: (x − μ_col) / σ_col (population σ) — the
+    feature-scaling companion of mean_center (stats/stddev.cuh +
+    mean_center.cuh composed). Same shape: one map-side-combined
+    aggregate produces the 2×n_cols stat vectors, broadcast back, then
+    a zero-shuffle zip_with per row. Zero-variance columns map to 0."""
+    stats = (
+        explode_positions(df, features_col)
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"), F.stddev_pop("x").alias("s"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m", "s"))).alias("_pm"))
+        .select(
+            F.transform("_pm", lambda t: t["m"]).alias("_means"),
+            F.transform("_pm", lambda t: t["s"]).alias("_stds"),
+        )
+    )
+    centered = F.zip_with(features_col, "_means", lambda a, b: a - b)
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            features_col,
+            F.zip_with(
+                centered, "_stds",
+                lambda a, s: F.when(s == 0, F.lit(0.0)).otherwise(a / s),
+            ),
+        )
+        .drop("_means", "_stds")
+    )
+
+
 def histogram(
     df: DataFrame, value_col: str, lo: float, hi: float, n_bins: int
 ) -> DataFrame:

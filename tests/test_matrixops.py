@@ -154,3 +154,22 @@ def test_row_op_applies_per_group(spark):
 
     out = sorted((r.id, r.v) for r in row_op(df, center, "id long, v double").collect())
     assert out == [(0, -1.0), (0, 1.0), (1, 0.0)]
+
+
+def test_standardize_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from raft_spark.operators.reductions import standardize
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    rows = {r["id"]: np.array(r["features"]) for r in m.collect()}
+    X = np.stack([rows[i] for i in sorted(rows)])
+    mu, sd = X.mean(0), X.std(0)
+    want = (X - mu) / np.where(sd == 0, 1.0, sd)
+    got = {r["id"]: np.array(r["features"]) for r in standardize(m).collect()}
+    G = np.stack([got[i] for i in sorted(got)])
+    assert np.allclose(G, want, atol=1e-9)
+    # standardized columns: zero mean, unit variance
+    assert np.allclose(G.mean(0), 0.0, atol=1e-9)
+    assert np.allclose(G.std(0), 1.0, atol=1e-6)
