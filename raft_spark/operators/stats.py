@@ -28,6 +28,8 @@ leaves sampling policy to the caller.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -247,6 +249,60 @@ def _pairwise_sims(a: DataFrame, features: str = "features") -> DataFrame:
         l.crossJoin(r)
         .filter(F.col("i") != F.col("j"))
         .select("i", "j", (dot / (na * nb)).alias("sim"))
+    )
+
+
+def ranking_metrics(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 5,
+    q_col: str = "qid",
+    item_col: str = "nid",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Retrieval-quality metrics over a ranked result table (the ANN
+    stack's evaluation companion; extends the reference's stats family
+    the way neighborhood_recall does) → one row
+    (precision_at_k, map_at_k, ndcg_at_k) averaged over queries.
+
+    ``ranked``: (qid, nid, rank) — e.g. knn_* output; ``relevant``:
+    (qid, nid) ground-truth pairs. Binary relevance; ideal DCG assumes
+    ≥k relevant items exist per query (standard NDCG@k convention —
+    callers with fewer should pass their own k). Shape: one broadcast-
+    able join + per-query aggregation + global mean — no per-item
+    state beyond the top-k rows themselves.
+    """
+    r = ranked.filter(F.col(rank_col) <= k).select(
+        F.col(q_col).alias("_q"), F.col(item_col).alias("_i"),
+        F.col(rank_col).alias("_r"),
+    )
+    rel = relevant.select(
+        F.col(q_col).alias("_q"), F.col(item_col).alias("_i"), F.lit(1).alias("_hit")
+    )
+    j = r.join(rel, ["_q", "_i"], "left").select(
+        "_q", "_r", F.coalesce("_hit", F.lit(0)).alias("_hit")
+    )
+    log2 = float(np.log(2.0))
+    # per-query: precision, AP@k (precision at each hit rank / k-cap),
+    # DCG; ideal DCG = sum over first k ranks
+    idcg = float(sum(1.0 / (np.log(i + 2.0) / log2) for i in range(k)))
+    w = Window.partitionBy("_q").orderBy("_r")
+    per_q = (
+        j.withColumn("_cumhits", F.sum("_hit").over(w))
+        .groupBy("_q")
+        .agg(
+            (F.sum("_hit") / k).alias("_prec"),
+            (F.sum(F.col("_hit") * F.col("_cumhits") / F.col("_r")) / k).alias("_ap"),
+            (
+                F.sum(F.col("_hit") / (F.log(F.col("_r") + 1.0) / F.lit(log2)))
+                / F.lit(idcg)
+            ).alias("_ndcg"),
+        )
+    )
+    return per_q.agg(
+        F.avg("_prec").alias("precision_at_k"),
+        F.avg("_ap").alias("map_at_k"),
+        F.avg("_ndcg").alias("ndcg_at_k"),
     )
 
 
