@@ -136,50 +136,87 @@ def gram_matrix_exact(
     df: DataFrame, features: str = "features", scale: float = 1e6
 ) -> tuple[list[list[int]], list[int], int]:
     """One distributed pass → EXACT integer (XᵀX, column sums, n) over
-    the half-up-quantized matrix ``q = floor(x·scale + 0.5)`` (int64).
+    the half-up-quantized matrix ``q = floor(x·scale + 0.5)``.
 
-    Same physical shape as :func:`gram_matrix` (per-partition BLAS-free
-    int64 matmul inside mapInPandas, O(partitions·d²) shuffle scalars),
-    but the merge sums are decimal(38,0) — order-independent and
-    overflow-free — so two engines that quantize identically produce
-    bit-identical results regardless of partitioning or scan order
-    (stats/cov.cuh:18 semantics, cross-engine-exact variant).
+    Same physical shape as :func:`gram_matrix` (per-partition matmul
+    inside mapInPandas, O(partitions·d²) shuffle scalars), but every
+    sum is exact-integer and order-independent, so two engines that
+    quantize identically produce bit-identical results regardless of
+    partitioning or scan order (stats/cov.cuh:18 semantics,
+    cross-engine-exact variant).
 
-    Per-partition int64 partials bound: |q|≈scale·|x|, products ≈
-    (scale·|x|)², so a partition of r rows stays exact while
-    r·(scale·max|x|)² < 2⁶³ — at scale 1e6 and |x|≤100 that is
-    ~900 rows/partition·10¹⁶; the decimal merge removes the global
-    bound entirely.
+    Physical strategy — exact BLAS, no int64 matmul: numpy integer
+    matmul is a scalar loop (no BLAS dispatch), ~6× slower than dgemm
+    at d=64 and worse at larger d. Instead each ≤4096-row chunk splits
+    q = hi·2¹³ + lo (arithmetic shift ⇒ floor semantics, valid for
+    negative q; lo ∈ [0, 2¹³)) and runs THREE float64 dgemms —
+    hiᵀhi, hiᵀlo, loᵀlo — whose entries stay below 2⁵³ (exactly
+    representable) whenever |q| ≤ 2.6e9, i.e. |x| ≤ ~2600 at the
+    default scale. qᵀq = 2²⁶·hiᵀhi + 2¹³·(hiᵀlo + (hiᵀlo)ᵀ) + loᵀlo
+    is then reassembled in arbitrary-precision Python ints, so the
+    per-partition accumulator never overflows no matter how many rows
+    a partition holds; the cross-partition merge sums decimal(38,0).
+    A chunk whose |q| exceeds the dgemm-exactness bound falls back to
+    Python-int dot products for that chunk (exact, slower) rather
+    than silently losing bits.
     """
+    import decimal
+
     import pandas as pd
 
+    CHUNK = 4096
+    # hiᵀlo is the binding term: CHUNK · hi_max · (2¹³−1) < 2⁵³
+    HI_MAX = (2**53) // (CHUNK * (2**13 - 1))
+
     def pp(batches):
-        acc = None
+        acc = None  # object ndarray of Python ints — exact, unbounded
         s = None
         cnt = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             m = np.stack(pdf[features].to_numpy()).astype(float)
-            q = np.floor(m * scale + 0.5).astype(np.int64)
-            g = q.T @ q
-            acc = g if acc is None else acc + g
-            s = q.sum(0) if s is None else s + q.sum(0)
-            cnt += q.shape[0]
+            q_all = np.floor(m * scale + 0.5).astype(np.int64)
+            for c0 in range(0, q_all.shape[0], CHUNK):
+                q = q_all[c0 : c0 + CHUNK]
+                hi_i = q >> 13
+                if np.abs(hi_i).max(initial=0) <= HI_MAX:
+                    hi = hi_i.astype(np.float64)
+                    lo = (q & 8191).astype(np.float64)
+                    hh = (hi.T @ hi).astype(np.int64).astype(object)
+                    hl = (hi.T @ lo).astype(np.int64).astype(object)
+                    ll = (lo.T @ lo).astype(np.int64).astype(object)
+                    g = hh * (1 << 26) + (hl + hl.T) * (1 << 13) + ll
+                else:  # exact fallback for extreme magnitudes
+                    qo = q.astype(object)
+                    g = qo.T @ qo
+                acc = g if acc is None else acc + g
+                qs = q.sum(0, dtype=object)
+                s = qs if s is None else s + qs
+                cnt += q.shape[0]
         if acc is None:
             return
         d = acc.shape[0]
         i, j = np.triu_indices(d)
-        out = pd.DataFrame({"i": i, "j": j, "v": acc[i, j]})
-        sums = pd.DataFrame({"i": np.arange(d), "j": np.full(d, -1), "v": s})
-        n_row = pd.DataFrame({"i": [-1], "j": [-1], "v": [cnt]})
+        dec = decimal.Decimal
+        out = pd.DataFrame(
+            {"i": i, "j": j, "v": [dec(int(v)) for v in acc[i, j]]}
+        )
+        sums = pd.DataFrame(
+            {
+                "i": np.arange(d),
+                "j": np.full(d, -1),
+                "v": [dec(int(v)) for v in s],
+            }
+        )
+        n_row = pd.DataFrame({"i": [-1], "j": [-1], "v": [dec(cnt)]})
         yield pd.concat([out, sums, n_row], ignore_index=True)
 
     rows = (
         df.select(features)
-        .mapInPandas(pp, "i int, j int, v long")
+        .mapInPandas(pp, "i int, j int, v decimal(38,0)")
         .groupBy("i", "j")
-        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+        .agg(F.sum("v").alias("v"))
         .collect()
     )
     d = max(r["i"] for r in rows) + 1

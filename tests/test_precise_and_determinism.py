@@ -100,3 +100,32 @@ def test_int8_quantization_roundtrip_bound(spark):
             assert np.all(q == 0) and np.all(dq == 0)
             continue
         assert np.all(np.abs(orig - dq) <= scale / 254 + 1e-12), r["id"]
+
+
+def test_gram_matrix_exact_split_dgemm_matches_python_int(spark):
+    """The hi/lo split-dgemm Gram pass must be bit-exact vs a direct
+    arbitrary-precision oracle — negatives, mixed magnitudes, several
+    partitions — and robust past the dgemm-exactness bound (fallback)."""
+    import numpy as np
+
+    from raft_spark.operators.solvers import gram_matrix_exact
+
+    rs = np.random.RandomState(7)
+    # mixed magnitudes incl. negatives; second block pushes |q| past the
+    # split-dgemm bound (|x| ~ 1e5 at scale 1e6 -> |q| ~ 1e11 > 2.6e9)
+    x = np.concatenate(
+        [rs.uniform(-100, 100, (400, 8)), rs.uniform(-1e5, 1e5, (30, 8))]
+    )
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, features array<double>",
+    ).repartition(7)
+    g, s, n = gram_matrix_exact(df, scale=1e6)
+    q = [[int(math.floor(v * 1e6 + 0.5)) for v in row] for row in x]
+    assert n == len(q)
+    d = len(q[0])
+    for j in range(d):
+        assert s[j] == sum(r[j] for r in q)
+    for i in range(d):
+        for j in range(d):
+            assert g[i][j] == sum(r[i] * r[j] for r in q), (i, j)
