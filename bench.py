@@ -67,31 +67,48 @@ def main() -> None:
     # real cluster; without this the first Pandas-UDF query pays ~10 s
     # of daemon startup and the bench misattributes it to the plan).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
-    spark.range(64).repartition(32).mapInPandas(
-        lambda it: it, "id long"
-    ).count()
+
+    def _warm(it):
+        # pre-import the heavy per-worker modules so the first real
+        # Pandas-UDF query measures its plan, not 32 workers importing
+        # numpy/pandas/decimal (long-lived workers on a real cluster)
+        import decimal  # noqa: F401
+
+        import numpy  # noqa: F401
+        import pandas  # noqa: F401
+
+        return it
+
+    spark.range(64).repartition(32).mapInPandas(_warm, "id long").count()
 
     # best-of-2: the host shows multi-second noise spikes (same plan
     # measured 0.5 s and 15 s minutes apart); min-of-two passes reports
     # the plan's real cost. Second pass skipped for long queries to
     # bound total bench time.
-    timings: dict[str, float] = {}
-    spread: dict[str, float] = {}
-    for name in HEADLINE:
+    import gc
+
+    def _measure(name: str) -> float:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        t = round(time.perf_counter() - t0, 3)
+        # drop references to per-query cached/checkpointed RDDs so the
+        # ContextCleaner frees their blocks — otherwise 29 queries of
+        # accumulated localCheckpoint state degrade later passes
+        gc.collect()
+        return t
+
+    timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    for name in HEADLINE:
+        timings[name] = _measure(name)
     for name in HEADLINE:
         # re-measure anything under 60 s: the host's noise spikes hit
         # 20-40 s on queries that warm-measure ~2 s, and a one-pass
         # number at that magnitude poisons the whole total
         if timings[name] > 60.0:
             continue
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        t = round(time.perf_counter() - t0, 3)
+        t = _measure(name)
         spread[name] = abs(t - timings[name]) / max(min(t, timings[name]), 1e-9)
         timings[name] = min(timings[name], t)
     for name in HEADLINE:
@@ -101,10 +118,7 @@ def main() -> None:
         # in quiet windows
         if spread.get(name, 0.0) <= 0.5 or timings[name] > 60.0:
             continue
-        fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        timings[name] = min(timings[name], round(time.perf_counter() - t0, 3))
+        timings[name] = min(timings[name], _measure(name))
 
     total = round(sum(timings.values()), 3)
     print(
