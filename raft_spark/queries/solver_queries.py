@@ -288,3 +288,20 @@ def q_eigsh_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, round(float(v), 4)) for i, v in enumerate(evals)],
         "rank int, eigenvalue double",
     )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact PageRank (solvers.pagerank_exact) over a directed
+    graph derived from orders: edges (o_custkey % 211) → (o_orderkey %
+    211), sources restricted to < 180 so ~30 nodes are genuinely
+    dangling and the dangling-mass path is exercised. 12 fixed
+    iterations at scale 1e12 — bit-identical to any engine mirroring
+    the integer recurrence (suite oracle: recursive CTE)."""
+    from raft_spark.sources.tables import load
+
+    o = load(spark, "orders", sf_dir)
+    coo = o.select(
+        (F.col("o_custkey") % 211).cast("long").alias("row"),
+        (F.col("o_orderkey") % 211).cast("long").alias("col"),
+    ).filter((F.col("row") != F.col("col")) & (F.col("row") < 180))
+    return SV.pagerank_exact(coo, iters=12)

@@ -1026,6 +1026,29 @@ lap_obj AS (
     FROM (SELECT p FROM perms WHERE len(p) = 8) f
     JOIN cells c ON c.j = f.p[c.i + 1]
     GROUP BY 1, 2
+),
+pre AS (SELECT DISTINCT (o_custkey % 211) AS row, (o_orderkey % 211) AS col
+        FROM orders
+        WHERE (o_custkey % 211) <> (o_orderkey % 211) AND (o_custkey % 211) < 180),
+prnodes AS (SELECT DISTINCT node FROM
+            (SELECT row AS node FROM pre UNION ALL SELECT col AS node FROM pre)),
+prnn AS (SELECT count(*) AS n FROM prnodes),
+prdeg AS (SELECT row, count(*) AS d FROM pre GROUP BY 1),
+pr(iter, node, r) AS (
+  SELECT 0, node, 1000000000000 // (SELECT n FROM prnn) FROM prnodes
+  UNION ALL
+  SELECT p.iter + 1, p.node,
+    ((3 * 1000000000000 // 20) // (SELECT n FROM prnn))
+    + (17 * (
+        coalesce((SELECT sum(p2.r // d2.d) FROM pr p2
+                  JOIN prdeg d2 ON d2.row = p2.node
+                  JOIN pre e2 ON e2.row = p2.node AND e2.col = p.node
+                  WHERE p2.iter = p.iter), 0)
+        + (SELECT coalesce(sum(p3.r), 0) FROM pr p3
+           LEFT JOIN prdeg d3 ON d3.row = p3.node
+           WHERE d3.row IS NULL AND p3.iter = p.iter) // (SELECT n FROM prnn)
+      )) // 20
+  FROM pr p WHERE p.iter < 12
 )
 SELECT 'mst' AS method, ne::BIGINT AS a, 0::BIGINT AS b,
        round(tw, 6) AS value
@@ -1039,14 +1062,18 @@ SELECT 'cc', label::BIGINT, 0::BIGINT, size::DOUBLE FROM (
 UNION ALL
 SELECT 'lap_obj', batch::BIGINT, -1::BIGINT, min(total)::DOUBLE
 FROM lap_obj GROUP BY batch
+UNION ALL
+SELECT 'pagerank', node::BIGINT, 0::BIGINT, r::DOUBLE
+FROM pr WHERE iter = 12
 """
 
 
 @query("graph_solver_suite", oracle=_graph_solver_oracle())
 def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MST (Borůvka) + connected components + batched LAP
-    (sparse/solver/mst.cuh, label/merge_labels.cuh:18,
-    solver/linear_assignment.cuh:50) — (method, a, b, value).
+    """MST (Borůvka) + connected components + batched LAP + integer-
+    exact PageRank (sparse/solver/mst.cuh, label/merge_labels.cuh:18,
+    solver/linear_assignment.cuh:50; pagerank is the oracle-checkable
+    face of the iterative join-agg family) — (method, a, b, value).
 
     ★-oracled since r3: MST weight/count vs a recursive-CTE Prim,
     component sizes vs a recursive closure, LAP objectives vs brute
@@ -1072,4 +1099,11 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).cast("long").alias("b"), F.col("objective").alias("value"),
         )
     )
-    return mst.unionByName(cc).unionByName(lap_obj)
+    # integer-exact PageRank — rank_int ≤ 1e12 < 2^53, so the double
+    # cast in the shared suite schema is lossless
+    prk = SQ.q_pagerank(spark, sf_dir).select(
+        F.lit("pagerank").alias("method"), F.col("node").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.col("rank_int").cast("double").alias("value"),
+    )
+    return mst.unionByName(cc).unionByName(lap_obj).unionByName(prk)
