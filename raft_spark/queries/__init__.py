@@ -72,8 +72,8 @@ _GATE_ORDER = [
     "dedup_clusters",
     "embedding_neardup",
     "knn_cosine",
-    "knn_ivf_recall",
-    "knn_pq_recall",
+    "ann_recall_suite",
+    "curation_suite",
     "text_quality",
     "multimodal",
     # -- rng / datagen / sampling

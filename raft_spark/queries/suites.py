@@ -54,6 +54,7 @@ w AS (
            sqrt(sum(x*x) OVER (PARTITION BY vec_id)) AS nrm,
            sum(x)       OVER (PARTITION BY vec_id) AS rs,
            avg(x)       OVER (PARTITION BY pos)    AS cm,
+           stddev_pop(x) OVER (PARTITION BY pos)   AS cs,
            max(abs(x))  OVER (PARTITION BY vec_id) AS mx
     FROM long
 )
@@ -79,6 +80,9 @@ SELECT 'dequant_i8', vec_id::BIGINT, pos::BIGINT,
        round(CASE WHEN mx = 0 THEN 0.0
              ELSE sign(x) * least(floor(abs(x) / mx * 127.0 + 0.5), 127.0) * mx / 127.0 END, 6)
 FROM w
+UNION ALL
+SELECT 'standardize', vec_id::BIGINT, pos::BIGINT,
+       CASE WHEN cs = 0 THEN 0.0 ELSE round((x - cm) / cs, 6) END FROM w
 """
 
 
@@ -113,6 +117,7 @@ def q_dense_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         long("threshold", m, A.threshold("features", 0.05)),
         long("quant_i8", m, A.quantize_int8("features")),
         long("dequant_i8", m, A.dequantize_int8("features")),
+        long("standardize", R.standardize(m), F.col("features")),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -1066,6 +1071,336 @@ UNION ALL
 SELECT 'pagerank', node::BIGINT, 0::BIGINT, r::DOUBLE
 FROM pr WHERE iter = 12
 """
+
+
+# ---------------------------------------------------------------------------
+# curation suite — (member, a, b, value): the LLM-pipeline operators
+# beyond candidate generation, each adjudicated by an exact oracle or
+# an exact invariant the oracle can state
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    return f"""
+WITH eq AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS qx
+    FROM embeddings
+),
+seeds AS (SELECT vec_id AS sid, pos, qx AS cq FROM eq WHERE vec_id < 8),
+kd AS (
+    SELECT eq.vec_id, s.sid, sum((eq.qx - s.cq) * (eq.qx - s.cq)) AS dist
+    FROM eq JOIN seeds s USING (pos) GROUP BY 1, 2
+),
+asg AS (
+    SELECT vec_id, sid AS cluster, dist FROM (
+        SELECT vec_id, sid, dist,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+        FROM kd
+    ) WHERE rn = 1
+),
+rk AS (SELECT qid, nid, rank FROM {_sub('knn_cosine')}),
+relv AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND b.vec_id <> a.vec_id
+    WHERE a.vec_id % 50 = 0
+),
+h AS (
+    SELECT rk.qid, rk.rank,
+           CASE WHEN relv.nid IS NOT NULL THEN 1.0 ELSE 0.0 END AS hit
+    FROM rk LEFT JOIN relv ON relv.qid = rk.qid AND relv.nid = rk.nid
+),
+hc AS (
+    SELECT qid, rank, hit,
+           sum(hit) OVER (PARTITION BY qid ORDER BY rank) AS ch
+    FROM h
+),
+pq AS (
+    SELECT qid, sum(hit) / 5.0 AS prec,
+           sum(hit * ch / rank) / 5.0 AS ap,
+           sum(hit / (ln(rank + 1.0) / ln(2.0)))
+           / (1.0 / (ln(2.0) / ln(2.0)) + 1.0 / (ln(3.0) / ln(2.0))
+              + 1.0 / (ln(4.0) / ln(2.0)) + 1.0 / (ln(5.0) / ln(2.0))
+              + 1.0 / (ln(6.0) / ln(2.0))) AS ndcg
+    FROM hc GROUP BY qid
+),
+toks AS (
+    SELECT doc_id, len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens
+    FROM documents
+),
+dcl AS (SELECT * FROM {_sub('dedup_clusters')})
+SELECT 'kmeans_assign' AS member, vec_id::BIGINT AS a, cluster::BIGINT AS b,
+       dist::DOUBLE AS value FROM asg
+UNION ALL
+SELECT 'kmeans_count', cluster::BIGINT, -1::BIGINT, count(*)::DOUBLE
+FROM asg GROUP BY cluster
+UNION ALL
+SELECT 'kmeans_sum', a2.cluster::BIGINT, eq.pos::BIGINT, sum(eq.qx)::DOUBLE
+FROM asg a2 JOIN eq ON eq.vec_id = a2.vec_id GROUP BY a2.cluster, eq.pos
+UNION ALL
+SELECT 'rank_p_at_5', 0::BIGINT, -1::BIGINT, round(avg(prec), 6) FROM pq
+UNION ALL
+SELECT 'rank_map_at_5', 0::BIGINT, -1::BIGINT, round(avg(ap), 6) FROM pq
+UNION ALL
+SELECT 'rank_ndcg_at_5', 0::BIGINT, -1::BIGINT, round(avg(ndcg), 6) FROM pq
+UNION ALL
+SELECT 'hll_users_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'hll_types_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'distinct_users', 0::BIGINT, -1::BIGINT, count(DISTINCT user_id)::DOUBLE
+FROM events
+UNION ALL
+SELECT 'gk_p50_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'pack_total_tokens', 0::BIGINT, -1::BIGINT, sum(n_tokens)::DOUBLE FROM toks
+UNION ALL
+SELECT 'pack_n_docs', 0::BIGINT, -1::BIGINT, count(*)::DOUBLE FROM toks
+UNION ALL
+SELECT 'pack_within_budget', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'pack_bins_lb_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'dedup_n_docs', 0::BIGINT, -1::BIGINT, count(*)::DOUBLE FROM dcl
+UNION ALL
+SELECT 'dedup_n_clusters', 0::BIGINT, -1::BIGINT,
+       count(DISTINCT cluster_id)::DOUBLE FROM dcl
+UNION ALL
+SELECT 'dedup_n_duplicates', 0::BIGINT, -1::BIGINT,
+       sum(1 - is_canonical)::DOUBLE FROM dcl
+UNION ALL
+SELECT 'dedup_dup_rate', 0::BIGINT, -1::BIGINT,
+       round(avg(1.0 - is_canonical), 6) FROM dcl
+UNION ALL
+SELECT 'dedup_max_cluster', 0::BIGINT, -1::BIGINT,
+       max(cluster_size)::DOUBLE FROM dcl
+"""
+
+
+@query("curation_suite", oracle=None)  # oracle attached below (needs _sub)
+def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline operators past candidate generation, one gate row —
+    (member, a, b, value):
+
+    - kmeans_step: one exact Lloyd step over 1e6-quantized int64
+      coordinates — argmin assignment (|q|≤6e5 ⇒ distances <2^53,
+      lossless in the double column), per-cluster counts and exact
+      integer centroid numerators. Seeds = vec_id<8 (deterministic).
+    - ranking metrics: precision@5 / MAP@5 / NDCG@5 of the exact kNN
+      ranking against same-label relevance (stats.ranking_metrics).
+    - sketches: HLL++ distinct within 5% of the exact twin (flag) +
+      the exact distinct itself; GK median within rank tolerance.
+    - sequence packing: token totals preserved, every non-truncated
+      pack within budget, bin count ≥ the ceil lower bound (flags).
+    - dedup_report: corpus dedup summary over dedup_clusters output,
+      re-derived independently by the oracle's recursive CTE.
+    """
+    from raft_spark.operators import packing as PK
+    from raft_spark.operators import sketches as SK
+    from raft_spark.operators.dedup import dedup_report
+    from raft_spark.sources.tables import load
+
+    long_t = F.lit(0).cast("long")
+
+    def scalar(frame: DataFrame, member: str, col, a=None, b=None) -> DataFrame:
+        return frame.select(
+            F.lit(member).alias("member"),
+            (a if a is not None else long_t).alias("a"),
+            (b if b is not None else F.lit(-1).cast("long")).alias("b"),
+            col.alias("value"),
+        )
+
+    # ---- exact-int kmeans step (fused_l2_nn / cluster-update shape) ----
+    m = embeddings_matrix(spark, sf_dir)
+    qm = m.select(
+        "id",
+        F.transform(
+            "features", lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("long")
+        ).alias("q"),
+    ).localCheckpoint(eager=True)
+    seeds = {
+        int(r["id"]): list(r["q"])
+        for r in qm.filter(F.col("id") < 8).collect()
+    }
+    sids = sorted(seeds)
+    cands = F.array_sort(
+        F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            "q",
+                            F.array(*[F.lit(int(v)) for v in seeds[s]]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(s).cast("long").alias("s"),
+                )
+                for s in sids
+            ]
+        )
+    )
+    asg = qm.select(
+        "id", "q", F.element_at(cands, 1).alias("_best")
+    ).select(
+        "id", "q",
+        F.col("_best.s").alias("cluster"), F.col("_best.d").alias("dist")
+    ).localCheckpoint(eager=True)
+    k_assign = asg.select(
+        F.lit("kmeans_assign").alias("member"),
+        F.col("id").cast("long").alias("a"),
+        F.col("cluster").alias("b"),
+        F.col("dist").cast("double").alias("value"),
+    )
+    k_count = asg.groupBy("cluster").agg(F.count("*").alias("n")).select(
+        F.lit("kmeans_count").alias("member"), F.col("cluster").alias("a"),
+        F.lit(-1).cast("long").alias("b"), F.col("n").cast("double").alias("value"),
+    )
+    k_sum = (
+        asg.select("cluster", F.posexplode("q").alias("pos", "qx"))
+        .groupBy("cluster", "pos")
+        .agg(F.sum("qx").alias("s"))
+        .select(
+            F.lit("kmeans_sum").alias("member"), F.col("cluster").alias("a"),
+            F.col("pos").cast("long").alias("b"),
+            F.col("s").cast("double").alias("value"),
+        )
+    )
+
+    # ---- ranking metrics over the exact kNN ranking ----
+    ranked = PQ.q_knn_cosine(spark, sf_dir)
+    lab = m.select("id", "label")
+    relv = (
+        lab.filter(F.col("id") % 50 == 0)
+        .select(F.col("id").alias("qid"), F.col("label").alias("_l"))
+        .join(lab.select(F.col("id").alias("nid"), F.col("label").alias("_l")), "_l")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+    )
+    rm = S.ranking_metrics(ranked, relv, k=5, q_col="qid", item_col="nid") \
+        .localCheckpoint(eager=True)
+    r1 = scalar(rm, "rank_p_at_5", F.round("precision_at_k", 6))
+    r2 = scalar(rm, "rank_map_at_5", F.round("map_at_k", 6))
+    r3 = scalar(rm, "rank_ndcg_at_5", F.round("ndcg_at_k", 6))
+
+    # ---- sketches vs exact twins (flags + the exact value) ----
+    ev = load(spark, "events", sf_dir)
+    hll = SK.approx_distinct(ev, ["user_id", "event_type"])
+    exact = ev.agg(
+        F.countDistinct("user_id").alias("du"),
+        F.countDistinct("event_type").alias("dt"),
+    ).localCheckpoint(eager=True)
+    hu = hll.filter(F.col("col") == "user_id").select(
+        F.col("approx_distinct").alias("est")
+    )
+    ht = hll.filter(F.col("col") == "event_type").select(
+        F.col("approx_distinct").alias("est")
+    )
+    s1 = scalar(
+        hu.crossJoin(exact),
+        "hll_users_ok",
+        (F.abs(F.col("est") - F.col("du")) <= 0.05 * F.col("du"))
+        .cast("double"),
+    )
+    s2 = scalar(
+        ht.crossJoin(exact),
+        "hll_types_ok",
+        (F.abs(F.col("est") - F.col("dt")) <= 0.05 * F.col("dt"))
+        .cast("double"),
+    )
+    s3 = scalar(exact, "distinct_users", F.col("du").cast("double"))
+    gk = SK.approx_quantiles(ev, "value", [0.5], accuracy=10_000)
+    n_ev = ev.count()
+    med_rank = (
+        ev.select("value")
+        .join(gk.select(F.col("value").alias("_m")), F.col("value") <= F.col("_m"))
+        .count()
+    )
+    # GK contract: rank error ≤ n/accuracy (+1 slack for ties/boundary)
+    ok = abs(med_rank - 0.5 * n_ev) <= n_ev / 10_000.0 + 1
+    s4 = scalar(
+        ev.sparkSession.createDataFrame([(1.0 if ok else 0.0,)], "v double"),
+        "gk_p50_ok", F.col("v"),
+    )
+
+    # ---- sequence packing invariants ----
+    docs = load(spark, "documents", sf_dir)
+    packed = PK.pack_sequences(docs, budget=512).localCheckpoint(eager=True)
+    ptot = scalar(
+        packed.agg(F.sum("n_tokens").alias("t")),
+        "pack_total_tokens", F.col("t").cast("double"),
+    )
+    pnd = scalar(
+        packed.agg(F.count("*").alias("c")), "pack_n_docs",
+        F.col("c").cast("double"),
+    )
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("n_tokens").alias("s"), F.max("truncated").alias("t")
+    )
+    pwb = scalar(
+        per_pack.agg(
+            (F.sum(((F.col("t") == 0) & (F.col("s") > 512)).cast("int")) == 0)
+            .cast("double").alias("ok")
+        ),
+        "pack_within_budget", F.col("ok"),
+    )
+    plb = scalar(
+        per_pack.crossJoin(
+            packed.filter(F.col("truncated") == 0)
+            .agg(F.sum("n_tokens").alias("tt"))
+        )
+        .agg(
+            (
+                F.countDistinct("pack_id")
+                >= F.ceil(F.first("tt") / F.lit(512.0))
+            ).cast("double").alias("ok")
+        ),
+        "pack_bins_lb_ok", F.col("ok"),
+    )
+
+    # ---- corpus dedup summary ----
+    rep = dedup_report(PQ.q_dedup_clusters(spark, sf_dir)) \
+        .localCheckpoint(eager=True)
+    d1 = scalar(rep, "dedup_n_docs", F.col("n_docs").cast("double"))
+    d2 = scalar(rep, "dedup_n_clusters", F.col("n_clusters").cast("double"))
+    d3 = scalar(rep, "dedup_n_duplicates", F.col("n_duplicates").cast("double"))
+    d4 = scalar(rep, "dedup_dup_rate", F.col("dup_rate"))
+    d5 = scalar(rep, "dedup_max_cluster", F.col("max_cluster_size").cast("double"))
+
+    out = k_assign
+    for p in [k_count, k_sum, r1, r2, r3, s1, s2, s3, s4,
+              ptot, pnd, pwb, plb, d1, d2, d3, d4, d5]:
+        out = out.unionByName(p)
+    return out
+
+
+ORACLES["curation_suite"] = _curation_oracle()
+
+
+_ANN_RECALL_ORACLE = """
+SELECT 'ivf' AS method, 1::INTEGER AS recall_ok
+UNION ALL
+SELECT 'pq', 1::INTEGER
+"""
+
+
+@query("ann_recall_suite", oracle=_ANN_RECALL_ORACLE)
+def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ ANN recall floors vs exact brute force as (method,
+    recall_ok) — the two compressed/partitioned scale paths for
+    similarity search, folded into one gate row (each member remains
+    independently runnable; exact recall values are pinned by
+    tests/test_similarity_ivf.py)."""
+    ivf = PQ.q_knn_ivf_recall(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), F.col("recall_ok").cast("int")
+    )
+    pq = PQ.q_knn_pq_recall(spark, sf_dir).select(
+        F.lit("pq").alias("method"), F.col("recall_ok").cast("int")
+    )
+    return ivf.unionByName(pq)
 
 
 @query("graph_solver_suite", oracle=_graph_solver_oracle())
