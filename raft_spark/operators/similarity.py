@@ -18,6 +18,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -170,6 +172,63 @@ def pairwise_distances(
     return cand.select(out_a.alias("a"), out_b.alias("b"), d.alias("dist"))
 
 
+def eps_pairs_exact(
+    df: DataFrame,
+    eps: float,
+    scale: float = 1e6,
+    id_col: str = "id",
+    vec_col: str = "features",
+    n_blocks: int = 16,
+) -> DataFrame:
+    """ε-neighborhood pairs (a < b) under int64-quantized L2 — EXACT
+    and engine-portable: both coordinates are half-up-quantized to
+    ``q = floor(x·scale + 0.5)`` and the predicate is the integer
+    comparison ``Σ(qa−qb)² ≤ round(eps·scale)²``, so any engine that
+    mirrors the quantization admits the identical pair set (no float
+    boundary pairs — the property that makes a DBSCAN run adjudicable
+    across engines). Same blocked-join execution shape as
+    :func:`pairwise_distances` (bounded task memory, no
+    BroadcastNestedLoopJoin). Overflow: per-coordinate diff ≤ 2·|q|max;
+    64·(2·6e5)² ≈ 1e14 ≪ 2⁶³ for unit-scale embeddings.
+    """
+    eps_q = int(math.floor(eps * scale + 0.5))
+    qdf = df.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.transform(
+            vec_col, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
+        ).alias(vec_col),
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    spark = df.sparkSession
+    lb = qdf.select(
+        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_ba"),
+    )
+    rb = qdf.select(
+        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bb"),
+    )
+    blocks = spark.range(n_blocks * n_blocks).select(
+        (F.col("id") / n_blocks).cast("long").alias("_ba"),
+        (F.col("id") % n_blocks).alias("_bb"),
+    ).filter(F.col("_ba") <= F.col("_bb"))
+    cand = (
+        lb.join(F.broadcast(blocks), "_ba")
+        .join(rb, "_bb")
+        .filter(
+            (F.col("_ba") < F.col("_bb"))
+            | ((F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
+        )
+    )
+    return cand.filter(sq <= eps_q * eps_q).select(
+        F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+    )
+
+
 def dbscan(
     df: DataFrame,
     eps: float,
@@ -178,6 +237,7 @@ def dbscan(
     id_col: str = "id",
     vec_col: str = "features",
     n_blocks: int = 16,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """DBSCAN from the engine's own primitives → (id, cluster, kind)
     with kind ∈ {core, border, noise} and cluster = −1 for noise.
@@ -189,14 +249,19 @@ def dbscan(
     (pointer-jumped, checkpointed); border points attach to the
     smallest adjacent core cluster (deterministic). Exact ε-pairing is
     O(n²) like the reference's pairwise kernels — at corpus scale feed
-    the pair stage from LSH/IVF buckets instead; the composition after
-    the pair table is unchanged.
+    precomputed ``pairs`` (a, b) from LSH/IVF buckets or
+    :func:`eps_pairs_exact` instead; the composition after the pair
+    table is unchanged.
     """
     from raft_spark.operators.solvers import connected_components
 
-    pairs = pairwise_distances(
-        df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
-    ).filter(F.col("dist") <= eps).select("a", "b").localCheckpoint(eager=True)
+    if pairs is None:
+        pairs = pairwise_distances(
+            df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+        ).filter(F.col("dist") <= eps).select("a", "b")
+    pairs = pairs.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).localCheckpoint(eager=True)
     sym = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
     core = deg.filter(F.col("_deg") >= min_pts - 1).select(F.col("a").alias("_c"))

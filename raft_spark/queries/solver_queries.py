@@ -305,3 +305,24 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderkey") % 211).cast("long").alias("col"),
     ).filter((F.col("row") != F.col("col")) & (F.col("row") < 180))
     return SV.pagerank_exact(coo, iters=12)
+
+
+def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN over the embeddings table with EXACT int64-quantized
+    ε-pairing (similarity.eps_pairs_exact: Σ(qa−qb)² ≤ round(ε·1e6)²,
+    no float boundary pairs), eps=1.2, min_pts=4 → (id, cluster,
+    kind_code) with core=2 / border=1 / noise=0. The quantized pair
+    predicate is what makes the full clustering adjudicable by a SQL
+    twin — cluster ids are component minima, border attachment is the
+    smallest adjacent core cluster, all deterministic."""
+    from raft_spark.operators import similarity as SIM
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    pairs = SIM.eps_pairs_exact(m, eps=1.2)
+    out = SIM.dbscan(m, eps=1.2, min_pts=4, pairs=pairs)
+    return out.select(
+        "id", "cluster",
+        F.when(F.col("kind") == "core", 2)
+        .when(F.col("kind") == "border", 1)
+        .otherwise(0).cast("long").alias("kind_code"),
+    )

@@ -1039,6 +1039,42 @@ prnodes AS (SELECT DISTINCT node FROM
             (SELECT row AS node FROM pre UNION ALL SELECT col AS node FROM pre)),
 prnn AS (SELECT count(*) AS n FROM prnodes),
 prdeg AS (SELECT row, count(*) AS d FROM pre GROUP BY 1),
+dq AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+           CAST(floor(unnest(embedding::DOUBLE[]) * 1000000.0 + 0.5) AS BIGINT) AS qx
+    FROM embeddings
+),
+dp AS (
+    SELECT qa.vec_id AS a, qb.vec_id AS b
+    FROM dq qa JOIN dq qb ON qa.pos = qb.pos AND qa.vec_id < qb.vec_id
+    GROUP BY 1, 2
+    HAVING sum((qa.qx - qb.qx) * (qa.qx - qb.qx)) <= 1200000::BIGINT * 1200000::BIGINT
+),
+dsym AS (SELECT a, b FROM dp UNION ALL SELECT b AS a, a AS b FROM dp),
+dcore AS (SELECT a FROM dsym GROUP BY a HAVING count(*) >= 3),
+dce AS (
+    SELECT dp.a, dp.b FROM dp
+    JOIN dcore ca ON ca.a = dp.a JOIN dcore cb ON cb.a = dp.b
+),
+dcesym AS (SELECT a AS u, b AS v FROM dce UNION ALL SELECT b AS u, a AS v FROM dce),
+dreach AS (
+    SELECT u AS node, u AS lab FROM dcesym
+    UNION
+    SELECT e.v AS node, r.lab FROM dreach r JOIN dcesym e ON e.u = r.node
+),
+dlab AS (SELECT node, min(lab) AS cluster FROM dreach GROUP BY node),
+dcorelab AS (
+    SELECT c.a AS id, coalesce(l.cluster, c.a) AS cluster
+    FROM dcore c LEFT JOIN dlab l ON l.node = c.a
+),
+dborder AS (
+    SELECT s.a AS id, min(cl.cluster) AS cluster
+    FROM dsym s
+    JOIN dcore co ON co.a = s.b
+    JOIN dcorelab cl ON cl.id = s.b
+    WHERE s.a NOT IN (SELECT a FROM dcore)
+    GROUP BY s.a
+),
 pr(iter, node, r) AS (
   SELECT 0, node, 1000000000000 // (SELECT n FROM prnn) FROM prnodes
   UNION ALL
@@ -1070,6 +1106,14 @@ FROM lap_obj GROUP BY batch
 UNION ALL
 SELECT 'pagerank', node::BIGINT, 0::BIGINT, r::DOUBLE
 FROM pr WHERE iter = 12
+UNION ALL
+SELECT 'dbscan', e.vec_id::BIGINT,
+       coalesce(cl.cluster, bl.cluster, -1)::BIGINT,
+       (CASE WHEN cl.id IS NOT NULL THEN 2
+             WHEN bl.id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+FROM embeddings e
+LEFT JOIN dcorelab cl ON cl.id = e.vec_id
+LEFT JOIN dborder bl ON bl.id = e.vec_id
 """
 
 
@@ -1441,4 +1485,14 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("b"),
         F.col("rank_int").cast("double").alias("value"),
     )
-    return mst.unionByName(cc).unionByName(lap_obj).unionByName(prk)
+    # DBSCAN over exact int64-quantized ε-pairs — the quantized pair
+    # predicate makes the whole clustering cross-engine deterministic
+    dbs = SQ.q_dbscan(spark, sf_dir).select(
+        F.lit("dbscan").alias("method"), F.col("id").cast("long").alias("a"),
+        F.col("cluster").cast("long").alias("b"),
+        F.col("kind_code").cast("double").alias("value"),
+    )
+    return (
+        mst.unionByName(cc).unionByName(lap_obj)
+        .unionByName(prk).unionByName(dbs)
+    )
