@@ -355,3 +355,78 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-6
     for v in present:
         assert got[v] == pytest.approx(r[idx[v]], abs=1e-6)
+
+
+def test_pagerank_exact_matches_python_recurrence(spark):
+    """pagerank_exact must replay the integer recurrence bit-for-bit
+    (any partitioning), and its quantized ranks must track the float
+    pagerank to within the accumulated floor error."""
+    rs = np.random.RandomState(3)
+    edges = {(int(a), int(b)) for a, b in rs.randint(0, 40, (300, 2)) if a != b}
+    # make a few nodes dangling: drop all out-edges of nodes >= 35
+    edges = {(a, b) for a, b in edges if a < 35}
+    coo = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "row long, col long, value double"
+    ).repartition(7)
+    got = {
+        r["node"]: r["rank_int"]
+        for r in SV.pagerank_exact(coo, iters=10).collect()
+    }
+    # driver-side integer replay
+    S = 10**12
+    nodes = sorted({u for u, v in edges} | {v for u, v in edges})
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for u, _ in edges:
+        deg[u] = deg.get(u, 0) + 1
+    r = {u: S // n for u in nodes}
+    basec = (3 * S // 20) // n
+    for _ in range(10):
+        dang = sum(r[u] for u in nodes if u not in deg)
+        share = dang // n
+        inb: dict[int, int] = {}
+        for u, v in edges:
+            inb[v] = inb.get(v, 0) + r[u] // deg[u]
+        r = {u: basec + (17 * (inb.get(u, 0) + share)) // 20 for u in nodes}
+    assert got == r
+    # float twin proximity: 1/scale error per node per round is tiny
+    f = {
+        row["node"]: row["rank"]
+        for row in SV.pagerank(coo, max_iters=10, tol=0.0).collect()
+    }
+    for u in nodes:
+        assert abs(got[u] / S - f[u]) < 1e-6
+
+
+def test_eps_pairs_exact_matches_float_pairs_off_boundary(spark):
+    """Quantized ε-pairing equals the float pair set whenever no pair
+    sits within quantization error of the threshold (and is exactly
+    reproducible by an integer replay either way)."""
+    from raft_spark.operators import similarity as SIM
+
+    rs = np.random.RandomState(11)
+    x = rs.uniform(-0.5, 0.5, (60, 8))
+    df = _matrix_df(spark, x).repartition(5)
+    eps = 0.9
+    got = {
+        (r["a"], r["b"]) for r in SIM.eps_pairs_exact(df, eps=eps).collect()
+    }
+    # integer replay of the quantized predicate
+    q = np.floor(x * 1e6 + 0.5).astype(np.int64)
+    eq = int(np.floor(eps * 1e6 + 0.5))
+    want = {
+        (i, j)
+        for i in range(len(q))
+        for j in range(i + 1, len(q))
+        if int(((q[i] - q[j]) ** 2).sum()) <= eq * eq
+    }
+    assert got == want
+    # float pair set agrees away from the quantization boundary
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    fpairs = {
+        (i, j)
+        for i in range(len(x))
+        for j in range(i + 1, len(x))
+        if d2[i, j] <= eps * eps and abs(d2[i, j] - eps * eps) > 1e-5
+    }
+    assert fpairs <= want
