@@ -225,12 +225,12 @@ def dedup_clusters(
     over the doc table. Candidate-graph size is already bounded by the
     LSH hot-bucket / stop-shingle caps upstream.
     """
-    from raft_spark.operators.solvers import connected_components
+    from raft_spark.operators.solvers import connected_components_auto
 
     coo = pairs.select(
         F.col(a_col).cast("long").alias("row"), F.col(b_col).cast("long").alias("col")
     )
-    labels = connected_components(coo)
+    labels = connected_components_auto(coo)
     base = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"))
         .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -253,7 +253,7 @@ def dbscan(
     :func:`eps_pairs_exact` instead; the composition after the pair
     table is unchanged.
     """
-    from raft_spark.operators.solvers import connected_components
+    from raft_spark.operators.solvers import connected_components_auto
 
     if pairs is None:
         pairs = pairwise_distances(
@@ -269,7 +269,7 @@ def dbscan(
         pairs.join(core.withColumnRenamed("_c", "a"), "a", "left_semi")
         .join(core.withColumnRenamed("_c", "b"), "b", "left_semi")
     )
-    labels = connected_components(
+    labels = connected_components_auto(
         core_edges.select(F.col("a").alias("row"), F.col("b").alias("col"))
     )
     ids = df.select(F.col(id_col).cast("long").alias("id"))

@@ -718,6 +718,51 @@ def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
     return chosen
 
 
+def connected_components_auto(
+    coo: DataFrame, driver_threshold: int = 500_000, max_iters: int = 64
+) -> DataFrame:
+    """Strategy-probed connected components → (node, label): when the
+    EDGE table (not the vertex set) fits comfortably on the driver,
+    one collect + union-find beats ~5 rounds of join/agg/checkpoint
+    whose per-round fixed cost dominates at candidate-graph scale
+    (dedup/DBSCAN candidate graphs are bounded by the upstream LSH/ε
+    caps, typically ≪ the corpus). Above the threshold, the fully
+    distributed pointer-jumped propagation runs unchanged — the same
+    size-probe pattern as knn_brute's strategy switch and mst's
+    small-graph variant. Labels are component minima in both paths.
+    """
+    edges = (
+        coo.select("row", "col")
+        .filter(F.col("row") != F.col("col"))
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    if n_edges > driver_threshold:
+        return connected_components(edges.withColumn("value", F.lit(1.0)),
+                                    max_iters=max_iters)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges.collect():
+        a, b = int(row["row"]), int(row["col"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by MIN so the representative is the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    labels = [(x, find(x)) for x in parent]
+    return coo.sparkSession.createDataFrame(labels, "node long, label long")
+
+
 def connected_components(coo: DataFrame, max_iters: int = 64) -> DataFrame:
     """Smallest-label propagation WITH pointer jumping
     (label/merge_labels.cuh:18 semantics, O(log V) rounds):

@@ -430,3 +430,23 @@ def test_eps_pairs_exact_matches_float_pairs_off_boundary(spark):
         if d2[i, j] <= eps * eps and abs(d2[i, j] - eps * eps) > 1e-5
     }
     assert fpairs <= want
+
+
+def test_connected_components_auto_paths_agree(spark):
+    """Driver union-find (small-graph strategy) and distributed
+    pointer-jumped propagation must produce identical component-min
+    labels on the same graph."""
+    rs = np.random.RandomState(5)
+    edges = {(int(a), int(b)) for a, b in rs.randint(0, 200, (150, 2)) if a != b}
+    coo = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "row long, col long, value double"
+    ).repartition(6)
+    drv = {
+        (r["node"], r["label"])
+        for r in SV.connected_components_auto(coo, driver_threshold=10**6).collect()
+    }
+    dist = {
+        (r["node"], r["label"])
+        for r in SV.connected_components_auto(coo, driver_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
