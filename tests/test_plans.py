@@ -108,3 +108,32 @@ def test_knn_cosine_no_global_sort(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in rep.text
     # the only windows allowed run AFTER the partial cut (rows ≤ P*Q*k)
     assert rep.n_sortmerge_joins == 0
+
+
+def test_eps_pairs_exact_no_nested_loop(spark, sf_dir):
+    # quantized eps-pairing keeps the blocked equi-join shape: the n x n
+    # product must never compile to a BroadcastNestedLoopJoin/Cartesian
+    from raft_spark.operators.similarity import eps_pairs_exact
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    rep = audit_plan(eps_pairs_exact(m, eps=1.2))
+    assert "BroadcastNestedLoopJoin" not in rep.text
+    assert "CartesianProduct" not in rep.text
+
+
+def test_pagerank_exact_plan_constant_across_iterations(spark, sf_dir):
+    # the per-iteration localCheckpoint must cut lineage: the plan of
+    # the returned frame may not grow with the iteration count (the
+    # round-1 iterative-solver blow-up class)
+    from raft_spark.operators.solvers import pagerank_exact
+    from raft_spark.sources.tables import load
+
+    o = load(spark, "orders", sf_dir)
+    coo = o.select(
+        (F.col("o_custkey") % 97).alias("row"),
+        (F.col("o_orderkey") % 97).alias("col"),
+    ).filter(F.col("row") != F.col("col"))
+    short = audit_plan(pagerank_exact(coo, iters=2))
+    long = audit_plan(pagerank_exact(coo, iters=5))
+    assert abs(len(long.text) - len(short.text)) < 200
