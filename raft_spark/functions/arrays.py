@@ -122,8 +122,10 @@ def threshold(x: ColumnLike, t: float) -> Column:
 def ratio(x: ColumnLike) -> Column:
     """x / sum(x) within the row (matrix/ratio.cuh:22)."""
     xc = _c(x)
-    total = F.aggregate(xc, F.lit(0.0), lambda acc, v: acc + v)
-    return F.transform(xc, lambda a: a / total)
+    return let_bind(
+        F.aggregate(xc, F.lit(0.0), lambda acc, v: acc + v),
+        lambda total: F.transform(xc, lambda a: a / total),
+    )
 
 
 def quantize_int8(x: ColumnLike) -> Column:
@@ -135,26 +137,34 @@ def quantize_int8(x: ColumnLike) -> Column:
     shuffle; SQL-reproducible (no float rounding ambiguity: the code
     is sign·floor(|x|/scale·127 + 0.5))."""
     xc = _c(x)
-    scale = F.array_max(F.transform(xc, F.abs))
-    def code(a):
+
+    def code(a, scale):
         raw = F.floor(F.abs(a) / scale * 127.0 + 0.5)
         return F.when(scale == 0, F.lit(0.0)).otherwise(
             F.signum(a) * F.least(raw, F.lit(127.0))
         )
-    return F.transform(xc, code)
+
+    return let_bind(
+        F.array_max(F.transform(xc, F.abs)),
+        lambda scale: F.transform(xc, lambda a: code(a, scale)),
+    )
 
 
 def dequantize_int8(x: ColumnLike) -> Column:
     """Round-trip reconstruction of :func:`quantize_int8` (code·scale/127)
     — quantize→dequantize bounds the per-entry error at scale/254."""
     xc = _c(x)
-    scale = F.array_max(F.transform(xc, F.abs))
-    def code(a):
+
+    def code(a, scale):
         raw = F.floor(F.abs(a) / scale * 127.0 + 0.5)
         return F.when(scale == 0, F.lit(0.0)).otherwise(
             F.signum(a) * F.least(raw, F.lit(127.0))
         )
-    return F.transform(xc, lambda a: code(a) * scale / 127.0)
+
+    return let_bind(
+        F.array_max(F.transform(xc, F.abs)),
+        lambda scale: F.transform(xc, lambda a: code(a, scale) * scale / 127.0),
+    )
 
 
 def slice_cols(x: ColumnLike, start: int, length: int) -> Column:
@@ -196,6 +206,21 @@ def row_sum(x: ColumnLike) -> Column:
     return row_reduce(x)
 
 
+def let_bind(bound: Column, body) -> Column:
+    """Let-bind a per-row scalar expression: evaluate ``bound`` ONCE
+    per row and hand it to ``body`` as a lambda variable.
+
+    Catalyst does not common-subexpression-eliminate across
+    higher-order-function lambda boundaries: an aggregate referenced
+    inside a ``transform`` element lambda is re-evaluated PER ELEMENT —
+    O(d²) work per row for a row norm/sum (measured 23 s/1M rows at
+    d=64 vs ~2 s bound). Wrapping the scalar in a one-element array and
+    transforming over it makes it a bound lambda variable, which IS
+    evaluated once.
+    """
+    return F.element_at(F.transform(F.array(bound), body), 1)
+
+
 def row_norm(x: ColumnLike, kind: str = "l2", final_sqrt: bool = True) -> Column:
     """L1/L2/Linf row norms (linalg/norm.cuh:51; types norm_types.hpp:13-22)."""
     if kind == "l1":
@@ -216,8 +241,12 @@ def normalize(x: ColumnLike, kind: str = "l2") -> Column:
     used by its L1/Linf row-normalize, sparse/linalg/norm.cuh:20).
     """
     xc = _c(x)
-    n = row_norm(xc, kind)
-    return F.transform(xc, lambda a: F.when(n == 0, a).otherwise(a / n))
+    return let_bind(
+        row_norm(xc, kind),
+        lambda n: F.transform(
+            xc, lambda a: F.when(n == 0, a).otherwise(a / n)
+        ),
+    )
 
 
 def dot(x: ColumnLike, y: ColumnLike) -> Column:

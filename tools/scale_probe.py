@@ -1,0 +1,101 @@
+"""Scale probe: the headline distributed paths at 1M+ generated rows
+(500x the sf0.1 embeddings table) — evidence that the partition/shuffle
+shapes hold well past the driver testdata, not just at toy scale.
+
+Inputs are generated distributed from the counter-based RNG (a narrow
+projection — no driver data, no parquet), so the probe isolates
+operator cost from scan cost and is reproducible anywhere:
+
+- dense row-vector table N x d: per-row arrays of uniform draws
+- gram_matrix (float) vs gram_matrix_exact (int64-quantized, split
+  dgemm): the exact pass must stay within ~2x of the float pass
+- select_k "partial" over ONE giant group (the skew worst case: task
+  state must stay O(k), wall time flat vs grouped)
+- knn_brute numpy path: 100 queries against the full corpus
+
+Prints one JSON line; run:  python tools/scale_probe.py [N] [d]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from raft_spark.functions.rng import uniform  # noqa: E402
+from raft_spark.session import get_spark  # noqa: E402
+
+
+def dense_table(spark, n: int, d: int):
+    base = spark.range(n).select(F.col("id"))
+    feats = F.array(
+        *[uniform(F.col("id") * d + j, seed=7) - F.lit(0.5) for j in range(d)]
+    )
+    return base.select("id", feats.alias("features"))
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    d = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    spark = get_spark(app_name="raft_spark_scale_probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: (__import__("numpy"), __import__("pandas"), it)[-1], "id long"
+    ).count()
+
+    out: dict[str, float] = {}
+    df = dense_table(spark, n, d).localCheckpoint(eager=True)
+    out["n_rows"] = df.count()
+
+    from raft_spark.operators.solvers import gram_matrix, gram_matrix_exact
+
+    t = time.perf_counter()
+    g, s, cnt = gram_matrix(df)
+    out["gram_float_s"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    gi, si, cnti = gram_matrix_exact(df, scale=1e6)
+    out["gram_exact_s"] = round(time.perf_counter() - t, 2)
+    assert cnt == cnti == n
+    # cross-check: exact integer Gram tracks the float Gram
+    err = max(
+        abs(gi[i][j] / 1e12 - g[i][j]) for i in range(d) for j in range(d)
+    )
+    out["gram_max_absdiff"] = round(err, 6)
+
+    from raft_spark.operators.selectk import select_k
+
+    flat = df.select(
+        F.lit(0).alias("g"), F.col("id"),
+        F.element_at("features", 1).alias("v"),
+    )
+    t = time.perf_counter()
+    k1 = select_k(flat, ["g"], "v", k=16, payload_cols=["id"],
+                  strategy="partial").count()
+    out["select_k_one_group_s"] = round(time.perf_counter() - t, 2)
+    grouped = df.select(
+        (F.col("id") % 1000).alias("g"), F.col("id"),
+        F.element_at("features", 1).alias("v"),
+    )
+    t = time.perf_counter()
+    k2 = select_k(grouped, ["g"], "v", k=16, payload_cols=["id"],
+                  strategy="partial").count()
+    out["select_k_1000_groups_s"] = round(time.perf_counter() - t, 2)
+    assert k1 == 16 and k2 == 16_000
+
+    from raft_spark.operators.similarity import knn_brute
+
+    queries = df.filter(F.col("id") < 100)
+    t = time.perf_counter()
+    kn = knn_brute(df, queries, k=10).count()
+    out["knn_1m_corpus_100q_s"] = round(time.perf_counter() - t, 2)
+    assert kn == 1000
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
