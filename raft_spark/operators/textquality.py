@@ -166,47 +166,74 @@ def _toks(text) -> Column:
 def dup_word_frac(text) -> Column:
     """Fraction of words that are repeats of an earlier word
     (Gopher/MassiveText-style repetition rule). Pure expression —
-    zero shuffle, runs inside the same narrow pre-filter projection."""
-    toks = _toks(text)
-    n = F.size(toks)
-    return F.when(n == 0, F.lit(0.0)).otherwise(
-        (n - F.size(F.array_distinct(toks))) / n
+    zero shuffle, runs inside the same narrow pre-filter projection.
+    The token array is let-bound so the split runs once per row."""
+    from raft_spark.functions.arrays import let_bind
+
+    return let_bind(
+        _toks(text),
+        lambda toks: F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+            (F.size(toks) - F.size(F.array_distinct(toks))) / F.size(toks)
+        ),
     )
 
 
 def top_word_frac(text) -> Column:
     """Fraction of the document taken by its single most frequent word.
-    O(distinct·n) per row as a pure expression — documents are short by
-    pre-filter contract (longer docs should pass through the exploded
-    groupBy form instead)."""
-    toks = _toks(text)
-    n = F.size(toks)
-    freq = F.transform(
-        F.array_distinct(toks),
-        lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    O(distinct·n) comparisons per row as a pure expression — documents
+    are short by pre-filter contract (longer docs should pass through
+    the exploded groupBy form instead). The token array is let-bound:
+    without it Catalyst re-evaluates the SPLIT inside every filter
+    lambda element — O(distinct·n) splits, not comparisons."""
+    from raft_spark.functions.arrays import let_bind
+
+    return let_bind(
+        _toks(text),
+        lambda toks: F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(
+            F.array_max(
+                F.transform(
+                    F.array_distinct(toks),
+                    lambda w: F.size(F.filter(toks, lambda t: t == w)),
+                )
+            )
+            / F.size(toks)
+        ),
     )
-    return F.when(n == 0, F.lit(0.0)).otherwise(F.array_max(freq) / n)
 
 
 def top_bigram_frac(text) -> Column:
     """Fraction of word-bigram slots taken by the most frequent bigram
-    (the Gopher duplicated-2-gram rule), as a pure expression."""
-    toks = _toks(text)
-    n = F.size(toks)
-    grams = F.when(n < 2, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(0), n - 2),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
-            ),
+    (the Gopher duplicated-2-gram rule), as a pure expression. Both
+    the token array and the bigram array are let-bound (the bigram
+    construction itself re-splits per element otherwise)."""
+    from raft_spark.functions.arrays import let_bind
+
+    def _grams(toks):
+        n = F.size(toks)
+        return F.when(n < 2, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+                ),
+            )
         )
+
+    return let_bind(
+        _toks(text),
+        lambda toks: let_bind(
+            _grams(toks),
+            lambda grams: F.when(F.size(grams) <= 0, F.lit(0.0)).otherwise(
+                F.array_max(
+                    F.transform(
+                        F.array_distinct(grams),
+                        lambda g: F.size(F.filter(grams, lambda x: x == g)),
+                    )
+                )
+                / F.size(grams)
+            ),
+        ),
     )
-    m = F.size(grams)
-    freq = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)),
-    )
-    return F.when(m <= 0, F.lit(0.0)).otherwise(F.array_max(freq) / m)
 
 
 def contamination(docs, bench, n: int = 5, text_col: str = "text",
