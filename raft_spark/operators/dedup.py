@@ -151,20 +151,23 @@ def minhash_signature_expr(text_col, num_perms: int = NUM_PERMS):
     distinct tokens. Because it is a pure projection it runs identically
     on batch frames and un-watermarked streams (append mode), which is
     what makes streaming near-dup lookup possible with ZERO stream
-    state."""
-    toks = F.array_distinct(F.split(_col(text_col), r"\s+"))
+    state. The token array (and the hashed-token array) are let-bound
+    so the split/distinct/xxhash run once per row, not once per perm."""
+    from raft_spark.functions.arrays import let_bind
 
-    def perm_min(p: int):
+    def perm_min(hashes, p: int):
         a, b = perm_consts(p)
         return F.array_min(
-            F.transform(
-                toks,
-                lambda t: (F.lit(a) * F.pmod(F.xxhash64(t), F.lit(P31)) + F.lit(b))
-                % P31,
-            )
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)
         )
 
-    return F.array(*[perm_min(p) for p in range(num_perms)])
+    return let_bind(
+        F.transform(
+            F.array_distinct(F.split(_col(text_col), r"\s+")),
+            lambda t: F.pmod(F.xxhash64(t), F.lit(P31)),
+        ),
+        lambda hashes: F.array(*[perm_min(hashes, p) for p in range(num_perms)]),
+    )
 
 
 def band_table(
