@@ -94,6 +94,35 @@ def main() -> None:
     out["knn_1m_corpus_100q_s"] = round(time.perf_counter() - t, 2)
     assert kn == 1000
 
+    # text paths: 100k generated docs of 200 words from a 500-word vocab
+    from raft_spark.operators import dedup as D
+    from raft_spark.operators import textquality as TQ
+
+    words = F.transform(
+        F.sequence(F.lit(0), F.lit(199)),
+        lambda i: F.concat(
+            F.lit("w"),
+            F.pmod(F.col("id") * 7919 + i * 104729, F.lit(500)).cast("string"),
+        ),
+    )
+    docs = (
+        spark.range(100_000)
+        .select("id", F.array_join(words, " ").alias("text"))
+        .localCheckpoint(eager=True)
+    )
+    t = time.perf_counter()
+    docs.select(
+        TQ.top_word_frac("text").alias("a"),
+        TQ.top_bigram_frac("text").alias("b"),
+        TQ.dup_word_frac("text").alias("c"),
+    ).agg(F.sum("a"), F.sum("b"), F.sum("c")).collect()
+    out["repetition_100k_docs_s"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    docs.select(
+        D.minhash_signature_expr("text").alias("sig")
+    ).select(F.sum(F.element_at("sig", 1))).collect()
+    out["minhash_sig_expr_100k_docs_s"] = round(time.perf_counter() - t, 2)
+
     print(json.dumps(out))
 
 
