@@ -309,6 +309,40 @@ def dbscan(
     return out
 
 
+def _partial_topk(s, nids, qid_vals, k):
+    """Tie-exact local top-k under (cosine desc, nid asc) for a scored
+    block ``s`` (B×Q, −inf = excluded): one batched argpartition across
+    all queries, then the exact total order applied only to candidates
+    (every row tied with the kth score joins the candidate set, so the
+    cut matches a full lexsort bit-for-bit). Returns list-of-arrays
+    triples (qid, nid, cosine)."""
+    import numpy as np
+
+    b = s.shape[0]
+    kk = min(k, b)
+    if b > kk:
+        part = np.argpartition(-s, kk - 1, axis=0)[:kk]
+    else:
+        part = np.tile(np.arange(b)[:, None], (1, s.shape[1]))
+    out_q, out_n, out_c = [], [], []
+    for qi in range(s.shape[1]):
+        col = s[:, qi]
+        thresh = col[part[:, qi]].min()
+        if thresh == -np.inf:  # ≤ kk real candidates
+            cand = np.nonzero(col > -np.inf)[0]
+        else:
+            cand = np.nonzero(col >= thresh)[0]
+        if len(cand) == 0:
+            continue
+        take = min(kk, len(cand))
+        order = np.lexsort((nids[cand], -col[cand]))
+        top = cand[order[:take]]
+        out_q.append(np.full(len(top), qid_vals[qi]))
+        out_n.append(nids[top])
+        out_c.append(col[top])
+    return out_q, out_n, out_c
+
+
 def knn_brute(
     corpus: DataFrame,
     queries: DataFrame,
@@ -372,37 +406,11 @@ def knn_brute(
                 # (np.round is banker's half-to-even: a cosine landing
                 # exactly on .5e-6 would flip rank across engines)
                 s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
-                # self-matches drop out of every ranking up front
+                # self-matches drop out of every ranking up front; the
+                # batched tie-exact cut replaces a per-query lexsort of
+                # the whole partition (measured 73 s → ~8 s at 1M×100q)
                 s[nids[:, None] == qids[None, :]] = -np.inf
-                b = len(nids)
-                kk = min(k, b)
-                # ONE batched argpartition across all queries replaces a
-                # per-query lexsort of the whole partition (measured 73 s
-                # → ~8 s at 1M×100q): cosine-only partition first, then
-                # the exact total order (cosine desc, nid asc) applied
-                # only to candidates. Tie-exactness: every row whose
-                # cosine EQUALS the kth-largest also joins the candidate
-                # set, so the cut matches the full lexsort bit-for-bit.
-                if b > kk:
-                    part = np.argpartition(-s, kk - 1, axis=0)[:kk]
-                else:
-                    part = np.tile(np.arange(b)[:, None], (1, len(qids)))
-                out_q, out_n, out_c = [], [], []
-                for qi in range(len(qids)):
-                    col = s[:, qi]
-                    thresh = col[part[:, qi]].min()
-                    if thresh == -np.inf:  # ≤ kk real candidates
-                        cand = np.nonzero(col > -np.inf)[0]
-                    else:
-                        cand = np.nonzero(col >= thresh)[0]
-                    if len(cand) == 0:
-                        continue
-                    take = min(kk, len(cand))
-                    order = np.lexsort((nids[cand], -col[cand]))
-                    top = cand[order[:take]]
-                    out_q.append(np.full(len(top), qids[qi]))
-                    out_n.append(nids[top])
-                    out_c.append(col[top])
+                out_q, out_n, out_c = _partial_topk(s, nids, qids, k)
                 if out_q:
                     yield pd.DataFrame(
                         {
@@ -1067,9 +1075,19 @@ def knn_ivf(
 
     Output matches knn_brute's schema (qid, nid, cosine, rank).
     """
+    import numpy as np
+    import pandas as pd
+
     # spherical IVF: quantize in the L2-normalized space (the same
-    # space the cosine scoring runs in)
-    norm_c = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    # space the cosine scoring runs in). The normalized corpus is
+    # materialized ONCE — the k-means iterations, the list assignment
+    # and the scoring pass all re-read it (kmeans_iters + 2 full
+    # passes re-evaluating the normalize expression otherwise).
+    norm_c = (
+        _norm_table(corpus, id_col, vec_col)
+        .withColumnRenamed("_v", vec_col)
+        .localCheckpoint(eager=True)
+    )
     cents = kmeans_centroids(norm_c, n_lists, n_iters=kmeans_iters,
                              id_col="_id", vec_col=vec_col)
     n_lists = len(cents)
@@ -1078,18 +1096,63 @@ def knn_ivf(
         F.col("_id").alias("nid"), F.col(vec_col).alias("_vc"), "list_id"
     )
 
-    # query → its n_probe nearest lists (one probe row per list, from
-    # the same Arrow-batched assigner — plan size independent of k)
-    q_norm = _norm_table(queries, id_col, vec_col).withColumnRenamed("_v", vec_col)
-    probe = _assign_lists(q_norm, cents, vec_col, n_probe=n_probe).select(
-        F.col("_id").alias("qid"), F.col(vec_col).alias("_vq"), "list_id"
+    # query probes computed DRIVER-side against the k×d centroid matrix
+    # (queries are collect-guarded by the Q≪N contract — no Spark pass),
+    # then the scoring ships query vectors + their probed lists in the
+    # task closure and runs ONE BLAS sub-matmul per (batch, probed
+    # list): same arithmetic, quantization and tie order as knn_brute,
+    # so full-probe output is identical to brute force — but candidate
+    # volume is n_probe/n_lists of it (the per-pair JVM dot join this
+    # replaces measured 26.5 s vs brute's 4 s at 1M×100q).
+    q_rows = _collect_queries(
+        _norm_table(queries, id_col, vec_col), MAX_COLLECT_QUERIES
     )
-    scored = (
-        probe.join(c_assigned, "list_id")
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
-    )
+    qids = np.array([r["_id"] for r in q_rows])
+    qm = np.array([r["_v"] for r in q_rows])  # |Q|×d
+    C = np.asarray(cents, dtype=float)
+    d2 = (qm * qm).sum(1)[:, None] - 2.0 * qm @ C.T + (C * C).sum(1)[None, :]
+    probe_lists = np.argsort(d2, axis=1, kind="stable")[:, :n_probe]
+    by_list: dict[int, np.ndarray] = {}
+    for li in range(n_lists):
+        sub = np.nonzero((probe_lists == li).any(axis=1))[0]
+        if len(sub):
+            by_list[li] = sub
+
+    def pp(batches):
+        from raft_spark.functions.xp import to_np, xp
+
+        ap = xp()
+        qd = ap.asarray(qm.T)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["_vc"].to_numpy()).astype(float)
+            nids = pdf["nid"].to_numpy()
+            lists = pdf["list_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for li in np.unique(lists):
+                qsub = by_list.get(int(li))
+                if qsub is None:
+                    continue
+                rows = np.nonzero(lists == li)[0]
+                raw = to_np(ap.asarray(m[rows]) @ qd[:, qsub])
+                s = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
+                s[nids[rows][:, None] == qids[qsub][None, :]] = -np.inf
+                q_, n_, c_ = _partial_topk(s, nids[rows], qids[qsub], k)
+                out_q += q_
+                out_n += n_
+                out_c += c_
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "cosine": np.concatenate(out_c),
+                    }
+                )
+
+    scored = c_assigned.mapInPandas(pp, "qid long, nid long, cosine double")
     return select_k(
         scored, group_cols=["qid"], order_col="cosine", k=k,
-        ascending=False, payload_cols=["nid"],
+        ascending=False, payload_cols=["nid"], strategy="agg",
     )
