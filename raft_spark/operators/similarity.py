@@ -836,15 +836,18 @@ def knn_pq(
             scores = np.zeros((len(C), len(qids)))
             for s in range(m):
                 scores += lut[:, s, C[:, s]].T
-            for qi in range(len(qids)):
-                col = scores[:, qi]
-                cand = np.nonzero(nids != qids[qi])[0]
-                if len(cand) == 0:
-                    continue
-                order = np.lexsort((nids[cand], -col[cand]))
-                top = cand[order[: min(k_short, len(cand))]]
+            # batched tie-exact local shortlist cut (shared with
+            # knn_brute/knn_ivf) — replaces a per-query lexsort of the
+            # whole code batch
+            scores[nids[:, None] == qids[None, :]] = -np.inf
+            out_q, out_n, out_c = _partial_topk(scores, nids, qids, k_short)
+            if out_q:
                 yield pd.DataFrame(
-                    {"qid": qids[qi], "nid": nids[top], "adc": col[top]}
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "adc": np.concatenate(out_c),
+                    }
                 )
 
     shortlist = codes_df.mapInPandas(pp, "qid long, nid long, adc double")
@@ -1028,16 +1031,18 @@ def knn_ivf_pq(
             for s in range(m):
                 adc += lut[:, s, CC[:, s]].T
             scores = adc + qc[:, lists].T  # + <q, centroid(list)>
-            for qi in range(len(qids)):
-                keep = probe_mask[qi, lists] & (nids != qids[qi])
-                cand = np.nonzero(keep)[0]
-                if len(cand) == 0:
-                    continue
-                col = scores[:, qi]
-                order = np.lexsort((nids[cand], -col[cand]))
-                top = cand[order[: min(k_short, len(cand))]]
+            # un-probed lists and self-matches drop out before the
+            # batched tie-exact cut (shared _partial_topk)
+            scores[~probe_mask[:, lists].T] = -np.inf
+            scores[nids[:, None] == qids[None, :]] = -np.inf
+            out_q, out_n, out_c = _partial_topk(scores, nids, qids, k_short)
+            if out_q:
                 yield pd.DataFrame(
-                    {"qid": qids[qi], "nid": nids[top], "adc": col[top]}
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "adc": np.concatenate(out_c),
+                    }
                 )
 
     shortlist = codes.mapInPandas(pp, "qid long, nid long, adc double")
