@@ -626,21 +626,73 @@ def kmeans_centroids(
             .collect()
         ]
     )
+    import pandas as pd
+
+    vecs = df.select(vec_col)
     for _ in range(n_iters):
-        assigned = _assign_lists(
-            df.select(id_col, vec_col), cents, vec_col, list_col="cluster"
-        )
-        # update: per-cluster mean via posexplode + groupBy (map-side
-        # combined — shuffle is k×d rows, not n)
+        # fused assign+update in ONE Arrow pass: each partition argmins
+        # its batch against the closure centroids and emits k×d partial
+        # sums + k counts (the earlier posexplode update materialized
+        # n·d rows per iteration — 64M at 1M×64, several seconds/iter
+        # of pure explode; the shuffle here is k×(d+1)×partitions
+        # scalars). Per-cluster sums via a one-hot matmul (BLAS).
+        C = np.asarray(cents, dtype=float)
+        cc = (C * C).sum(1)
+        kk = C.shape[0]
+
+        def pp(batches, _C=C, _cc=cc, _kk=kk):
+            from raft_spark.functions.xp import to_np, xp
+
+            ap = xp()
+            cd = ap.asarray(_C.T)
+            acc = None
+            cnt = np.zeros(_kk)
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+                d2 = (M * M).sum(1)[:, None] - 2.0 * to_np(
+                    ap.asarray(M) @ cd
+                ) + _cc[None, :]
+                a = d2.argmin(1)
+                onehot = np.zeros((len(M), _kk))
+                onehot[np.arange(len(M)), a] = 1.0
+                part = onehot.T @ M
+                acc = part if acc is None else acc + part
+                cnt += onehot.sum(0)
+            if acc is None:
+                return
+            cl, pos = np.divmod(np.arange(acc.size), acc.shape[1])
+            yield pd.concat(
+                [
+                    pd.DataFrame(
+                        {"cluster": cl, "pos": pos, "s": acc.ravel(),
+                         "cnt": 0.0}
+                    ),
+                    pd.DataFrame(
+                        {"cluster": np.arange(_kk), "pos": -1,
+                         "s": 0.0, "cnt": cnt}
+                    ),
+                ],
+                ignore_index=True,
+            )
+
         sums = (
-            assigned.select("cluster", F.posexplode(vec_col).alias("pos", "x"))
+            vecs.mapInPandas(pp, "cluster int, pos int, s double, cnt double")
             .groupBy("cluster", "pos")
-            .agg(F.sum("x").alias("s"), F.count("x").alias("cnt"))
+            .agg(F.sum("s").alias("s"), F.sum("cnt").alias("cnt"))
             .collect()
         )
-        new = np.array(cents)
+        counts = np.zeros(kk)
+        acc = np.zeros_like(C)
         for r in sums:
-            new[r["cluster"], r["pos"]] = r["s"] / r["cnt"]
+            if r["pos"] < 0:
+                counts[r["cluster"]] = r["cnt"]
+            else:
+                acc[r["cluster"], r["pos"]] = r["s"]
+        new = np.array(cents)
+        nz = counts > 0
+        new[nz] = acc[nz] / counts[nz, None]  # empty clusters keep theirs
         cents = new
     return cents
 

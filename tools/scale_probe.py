@@ -123,6 +123,33 @@ def main() -> None:
     ).select(F.sum(F.element_at("sig", 1))).collect()
     out["minhash_sig_expr_100k_docs_s"] = round(time.perf_counter() - t, 2)
 
+    # ANN scale tiers at the same 1M corpus
+    from raft_spark.operators.similarity import knn_ivf
+
+    t = time.perf_counter()
+    ki = knn_ivf(df, queries, k=10, n_lists=32, n_probe=4,
+                 kmeans_iters=2).count()
+    out["knn_ivf_1m_s"] = round(time.perf_counter() - t, 2)
+    assert ki == 1000
+
+    # the distributed rank that underpins quantiles / vocab ids —
+    # earlier sections' checkpointed frames are released first so the
+    # 10M-row shuffle isn't measured under their memory pressure
+    import gc
+
+    del df, docs, queries
+    gc.collect()
+
+    from raft_spark.operators.reductions import global_rank
+
+    big = spark.range(10_000_000).select(
+        "id", (F.xxhash64("id") % 1_000_000).alias("v")
+    ).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    gr = global_rank(big, ["v", "id"], rank_name="r").count()
+    out["global_rank_10m_s"] = round(time.perf_counter() - t, 2)
+    assert gr == 10_000_000
+
     print(json.dumps(out))
 
 
