@@ -118,6 +118,8 @@ def gram_matrix(df: DataFrame, features: str = "features") -> tuple[np.ndarray, 
         .agg(F.sum("v").alias("v"))
         .collect()
     )
+    if not rows:
+        raise ValueError("gram_matrix: empty input (no feature rows)")
     d = max(r["i"] for r in rows) + 1
     g = np.zeros((d, d))
     sx = np.zeros(d)
@@ -219,6 +221,8 @@ def gram_matrix_exact(
         .agg(F.sum("v").alias("v"))
         .collect()
     )
+    if not rows:
+        raise ValueError("gram_matrix_exact: empty input (no feature rows)")
     d = max(r["i"] for r in rows) + 1
     g = [[0] * d for _ in range(d)]
     sx = [0] * d

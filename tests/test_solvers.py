@@ -450,3 +450,32 @@ def test_connected_components_auto_paths_agree(spark):
         for r in SV.connected_components_auto(coo, driver_threshold=0).collect()
     }
     assert drv == dist and len(drv) > 0
+
+
+def test_operators_on_empty_inputs(spark):
+    """Empty frames flow through (0 rows) or raise a CLEAR error —
+    never an internal crash deep in a driver-side reduction."""
+    import pytest as _pt
+
+    from raft_spark.operators import dedup as D
+    from raft_spark.operators import similarity as SIM
+    from raft_spark.operators.selectk import select_k
+
+    empty_vec = spark.createDataFrame([], "id long, features array<double>")
+    empty_coo = spark.createDataFrame([], "row long, col long, value double")
+    assert select_k(
+        spark.createDataFrame([], "g long, v double, id long"),
+        ["g"], "v", 3, payload_cols=["id"],
+    ).count() == 0
+    assert SIM.knn_brute(empty_vec, empty_vec).count() == 0
+    assert SIM.eps_pairs_exact(empty_vec, 1.0).count() == 0
+    assert SIM.dbscan(empty_vec, 1.0).count() == 0
+    assert SV.connected_components_auto(empty_coo).count() == 0
+    assert SV.pagerank_exact(empty_coo).count() == 0
+    assert D.exact_dedup(
+        spark.createDataFrame([], "doc_id long, text string")
+    ).count() == 0
+    with _pt.raises(ValueError, match="empty input"):
+        SV.gram_matrix_exact(empty_vec)
+    with _pt.raises(ValueError, match="empty input"):
+        SV.gram_matrix(empty_vec)
