@@ -48,3 +48,86 @@ def approx_quantiles(
         [(i, float(p)) for i, p in enumerate(ps)], "_i int, p double"
     )
     return out.join(F.broadcast(pdf), "_i").select("p", "value")
+
+
+def count_min(
+    df: DataFrame, col: str, width: int = 1024, depth: int = 4, seed: int = 7
+) -> DataFrame:
+    """Count-min sketch in long form → (depth, bucket, cnt): ``depth``
+    independent hash rows of ``width`` counters. One explode + one
+    map-side-combinable groupBy — shuffle is depth×width counters
+    regardless of input size, and sketches of shards/days MERGE by
+    adding counters (the property that makes it a 100 TB planning
+    tool where an exact per-key count would be a corpus-sized state).
+    Deterministic for fixed (data, seed): estimates are reproducible.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width))
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(pairs).alias("_p"))
+        .select("_p.depth", "_p.bucket")
+        .groupBy("depth", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def count_min_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Point-query the sketch for each key → (key, est). est =
+    min over rows of the key's counter; the classic guarantee:
+    est ≥ true count ALWAYS (collisions only inflate), and
+    est ≤ true + ε·N with probability 1−δ (ε = e/width, δ = e^−depth).
+    One broadcast-able join per key set."""
+    probes = keys.select(
+        F.col(col).alias("key"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("depth"),
+                        F.pmod(
+                            F.xxhash64(F.col(col), F.lit(seed + i)),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select("key", "_p.depth", "_p.bucket")
+    return (
+        probes.join(sketch, ["depth", "bucket"], "left")
+        .groupBy("key")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est"))
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, col: str, min_frac: float = 0.01
+) -> DataFrame:
+    """Exact heavy hitters → (key, cnt, frac): values occurring in at
+    least ``min_frac`` of the rows. One map-side-combinable groupBy +
+    a broadcast scalar total — the curation pass that finds boilerplate
+    shingles, spam domains, hot buckets before they melt a join."""
+    total = df.select(F.count("*").alias("_n"))
+    return (
+        df.groupBy(F.col(col).alias("key"))
+        .agg(F.count("*").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.col("_n") * min_frac)
+        .select("key", "cnt", (F.col("cnt") / F.col("_n")).alias("frac"))
+    )

@@ -1173,6 +1173,15 @@ toks AS (
     SELECT doc_id, len(string_split_regex(text, '\\s+'))::BIGINT AS n_tokens
     FROM documents
 ),
+terms AS (
+    SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+    FROM documents
+),
+termn AS (SELECT count(*) AS n FROM terms),
+hh AS (
+    SELECT term, count(*) AS cnt FROM terms GROUP BY term
+    HAVING count(*) >= 0.002 * (SELECT n FROM termn)
+),
 dcl AS (SELECT * FROM {_sub('dedup_clusters')})
 SELECT 'kmeans_assign' AS member, vec_id::BIGINT AS a, cluster::BIGINT AS b,
        dist::DOUBLE AS value FROM asg
@@ -1219,6 +1228,13 @@ SELECT 'dedup_dup_rate', 0::BIGINT, -1::BIGINT,
 UNION ALL
 SELECT 'dedup_max_cluster', 0::BIGINT, -1::BIGINT,
        max(cluster_size)::DOUBLE FROM dcl
+UNION ALL
+SELECT 'heavy_hitters', cnt::BIGINT, -1::BIGINT, count(*)::DOUBLE
+FROM hh GROUP BY cnt
+UNION ALL
+SELECT 'cms_lower_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'cms_within_eps', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -1405,6 +1421,44 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pack_bins_lb_ok", F.col("ok"),
     )
 
+    # ---- heavy hitters (exact) + count-min sketch contracts ----
+    terms = docs.select(
+        F.explode(F.split(F.col("text"), r"\s+")).alias("term")
+    ).localCheckpoint(eager=True)
+    hh = SK.heavy_hitters(terms, "term", min_frac=0.002) \
+        .localCheckpoint(eager=True)
+    h1 = hh.groupBy("cnt").agg(F.count("*").alias("n")).select(
+        F.lit("heavy_hitters").alias("member"),
+        F.col("cnt").cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"),
+        F.col("n").cast("double").alias("value"),
+    )
+    cms = SK.count_min(terms, "term", width=1024, depth=4)
+    probe_keys = hh.select(F.col("key").alias("term"))
+    est = SK.count_min_estimate(cms, probe_keys, "term",
+                                width=1024, depth=4)
+    chk = (
+        est.join(hh.select(F.col("key").alias("_hk"), "cnt"),
+                 est["key"] == F.col("_hk"))
+        .crossJoin(F.broadcast(terms.agg(F.count("*").alias("_n"))))
+        .agg(
+            (F.sum((F.col("est") < F.col("cnt")).cast("int")) == 0)
+            .cast("double").alias("lower_ok"),
+            (
+                F.sum(
+                    (
+                        F.col("est")
+                        > F.col("cnt") + 4.0 * F.col("_n") / 1024.0
+                    ).cast("int")
+                )
+                == 0
+            ).cast("double").alias("eps_ok"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    c1 = scalar(chk, "cms_lower_ok", F.col("lower_ok"))
+    c2 = scalar(chk, "cms_within_eps", F.col("eps_ok"))
+
     # ---- corpus dedup summary ----
     rep = dedup_report(PQ.q_dedup_clusters(spark, sf_dir)) \
         .localCheckpoint(eager=True)
@@ -1416,7 +1470,7 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = k_assign
     for p in [k_count, k_sum, r1, r2, r3, s1, s2, s3, s4,
-              ptot, pnd, pwb, plb, d1, d2, d3, d4, d5]:
+              ptot, pnd, pwb, plb, h1, c1, c2, d1, d2, d3, d4, d5]:
         out = out.unionByName(p)
     return out
 

@@ -70,3 +70,49 @@ def test_token_count_model_fallback(spark, sf_dir):
     if rows[0]["method"] == "regex_fallback":
         for r in rows:
             assert r["n_tokens"] == exact[r["doc_id"]]
+
+
+def test_count_min_lower_bound_and_merge(spark):
+    """est >= true count for EVERY key (collisions only inflate), the
+    sketch of a union equals the counter-sum of the shard sketches,
+    and heavy_hitters matches a naive recount."""
+    import pyspark.sql.functions as F
+
+    from raft_spark.operators.sketches import (
+        count_min, count_min_estimate, heavy_hitters,
+    )
+
+    # zipf-ish synthetic: key k appears ~1000/k times
+    rows = [(f"k{k}",) for k in range(1, 80) for _ in range(1000 // k)]
+    df = spark.createDataFrame(rows, "v string").repartition(8)
+    truth: dict[str, int] = {}
+    for (v,) in rows:
+        truth[v] = truth.get(v, 0) + 1
+
+    sk = count_min(df, "v", width=256, depth=4)
+    keys = spark.createDataFrame([(k,) for k in truth], "v string")
+    est = {
+        r["key"]: r["est"]
+        for r in count_min_estimate(sk, keys, "v", width=256, depth=4).collect()
+    }
+    n = len(rows)
+    for k, t in truth.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] <= t + 4 * n / 256, (k, est[k], t)  # generous eps
+
+    # mergeability: shard sketches sum to the whole-corpus sketch
+    a = df.filter(F.xxhash64("v") % 2 == 0)
+    b = df.filter(F.xxhash64("v") % 2 != 0)
+    merged = (
+        count_min(a, "v", width=256, depth=4)
+        .unionByName(count_min(b, "v", width=256, depth=4))
+        .groupBy("depth", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["depth"], r["bucket"]): r["cnt"] for r in sk.collect()}
+    for r in merged.collect():
+        assert whole[(r["depth"], r["bucket"])] == r["cnt"]
+
+    hh = {r["key"]: r["cnt"] for r in heavy_hitters(df, "v", 0.05).collect()}
+    want = {k: t for k, t in truth.items() if t >= 0.05 * n}
+    assert hh == want
