@@ -722,6 +722,89 @@ def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
     return chosen
 
 
+def triangle_count(coo: DataFrame) -> int:
+    """Exact triangle count of an undirected graph (edge table in any
+    orientation; self-loops dropped) — the node-iterator wedge join:
+    edges canonicalized to a < b, one self-join builds the a<b<c
+    wedges, one semi-join closes them, so each triangle is counted
+    exactly once. Extension beyond the reference surface (graph
+    analytics live downstream in cuGraph) — included because corpus
+    link graphs use it as the standard clustering-coefficient/
+    community-density probe.
+
+    Scale: both joins are hash equi-joins on node keys; the classic
+    skew (wedges of a hot node) is bounded by the canonical ordering —
+    each wedge is generated only at its MIDDLE node and only over its
+    higher-id neighbors.
+    """
+    e = (
+        coo.select(
+            F.least("row", "col").alias("a"), F.greatest("row", "col").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    wedges = e.select(F.col("a").alias("u"), F.col("b").alias("v")).join(
+        e.select(F.col("a").alias("v"), F.col("b").alias("w")), "v"
+    )
+    closed = wedges.join(
+        e.select(F.col("a").alias("u"), F.col("b").alias("w")), ["u", "w"],
+        "left_semi",
+    )
+    return closed.count()
+
+
+def k_core(coo: DataFrame, k: int, max_iters: int = 64) -> DataFrame:
+    """Nodes of the k-core (maximal subgraph where every node has
+    degree ≥ k) → (node,). Iterative peeling: drop nodes under degree
+    k, re-check, until fixpoint — each round is one degree aggregate +
+    two semi-joins, lineage cut per round; raises if ``max_iters`` is
+    exhausted before the fixpoint (never returns a partial peel).
+    The curation use: restrict a near-dup/link graph to its dense core
+    before expensive community analysis.
+    """
+    cur = (
+        coo.select(
+            F.least("row", "col").alias("a"), F.greatest("row", "col").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_cur = cur.count()
+    for _ in range(max_iters):
+        if n_cur == 0:
+            break
+        sym = cur.select(F.col("a").alias("u")).unionAll(
+            cur.select(F.col("b").alias("u"))
+        )
+        keep = (
+            sym.groupBy("u").agg(F.count("*").alias("_d"))
+            .filter(F.col("_d") >= k)
+            .select("u")
+        )
+        nxt = (
+            cur.join(keep.withColumnRenamed("u", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("u", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_cur:
+            nodes = (
+                cur.select(F.col("a").alias("node"))
+                .unionAll(cur.select(F.col("b").alias("node")))
+                .distinct()
+            )
+            return nodes
+        cur, n_cur = nxt, n_nxt
+    if n_cur == 0:
+        return coo.sparkSession.createDataFrame([], "node long")
+    raise RuntimeError(
+        f"k_core: no fixpoint after {max_iters} peeling rounds"
+    )
+
+
 def connected_components_auto(
     coo: DataFrame, driver_threshold: int = 500_000, max_iters: int = 64
 ) -> DataFrame:

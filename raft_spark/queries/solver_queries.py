@@ -326,3 +326,30 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("kind") == "border", 1)
         .otherwise(0).cast("long").alias("kind_code"),
     )
+
+
+def _orders_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse 997-node undirected graph from orders (degrees ~16-48 at
+    sf0.01) — sparse enough that k-core peeling cascades for several
+    rounds and triangles are nontrivial (the mod-50 lineitem graph is
+    complete, which trivializes both)."""
+    from raft_spark.sources.tables import load
+
+    o = load(spark, "orders", sf_dir)
+    return o.select(
+        (F.col("o_custkey") % 997).cast("long").alias("row"),
+        (F.col("o_orderkey") % 997).cast("long").alias("col"),
+    ).filter(F.col("row") != F.col("col"))
+
+
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count of the sparse orders graph (solvers.
+    triangle_count wedge join) — one row (n_triangles)."""
+    t = SV.triangle_count(_orders_graph(spark, sf_dir))
+    return spark.createDataFrame([(int(t),)], "n_triangles long")
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """21-core of the sparse orders graph (solvers.k_core iterative
+    peel, fixpoint-verified) → (node,) survivors."""
+    return SV.k_core(_orders_graph(spark, sf_dir), k=21)

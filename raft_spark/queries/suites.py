@@ -1075,6 +1075,25 @@ dborder AS (
     WHERE s.a NOT IN (SELECT a FROM dcore)
     GROUP BY s.a
 ),
+ge AS (SELECT DISTINCT least(o_custkey % 997, o_orderkey % 997) AS a,
+              greatest(o_custkey % 997, o_orderkey % 997) AS b
+       FROM orders WHERE (o_custkey % 997) <> (o_orderkey % 997)),
+kc(iter, a, b) AS (
+  SELECT 0, a, b FROM ge
+  UNION ALL
+  SELECT k.iter + 1, k.a, k.b FROM kc k
+  WHERE k.iter < 12
+    AND k.a IN (SELECT u FROM (
+          SELECT u, count(*) AS c FROM (
+            SELECT a AS u FROM kc k2 WHERE k2.iter = k.iter
+            UNION ALL SELECT b AS u FROM kc k3 WHERE k3.iter = k.iter
+          ) GROUP BY u) WHERE c >= 21)
+    AND k.b IN (SELECT u FROM (
+          SELECT u, count(*) AS c FROM (
+            SELECT a AS u FROM kc k4 WHERE k4.iter = k.iter
+            UNION ALL SELECT b AS u FROM kc k5 WHERE k5.iter = k.iter
+          ) GROUP BY u) WHERE c >= 21)
+),
 pr(iter, node, r) AS (
   SELECT 0, node, 1000000000000 // (SELECT n FROM prnn) FROM prnodes
   UNION ALL
@@ -1114,6 +1133,17 @@ SELECT 'dbscan', e.vec_id::BIGINT,
 FROM embeddings e
 LEFT JOIN dcorelab cl ON cl.id = e.vec_id
 LEFT JOIN dborder bl ON bl.id = e.vec_id
+UNION ALL
+SELECT 'triangles', 0::BIGINT, 0::BIGINT, count(*)::DOUBLE
+FROM ge e1 JOIN ge e2 ON e2.a = e1.b
+JOIN ge e3 ON e3.a = e1.a AND e3.b = e2.b
+UNION ALL
+SELECT 'kcore', u::BIGINT, -1::BIGINT, 1.0 FROM (
+  SELECT DISTINCT u FROM (
+    SELECT a AS u FROM kc WHERE iter = 12
+    UNION ALL SELECT b AS u FROM kc WHERE iter = 12
+  )
+)
 """
 
 
@@ -1546,7 +1576,18 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("long").alias("b"),
         F.col("kind_code").cast("double").alias("value"),
     )
+    # exact graph analytics on the sparse orders graph
+    tri = SQ.q_triangles(spark, sf_dir).select(
+        F.lit("triangles").alias("method"), F.lit(0).cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.col("n_triangles").cast("double").alias("value"),
+    )
+    kco = SQ.q_kcore(spark, sf_dir).select(
+        F.lit("kcore").alias("method"), F.col("node").cast("long").alias("a"),
+        F.lit(-1).cast("long").alias("b"), F.lit(1.0).alias("value"),
+    )
     return (
         mst.unionByName(cc).unionByName(lap_obj)
         .unionByName(prk).unionByName(dbs)
+        .unionByName(tri).unionByName(kco)
     )

@@ -479,3 +479,44 @@ def test_operators_on_empty_inputs(spark):
         SV.gram_matrix_exact(empty_vec)
     with _pt.raises(ValueError, match="empty input"):
         SV.gram_matrix(empty_vec)
+
+
+def test_triangle_count_and_kcore_match_naive(spark):
+    """triangle_count and k_core vs brute-force recounts on a random
+    graph, across partitionings."""
+    from itertools import combinations
+
+    rs = np.random.RandomState(9)
+    edges = {
+        (int(min(a, b)), int(max(a, b)))
+        for a, b in rs.randint(0, 60, (400, 2))
+        if a != b
+    }
+    coo = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "row long, col long, value double"
+    ).repartition(7)
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want_tri = sum(
+        1
+        for a in adj
+        for b, c in combinations(sorted(adj[a]), 2)
+        if a < b and c in adj[b]
+    )
+    assert SV.triangle_count(coo) == want_tri
+    # naive peel
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in cur:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        nxt = {(a, b) for a, b in cur if deg[a] >= 8 and deg[b] >= 8}
+        if nxt == cur:
+            break
+        cur = nxt
+    want_core = {u for e in cur for u in e}
+    got = {r["node"] for r in SV.k_core(coo, k=8).collect()}
+    assert got == want_core
