@@ -341,3 +341,69 @@ def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     duplicates by event_id within the watermark (state = seen ids inside
     the watermark horizon only — bounded, unlike a global distinct)."""
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def windowed_approx_distinct(
+    events: DataFrame,
+    cols: Iterable[str] = ("user_id",),
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Streaming HLL++ distinct counts per event-time window →
+    (win_start, <col>_distinct…). approx_count_distinct's register
+    state is max-merged, so micro-batch arrival order cannot change
+    the estimate — a stream and a batch run over the same rows agree
+    EXACTLY (pinned in tests), and state per window is O(2^p)
+    registers per column instead of one entry per distinct key (the
+    whole point at 100 TB: distinct users/day without per-user
+    state)."""
+    aggs = [
+        F.approx_count_distinct(c, rsd).alias(f"{c}_distinct") for c in cols
+    ]
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"))
+        .agg(*aggs)
+        .select(F.col("win.start").alias("win_start"),
+                *[f"{c}_distinct" for c in cols])
+    )
+
+
+def windowed_count_min(
+    events: DataFrame,
+    col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    width: int = 256,
+    depth: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """Streaming count-min sketch per event-time window →
+    (win_start, depth, bucket, cnt): the long-form CM counters of
+    :func:`raft_spark.operators.sketches.count_min` maintained
+    incrementally. Counter increments commute, so the streamed sketch
+    is IDENTICAL to the batch sketch of the same window (pinned in
+    tests), and per-window state is depth×width counters regardless of
+    key cardinality — the streaming heavy-hitter / hot-key detector."""
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width))
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .select("ts", F.explode(pairs).alias("_p"))
+        .groupBy(
+            F.window("ts", window).alias("win"),
+            F.col("_p.depth").alias("depth"),
+            F.col("_p.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "depth", "bucket", "cnt")
+    )

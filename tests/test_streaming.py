@@ -193,3 +193,84 @@ def test_streaming_index_ingest_matches_batch(spark, sf_dir, tmp_path_factory):
     want = {(r["id"], r["list_id"])
             for r in ivf_assign(corpus, cents).select("id", "list_id").collect()}
     assert got == want and len(got) == corpus.count()
+
+
+def test_windowed_approx_distinct_matches_batch(spark, events_dir, batch_events):
+    """HLL register merges are order-independent: the streamed estimate
+    must EQUAL the batch estimate over the same rows, and sit within
+    the rsd band of the exact distinct."""
+    stream = S.windowed_approx_distinct(S.read_events_stream(spark, events_dir))
+    S.run_to_memory_sink(stream, "hll_sink", output_mode="complete")
+    got = {r["win_start"]: r["user_id_distinct"] for r in _rows(spark, "hll_sink")}
+    expect = {
+        r["win_start"]: r["user_id_distinct"]
+        for r in batch_events.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.approx_count_distinct("user_id", 0.05).alias("user_id_distinct"))
+        .select(F.col("win.start").alias("win_start"), "user_id_distinct")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+    exact = {
+        r["win_start"]: r["d"]
+        for r in batch_events.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .select(F.col("win.start").alias("win_start"), "d")
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(0.15 * exact[k], 2)
+
+
+def test_windowed_count_min_matches_batch(spark, events_dir, batch_events):
+    """Counter increments commute: the streamed CM sketch equals the
+    batch sketch of the same window cell-for-cell, and its estimates
+    dominate the true per-key counts."""
+    stream = S.windowed_count_min(S.read_events_stream(spark, events_dir))
+    S.run_to_memory_sink(stream, "cms_sink", output_mode="complete")
+    got = {
+        (r["win_start"], r["depth"], r["bucket"]): r["cnt"]
+        for r in _rows(spark, "cms_sink")
+    }
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.pmod(F.xxhash64(F.col("event_type"), F.lit(7 + i)), F.lit(256))
+                .alias("bucket"),
+            )
+            for i in range(4)
+        ]
+    )
+    expect = {
+        (r["win_start"], r["depth"], r["bucket"]): r["cnt"]
+        for r in batch_events.select("ts", F.explode(pairs).alias("_p"))
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("_p.depth").alias("depth"),
+            F.col("_p.bucket").alias("bucket"),
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "depth", "bucket", "cnt")
+        .collect()
+    }
+    assert got == expect and len(got) > 0
+    truth = {
+        (r["win_start"], r["event_type"]): r["cnt"]
+        for r in batch_events.groupBy(
+            F.window("ts", "1 hour").alias("win"), "event_type"
+        )
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("win.start").alias("win_start"), "event_type", "cnt")
+        .collect()
+    }
+    for (win, key), cnt in truth.items():
+        est = min(
+            got[(win, i, _bucket(spark, key, 7 + i, 256))] for i in range(4)
+        )
+        assert est >= cnt
+
+
+def _bucket(spark, key: str, seed: int, width: int) -> int:
+    return spark.sql(
+        f"SELECT pmod(xxhash64('{key}', {seed}), {width}) AS b"
+    ).collect()[0]["b"]
