@@ -511,3 +511,22 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.col("frame_idx").cast("bigint").alias("frame_idx"),
     )
+
+
+def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent all-neighbors graph (similarity.nn_descent_graph,
+    seeded = deterministic) scored by edge recall vs the exact
+    brute-force kNN graph — the graph-ANN build path. Floor 0.5;
+    observed ~0.81 on the structureless uniform embeddings (the hard
+    case; clustered data converges to ~1.0, pinned in pytest)."""
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    exact = SIM.knn_brute(m, m, k=10).select(
+        F.col("qid").alias("id"), "nid"
+    )
+    approx = SIM.nn_descent_graph(m, k=10, n_iters=4).select("id", "nid")
+    n_exact = exact.count()
+    hits = approx.join(exact, ["id", "nid"], "left_semi").count()
+    return spark.createDataFrame(
+        [(int(hits / n_exact >= 0.5),)], "recall_ok int"
+    )

@@ -1512,6 +1512,8 @@ _ANN_RECALL_ORACLE = """
 SELECT 'ivf' AS method, 1::INTEGER AS recall_ok
 UNION ALL
 SELECT 'pq', 1::INTEGER
+UNION ALL
+SELECT 'nn_descent', 1::INTEGER
 """
 
 
@@ -1528,7 +1530,10 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = PQ.q_knn_pq_recall(spark, sf_dir).select(
         F.lit("pq").alias("method"), F.col("recall_ok").cast("int")
     )
-    return ivf.unionByName(pq)
+    nnd = PQ.q_nn_descent_recall(spark, sf_dir).select(
+        F.lit("nn_descent").alias("method"), F.col("recall_ok").cast("int")
+    )
+    return ivf.unionByName(pq).unionByName(nnd)
 
 
 @query("graph_solver_suite", oracle=_graph_solver_oracle())

