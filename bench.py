@@ -54,6 +54,9 @@ HEADLINE = [
     "matrix_gather",      # broadcast-join row gather
     "sort_cols_per_row",  # in-row sort (zero shuffle)
     "stream_windowed_moments",  # structured-streaming incremental agg
+    "pagerank",           # integer-exact iterative join-agg (12 rounds)
+    "dbscan",             # quantized eps-pairs -> core/border/noise
+    "triangles",          # wedge-join exact triangle count
 ]
 
 

@@ -290,6 +290,7 @@ def q_eigsh_lanczos(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("pagerank")  # gate coverage rides on graph_solver_suite
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact PageRank (solvers.pagerank_exact) over a directed
     graph derived from orders: edges (o_custkey % 211) → (o_orderkey %
@@ -307,6 +308,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SV.pagerank_exact(coo, iters=12)
 
 
+@query("dbscan")  # gate coverage rides on graph_solver_suite
 def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DBSCAN over the embeddings table with EXACT int64-quantized
     ε-pairing (similarity.eps_pairs_exact: Σ(qa−qb)² ≤ round(ε·1e6)²,
@@ -342,6 +344,7 @@ def _orders_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("row") != F.col("col"))
 
 
+@query("triangles")  # gate coverage rides on graph_solver_suite
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact triangle count of the sparse orders graph (solvers.
     triangle_count wedge join) — one row (n_triangles)."""
@@ -349,6 +352,7 @@ def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([(int(t),)], "n_triangles long")
 
 
+@query("kcore")  # gate coverage rides on graph_solver_suite
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """21-core of the sparse orders graph (solvers.k_core iterative
     peel, fixpoint-verified) → (node,) survivors."""
