@@ -259,9 +259,19 @@ def dbscan(
         pairs = pairwise_distances(
             df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
         ).filter(F.col("dist") <= eps).select("a", "b")
-    pairs = pairs.select(
-        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
-    ).localCheckpoint(eager=True)
+    # canonicalize + dedupe caller-supplied pairs: LSH band joins emit
+    # a candidate once PER MATCHING BAND and callers may emit both
+    # orientations — duplicate rows would inflate the degree count and
+    # misclassify points as core
+    pairs = (
+        pairs.select(
+            F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("a"),
+            F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     sym = pairs.unionAll(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy("a").agg(F.count("*").alias("_deg"))
     core = deg.filter(F.col("_deg") >= min_pts - 1).select(F.col("a").alias("_c"))
@@ -461,7 +471,8 @@ def nn_descent_graph(
     projection, no id universe collected), then each round (1) builds
     candidate pairs by joining the SYMMETRIZED current graph with
     itself (u→v, v→w ⇒ u candidate w), (2) caps candidates per node at
-    ``cand_per_node`` (default 3k) by a seeded deterministic hash rank
+    ``cand_per_node`` (default 2k², the paper's (2k)² candidate order)
+    by a seeded deterministic hash rank
     so a hub node cannot quadratically explode the round — the same
     skew-cap contract as the LSH/shingle joins, (3) scores survivors
     with one exact cosine expression, (4) keeps the best k per node
@@ -1278,6 +1289,10 @@ def knn_ivf(
     q_rows = _collect_queries(
         _norm_table(queries, id_col, vec_col), MAX_COLLECT_QUERIES
     )
+    if not q_rows:  # empty query side → empty result, not an AxisError
+        return corpus.sparkSession.createDataFrame(
+            [], "qid long, nid long, cosine double, rank int"
+        )
     qids = np.array([r["_id"] for r in q_rows])
     qm = np.array([r["_v"] for r in q_rows])  # |Q|×d
     C = np.asarray(cents, dtype=float)

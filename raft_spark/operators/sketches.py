@@ -50,6 +50,23 @@ def approx_quantiles(
     return out.join(F.broadcast(pdf), "_i").select("p", "value")
 
 
+def _cm_pairs(col: str, width: int, depth: int, seed: int):
+    """The (depth, bucket) hash-pair expression shared by the batch
+    sketch, the point-query probe, and the streaming sketch — ONE
+    definition so build and probe can never drift apart (a seed or
+    modulus mismatch silently voids the est ≥ true guarantee)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("depth"),
+                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width))
+                .alias("bucket"),
+            )
+            for i in range(depth)
+        ]
+    )
+
+
 def count_min(
     df: DataFrame, col: str, width: int = 1024, depth: int = 4, seed: int = 7
 ) -> DataFrame:
@@ -61,16 +78,7 @@ def count_min(
     tool where an exact per-key count would be a corpus-sized state).
     Deterministic for fixed (data, seed): estimates are reproducible.
     """
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("depth"),
-                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width))
-                .alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
+    pairs = _cm_pairs(col, width, depth, seed)
     return (
         df.select(F.explode(pairs).alias("_p"))
         .select("_p.depth", "_p.bucket")
@@ -94,20 +102,7 @@ def count_min_estimate(
     One broadcast-able join per key set."""
     probes = keys.select(
         F.col(col).alias("key"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("depth"),
-                        F.pmod(
-                            F.xxhash64(F.col(col), F.lit(seed + i)),
-                            F.lit(width),
-                        ).alias("bucket"),
-                    )
-                    for i in range(depth)
-                ]
-            )
-        ).alias("_p"),
+        F.explode(_cm_pairs(col, width, depth, seed)).alias("_p"),
     ).select("key", "_p.depth", "_p.bucket")
     return (
         probes.join(sketch, ["depth", "bucket"], "left")

@@ -166,9 +166,15 @@ def gram_matrix_exact(
 
     import pandas as pd
 
+    import math as _math
+
     CHUNK = 4096
-    # hiᵀlo is the binding term: CHUNK · hi_max · (2¹³−1) < 2⁵³
-    HI_MAX = (2**53) // (CHUNK * (2**13 - 1))
+    # hiᵀhi is the BINDING exactness term: its entries reach
+    # CHUNK·hi_max², which must stay < 2⁵³ ⇒ hi_max ≤ √(2⁵³/CHUNK)
+    # ≈ 1.48e6 (the hiᵀlo bound CHUNK·hi_max·(2¹³−1) < 2⁵³ is ~180×
+    # looser and was WRONGLY used as the gate before — chunks with
+    # |q| ≈ 2e10 passed it while hiᵀhi silently lost bits)
+    HI_MAX = _math.isqrt(2**53 // CHUNK)
 
     def pp(batches):
         acc = None  # object ndarray of Python ints — exact, unbounded

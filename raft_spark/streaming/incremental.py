@@ -386,16 +386,9 @@ def windowed_count_min(
     is IDENTICAL to the batch sketch of the same window (pinned in
     tests), and per-window state is depth×width counters regardless of
     key cardinality — the streaming heavy-hitter / hot-key detector."""
-    pairs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("depth"),
-                F.pmod(F.xxhash64(F.col(col), F.lit(seed + i)), F.lit(width))
-                .alias("bucket"),
-            )
-            for i in range(depth)
-        ]
-    )
+    from raft_spark.operators.sketches import _cm_pairs
+
+    pairs = _cm_pairs(col, width, depth, seed)
     return (
         events.withWatermark("ts", watermark)
         .select("ts", F.explode(pairs).alias("_p"))

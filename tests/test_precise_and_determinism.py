@@ -111,10 +111,18 @@ def test_gram_matrix_exact_split_dgemm_matches_python_int(spark):
     from raft_spark.operators.solvers import gram_matrix_exact
 
     rs = np.random.RandomState(7)
-    # mixed magnitudes incl. negatives; second block pushes |q| past the
-    # split-dgemm bound (|x| ~ 1e5 at scale 1e6 -> |q| ~ 1e11 > 2.6e9)
+    # mixed magnitudes incl. negatives; the second block pushes hi =
+    # q >> 13 past HI_MAX = isqrt(2^53/4096) ~= 1.48e6 (|x| ~ 1e8 at
+    # scale 1e6 -> hi ~ 1.2e10) so the Python-int fallback branch is
+    # genuinely exercised, not just the split-dgemm path
+    # the 2e4 block is the regression case: it PASSED the old (wrong)
+    # hi-x-lo gate while hi-x-hi entries exceeded 2^53 and lost bits
     x = np.concatenate(
-        [rs.uniform(-100, 100, (400, 8)), rs.uniform(-1e5, 1e5, (30, 8))]
+        [
+            rs.uniform(-100, 100, (400, 8)),
+            rs.uniform(-2e4, 2e4, (30, 8)),
+            rs.uniform(-1e8, 1e8, (30, 8)),
+        ]
     )
     df = spark.createDataFrame(
         [(int(i), [float(v) for v in row]) for i, row in enumerate(x)],
