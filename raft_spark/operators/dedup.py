@@ -42,9 +42,13 @@ def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     doc id sharing its md5 → (id, canonical_id, is_dup)."""
     h = F.md5(F.col(text_col))
     w = Window.partitionBy(h)
+    # cast BEFORE the min: string ids would pick the lexicographic
+    # minimum ("10" < "9") as canonical, inverting the smallest-id
+    # contract
+    num_id = F.col(id_col).cast("long")
     return docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.min(id_col).over(w).cast("long").alias("canonical_id"),
+        num_id.alias("doc_id"),
+        F.min(num_id).over(w).alias("canonical_id"),
     ).withColumn("is_dup", (F.col("doc_id") != F.col("canonical_id")).cast("int"))
 
 

@@ -129,11 +129,16 @@ def sort_cols_per_row(
     array_sort over zipped (value, index) structs; ties break on the
     original index, matching a stable sort."""
     n = F.size(features)
+    # descending sorts on a NEGATED key struct instead of
+    # reverse(array_sort(...)): reversing flips tie order (index
+    # DEscending on equal values), breaking the stable-sort contract
+    key = F.col(features) if asc else F.transform(features, lambda v: -v)
     zipped = F.arrays_zip(
-        F.col(features).alias("v"),
+        key.alias("k"),
         F.sequence(F.lit(0), n - 1).alias("i"),
+        F.col(features).alias("v"),
     )
-    srt = F.array_sort(zipped) if asc else F.reverse(F.array_sort(zipped))
+    srt = F.array_sort(zipped)
     return df.select(
         "id",
         F.transform(srt, lambda e: e["v"]).alias("sorted_vals"),

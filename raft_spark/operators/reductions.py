@@ -90,14 +90,31 @@ def col_weighted_mean(
     )
 
 
-def mean_center(df: DataFrame, features_col: str = "features", add: bool = False) -> DataFrame:
-    """Subtract (or add back) per-column means (stats/mean_center.cuh).
+def mean_center(
+    df: DataFrame,
+    features_col: str = "features",
+    add: bool = False,
+    means: list[float] | None = None,
+) -> DataFrame:
+    """Subtract (or add back) per-column means (stats/mean_center.cuh:
+    mean_center subtracts; mean_add at :41 ADDS an explicit mean
+    vector).
 
-    The means vector is a 1×n_cols aggregate — broadcast back via
-    crossJoin of a single-row DataFrame (never collected to Python),
-    then a zero-shuffle zip_with per row.
+    With ``means=None`` the vector is computed from ``df`` itself —
+    correct for centering, but USELESS for ``add=True`` (a centered
+    frame's own means are ~0, so adding them back is a no-op): to
+    invert a centering, pass the ORIGINAL means explicitly, exactly
+    like the reference's mean_add takes its mean argument. Computed
+    means stay a 1×n_cols aggregate broadcast back via crossJoin
+    (never collected to Python); explicit means embed as a literal.
     """
-    means = (
+    op = (lambda a, b: a + b) if add else (lambda a, b: a - b)
+    if means is not None:
+        vec = F.array(*[F.lit(float(m)) for m in means])
+        return df.withColumn(
+            features_col, F.zip_with(features_col, vec, op)
+        )
+    mdf = (
         explode_positions(df, features_col)
         .groupBy("pos")
         .agg(F.avg("x").alias("m"))
@@ -105,8 +122,7 @@ def mean_center(df: DataFrame, features_col: str = "features", add: bool = False
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_pm"))
         .select(F.transform("_pm", lambda s: s["m"]).alias("_means"))
     )
-    op = (lambda a, b: a + b) if add else (lambda a, b: a - b)
-    return df.crossJoin(F.broadcast(means)).withColumn(
+    return df.crossJoin(F.broadcast(mdf)).withColumn(
         features_col, F.zip_with(features_col, "_means", op)
     ).drop("_means")
 
@@ -283,7 +299,12 @@ def quantiles(
     rank ``floor(p·(n−1)) + 1`` under the total order
     (value, *tie_cols) — lower-interpolation discrete percentile with a
     deterministic tie-break, so the result is unique and
-    SQL-reproducible.
+    SQL-reproducible. ``p·(n−1)`` is evaluated in IEEE double on BOTH
+    engines (the gate oracle floors the identical product), so a p
+    whose product is fractionally below an integer in float — e.g.
+    0.7·10 = 6.999…9 — selects that float's floor, one rank below the
+    exact-decimal reading; the contract is the float semantics, which
+    every SQL engine computing floor(p*(n-1)) reproduces bit-for-bit.
 
     Runs on :func:`global_rank` (range repartition + partitioned
     window + offset join): scales as a distributed sort, never a

@@ -52,6 +52,46 @@ def _collect_queries(qn: DataFrame, limit: int = MAX_COLLECT_QUERIES):
     return rows
 
 
+def _blocked_cross(
+    left: DataFrame,
+    right: DataFrame,
+    symmetric: bool,
+    n_blocks: int = 16,
+) -> DataFrame:
+    """The blocked cross-product scaffold shared by every exact
+    pairwise operator: each side gets a deterministic block id
+    (hash mod n_blocks), the tiny block-pair table broadcasts, and two
+    shuffle equi-joins realize the product with bounded task memory —
+    never a BroadcastNestedLoopJoin or a full-table broadcast.
+
+    ``left`` must have columns (a, _va); ``right`` (b, _vb). With
+    ``symmetric`` the self-product is restricted to a < b (block-pair
+    ordering + within-block id ordering; a pair whose blocks are
+    unordered surfaces with ids swapped, so consumers should emit
+    least/greatest if they need the canonical orientation).
+    """
+    spark = left.sparkSession
+    lb = left.withColumn(
+        "_ba", F.pmod(F.xxhash64(F.col("a")), F.lit(n_blocks))
+    )
+    rb = right.withColumn(
+        "_bb", F.pmod(F.xxhash64(F.col("b")), F.lit(n_blocks))
+    )
+    blocks = spark.range(n_blocks * n_blocks).select(
+        (F.col("id") / n_blocks).cast("long").alias("_ba"),
+        (F.col("id") % n_blocks).alias("_bb"),
+    )
+    if symmetric:
+        blocks = blocks.filter(F.col("_ba") <= F.col("_bb"))
+    cand = lb.join(F.broadcast(blocks), "_ba").join(rb, "_bb")
+    if symmetric:
+        cand = cand.filter(
+            (F.col("_ba") < F.col("_bb"))
+            | ((F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
+        )
+    return cand
+
+
 def cosine_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -74,29 +114,12 @@ def cosine_pairs(
     full-table broadcast. For sub-quadratic candidates accept
     approximate recall and use knn_lsh/knn_ivf instead.
     """
-    spark = df.sparkSession
-    n = _norm_table(df, id_col, vec_col).withColumn(
-        "_blk", F.pmod(F.xxhash64(F.col("_id")), F.lit(n_blocks))
+    n = _norm_table(df, id_col, vec_col)
+    cand = _blocked_cross(
+        n.select(F.col("_id").alias("a"), F.col("_v").alias("_va")),
+        n.select(F.col("_id").alias("b"), F.col("_v").alias("_vb")),
+        symmetric=True, n_blocks=n_blocks,
     )
-    pairs_of_blocks = spark.range(n_blocks * n_blocks).select(
-        (F.col("id") / n_blocks).cast("long").alias("_ba"),
-        (F.col("id") % n_blocks).alias("_bb"),
-    ).filter(F.col("_ba") <= F.col("_bb"))
-    a = n.select(F.col("_id").alias("a"), F.col("_v").alias("_va"),
-                 F.col("_blk").alias("_ba"))
-    b = n.select(F.col("_id").alias("b"), F.col("_v").alias("_vb"),
-                 F.col("_blk").alias("_bb"))
-    cand = (
-        a.join(F.broadcast(pairs_of_blocks), "_ba")
-        .join(b, "_bb")
-        .filter(
-            (F.col("_ba") < F.col("_bb"))
-            | ((F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
-        )
-    )
-    # a pair whose blocks are unordered surfaces with ids swapped (the
-    # a-side is always the lower BLOCK, not the lower id) — relabel to
-    # the (a < b) output convention; cosine is symmetric.
     cos = F.round(A.dot("_va", "_vb"), 6)
     return cand.select(
         F.least("a", "b").alias("a"),
@@ -142,29 +165,14 @@ def pairwise_distances(
     """
     if metric not in _METRICS:
         raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
-    spark = left.sparkSession
     symmetric = right is None
     right = left if right is None else right
-    lb = left.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_ba"),
-    )
-    rb = right.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bb"),
-    )
-    blocks = spark.range(n_blocks * n_blocks).select(
-        (F.col("id") / n_blocks).cast("long").alias("_ba"),
-        (F.col("id") % n_blocks).alias("_bb"),
+    cand = _blocked_cross(
+        left.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")),
+        right.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")),
+        symmetric=symmetric, n_blocks=n_blocks,
     )
     if symmetric:
-        blocks = blocks.filter(F.col("_ba") <= F.col("_bb"))
-    cand = lb.join(F.broadcast(blocks), "_ba").join(rb, "_bb")
-    if symmetric:
-        cand = cand.filter(
-            (F.col("_ba") < F.col("_bb"))
-            | ((F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
-        )
         out_a, out_b = F.least("a", "b"), F.greatest("a", "b")
     else:
         out_a, out_b = F.col("a"), F.col("b")
@@ -203,26 +211,10 @@ def eps_pairs_exact(
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
-    spark = df.sparkSession
-    lb = qdf.select(
-        F.col(id_col).alias("a"), F.col(vec_col).alias("_va"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_ba"),
-    )
-    rb = qdf.select(
-        F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_bb"),
-    )
-    blocks = spark.range(n_blocks * n_blocks).select(
-        (F.col("id") / n_blocks).cast("long").alias("_ba"),
-        (F.col("id") % n_blocks).alias("_bb"),
-    ).filter(F.col("_ba") <= F.col("_bb"))
-    cand = (
-        lb.join(F.broadcast(blocks), "_ba")
-        .join(rb, "_bb")
-        .filter(
-            (F.col("_ba") < F.col("_bb"))
-            | ((F.col("_ba") == F.col("_bb")) & (F.col("a") < F.col("b")))
-        )
+    cand = _blocked_cross(
+        qdf.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")),
+        qdf.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")),
+        symmetric=True, n_blocks=n_blocks,
     )
     return cand.filter(sq <= eps_q * eps_q).select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
@@ -256,6 +248,14 @@ def dbscan(
     from raft_spark.operators.solvers import connected_components_auto
 
     if pairs is None:
+        if metric not in ("l1", "l2", "sqeuclidean"):
+            # cosine/inner are SIMILARITIES: dist <= eps would keep the
+            # LEAST similar pairs — silently inverted neighborhoods
+            raise ValueError(
+                f"dbscan: metric {metric!r} is a similarity, not a "
+                "distance; use l1/l2/sqeuclidean, or precompute `pairs` "
+                "with your own threshold direction"
+            )
         pairs = pairwise_distances(
             df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
         ).filter(F.col("dist") <= eps).select("a", "b")
@@ -433,9 +433,18 @@ def knn_brute(
         scored = c.mapInPandas(pp, "qid long, nid long, cosine double")
         merge = "agg"  # ≤ partitions·k rows per query survive
     else:
-        scored = (
-            c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
-            .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+        # blocked product, NOT broadcast(q) with a non-equi join: this
+        # path exists precisely because Q is too big to collect, so it
+        # must also be too big to broadcast — the blocked equi-joins
+        # realize Q×N with bounded task memory (the pairwise_distances
+        # shape), and the qid != nid filter runs after the join
+        scored = _blocked_cross(
+            q.select(F.col("qid").alias("a"), F.col("_vq").alias("_va")),
+            c.select(F.col("nid").alias("b"), F.col("_vc").alias("_vb")),
+            symmetric=False,
+        ).filter(F.col("a") != F.col("b")).select(
+            F.col("a").alias("qid"), F.col("b").alias("nid"),
+            F.round(A.dot("_va", "_vb"), 6).alias("cosine"),
         )
         merge = "auto" if strategy == "expr" else strategy
     out = select_k(
@@ -715,7 +724,12 @@ def _assign_lists(
                 order = np.argsort(d2[row, idx], axis=1)
                 idx = idx[row, order]
                 rep = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
-                yield rep.assign(**{list_col: idx.ravel().astype("int32")})
+                cols = {list_col: idx.ravel().astype("int32")}
+                if dist_col is not None:  # schema declares it → emit it
+                    cols[dist_col] = np.maximum(
+                        d2[row, idx].ravel(), 0.0
+                    )
+                yield rep.assign(**cols)
 
     extra = [list_col] if dist_col is None else [list_col, dist_col]
     return df.mapInPandas(pp, out_schema).select(*in_cols, *extra)
@@ -739,18 +753,23 @@ def kmeans_centroids(
     """
     import numpy as np
 
-    n = df.count()
-    # seeded spread of k distinct row ids
-    init_ids = sorted({(seed + 31 * i) * 2_654_435_761 % n for i in range(3 * k)})[:k]
+    # seeded init: the k rows with the smallest xxhash64(id, seed) — a
+    # deterministic uniform draw over WHATEVER id space the frame has
+    # (the previous hash-mod-n scheme assumed dense 0..n-1 ids and
+    # collected zero seeds on offset/sparse id spaces, crashing the
+    # first Lloyd pass). orderBy+limit compiles to TakeOrdered
+    # (per-partition top-k, no global sort shuffle).
     cents = np.array(
         [
             r[vec_col]
-            for r in df.filter(F.col(id_col).isin([int(x) for x in init_ids]))
-            .orderBy(id_col)
+            for r in df.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
             .limit(k)
             .collect()
         ]
     )
+    if len(cents) == 0:
+        raise ValueError("kmeans_centroids: empty input (no rows to seed from)")
     import pandas as pd
 
     vecs = df.select(vec_col)

@@ -212,13 +212,30 @@ def sddmm(pattern: DataFrame, u_long: DataFrame, v_long: DataFrame,
     """
     u = u_long.select(F.col("row").alias("_i"), F.col("col").alias("k"), F.col("value").alias("u"))
     v = v_long.select(F.col("row").alias("_j"), F.col("col").alias("k"), F.col("value").alias("v"))
-    prod = (
-        pattern.select(F.col("row").alias("_i"), F.col("col").alias("_j"), F.col("value").alias("c0"))
+    base = pattern.select(
+        F.col("row").alias("_i"), F.col("col").alias("_j"),
+        F.col("value").alias("c0"),
+    )
+    # the β·C term must survive pattern entries whose row has NO U
+    # entries or no matching (col,k) in V — inner joins would drop
+    # them. It rides into the SAME aggregation as the α·u·v terms via
+    # a union branch (one row per pattern entry), so no extra join or
+    # shuffle is added: the groupBy both merges the dot products and
+    # guarantees every pattern cell surfaces.
+    uv_terms = (
+        base.select("_i", "_j")
         .join(u, "_i")
         .join(v, ["_j", "k"])
-        .groupBy("_i", "_j")
-        .agg((F.lit(alpha) * F.sum(F.col("u") * F.col("v")) + F.lit(beta) * F.first("c0")).alias("value"))
+        .select("_i", "_j", (F.lit(alpha) * F.col("u") * F.col("v")).alias("_t"))
     )
+    if beta != 0.0:
+        # β ≠ 0 re-reads the pattern in a second union branch (cells
+        # with no U/V matches still need their β·c0 row); β = 0 — the
+        # masked_matmul case — keeps the 2-join/1-agg plan untouched
+        uv_terms = uv_terms.unionByName(
+            base.select("_i", "_j", (F.lit(beta) * F.col("c0")).alias("_t"))
+        )
+    prod = uv_terms.groupBy("_i", "_j").agg(F.sum("_t").alias("value"))
     return prod.select(F.col("_i").alias("row"), F.col("_j").alias("col"), "value")
 
 

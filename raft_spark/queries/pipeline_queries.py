@@ -431,14 +431,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="SELECT 1::INTEGER AS recall_ok",
 )
 def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (spherical k-means coarse quantizer, 8 lists, 2 probes)
+    """IVF ANN (spherical k-means coarse quantizer, 8 lists, 3 probes)
     scored by recall@5 against the exact brute-force neighbors — the
     scale path for similarity search (probe fraction bounds candidate
     volume at n_probe/n_lists of brute force)."""
     m = embeddings_matrix(spark, sf_dir).select("id", "features")
     queries = m.filter(F.col("id") % 50 == 0)
     exact = SIM.knn_brute(m, queries, k=5)
-    approx = SIM.knn_ivf(m, queries, k=5, n_lists=8, n_probe=2, kmeans_iters=2)
+    approx = SIM.knn_ivf(m, queries, k=5, n_lists=8, n_probe=3, kmeans_iters=2)
     n_q = queries.count()
     hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
     recall = hits / (n_q * 5.0)

@@ -173,3 +173,38 @@ def test_standardize_matches_numpy(spark, sf_dir):
     # standardized columns: zero mean, unit variance
     assert np.allclose(G.mean(0), 0.0, atol=1e-9)
     assert np.allclose(G.std(0), 1.0, atol=1e-6)
+
+
+def test_sort_cols_descending_stable_ties(spark):
+    """Descending sort must keep the stable tie order (index ascending
+    among equal values) — reverse(array_sort) flipped it."""
+    from raft_spark.operators.matrixops import sort_cols_per_row
+
+    df = spark.createDataFrame(
+        [(0, [5.0, 5.0, 1.0, 7.0])], "id long, features array<double>"
+    )
+    r = sort_cols_per_row(df, asc=False).collect()[0]
+    assert r["sorted_vals"] == [7.0, 5.0, 5.0, 1.0]
+    assert r["perm"] == [3, 0, 1, 2]
+
+
+def test_mean_center_inverts_with_explicit_means(spark):
+    """add=True with the ORIGINAL means restores the input (the
+    reference mean_add contract); add=True without means is documented
+    as a no-op on a centered frame."""
+    import numpy as np
+
+    from raft_spark.operators.reductions import mean_center
+
+    rs = np.random.RandomState(2)
+    x = rs.rand(20, 4)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, features array<double>",
+    )
+    mu = x.mean(0)
+    centered = mean_center(df)
+    restored = mean_center(centered, add=True, means=[float(m) for m in mu])
+    got = {r["id"]: r["features"] for r in restored.collect()}
+    for i in range(len(x)):
+        assert np.allclose(got[i], x[i], atol=1e-12)

@@ -150,3 +150,33 @@ def test_dedup_report(spark, sf_dir):
     assert rep["n_clusters"] == n - 3
     assert rep["max_cluster_size"] == 3
     assert abs(rep["dup_rate"] - 3 / n) < 1e-9
+
+
+def test_kmeans_offset_sparse_id_space(spark):
+    """Seeding must work on ANY id space (the old hash-mod-n init
+    assumed dense 0..n-1 ids and collected zero seeds)."""
+    import numpy as np
+
+    from raft_spark.operators.similarity import kmeans
+
+    rs = np.random.RandomState(6)
+    x = rs.rand(60, 8)
+    df = spark.createDataFrame(
+        [(100_000 + 7 * i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, features array<double>",
+    )
+    assigns, cents, inertia = kmeans(df, k=4, n_iters=3)
+    assert cents.shape == (4, 8) and assigns.count() == 60
+    assert inertia >= 0.0
+
+
+def test_dbscan_rejects_similarity_metrics(spark):
+    import pytest as _pt
+
+    from raft_spark.operators.similarity import dbscan
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "id long, features array<double>"
+    )
+    with _pt.raises(ValueError, match="similarity, not a distance"):
+        dbscan(df, eps=0.9, metric="cosine")

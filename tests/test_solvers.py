@@ -520,3 +520,22 @@ def test_triangle_count_and_kcore_match_naive(spark):
     want_core = {u for e in cur for u in e}
     got = {r["node"] for r in SV.k_core(coo, k=8).collect()}
     assert got == want_core
+
+
+def test_sddmm_preserves_beta_term_on_empty_rows(spark):
+    """beta*C must survive pattern entries whose row has no U entries
+    (reference semantics C = alpha*(U V^T) o spy + beta*C) — the old
+    inner joins dropped them."""
+    from raft_spark.operators.sparse import sddmm
+
+    pattern = spark.createDataFrame(
+        [(0, 5, 3.0), (1, 5, 2.0)], "row long, col long, value double"
+    )
+    u = spark.createDataFrame([(1, 0, 2.0)], "row long, col long, value double")
+    v = spark.createDataFrame([(5, 0, 4.0)], "row long, col long, value double")
+    got = {
+        (r["row"], r["col"]): r["value"]
+        for r in sddmm(pattern, u, v, alpha=1.0, beta=1.0).collect()
+    }
+    assert got[(0, 5)] == 3.0      # no U row 0: pure beta*c0
+    assert got[(1, 5)] == 2.0 * 4.0 + 2.0

@@ -88,3 +88,16 @@ def test_select_k_partial_bounded_on_hot_group(spark):
     final = plan.text.split("== Initial Plan ==")[0]
     assert len(re.findall(r"(?<!Reused)Exchange \(\d+\)", final)) == 1, plan.text
     assert "MapInPandas" in final
+
+
+def test_exact_dedup_numeric_canonical_for_string_ids(spark):
+    """Canonical id must be the NUMERIC minimum even when ids arrive
+    as strings ("9" vs "10" — lexicographic min is "10")."""
+    from raft_spark.operators.dedup import exact_dedup
+
+    docs = spark.createDataFrame(
+        [("9", "same text"), ("10", "same text"), ("2", "other")],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in exact_dedup(docs).collect()}
+    assert got[9] == (9, 0) and got[10] == (9, 1) and got[2] == (2, 0)
