@@ -128,6 +128,17 @@ def ratio(x: ColumnLike) -> Column:
     )
 
 
+def _int8_code(a, scale):
+    """The shared int8 code expression: sign·min(floor(|a|/scale·127 +
+    0.5), 127), zero when scale = 0 — ONE definition so quantize and
+    dequantize can never drift apart (the scale/254 round-trip bound
+    holds only while both use the identical code)."""
+    raw = F.floor(F.abs(a) / scale * 127.0 + 0.5)
+    return F.when(scale == 0, F.lit(0.0)).otherwise(
+        F.signum(a) * F.least(raw, F.lit(127.0))
+    )
+
+
 def quantize_int8(x: ColumnLike) -> Column:
     """Symmetric per-row int8 quantization: scale = max|x|/127,
     code = clip(round_half_away(x/scale), ±127) — the standard storage
@@ -137,16 +148,9 @@ def quantize_int8(x: ColumnLike) -> Column:
     shuffle; SQL-reproducible (no float rounding ambiguity: the code
     is sign·floor(|x|/scale·127 + 0.5))."""
     xc = _c(x)
-
-    def code(a, scale):
-        raw = F.floor(F.abs(a) / scale * 127.0 + 0.5)
-        return F.when(scale == 0, F.lit(0.0)).otherwise(
-            F.signum(a) * F.least(raw, F.lit(127.0))
-        )
-
     return let_bind(
         F.array_max(F.transform(xc, F.abs)),
-        lambda scale: F.transform(xc, lambda a: code(a, scale)),
+        lambda scale: F.transform(xc, lambda a: _int8_code(a, scale)),
     )
 
 
@@ -154,16 +158,11 @@ def dequantize_int8(x: ColumnLike) -> Column:
     """Round-trip reconstruction of :func:`quantize_int8` (code·scale/127)
     — quantize→dequantize bounds the per-entry error at scale/254."""
     xc = _c(x)
-
-    def code(a, scale):
-        raw = F.floor(F.abs(a) / scale * 127.0 + 0.5)
-        return F.when(scale == 0, F.lit(0.0)).otherwise(
-            F.signum(a) * F.least(raw, F.lit(127.0))
-        )
-
     return let_bind(
         F.array_max(F.transform(xc, F.abs)),
-        lambda scale: F.transform(xc, lambda a: code(a, scale) * scale / 127.0),
+        lambda scale: F.transform(
+            xc, lambda a: _int8_code(a, scale) * scale / 127.0
+        ),
     )
 
 
@@ -275,8 +274,12 @@ def mean_squared_error(x: ColumnLike, y: ColumnLike, weight: float = 1.0) -> Col
 
 
 def cosine_similarity(x: ColumnLike, y: ColumnLike) -> Column:
-    """dot(x,y)/(|x||y|) — composition used by similarity search."""
-    return dot(x, y) / (row_norm(x) * row_norm(y))
+    """dot(x,y)/(|x||y|) — composition used by similarity search.
+    Zero-norm rows map to 0.0 (the module's div_checkzero convention):
+    Spark's non-ANSI x/0 yields NULL, which would silently DROP the
+    row from kNN filters/sorts instead of ranking it last."""
+    denom = row_norm(x) * row_norm(y)
+    return F.when(denom == 0, F.lit(0.0)).otherwise(dot(x, y) / denom)
 
 
 # ---------------------------------------------------------------------------

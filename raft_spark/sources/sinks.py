@@ -26,6 +26,7 @@ columns; arrays nest fine in parquet).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -70,7 +71,17 @@ def write_csv(
     df: DataFrame, path: str, mode: str = "overwrite", header: bool = True,
     sep: str = ",",
 ) -> None:
-    df.write.mode(mode).option("header", header).option("sep", sep).csv(path)
+    """CSV writer. Spark's CSV source cannot hold array columns, so
+    array<…> columns (row-vector ``features``) are serialized to JSON
+    strings in place — round-trippable via from_json on read — instead
+    of failing the whole write with an AnalysisException."""
+    from pyspark.sql.types import ArrayType
+
+    out = df
+    for f in df.schema.fields:
+        if isinstance(f.dataType, ArrayType):
+            out = out.withColumn(f.name, F.to_json(F.col(f.name)))
+    out.write.mode(mode).option("header", header).option("sep", sep).csv(path)
 
 
 def read_csv(

@@ -45,9 +45,16 @@ EVENTS_SCHEMA = (
 def _with_event_time(df: DataFrame) -> DataFrame:
     t = dict(df.dtypes)["ts"]
     if t in ("bigint", "long"):
-        # integer div, NOT `/1000` + cast: float division of an int64
-        # epoch (~1.7e18 > 2^53) rounds the last microsecond
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # exact integer FLOOR division, NOT `/1000` + cast (float
+        # division of an int64 epoch ~1.7e18 > 2^53 rounds the last
+        # microsecond) and NOT a bare `div` (truncation-toward-zero
+        # rounds pre-1970 timestamps UP a microsecond, shifting
+        # boundary events into the adjacent window vs a flooring
+        # engine): subtract the positive residue first.
+        return df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("(ts - pmod(ts, 1000)) div 1000")),
+        )
     # timestamp / timestamp_ntz: one cast; session tz is UTC, so the
     # wall-clock reading matches DuckDB's naive TIMESTAMP exactly.
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -99,17 +106,20 @@ def windowed_moments(
     so an int64 Σv_int² would wrap SILENTLY (non-ANSI sum) after only
     ~922 rows per (window,key) group while DuckDB widens to HUGEINT —
     decimal(38,0) keeps both engines exact to ~10²² rows. Each per-row
-    term still fits int64 (10¹⁶ ≪ 2⁶³); only the accumulator widens.
+    term is computed in DECIMAL too — an int64 _vi·_vi would itself
+    wrap silently once |value| ≥ ~3037 (vi² > 2⁶³); casting one operand
+    BEFORE the multiply keeps the per-row product exact as well.
     """
     vi = F.round(F.col("value") * 1_000_000).cast("long")
+    vi_dec = F.col("_vi").cast("decimal(38,0)")
     base = (
         events.withColumn("_vi", vi)
         .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("win"), F.col(key))
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("_vi").cast("decimal(38,0)")).alias("_s"),
-            F.sum((F.col("_vi") * F.col("_vi")).cast("decimal(38,0)")).alias("_ssq"),
+            F.sum(vi_dec).alias("_s"),
+            F.sum((vi_dec * F.col("_vi")).cast("decimal(38,0)")).alias("_ssq"),
             F.min("value").alias("min_v"),
             F.max("value").alias("max_v"),
         )
@@ -201,7 +211,10 @@ def running_topk_stateful(
     intermediate cut), so the final state is exactly SQL-checkable.
     """
 
-    out_schema = f"{key} string, rank int, value double, event_id long"
+    # the key column's REAL type rides into the output schema — a
+    # hardcoded string broke any non-string key (user_id is long)
+    key_type = dict(events.dtypes)[key]
+    out_schema = f"{key} {key_type}, rank int, value double, event_id long"
     state_schema = "values array<double>, ids array<long>"
 
     def update(
@@ -338,9 +351,18 @@ def streaming_index_ingest(
 
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once projection of a stream with redelivery: drop exact
-    duplicates by event_id within the watermark (state = seen ids inside
-    the watermark horizon only — bounded, unlike a global distinct)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    duplicates by event_id within the watermark horizon.
+
+    dropDuplicatesWithinWatermark, NOT dropDuplicates([\"event_id\"]):
+    the plain variant only evicts state when the event-time column is
+    part of the dedup keys, so keying on event_id alone would keep one
+    state entry per distinct id FOREVER — a global distinct in
+    disguise, the exact unbounded-state trap this operator exists to
+    avoid. The within-watermark variant evicts ids once they age past
+    the watermark, so state = ids inside the horizon only."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def windowed_approx_distinct(

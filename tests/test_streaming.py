@@ -274,3 +274,33 @@ def _bucket(spark, key: str, seed: int, width: int) -> int:
     return spark.sql(
         f"SELECT pmod(xxhash64('{key}', {seed}), {width}) AS b"
     ).collect()[0]["b"]
+
+
+def test_streaming_dedup_and_moments_overflow_guard(spark, events_dir, batch_events):
+    """dropDuplicatesWithinWatermark path still equals batch distinct,
+    and the decimal per-row square keeps stddev finite for |value| past
+    the old int64 wrap point (~3037)."""
+    stream = S.streaming_dedup(S.read_events_stream(spark, events_dir))
+    S.run_to_memory_sink(stream, "dedup_sink2")
+    n_stream = spark.sql("select count(distinct event_id) c from dedup_sink2").collect()[0]["c"]
+    assert n_stream == batch_events.select("event_id").distinct().count()
+
+    big = batch_events.withColumn("value", F.col("value") + F.lit(10_000.0))
+    from pyspark.sql import functions as FF
+    out = S.windowed_moments(big).collect()  # batch path of same expr
+    assert len(out) > 0
+    for r in out:
+        if r["n"] > 1:
+            assert r["stddev"] is not None and r["stddev"] >= 0.0
+
+
+def test_running_topk_long_key(spark, events_dir):
+    """The stateful top-k must honor the key column's real type
+    (user_id is long — the schema used to hardcode string)."""
+    stream = S.running_topk_stateful(
+        S.read_events_stream(spark, events_dir), key="user_id", k=3
+    )
+    S.run_to_memory_sink(stream, "topk_long_sink", output_mode="update")
+    rows = _rows(spark, "topk_long_sink")
+    assert len(rows) > 0
+    assert all(isinstance(r["user_id"], int) for r in rows)
