@@ -319,29 +319,56 @@ def q_reduce_cols_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "covariance",
-    # Exact-integer Gram algebra (the streaming-moments trick): both
-    # engines half-up-quantize x to q = floor(x·1e6 + 0.5), sum q and
-    # q_i·q_j EXACTLY (int64 partials / HUGEINT merge — order-free),
-    # then evaluate (Sxy − Sx·Sy/n)/(n−1)/1e12 in one fixed IEEE
-    # expression — bit-identical doubles regardless of scan order, so
-    # the 6-decimal round can never straddle a boundary differently.
+    # FULLY integer gate (round-4 fix for the 3-round hash-red row):
+    # both engines half-up-quantize x to q = floor(x·1e6 + 0.5), sum q
+    # and q_i·q_j EXACTLY (int64 partials / HUGEINT merge — order-free),
+    # then emit cov_q = round_half_away( (n·Sxy − Sx·Sy) /
+    # (n·(n−1)·1e6) ) computed with EXACT integer division on both
+    # engines — round_half_away(a/b) = sign·((2|a| + b) // (2b)), using
+    # truncating integer division (identical in Spark `div` / Python
+    # `//`-on-abs / DuckDB `//`).  cov_q equals round(cov·1e6) of the
+    # sample covariance; no floating-point op — and in particular no
+    # engine round(double, n), whose HALF_UP-on-exact-expansion (Spark)
+    # vs multiplier-based (DuckDB) implementations split boundary cells
+    # — touches the output at all.
     oracle="WITH "
     + SQL_LONG
     + """,
 q AS (SELECT vec_id, pos, CAST(floor(x * 1000000.0 + 0.5) AS HUGEINT) AS qx FROM long),
 s AS (SELECT pos, sum(qx) AS sx, count(*) AS n FROM q GROUP BY 1),
 g AS (SELECT a.pos AS i, b.pos AS j, sum(a.qx * b.qx) AS sxy
-      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2)
-SELECT g.i::BIGINT AS i, g.j::BIGINT AS j,
-       round((g.sxy::DOUBLE - (sa.sx::DOUBLE * sb.sx::DOUBLE) / sa.n)
-             / (sa.n - 1) / 1000000000000.0, 6) AS cov
-FROM g JOIN s sa ON sa.pos = g.i JOIN s sb ON sb.pos = g.j
+      FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2),
+nd AS (SELECT g.i, g.j,
+              sa.n * g.sxy - sa.sx * sb.sx AS num,
+              sa.n * (sa.n - 1) * CAST(1000000 AS HUGEINT) AS den
+       FROM g JOIN s sa ON sa.pos = g.i JOIN s sb ON sb.pos = g.j)
+SELECT i::BIGINT AS i, j::BIGINT AS j,
+       (CASE WHEN num < 0 THEN -((2 * (-num) + den) // (2 * den))
+             ELSE (2 * num + den) // (2 * den) END)::BIGINT AS cov_q
+FROM nd
 """,
 )
 def q_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """stats/cov.cuh:18 — 64×64 covariance via the distributed exact
     Gram pass (one mapInPandas int64 partial per partition, d² shuffle
-    scalars merged as decimal(38,0))."""
+    scalars merged as decimal(38,0)); the final d² rationals are
+    rounded to integer-quantized bigints in arbitrary-precision Python
+    int arithmetic (driver-scale: d²=4096 scalars)."""
+    from raft_spark.operators.solvers import gram_matrix_exact
+
     m = embeddings_matrix(spark, sf_dir)
-    out = R.covariance(m, quantize=1e6)
-    return out.select("i", "j", F.round("cov", 6).alias("cov"))
+    g, sx, n = gram_matrix_exact(m, "features", scale=1e6)
+    d = len(sx)
+    den = n * (n - 1) * 1_000_000
+
+    def half_away(num: int) -> int:
+        a = -num if num < 0 else num
+        r = (2 * a + den) // (2 * den)
+        return -r if num < 0 else r
+
+    rows = [
+        (i, j, half_away(n * g[i][j] - sx[i] * sx[j]))
+        for i in range(d)
+        for j in range(d)
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov_q long")

@@ -43,86 +43,214 @@ def _sub(name: str) -> str:
 # dense element-wise map suite — long form (op, id, pos, value)
 # ---------------------------------------------------------------------------
 
+# Round-4 rewrite: the gate is now INTEGER-QUANTIZED end to end. Both
+# engines quantize x to qx = floor(x·1e6 + 0.5) (bigint), derive every
+# row/column statistic as an EXACT integer sum (order-independent), and
+# emit each member's value as a bigint vq. Six of the eight members are
+# pure integer arithmetic; `normalize` and `standardize` use one short
+# identical IEEE-754 op tree (int→double casts, /, sqrt, *, + are all
+# exactly rounded, so bit-identical operands ⇒ bit-identical result).
+# No engine round(double, n) — whose Spark (HALF_UP on the exact binary
+# expansion) vs DuckDB (multiplier-based) implementations split
+# boundary cells and kept this row hash-red — appears anywhere.
+# half-away-from-zero integer division round_half(a, b>0) =
+# sign(a)·floor((2|a| + b) / (2b)) is exact on both engines whenever
+# 2|a|+b < 2⁵² (integer/integer division yields a correctly-rounded
+# double in both; the quotient's distance to any integer is ≥ 1/(2b),
+# which dominates the division's relative error below 2⁵²).
 _DENSE_MAP_ORACLE = """
 WITH long AS (
     SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
            generate_subscripts(embedding, 1) - 1 AS pos
     FROM embeddings
 ),
-w AS (
-    SELECT vec_id, pos, x,
-           sqrt(sum(x*x) OVER (PARTITION BY vec_id)) AS nrm,
-           sum(x)       OVER (PARTITION BY vec_id) AS rs,
-           avg(x)       OVER (PARTITION BY pos)    AS cm,
-           stddev_pop(x) OVER (PARTITION BY pos)   AS cs,
-           max(abs(x))  OVER (PARTITION BY vec_id) AS mx
+q AS (
+    SELECT vec_id, pos, CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS qx
     FROM long
+),
+r AS (
+    SELECT vec_id,
+           CAST(sum(qx * qx) AS BIGINT) AS ssq,
+           CAST(sum(qx) AS BIGINT) AS rsq,
+           max(abs(qx)) AS mxq
+    FROM q GROUP BY 1
+),
+c AS (
+    SELECT pos, count(*) AS n,
+           CAST(sum(qx) AS BIGINT) AS sc,
+           sum(CAST(qx AS HUGEINT) * qx) AS ssc
+    FROM q GROUP BY 1
+),
+c2 AS (
+    SELECT pos, n, sc,
+           CAST(n * ssc - CAST(sc AS HUGEINT) * sc AS BIGINT) AS vc
+    FROM c
+),
+w AS (
+    SELECT q.vec_id, q.pos, q.qx, r.ssq, r.rsq, r.mxq, c2.n, c2.sc, c2.vc,
+           c2.n * q.qx - c2.sc AS tc,
+           CASE WHEN r.mxq = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(sign(q.qx) AS BIGINT) *
+                     least(CAST(floor((2*127*abs(q.qx) + r.mxq) / (2*r.mxq)) AS BIGINT), 127)
+           END AS q8
+    FROM q JOIN r USING (vec_id) JOIN c2 USING (pos)
 )
 SELECT 'normalize' AS op, vec_id::BIGINT AS id, pos::BIGINT AS pos,
-       round(x / nrm, 6) AS value FROM w
-UNION ALL
-SELECT 'center', vec_id::BIGINT, pos::BIGINT, round(x - cm, 6) FROM w
-UNION ALL
-SELECT 'matvec_sub', vec_id::BIGINT, pos::BIGINT,
-       round(x - (0.01*pos - 0.3), 6) FROM w
-UNION ALL
-SELECT 'ratio', vec_id::BIGINT, pos::BIGINT, round(x / rs, 6) FROM w
-UNION ALL
-SELECT 'threshold', vec_id::BIGINT, pos::BIGINT,
-       CASE WHEN abs(x) < 0.05 THEN 0.0 ELSE round(x, 6) END FROM w
-UNION ALL
-SELECT 'quant_i8', vec_id::BIGINT, pos::BIGINT,
-       round(CASE WHEN mx = 0 THEN 0.0
-             ELSE sign(x) * least(floor(abs(x) / mx * 127.0 + 0.5), 127.0) END, 6)
+       CAST(floor(CAST(qx AS DOUBLE) / sqrt(CAST(ssq AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS vq
 FROM w
 UNION ALL
+SELECT 'center', vec_id::BIGINT, pos::BIGINT,
+       CASE WHEN tc < 0 THEN -CAST(floor((2*(-tc) + n) / (2*n)) AS BIGINT)
+            ELSE CAST(floor((2*tc + n) / (2*n)) AS BIGINT) END
+FROM w
+UNION ALL
+SELECT 'matvec_sub', vec_id::BIGINT, pos::BIGINT,
+       qx - CAST(floor((0.01 * pos - 0.3) * 1000000.0 + 0.5) AS BIGINT)
+FROM w
+UNION ALL
+SELECT 'ratio', vec_id::BIGINT, pos::BIGINT,
+       CASE WHEN sign(qx) * sign(rsq) < 0
+            THEN -CAST(floor((2*abs(qx)*1000000 + abs(rsq)) / (2*abs(rsq))) AS BIGINT)
+            ELSE CAST(floor((2*abs(qx)*1000000 + abs(rsq)) / (2*abs(rsq))) AS BIGINT) END
+FROM w
+UNION ALL
+SELECT 'threshold', vec_id::BIGINT, pos::BIGINT,
+       CASE WHEN abs(qx) < 50000 THEN 0 ELSE qx END
+FROM w
+UNION ALL
+SELECT 'quant_i8', vec_id::BIGINT, pos::BIGINT, q8 FROM w
+UNION ALL
 SELECT 'dequant_i8', vec_id::BIGINT, pos::BIGINT,
-       round(CASE WHEN mx = 0 THEN 0.0
-             ELSE sign(x) * least(floor(abs(x) / mx * 127.0 + 0.5), 127.0) * mx / 127.0 END, 6)
+       CASE WHEN q8 * mxq < 0
+            THEN -CAST(floor((2*abs(q8 * mxq) + 127) / 254) AS BIGINT)
+            ELSE CAST(floor((2*abs(q8 * mxq) + 127) / 254) AS BIGINT) END
 FROM w
 UNION ALL
 SELECT 'standardize', vec_id::BIGINT, pos::BIGINT,
-       CASE WHEN cs = 0 THEN 0.0 ELSE round((x - cm) / cs, 6) END FROM w
+       CASE WHEN vc = 0 THEN 0
+            ELSE CAST(floor(CAST(tc AS DOUBLE) / sqrt(CAST(vc AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       END
+FROM w
 """
 
 
 @query("dense_map_suite", oracle=_DENSE_MAP_ORACLE)
 def q_dense_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """map / matrix_vector_op / normalize / mean_center / ratio /
-    threshold (linalg/normalize.cuh:48, matrix_vector_op.cuh:24,
-    stats/mean_center.cuh:20, matrix/ratio.cuh:22, threshold.cuh:22)
-    in LONG form — the round-1 array-typed outputs crashed the
-    driver's pandas canonicalizer (lists are unhashable)."""
+    threshold / int8 (de)quantize / standardize (linalg/normalize.cuh:
+    48, matrix_vector_op.cuh:24, stats/mean_center.cuh:20,
+    matrix/ratio.cuh:22, threshold.cuh:22) in LONG integer-quantized
+    form — see _DENSE_MAP_ORACLE for the cross-engine determinism
+    contract. The float-path operators (A.normalize, R.mean_center,
+    R.standardize, …) remain the user API; tests/test_arrays.py's
+    suite-vs-operator parity test asserts each member here agrees with
+    its operator to 2e-6, so a broken operator still reddens CI while
+    the driver hash sees only exact integers.
+
+    Plan shape: ONE scan → per-row integer folds (aggregate over the
+    qx array, zero shuffle) → posexplode → one 64-row broadcast join
+    of the column stats → a single 8-way stack projection. No window,
+    no union re-scan."""
     m = embeddings_matrix(spark, sf_dir)
+    one_m = F.lit(1_000_000).cast("long")
 
-    def long(op: str, frame: DataFrame, arr) -> DataFrame:
-        return frame.select(
-            F.lit(op).alias("op"),
-            F.col("id").cast("long").alias("id"),
-            F.posexplode(F.transform(arr, lambda x: F.round(x, 6))).alias(
-                "pos", "value"
-            ),
-        ).select("op", "id", F.col("pos").cast("long").alias("pos"), "value")
-
-    parts = [
-        long("normalize", m, A.normalize("features", "l2")),
-        long("center", R.mean_center(m), F.col("features")),
-        long(
-            "matvec_sub",
-            m.select("id", A.matrix_vector_op(
-                "features", DQ._lit_vec(), lambda a, b: a - b).alias("_f")),
-            F.col("_f"),
+    qarr = F.transform(
+        "features",
+        lambda x: F.floor(x * F.lit(1_000_000.0) + F.lit(0.5)).cast("long"),
+    )
+    rows = m.select(
+        F.col("id").cast("long").alias("id"),
+        qarr.alias("qarr"),
+    ).select(
+        "id",
+        F.aggregate(
+            "qarr", F.lit(0).cast("long"), lambda a, x: a + x * x
+        ).alias("ssq"),
+        F.aggregate("qarr", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "rsq"
         ),
-        long("ratio", m, A.ratio("features")),
-        long("threshold", m, A.threshold("features", 0.05)),
-        long("quant_i8", m, A.quantize_int8("features")),
-        long("dequant_i8", m, A.dequantize_int8("features")),
-        long("standardize", R.standardize(m), F.col("features")),
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        F.array_max(F.transform("qarr", F.abs)).alias("mxq"),
+        F.posexplode("qarr").alias("pos", "qx"),
+    )
+    dec = "decimal(38,0)"
+    cols = (
+        rows.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("qx").cast(dec)).alias("_sc"),
+            F.sum(F.col("qx").cast(dec) * F.col("qx")).alias("_ssc"),
+        )
+        .select(
+            "pos",
+            "n",
+            F.col("_sc").cast("long").alias("sc"),
+            (
+                F.col("n").cast(dec) * F.col("_ssc")
+                - F.col("_sc") * F.col("_sc")
+            )
+            .cast("long")
+            .alias("vc"),
+        )
+    )
+    w = rows.join(F.broadcast(cols), "pos")
+
+    def half_div(a, b):
+        # round-half-away-from-zero of a/b for integer cols, b may be
+        # signed; exact for 2|a|+|b| < 2⁵² (see oracle header).
+        mag = F.floor((2 * F.abs(a) + F.abs(b)) / (2 * F.abs(b))).cast("long")
+        return F.when(F.signum(a) * F.signum(b) < 0, -mag).otherwise(mag)
+
+    tc = F.col("n") * F.col("qx") - F.col("sc")
+    q8 = F.when(F.col("mxq") == 0, F.lit(0).cast("long")).otherwise(
+        F.signum("qx").cast("long")
+        * F.least(
+            F.floor(
+                (2 * 127 * F.abs("qx") + F.col("mxq")) / (2 * F.col("mxq"))
+            ).cast("long"),
+            F.lit(127).cast("long"),
+        )
+    )
+    vqs = {
+        "normalize": F.floor(
+            F.col("qx").cast("double")
+            / F.sqrt(F.col("ssq").cast("double"))
+            * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+        "center": half_div(tc, F.col("n").cast("long")),
+        "matvec_sub": F.col("qx")
+        - F.floor(
+            (F.lit(0.01) * F.col("pos") - F.lit(0.3)) * F.lit(1_000_000.0)
+            + F.lit(0.5)
+        ).cast("long"),
+        "ratio": half_div(F.col("qx") * one_m, F.col("rsq")),
+        "threshold": F.when(
+            F.abs("qx") < 50000, F.lit(0).cast("long")
+        ).otherwise(F.col("qx")),
+        "quant_i8": q8,
+        "dequant_i8": half_div(q8 * F.col("mxq"), F.lit(127).cast("long")),
+        "standardize": F.when(F.col("vc") == 0, F.lit(0).cast("long")).otherwise(
+            F.floor(
+                tc.cast("double")
+                / F.sqrt(F.col("vc").cast("double"))
+                * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            ).cast("long")
+        ),
+    }
+    # build the stack over named intermediate columns (stack() needs
+    # column references, not arbitrary python Column objects inline)
+    inter = w.select(
+        "id",
+        F.col("pos").cast("long").alias("pos"),
+        *[expr.alias(f"_vq_{name}") for name, expr in vqs.items()],
+    )
+    stack_expr = "stack({}, {}) as (op, vq)".format(
+        len(vqs), ", ".join(f"'{name}', _vq_{name}" for name in vqs)
+    )
+    return inter.select("id", "pos", F.expr(stack_expr)).select(
+        "op", "id", "pos", "vq"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -10,7 +10,6 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 
 from __future__ import annotations
 
-import math
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -18,34 +17,9 @@ sys.path.insert(0, "/root/repo")
 import duckdb  # noqa: E402
 
 import __spark_entry__ as entry  # noqa: E402
+from raft_spark.queries.gatehash import canon  # noqa: E402
 from raft_spark.session import get_spark  # noqa: E402
 from raft_spark.sources.tables import TABLES  # noqa: E402
-
-
-def norm_cell(v):
-    if v is None:
-        return "NULL"
-    if isinstance(v, bool):
-        return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        r = round(v, 6)
-        if r == int(r):
-            return str(int(r))
-        return repr(r)
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
-
-
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for row in rows:
-        out.append("|".join(norm_cell(row[i]) for i in order))
-    out.sort()
-    return out
 
 
 def main() -> int:
