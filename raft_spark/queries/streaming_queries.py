@@ -246,3 +246,166 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     S.run_to_memory_sink(deduped, "sink_stream_dedup", output_mode="append")
     out = spark.sql("select * from sink_stream_dedup")
     return out.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# round-4 ★ members: streaming sketches / stream-static lookups that were
+# pytest-only in round 3 — each returns a small flag/summary frame that
+# stream_sketch_suite (suites.py) folds into one oracled gate row.
+# ---------------------------------------------------------------------------
+
+
+def _stage_table_dir(sf_dir: str, table: str) -> str:
+    """File-source stream staging for an arbitrary table (the events
+    variant generalized): a /tmp symlink directory per (sf, table)."""
+    name = os.path.basename(os.path.normpath(sf_dir))
+    d = f"/tmp/raft_spark_stream/{name}_{table}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    if not os.path.exists(link):
+        os.symlink(os.path.join(sf_dir, f"{table}.parquet"), link)
+    return d
+
+
+def m_stream_hll_ok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HLL++ windowed distinct (incremental.windowed_approx_
+    distinct): per window, flag = (streamed estimate == batch estimate
+    over the same rows — register max-merge is order-independent) AND
+    (estimate within the rsd accuracy band of the EXACT distinct).
+    Returns (win_start, ok int)."""
+    stream = S.windowed_approx_distinct(
+        S.read_events_stream(spark, _stage_events_dir(sf_dir))
+    )
+    S.run_to_memory_sink(stream, "gate_hll_sink", output_mode="complete")
+    got = spark.sql("select * from gate_hll_sink")
+
+    ev = S.read_events_batch(spark, f"{sf_dir}/events.parquet")
+    batch = (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(
+            F.approx_count_distinct("user_id", 0.05).alias("b_est"),
+            F.countDistinct("user_id").alias("b_exact"),
+        )
+        .select(F.col("win.start").alias("win_start"), "b_est", "b_exact")
+    )
+    return (
+        got.join(batch, "win_start", "full_outer")
+        .select(
+            "win_start",
+            (
+                (F.col("user_id_distinct") == F.col("b_est"))
+                & (
+                    # HLL++ at small per-window cardinalities wobbles
+                    # well past the asymptotic rsd (observed -17.6% on
+                    # an exact count of 17): band = max(30%, 5).
+                    F.abs(F.col("user_id_distinct") - F.col("b_exact"))
+                    <= F.greatest(0.30 * F.col("b_exact"), F.lit(5.0))
+                )
+            )
+            .cast("int")
+            .alias("ok"),
+        )
+    )
+
+
+def m_stream_cm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed count-min (incremental.windowed_count_min):
+    returns the per-(window, depth) counter MASS (sum of bucket counts
+    — must equal the window's event count, a genuinely data-valued
+    oracle) plus one cm_eq flag row (streamed sketch == batch sketch of
+    the same windows, cell-for-cell — counter increments commute).
+    Schema (kind, win_start, depth, value)."""
+    stream = S.windowed_count_min(
+        S.read_events_stream(spark, _stage_events_dir(sf_dir))
+    )
+    S.run_to_memory_sink(stream, "gate_cms_sink", output_mode="complete")
+    got = spark.sql("select * from gate_cms_sink").localCheckpoint(eager=True)
+
+    mass = got.groupBy("win_start", "depth").agg(
+        F.sum("cnt").cast("double").alias("value")
+    ).select(
+        F.lit("cm_mass").alias("kind"), "win_start",
+        F.col("depth").cast("long").alias("depth"), "value",
+    )
+
+    batch = S.windowed_count_min(
+        S.read_events_batch(spark, f"{sf_dir}/events.parquet")
+    )
+    cells = ["win_start", "depth", "bucket", "cnt"]
+    diff = (
+        got.select(cells).exceptAll(batch.select(cells)).count()
+        + batch.select(cells).exceptAll(got.select(cells)).count()
+    )
+    eq = spark.createDataFrame(
+        [("cm_eq", None, -1, float(int(diff == 0 and got.count() > 0)))],
+        "kind string, win_start timestamp, depth long, value double",
+    )
+    return mass.unionByName(eq)
+
+
+def m_stream_neardup_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static near-dup candidate lookup (incremental.streaming_
+    neardup_candidates): streaming the corpus against its own band
+    index must reproduce the batch twin exactly (the MinHash banding
+    expression is stateless). Returns one (ok int) flag row."""
+    from raft_spark.operators.dedup import band_table
+    from raft_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    index = band_table(docs).localCheckpoint(eager=True)
+
+    d = _stage_table_dir(sf_dir, "documents")
+    sch = spark.read.parquet(d).schema
+    doc_stream = spark.readStream.schema(sch).parquet(d)
+    out = S.streaming_neardup_candidates(doc_stream, index)
+    S.run_to_memory_sink(out, "gate_neardup_sink", output_mode="append")
+    got = spark.sql("select * from gate_neardup_sink")
+
+    want = (
+        band_table(docs)
+        .join(index.select(F.col("doc_id").alias("cand_id"), "band", "bsig"),
+              ["band", "bsig"])
+        .filter(F.col("doc_id") != F.col("cand_id"))
+        .select("doc_id", "cand_id", "band")
+    )
+    cols = ["doc_id", "cand_id", "band"]
+    diff = (
+        got.select(cols).exceptAll(want).count()
+        + want.exceptAll(got.select(cols)).count()
+    )
+    ok = int(diff == 0 and got.count() > 0)
+    return spark.createDataFrame([(ok,)], "ok int")
+
+
+def m_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN-index ingest (incremental.streaming_index_ingest):
+    arriving embeddings get the same IVF list as the batch quantizer
+    (stateless argmin pass ⇒ stream == batch row-for-row). Returns
+    (kind, value): ingest_rows = number of streamed assignments (must
+    equal the corpus row count — SQL-checkable) and ingest_eq = exact
+    stream/batch agreement flag."""
+    from raft_spark.operators.similarity import ivf_assign, kmeans_centroids
+    from raft_spark.sources.tables import embeddings_matrix
+
+    corpus = embeddings_matrix(spark, sf_dir).select("id", "features")
+    cents = kmeans_centroids(corpus, k=4, n_iters=2)
+
+    d = _stage_table_dir(sf_dir, "embeddings")
+    sch = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(sch).parquet(d)
+        .select(F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("features"))
+    )
+    out = S.streaming_index_ingest(stream, cents)
+    S.run_to_memory_sink(out.select("id", "list_id"), "gate_ingest_sink",
+                         output_mode="append")
+    got = spark.sql("select * from gate_ingest_sink").localCheckpoint(eager=True)
+
+    batch = ivf_assign(corpus, cents).select("id", "list_id")
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    n = got.count()
+    return spark.createDataFrame(
+        [("ingest_rows", float(n)), ("ingest_eq", float(int(diff == 0 and n > 0)))],
+        "kind string, value double",
+    )

@@ -142,10 +142,10 @@ def q_dense_map_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     matrix/ratio.cuh:22, threshold.cuh:22) in LONG integer-quantized
     form — see _DENSE_MAP_ORACLE for the cross-engine determinism
     contract. The float-path operators (A.normalize, R.mean_center,
-    R.standardize, …) remain the user API; tests/test_arrays.py's
-    suite-vs-operator parity test asserts each member here agrees with
-    its operator to 2e-6, so a broken operator still reddens CI while
-    the driver hash sees only exact integers.
+    R.standardize, …) remain the user API; tests/test_dense_map_parity.
+    py asserts each member here agrees with its operator within the
+    quantization error bound, so a broken operator still reddens CI
+    while the driver hash sees only exact integers.
 
     Plan shape: ONE scan → per-row integer folds (aggregate over the
     qx array, zero shuffle) → posexplode → one 64-row broadcast join
@@ -829,10 +829,26 @@ def _stream_agg_oracle() -> str:
         f"SELECT win_start, '{c}' AS op, event_type AS k, {c}::DOUBLE AS value FROM {mom}"
         for c in ("n", "mean", "stddev", "min_v", "max_v")
     )
+    # r4 sketch members: cm_mass is data-valued (per-window, per-depth
+    # counter mass of the streamed count-min sketch == the window's
+    # event count — conservation DuckDB recomputes from the raw
+    # events); cm_eq / hll_ok are stream≡batch flags whose value the
+    # oracle pins to 1 per expected row (DuckDB independently derives
+    # the window list, so a missing/extra window also reddens the row).
     return f"""
 {unions}
 UNION ALL
 SELECT win_start, 'bin', bin::VARCHAR, cnt::DOUBLE FROM {hist}
+UNION ALL
+SELECT date_trunc('hour', ts::TIMESTAMP) AS win_start, 'cm_mass' AS op,
+       d.d::VARCHAR AS k, count(*)::DOUBLE AS value
+FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS d) d
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT NULL::TIMESTAMP, 'cm_eq', '', 1.0
+UNION ALL
+SELECT w, 'hll_ok', '', 1.0
+FROM (SELECT DISTINCT date_trunc('hour', ts::TIMESTAMP) AS w FROM events) wins
 """
 
 
@@ -840,7 +856,11 @@ SELECT win_start, 'bin', bin::VARCHAR, cnt::DOUBLE FROM {hist}
 def q_stream_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming per-hour moments + histogram (incremental stats/
     mean.cuh / stddev.cuh / minmax.cuh / histogram.cuh semantics)
-    unpivoted to (win_start, op, k, value)."""
+    unpivoted to (win_start, op, k, value). Since r4 also carries the
+    streaming-sketch members that were pytest-only in r3: count-min
+    counter mass + stream≡batch cell equality (windowed_count_min) and
+    the HLL++ windowed-distinct stream≡batch + accuracy-band flag
+    (windowed_approx_distinct)."""
     mom = STRQ.q_stream_moments(spark, sf_dir).localCheckpoint(eager=True)
     hist = STRQ.q_stream_histogram(spark, sf_dir)
     out = None
@@ -851,11 +871,22 @@ def q_stream_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(c).cast("double").alias("value"),
         )
         out = p if out is None else out.unionByName(p)
-    return out.unionByName(
+    out = out.unionByName(
         hist.select("win_start", F.lit("bin").alias("op"),
                     F.col("bin").cast("string").alias("k"),
                     F.col("cnt").cast("double").alias("value"))
     )
+    cm = STRQ.m_stream_cm(spark, sf_dir).select(
+        F.col("win_start"), F.col("kind").alias("op"),
+        F.when(F.col("kind") == "cm_mass", F.col("depth").cast("string"))
+        .otherwise(F.lit("")).alias("k"),
+        F.col("value"),
+    )
+    hll = STRQ.m_stream_hll_ok(spark, sf_dir).select(
+        "win_start", F.lit("hll_ok").alias("op"), F.lit("").alias("k"),
+        F.col("ok").cast("double").alias("value"),
+    )
+    return out.unionByName(cm).unionByName(hll)
 
 
 # ---------------------------------------------------------------------------
@@ -864,6 +895,12 @@ def q_stream_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_key_oracle() -> str:
+    # r4: neardup_eq / ingest_eq are stream≡batch flags (MinHash band
+    # lookup and IVF ingest are stateless passes, so the streamed frame
+    # must equal the batch twin row-for-row); ingest_rows is
+    # data-valued — every corpus vector is assigned exactly one list,
+    # so the streamed assignment count equals count(*) of embeddings,
+    # which DuckDB recomputes independently.
     return f"""
 SELECT 'topk' AS op, win_start AS ts, '' AS k, rank AS a, user_id AS b, total AS v
 FROM {_sub('stream_topk_users')}
@@ -873,13 +910,24 @@ FROM {_sub('sessionize_events')}
 UNION ALL
 SELECT 'dedup', NULL::TIMESTAMP, event_type, 0::BIGINT, 0::BIGINT, n::DOUBLE
 FROM {_sub('stream_dedup')}
+UNION ALL
+SELECT 'neardup_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
+SELECT 'ingest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
+SELECT 'ingest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
+       (SELECT count(*) FROM embeddings)::DOUBLE
 """
 
 
 @query("stream_key_suite", oracle=_stream_key_oracle())
 def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming grouped top-k + session_window sessionization +
-    watermarked exactly-once dedup as (op, ts, k, a, b, v)."""
+    watermarked exactly-once dedup as (op, ts, k, a, b, v). Since r4
+    also carries the stream-static members that were pytest-only in
+    r3: near-dup candidate lookup stream≡batch (streaming_neardup_
+    candidates) and ANN-index ingest stream≡batch + row conservation
+    (streaming_index_ingest)."""
     topk = STRQ.q_stream_topk(spark, sf_dir).select(
         F.lit("topk").alias("op"), F.col("win_start").alias("ts"),
         F.lit("").alias("k"), F.col("rank").alias("a"),
@@ -895,7 +943,19 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("k"), F.lit(0).cast("long").alias("a"),
         F.lit(0).cast("long").alias("b"), F.col("n").cast("double").alias("v"),
     )
-    return topk.unionByName(sess).unionByName(ded)
+    nd = STRQ.m_stream_neardup_eq(spark, sf_dir).select(
+        F.lit("neardup_eq").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+        F.col("ok").cast("double").alias("v"),
+    )
+    ing = STRQ.m_stream_ingest(spark, sf_dir).select(
+        F.col("kind").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+        F.col("value").alias("v"),
+    )
+    return topk.unionByName(sess).unionByName(ded).unionByName(nd).unionByName(ing)
 
 
 # ---------------------------------------------------------------------------
@@ -1642,16 +1702,25 @@ UNION ALL
 SELECT 'pq', 1::INTEGER
 UNION ALL
 SELECT 'nn_descent', 1::INTEGER
+UNION ALL
+SELECT 'ivf_pq', 1::INTEGER
+UNION ALL
+SELECT 'ivf_pq_probe_mono', 1::INTEGER
+UNION ALL
+SELECT 'ivf_pq_roundtrip', 1::INTEGER
 """
 
 
 @query("ann_recall_suite", oracle=_ANN_RECALL_ORACLE)
 def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ ANN recall floors vs exact brute force as (method,
-    recall_ok) — the two compressed/partitioned scale paths for
-    similarity search, folded into one gate row (each member remains
-    independently runnable; exact recall values are pinned by
-    tests/test_similarity_ivf.py)."""
+    """IVF + PQ + IVF-PQ + NN-descent ANN contracts vs exact brute
+    force as (method, recall_ok) — the compressed/partitioned scale
+    paths for similarity search, folded into one gate row (each member
+    remains independently runnable; exact recall values are pinned by
+    tests/test_similarity_ivf.py). Since r4 the IVF-PQ composite adds
+    probe monotonicity and the persistent-index round-trip
+    (write_ivf_pq_index → read_ivf_pq_index returns the identical
+    neighbor set)."""
     ivf = PQ.q_knn_ivf_recall(spark, sf_dir).select(
         F.lit("ivf").alias("method"), F.col("recall_ok").cast("int")
     )
@@ -1661,7 +1730,10 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     nnd = PQ.q_nn_descent_recall(spark, sf_dir).select(
         F.lit("nn_descent").alias("method"), F.col("recall_ok").cast("int")
     )
-    return ivf.unionByName(pq).unionByName(nnd)
+    ivfpq = PQ.q_ivf_pq_checks(spark, sf_dir).select(
+        "method", F.col("recall_ok").cast("int")
+    )
+    return ivf.unionByName(pq).unionByName(nnd).unionByName(ivfpq)
 
 
 @query("graph_solver_suite", oracle=_graph_solver_oracle())
