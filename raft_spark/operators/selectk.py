@@ -14,19 +14,28 @@ physical plan is meaningfully worse than the reference's algorithm):
 - ``agg``     : groupBy(group).agg(slice(array_sort(collect_list(
   struct(...))), k)). Partial aggregation merges map-side, but the
   collected list is unbounded per group → memory risk on huge groups.
-- ``partial`` (default for huge groups; ``salted`` is an alias for
-  backward compat): two-phase partial top-k mirroring RAFT's
-  per-block-then-merge design. Phase 1 runs INSIDE each input
-  partition (mapInPandas, zero shuffle): a running per-group top-k is
-  folded over the Arrow batches, so task state is O(groups-present ×
-  k) rows — never O(|group|), no matter how skewed the group is (the
-  round-2 salted variant's (group,salt) collect_list still buffered
-  |group|/num_salts rows and could OOM one agg buffer on a hot key).
-  Phase 2 merges the ≤ partitions·k survivors per group with one
-  bounded groupBy. Shuffle volume after phase 1 is ≤ groups ×
-  partitions-holding-that-group × k rows. This is the
-  select_radix.cuh per-block bounded state, re-expressed.
-- ``auto``    : partial when k ≤ 256 (same small-k regime the radix
+- ``partial`` (``salted`` is an alias for backward compat): two-phase
+  partial top-k mirroring RAFT's per-block-then-merge design. Phase 1
+  runs INSIDE each input partition (mapInPandas, zero shuffle): a
+  running per-group top-k is folded over the Arrow batches, so task
+  state is O(groups-present × k) rows — never O(|group|), no matter
+  how skewed the group is (the round-2 salted variant's (group,salt)
+  collect_list still buffered |group|/num_salts rows and could OOM one
+  agg buffer on a hot key). Phase 2 merges the ≤ partitions·k
+  survivors per group with one bounded groupBy. Shuffle volume after
+  phase 1 is ≤ groups × partitions-holding-that-group × k rows. This
+  is the select_radix.cuh per-block bounded state, re-expressed.
+- ``jvm`` (default for small k since r4): a single
+  ``row_number() OVER (PARTITION BY group ORDER BY …) ≤ k`` window
+  whose rank filter triggers Spark's WindowGroupLimit rewrite
+  (SPARK-37099): Partial WindowGroupLimit runs MAP-SIDE — each task
+  keeps ≤ k rows per group before the shuffle, the select_radix.cuh
+  per-block bounded state natively in Tungsten — then ONE exchange
+  carries only the ≤ tasks·k survivors per group into the Final
+  limit. Same shuffle volume as ``partial`` with zero Python/Arrow
+  crossings of the scan; NaN ranks last in both directions (the
+  ordering key is val | -val, matching the struct-merge strategies).
+- ``auto``    : jvm when k ≤ 256 (same small-k regime the radix
   kernel targets), else window.
 
 NaN order values rank last under every strategy except ``window``
@@ -70,7 +79,7 @@ def select_k(
     """
     payload_cols = payload_cols or []
     if strategy == "auto":
-        strategy = "partial" if k <= 256 else "window"
+        strategy = "jvm" if k <= 256 else "window"
     if strategy == "salted":  # pre-r3 name for the bounded two-phase path
         strategy = "partial"
 
@@ -125,6 +134,29 @@ def select_k(
         # collect_list here is bounded by construction.
         topk = partial.groupBy(*group_cols).agg(
             F.slice(F.array_sort(F.collect_list(s)), 1, k).alias("_top")
+        )
+    elif strategy == "jvm":
+        # Single window whose ``row_number() ≤ k`` filter triggers
+        # Spark's WindowGroupLimit rewrite (SPARK-37099): the physical
+        # plan is Partial WindowGroupLimit (map-side, each task keeps
+        # ≤ k rows per group — the select_radix.cuh per-block bounded
+        # state, natively in Tungsten) → ONE exchange carrying only the
+        # ≤ tasks·k survivors per group → Final WindowGroupLimit +
+        # Window over those survivors. Entirely whole-stage-codegen /
+        # Tungsten-sort; zero Python crossings; shuffle volume equal to
+        # the pandas two-phase path without its full-scan Arrow tax.
+        # Ordering uses the same (val | -val) key as the struct merge
+        # so NaN ranks last in BOTH directions (−NaN is still NaN,
+        # Spark's largest double), matching ``partial``/``agg``.
+        key1 = F.col(order_col) if ascending else -F.col(order_col)
+        w1 = Window.partitionBy(*group_cols).orderBy(
+            key1.asc(), *[F.col(c).asc() for c in payload_cols]
+        )
+        return (
+            df.select(*group_cols, *payload_cols, order_col)
+            .withColumn("rank", F.row_number().over(w1))
+            .filter(F.col("rank") <= k)
+            .select(*group_cols, *payload_cols, order_col, "rank")
         )
     else:
         raise ValueError(f"unknown strategy: {strategy}")

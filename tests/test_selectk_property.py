@@ -1,4 +1,4 @@
-"""Property test: both select_k physical strategies agree with a pandas
+"""Property test: all select_k physical strategies agree with a pandas
 oracle on arbitrary small inputs — groups of any size (including larger
 than k and singletons), duplicate scores (tie-break = payload asc), and
 k beyond the group size."""
@@ -42,7 +42,7 @@ def test_select_k_strategies_match_pandas(spark_session_holder, rows, k, ascendi
     uniq = list({(g, p): (g, p, s) for g, p, s in rows}.values())
     df = spark.createDataFrame(uniq, "g long, payload long, score double")
     want = _oracle(uniq, k, ascending)
-    for strategy in ("partial", "window"):
+    for strategy in ("partial", "window", "jvm"):
         got = {
             (r["g"], r["payload"], r["score"], r["rank"])
             for r in select_k(

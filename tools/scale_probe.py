@@ -76,6 +76,11 @@ def main() -> None:
     k1 = select_k(flat, ["g"], "v", k=16, payload_cols=["id"],
                   strategy="partial").count()
     out["select_k_one_group_s"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    k1j = select_k(flat, ["g"], "v", k=16, payload_cols=["id"],
+                   strategy="jvm").count()
+    out["select_k_one_group_jvm_s"] = round(time.perf_counter() - t, 2)
+    assert k1j == 16
     grouped = df.select(
         (F.col("id") % 1000).alias("g"), F.col("id"),
         F.element_at("features", 1).alias("v"),
@@ -84,6 +89,11 @@ def main() -> None:
     k2 = select_k(grouped, ["g"], "v", k=16, payload_cols=["id"],
                   strategy="partial").count()
     out["select_k_1000_groups_s"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    k2j = select_k(grouped, ["g"], "v", k=16, payload_cols=["id"],
+                   strategy="jvm").count()
+    out["select_k_1000_groups_jvm_s"] = round(time.perf_counter() - t, 2)
+    assert k2j == 16_000
     assert k1 == 16 and k2 == 16_000
 
     from raft_spark.operators.similarity import knn_brute
