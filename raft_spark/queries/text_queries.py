@@ -137,7 +137,7 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
         k=k,
         ascending=False,
         payload_cols=["term"],
-        strategy="salted",
+        strategy="auto",
     )
     return top.select(
         F.col("doc_id").cast("long").alias("doc_id"),

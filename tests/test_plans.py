@@ -45,6 +45,31 @@ def test_bm25_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in rep.text
 
 
+def test_bm25_plan_shape_pinned(spark, sf_dir):
+    # bench-noise pin (r4): bm25_topk's driver bench numbers spread
+    # 2-4x run to run; pin the plan shape so a REAL regression (a new
+    # exchange, the top-k falling off the WindowGroupLimit rewrite, a
+    # Python crossing sneaking in) is distinguishable from host noise.
+    rep = audit_plan(QUERIES["bm25_topk"](spark, sf_dir))
+    # grouped top-k must ride the map-side-bounded group-limit path
+    assert "WindowGroupLimit" in rep.text
+    # no pandas/Python eval anywhere (the COO checkpoint is pre-built)
+    assert "Python" not in rep.text and "ArrowEval" not in rep.text
+    # exchange budget: norm window + top-k + the idf/avgdl agg joins;
+    # 9 distinct exchange nodes was the measured shape at pin time
+    assert rep.n_exchanges <= 10
+
+
+def test_covariance_plan_shape_pinned(spark, sf_dir):
+    # covariance is a driver-built d x d frame after the exact Gram
+    # collect; the returned plan must stay a local scan (any join /
+    # exchange here means the query grew a distributed tail that the
+    # bench would bill to "covariance noise")
+    rep = audit_plan(QUERIES["covariance"](spark, sf_dir))
+    assert rep.n_exchanges == 0
+    assert "Join" not in rep.text
+
+
 def test_neardup_no_nested_loop(spark, sf_dir):
     # blocked all-pairs: the n x n product must be realized through
     # block-pair equi-joins, never a BroadcastNestedLoopJoin of the
