@@ -127,7 +127,14 @@ def sort_cols_per_row(
     """Sort each row's values returning (sorted values, permutation of
     original indices) — matrix/col_wise_sort.cuh:33. One narrow pass:
     array_sort over zipped (value, index) structs; ties break on the
-    original index, matching a stable sort."""
+    original index, matching a stable sort.
+
+    NaN contract: NaN sorts LAST in BOTH directions. Ascending is
+    Spark's native order (NaN greater than every double); descending
+    sorts on the negated key and −NaN is still NaN, so it stays last —
+    intentionally mirroring select_k's NaN-last semantics rather than
+    the reverse(array_sort(...)) formulation, which placed NaN first
+    in descending output (and broke stable ties)."""
     n = F.size(features)
     # descending sorts on a NEGATED key struct instead of
     # reverse(array_sort(...)): reversing flips tie order (index

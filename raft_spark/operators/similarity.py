@@ -196,8 +196,13 @@ def eps_pairs_exact(
     boundary pairs — the property that makes a DBSCAN run adjudicable
     across engines). Same blocked-join execution shape as
     :func:`pairwise_distances` (bounded task memory, no
-    BroadcastNestedLoopJoin). Overflow: per-coordinate diff ≤ 2·|q|max;
-    64·(2·6e5)² ≈ 1e14 ≪ 2⁶³ for unit-scale embeddings.
+    BroadcastNestedLoopJoin). Overflow: per-coordinate diff ≤ 2·|q|max
+    and Σ over d terms must stay under 2⁶² — 64·(2·6e5)² ≈ 1e14 ≪ 2⁶³
+    for unit-scale embeddings, but the bound is CHECKED (one
+    column-pruned agg over the quantized frame, the gram_matrix_exact
+    chunk-gate philosophy): inputs past it switch the accumulator to
+    decimal(38,0), so extreme magnitudes slow down instead of silently
+    wrapping int64 and corrupting the pair set.
     """
     eps_q = int(math.floor(eps * scale + 0.5))
     qdf = df.select(
@@ -206,17 +211,44 @@ def eps_pairs_exact(
             vec_col, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
         ).alias(vec_col),
     )
-    sq = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    probe = qdf.agg(
+        F.max(F.array_max(F.transform(vec_col, F.abs))).alias("qmax"),
+        F.max(F.size(vec_col)).alias("d"),
+    ).first()
+    qmax, dim = int(probe["qmax"] or 0), int(probe["d"] or 1)
+    # Σ_d (2·qmax)² < 2⁶² ⇔ qmax < 2³⁰/√d (int64-exact regime)
+    int64_safe = qmax <= (1 << 30) // max(int(math.isqrt(dim)), 1)
+    if int64_safe:
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("_va"), F.col("_vb"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+    else:
+        dec = "decimal(38,0)"
+        sq = F.aggregate(
+            F.zip_with(
+                F.col("_va"),
+                F.col("_vb"),
+                lambda x, y: (x.cast(dec) - y) * (x.cast(dec) - y),
+            ),
+            F.lit(0).cast(dec),
+            lambda acc, v: acc + v,
+        )
+    if int64_safe and eps_q * eps_q < 2**63:
+        thr = F.lit(eps_q * eps_q)
+    else:
+        import decimal as _dec
+
+        thr = F.lit(_dec.Decimal(eps_q * eps_q))
     cand = _blocked_cross(
         qdf.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")),
         qdf.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")),
         symmetric=True, n_blocks=n_blocks,
     )
-    return cand.filter(sq <= eps_q * eps_q).select(
+    return cand.filter(sq <= thr).select(
         F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
     )
 
@@ -1305,6 +1337,40 @@ def knn_ivf(
     # so full-probe output is identical to brute force — but candidate
     # volume is n_probe/n_lists of it (the per-pair JVM dot join this
     # replaces measured 26.5 s vs brute's 4 s at 1M×100q).
+    #
+    # A query side BEYOND the collect guard (corpus-scale re-ranking,
+    # all-pairs joins) degrades to the fully distributed probe path
+    # instead of raising: probes assigned by the same Arrow-batched
+    # argmin pass (_assign_lists), candidates by a (list_id) equi-join,
+    # scoring by the JVM dot expression with brute's quantization.
+    # Slower per pair than the closure-BLAS path but O(1) driver state
+    # at ANY query count — the pre-r3 behavior restored as a fallback.
+    qn_full = _norm_table(queries, id_col, vec_col).withColumnRenamed(
+        "_v", vec_col
+    )
+    probe_cnt = qn_full.limit(MAX_COLLECT_QUERIES + 1).count()
+    if probe_cnt > MAX_COLLECT_QUERIES:
+        q_assigned = _assign_lists(
+            qn_full, cents, vec_col, n_probe=n_probe
+        ).select(
+            F.col("_id").alias("qid"), F.col(vec_col).alias("_vq"), "list_id"
+        )
+        raw = F.aggregate(
+            F.zip_with("_vq", "_vc", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        cos = F.signum(raw) * F.floor(F.abs(raw) * 1e6 + 0.5) / 1e6
+        scored = (
+            q_assigned.join(c_assigned, "list_id")
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid", cos.alias("cosine"))
+        )
+        return select_k(
+            scored, group_cols=["qid"], order_col="cosine", k=k,
+            ascending=False, payload_cols=["nid"], strategy="jvm",
+        )
+
     q_rows = _collect_queries(
         _norm_table(queries, id_col, vec_col), MAX_COLLECT_QUERIES
     )

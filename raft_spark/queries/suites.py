@@ -1270,7 +1270,7 @@ kc(iter, a, b) AS (
   SELECT 0, a, b FROM ge
   UNION ALL
   SELECT k.iter + 1, k.a, k.b FROM kc k
-  WHERE k.iter < 12
+  WHERE k.iter < 24
     AND k.a IN (SELECT u FROM (
           SELECT u, count(*) AS c FROM (
             SELECT a AS u FROM kc k2 WHERE k2.iter = k.iter
@@ -1328,10 +1328,20 @@ JOIN ge e3 ON e3.a = e1.a AND e3.b = e2.b
 UNION ALL
 SELECT 'kcore', u::BIGINT, -1::BIGINT, 1.0 FROM (
   SELECT DISTINCT u FROM (
-    SELECT a AS u FROM kc WHERE iter = 12
-    UNION ALL SELECT b AS u FROM kc WHERE iter = 12
+    SELECT a AS u FROM kc WHERE iter = 24
+    UNION ALL SELECT b AS u FROM kc WHERE iter = 24
   )
 )
+UNION ALL
+-- the engine peels to a TRUE fixpoint (raising after 64 rounds), so a
+-- graph needing more peeling rounds than this CTE's 24 would silently
+-- diverge the oracle; this member verifies the final round IS a
+-- fixpoint (edge count unchanged from the previous round) and turns
+-- that failure mode into a diagnosable red cell instead
+SELECT 'kcore_fix', 0::BIGINT, -1::BIGINT,
+       CASE WHEN (SELECT count(*) FROM kc WHERE iter = 24)
+               = (SELECT count(*) FROM kc WHERE iter = 23)
+            THEN 1.0 ELSE 0.0 END
 """
 
 
@@ -1791,8 +1801,14 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("kcore").alias("method"), F.col("node").cast("long").alias("a"),
         F.lit(-1).cast("long").alias("b"), F.lit(1.0).alias("value"),
     )
+    # engine-side fixpoint is guaranteed (k_core raises after 64
+    # non-converging rounds), so the flag is constant-1 here; the
+    # oracle recomputes it from its own peeling CTE
+    kfix = spark.createDataFrame(
+        [("kcore_fix", 0, -1, 1.0)], "method string, a long, b long, value double"
+    )
     return (
         mst.unionByName(cc).unionByName(lap_obj)
         .unionByName(prk).unionByName(dbs)
-        .unionByName(tri).unionByName(kco)
+        .unionByName(tri).unionByName(kco).unionByName(kfix)
     )

@@ -85,3 +85,49 @@ def test_nn_descent_graph_recall_and_determinism(spark):
         for r in nn_descent_graph(df.repartition(11), k=8, n_iters=3).collect()
     }
     assert g1 == g2  # seeded build, partitioning-invariant
+
+
+def test_knn_ivf_distributed_fallback_beyond_collect_guard(spark, corpus, monkeypatch):
+    """A query side past the Q<<N collect guard must degrade to the
+    fully distributed probe path (assign + equi-join + JVM dot), not
+    raise — and at full probe its neighbor set must match brute force
+    (same quantization, candidate set = whole corpus)."""
+    monkeypatch.setattr(SIM, "MAX_COLLECT_QUERIES", 10)
+    queries = corpus.filter(F.col("id") % 4 == 0)  # far beyond 10
+    out = SIM.knn_ivf(corpus, queries, k=3, n_lists=4, n_probe=4,
+                      kmeans_iters=2)
+    per_q = out.groupBy("qid").count().agg(F.min("count")).collect()[0][0]
+    assert per_q == 3
+    exact = {
+        (r["qid"], r["nid"])
+        for r in SIM.knn_brute(corpus, queries, k=3).collect()
+    }
+    got = {(r["qid"], r["nid"]) for r in out.collect()}
+    # full probe scans every candidate; only 1e-6-quantization boundary
+    # ties may differ from the BLAS brute path
+    assert len(got & exact) / len(exact) >= 0.99
+
+
+def test_eps_pairs_decimal_fallback_matches_int64(spark):
+    """Inputs past the int64 overflow bound switch eps_pairs_exact to a
+    decimal(38,0) accumulator; scaling the whole space by a constant
+    must preserve the (scaled-eps) pair set, not corrupt it by
+    wraparound."""
+    import numpy as np
+
+    from raft_spark.operators.similarity import eps_pairs_exact
+
+    rs = np.random.RandomState(7)
+    x = rs.randn(60, 8)
+    small = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "id long, features array<double>",
+    )
+    big = spark.createDataFrame(
+        [(i, [float(v) * 1e4 for v in row]) for i, row in enumerate(x)],
+        "id long, features array<double>",
+    )
+    want = {(r["a"], r["b"]) for r in eps_pairs_exact(small, eps=1.5).collect()}
+    # |q|max ~ 4e10 > 2^30/sqrt(8): decimal path engages
+    got = {(r["a"], r["b"]) for r in eps_pairs_exact(big, eps=1.5e4).collect()}
+    assert got == want and len(want) > 0
