@@ -673,23 +673,48 @@ def knn_lsh(
     queries: DataFrame,
     k: int = 5,
     n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 77,
     id_col: str = "id",
     vec_col: str = "features",
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to same-bucket pairs,
-    then exact cosine + select_k on the shortlist."""
+    then exact cosine + select_k on the shortlist.
+
+    ``n_tables`` is the MULTI-PROBE knob (the "more tables" path the
+    module docstring documents): each table hashes with an independent
+    seeded plane bank, candidate (qid, nid) pairs are unioned across
+    tables and deduped BEFORE the vectors are joined in, so each
+    survivor is scored exactly once. Recall is monotonically
+    non-decreasing in n_tables by construction — table t's candidate
+    set is a superset of table t's at any smaller n_tables (seeds are
+    per-table deterministic), and exact scoring of a candidate
+    superset can only add true neighbors to the top-k. Cost: one extra
+    narrow hash pass + one id-pair equi-join per table; the vector
+    join stays single.
+    """
     dim = corpus.select(F.size(F.col(vec_col))).first()[0]
-    cb = lsh_buckets(corpus, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
-    qb = lsh_buckets(queries, n_planes, id_col=id_col, vec_col=vec_col, dim=dim)
-    c = _norm_table(corpus, id_col, vec_col).join(
-        cb.select(F.col("id").alias("_id"), "bucket"), "_id"
-    ).select(F.col("_id").alias("nid"), F.col("_v").alias("_vc"), "bucket")
-    q = _norm_table(queries, id_col, vec_col).join(
-        qb.select(F.col("id").alias("_id"), "bucket"), "_id"
-    ).select(F.col("_id").alias("qid"), F.col("_v").alias("_vq"), "bucket")
+    cand = None
+    for t in range(n_tables):
+        s = seed + 9973 * t
+        cb = lsh_buckets(
+            corpus, n_planes, seed=s, id_col=id_col, vec_col=vec_col, dim=dim
+        ).select(F.col("id").alias("nid"), "bucket")
+        qb = lsh_buckets(
+            queries, n_planes, seed=s, id_col=id_col, vec_col=vec_col, dim=dim
+        ).select(F.col("id").alias("qid"), "bucket")
+        p = qb.join(cb, "bucket").select("qid", "nid")
+        cand = p if cand is None else cand.unionByName(p)
+    cand = cand.filter(F.col("qid") != F.col("nid")).distinct()
+    c = _norm_table(corpus, id_col, vec_col).select(
+        F.col("_id").alias("nid"), F.col("_v").alias("_vc")
+    )
+    q = _norm_table(queries, id_col, vec_col).select(
+        F.col("_id").alias("qid"), F.col("_v").alias("_vq")
+    )
     scored = (
-        c.join(q, "bucket")
-        .filter(F.col("qid") != F.col("nid"))
+        cand.join(q, "qid")
+        .join(c, "nid")
         .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
     )
     return select_k(

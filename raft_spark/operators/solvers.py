@@ -1163,6 +1163,116 @@ def lap_batched(problems: DataFrame) -> DataFrame:
     )
 
 
+def shifted_spmv(coo: DataFrame, v: DataFrame, sigma: float) -> DataFrame:
+    """(A − σI)·v for COO long form. Unlike the bare ``spmv`` (whose
+    inner join drops structurally-empty rows), the output keeps every
+    index of ``v`` — the σ·v term is nonzero even where A's row is
+    empty, so the shifted apply must be total."""
+    av = spmv(coo, v).select("idx", F.col("val").alias("_av"))
+    return v.join(av, "idx", "left").select(
+        "idx",
+        (
+            F.coalesce(F.col("_av"), F.lit(0.0))
+            - F.lit(float(sigma)) * F.col("val")
+        ).alias("val"),
+    )
+
+
+def minres_solve(
+    spark: SparkSession,
+    coo: DataFrame,
+    b: DataFrame,
+    n: int,
+    sigma: float = 0.0,
+    tol: float = 1e-10,
+    max_iters: int | None = None,
+) -> DataFrame:
+    """Distributed MINRES for the symmetric (possibly INDEFINITE)
+    system (A − σI)x = b — the inner solve of shift-invert Lanczos
+    (sparse/solver/lanczos.cuh:35 heritage; scipy's ``eigsh(sigma=…)``
+    is the familiar contract). CG requires definiteness; MINRES is the
+    Krylov method for symmetric-indefinite, which is exactly what
+    A − σI is for an interior shift.
+
+    One SpMV + two scalar aggregates per iteration; the driver holds
+    only the Givens-rotation scalars, all vectors stay distributed in
+    ONE state frame (idx, x, w, w_old, v, v_old) updated by a single
+    narrow select per step (no per-column joins). Returns x as
+    (idx, val).
+    """
+    max_iters = max_iters if max_iters is not None else min(n, 200)
+    beta1 = float(
+        b.agg(F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("n")).collect()[0]["n"]
+        or 0.0
+    )
+    if beta1 == 0.0:
+        return b.select("idx", F.lit(0.0).alias("val"))
+    st = _pin(
+        b.select(
+            "idx",
+            F.lit(0.0).alias("x"),
+            F.lit(0.0).alias("w"),
+            F.lit(0.0).alias("w_old"),
+            (F.col("val") / beta1).alias("v"),
+            F.lit(0.0).alias("v_old"),
+        )
+    )
+    eta = beta1
+    c_prev2 = c_prev = 1.0
+    s_prev2 = s_prev = 0.0
+    beta_k = 0.0
+    for _ in range(max_iters):
+        av = shifted_spmv(coo, st.select("idx", F.col("v").alias("val")), sigma)
+        j = _pin(st.join(av.select("idx", F.col("val").alias("_av")), "idx"))
+        alpha = float(
+            j.agg(F.sum(F.col("v") * F.col("_av")).alias("a")).collect()[0]["a"] or 0.0
+        )
+        j = j.withColumn(
+            "_r",
+            F.col("_av") - F.lit(alpha) * F.col("v") - F.lit(beta_k) * F.col("v_old"),
+        )
+        beta_next = float(
+            j.agg(F.sqrt(F.sum(F.col("_r") * F.col("_r"))).alias("b")).collect()[0]["b"]
+            or 0.0
+        )
+        # QR of the tridiagonal via Givens: apply the two previous
+        # rotations to column k, then form the new one.
+        delta = c_prev * alpha - c_prev2 * s_prev * beta_k
+        rho1 = float(np.hypot(delta, beta_next))
+        rho2 = s_prev * alpha + c_prev2 * c_prev * beta_k
+        rho3 = s_prev2 * beta_k
+        c = delta / rho1
+        s = beta_next / rho1
+        w_new = (
+            F.col("v") - F.lit(rho2) * F.col("w") - F.lit(rho3) * F.col("w_old")
+        ) / F.lit(rho1)
+        done = beta_next < 1e-13 * beta1 or abs(s * eta) <= tol * beta1
+        st = _pin(
+            j.select(
+                "idx",
+                (F.col("x") + F.lit(c * eta) * w_new).alias("x"),
+                w_new.alias("w"),
+                F.col("w").alias("w_old"),
+                (
+                    (F.col("_r") / F.lit(beta_next))
+                    if beta_next > 0
+                    else F.lit(0.0)
+                ).alias("v"),
+                F.col("v").alias("v_old"),
+            )
+        )
+        eta = -s * eta
+        c_prev2, c_prev = c_prev, c
+        s_prev2, s_prev = s_prev, s
+        beta_k = beta_next
+        if done:
+            break
+    return st.select("idx", F.col("x").alias("val"))
+
+
+_FACTORIZE_MAX_N = 8192
+
+
 def lanczos_eigsh(
     spark: SparkSession,
     coo: DataFrame,
@@ -1174,6 +1284,10 @@ def lanczos_eigsh(
     return_vectors: bool = False,
     max_restarts: int = 8,
     tol: float = 1e-8,
+    sigma: float | None = None,
+    inner: str = "auto",
+    inner_tol: float = 1e-10,
+    inner_iters: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray | DataFrame]:
     """Thick-restart Lanczos eigsh (TRLan) for a sparse symmetric
     matrix in COO long form (sparse/solver/lanczos.cuh:35 — the
@@ -1203,8 +1317,65 @@ def lanczos_eigsh(
     algebraic/magnitude (the full lanczos_types.hpp:23-28 enum).
     ``reorthogonalize=False`` falls back to the plain three-term
     recurrence, single cycle (no restarts).
+
+    ``sigma`` enables SHIFT-INVERT (scipy's ``eigsh(sigma=…)``
+    contract): the recurrence runs on (A − σI)⁻¹, so eigenvalues
+    NEAREST σ become the extremal (fast-converging) ones — interior
+    pairs of indefinite spectra converge at m ≈ 2k where the plain
+    |λ| ranking needs m ≈ n. ``which`` then ranks the TRANSFORMED
+    spectrum θ = 1/(λ−σ) (scipy semantics; the default "LM" = nearest
+    σ); returned eigenvalues are back-transformed λ = σ + 1/θ and the
+    Ritz vectors are eigenvectors of A unchanged. The inverse apply is
+    ``inner="minres"`` — a distributed MINRES solve per step (MINRES,
+    not CG: A − σI is symmetric-indefinite for interior shifts) — or
+    ``inner="factorize"``: collect the COO once, invert the shifted
+    dense matrix on the driver, O(n²) driver memory, each apply one
+    BLAS matvec on a collected vector (the same size-probed driver
+    seam as mst/connected_components_auto; guarded at n ≤ 8192).
+    ``inner="auto"`` picks factorize when n fits, else MINRES.
     """
     m = m or min(n, max(4 * k, 20))
+    if sigma is not None:
+        use_fact = inner == "factorize" or (inner == "auto" and n <= _FACTORIZE_MAX_N)
+        if use_fact:
+            if n > _FACTORIZE_MAX_N:
+                raise ValueError(
+                    f"inner='factorize' needs n ≤ {_FACTORIZE_MAX_N} (got {n}); "
+                    "use inner='minres' for the distributed solve"
+                )
+            a_dense = np.zeros((n, n))
+            for r in coo.collect():
+                a_dense[int(r["row"]), int(r["col"])] = float(r["value"])
+            shifted = a_dense - float(sigma) * np.eye(n)
+            try:
+                minv = np.linalg.inv(shifted)
+            except np.linalg.LinAlgError as e:
+                raise ValueError(
+                    f"A - {sigma}*I is singular — sigma hits an eigenvalue; "
+                    "perturb the shift"
+                ) from e
+
+            def opmv(vf: DataFrame) -> DataFrame:
+                import pandas as pd
+
+                vec = np.zeros(n)
+                for r in vf.select("idx", "val").collect():
+                    vec[int(r["idx"])] = float(r["val"])
+                y = minv @ vec
+                return spark.createDataFrame(
+                    pd.DataFrame({"idx": np.arange(n), "val": y})
+                )
+        else:
+
+            def opmv(vf: DataFrame) -> DataFrame:
+                return minres_solve(
+                    spark, coo, vf, n, sigma=float(sigma),
+                    tol=inner_tol, max_iters=inner_iters,
+                )
+    else:
+
+        def opmv(vf: DataFrame) -> DataFrame:
+            return spmv(coo, vf)
     # v0: seeded counter-RNG vector, normalized. NOT the constant
     # vector — that is the exact null vector of an unnormalized graph
     # Laplacian, which makes the first residual vanish and kills the
@@ -1240,7 +1411,7 @@ def lanczos_eigsh(
         betas: list[float] = []
         v_prev = None
         for j in range(m):
-            w = spmv(coo, v)
+            w = opmv(v)
             alpha = (
                 w.join(v.select("idx", F.col("val").alias("_v")), "idx")
                 .agg(F.sum(F.col("val") * F.col("_v")).alias("a"))
@@ -1295,7 +1466,7 @@ def lanczos_eigsh(
         for cycle in range(max_restarts + 1):
             broke = False
             for j in range(ncols - 1, m):
-                w = spmv(coo, v)
+                w = opmv(v)
                 # two-pass CGS (Parlett's "twice is enough"): one pass
                 # leaves orthogonality error ~ ε·‖w‖/β, and β ≪ ‖w‖ on
                 # clustered spectra — a single pass let the basis lose
@@ -1387,10 +1558,20 @@ def lanczos_eigsh(
 
     order = _order(evals)
     keep = order[:k]
-    desc = np.argsort(-evals[keep])
-    sel = evals[keep][desc]
+    if sigma is None:
+        desc = np.argsort(-evals[keep])
+        sel = evals[keep][desc]
+    else:
+        # back-transform: θ of (A − σI)⁻¹ → λ = σ + 1/θ (θ ≠ 0 for
+        # any converged pair — θ→0 means λ→∞, outside the shortlist)
+        lam = sigma + 1.0 / evals[keep]
+        desc = np.argsort(-lam)
+        sel = lam[desc]
     if not return_vectors:
         resid = np.abs(last_beta * tvecs[filled - 1, :]) if filled else np.array([])
+        if filled and sigma is not None:
+            # residual estimate in λ-space: |dλ/dθ| = 1/θ²
+            resid = resid / np.square(evals)
         return sel, resid[keep][desc] if filled else np.array([])
     # Ritz vectors = distributed basis × T-eigenvectors: one narrow
     # per-row pass (basis row is ≤m doubles, Y is m×k on the driver)

@@ -550,7 +550,12 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     r_mid, pairs_mid = recall(4, index)
     r_full, _ = recall(8, index)
 
-    path = "/tmp/raft_spark_gate/ivfpq_index"
+    # unique dir per run: a fixed path races when two gate replicas run
+    # concurrently on one host (writer A overwrites while reader B is
+    # mid-roundtrip → spurious roundtrip failure)
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="raft_spark_ivfpq_") + "/index"
     SIM.write_ivf_pq_index(index, path)
     loaded = SIM.read_ivf_pq_index(spark, path)
     _, pairs_loaded = recall(4, loaded)

@@ -57,6 +57,24 @@ def test_knn_lsh_recall(spark, corpus):
     assert approx.filter(F.col("qid") == F.col("nid")).count() == 0
 
 
+def test_knn_lsh_multiprobe_recall_monotone(spark, corpus):
+    """Multi-table LSH (the documented multi-probe path): candidate
+    sets are supersets as n_tables grows (per-table seeds are fixed),
+    so recall@5 vs brute force must be non-decreasing in n_tables —
+    and visibly better than one table by 4 tables."""
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    exact = SIM.knn_brute(corpus, queries, k=5)
+    n_q = queries.count()
+    recalls = []
+    for t in (1, 2, 4):
+        approx = SIM.knn_lsh(corpus, queries, k=5, n_planes=4, n_tables=t)
+        hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+        recalls.append(hits / (n_q * 5))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] > recalls[0]
+    assert recalls[-1] >= 0.25, f"4-table recall {recalls[-1]}"
+
+
 def test_nn_descent_graph_recall_and_determinism(spark):
     """NN-descent converges to the exact kNN graph on clustered data
     (recall ~1.0 in 3 rounds), holds a floor on structureless uniform
