@@ -668,6 +668,58 @@ def lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def lsh_buckets_multi(
+    df: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 77,
+    id_col: str = "id",
+    vec_col: str = "features",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, table, bucket) for ALL tables in ONE Arrow pass: the
+    per-table plane banks (table t ≡ ``lsh_buckets(seed + 9973·t)``,
+    same LCG) stack into a single (n_tables·n_planes × dim) matrix so
+    every signature falls out of one BLAS matmul per batch. The naive
+    per-table loop unions 2·n_tables scan branches and (on the inline
+    path) n_tables·n_planes·dim literal expressions into one plan —
+    Catalyst analysis alone dominated past ~4 tables; here the plan is
+    O(1) in both knobs, which is the only shape that survives a
+    100 TB corpus × 16 tables."""
+    import numpy as np
+
+    from raft_spark.functions.rng import uniform_np
+
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    P = np.vstack([
+        uniform_np(np.arange(n_planes * dim), seed + 9973 * t)
+        .reshape(n_planes, dim) * 2.0 - 1.0
+        for t in range(n_tables)
+    ])
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    tables = np.arange(n_tables, dtype=np.int32)
+
+    def pp(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf[vec_col].to_numpy()).astype(float)
+            bits = (M @ P.T) > 0  # (n, n_tables·n_planes)
+            buckets = bits.reshape(len(M), n_tables, n_planes) @ weights
+            import pandas as pd
+
+            yield pd.DataFrame({
+                "id": np.repeat(pdf[id_col].to_numpy(), n_tables),
+                "table": np.tile(tables, len(M)),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return df.select(id_col, vec_col).mapInPandas(
+        pp, "id long, table int, bucket long"
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -682,30 +734,30 @@ def knn_lsh(
     then exact cosine + select_k on the shortlist.
 
     ``n_tables`` is the MULTI-PROBE knob (the "more tables" path the
-    module docstring documents): each table hashes with an independent
-    seeded plane bank, candidate (qid, nid) pairs are unioned across
-    tables and deduped BEFORE the vectors are joined in, so each
-    survivor is scored exactly once. Recall is monotonically
-    non-decreasing in n_tables by construction — table t's candidate
-    set is a superset of table t's at any smaller n_tables (seeds are
-    per-table deterministic), and exact scoring of a candidate
-    superset can only add true neighbors to the top-k. Cost: one extra
-    narrow hash pass + one id-pair equi-join per table; the vector
-    join stays single.
+    module docstring documents): every table hashes with an
+    independent seeded plane bank — one Arrow pass computes all of
+    them (lsh_buckets_multi) — candidate (qid, nid) pairs surface via
+    one (table, bucket) equi-join and are deduped BEFORE the vectors
+    are joined in, so each survivor is scored exactly once. Recall is
+    monotonically non-decreasing in n_tables by construction — table
+    t's bank does not depend on n_tables (per-table seeds), so the
+    candidate set at t tables is a superset of the set at fewer, and
+    exact scoring of a superset can only add true neighbors to the
+    top-k.
     """
     dim = corpus.select(F.size(F.col(vec_col))).first()[0]
-    cand = None
-    for t in range(n_tables):
-        s = seed + 9973 * t
-        cb = lsh_buckets(
-            corpus, n_planes, seed=s, id_col=id_col, vec_col=vec_col, dim=dim
-        ).select(F.col("id").alias("nid"), "bucket")
-        qb = lsh_buckets(
-            queries, n_planes, seed=s, id_col=id_col, vec_col=vec_col, dim=dim
-        ).select(F.col("id").alias("qid"), "bucket")
-        p = qb.join(cb, "bucket").select("qid", "nid")
-        cand = p if cand is None else cand.unionByName(p)
-    cand = cand.filter(F.col("qid") != F.col("nid")).distinct()
+    cb = lsh_buckets_multi(
+        corpus, n_planes, n_tables, seed, id_col, vec_col, dim
+    ).select(F.col("id").alias("nid"), "table", "bucket")
+    qb = lsh_buckets_multi(
+        queries, n_planes, n_tables, seed, id_col, vec_col, dim
+    ).select(F.col("id").alias("qid"), "table", "bucket")
+    cand = (
+        qb.join(cb, ["table", "bucket"])
+        .select("qid", "nid")
+        .filter(F.col("qid") != F.col("nid"))
+        .distinct()
+    )
     c = _norm_table(corpus, id_col, vec_col).select(
         F.col("_id").alias("nid"), F.col("_v").alias("_vc")
     )

@@ -568,6 +568,35 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, recall_ok int")
 
 
+def q_knn_lsh_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table LSH ANN (similarity.knn_lsh n_tables — the
+    documented multi-probe path, r4) gate members: (a) recall@5 floor
+    0.5 at 4 planes × 8 tables (observed 0.66 at sf0.001, 0.78 at
+    sf0.01 — margin at both gate scales; LSH is fully deterministic:
+    LCG plane banks, exact rounded cosine), and (b) table
+    monotonicity — recall at 8 tables ≥ recall at 2 (candidate sets
+    are supersets by construction; a regression in the per-table
+    seeding or the union/dedup breaks exactly this)."""
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    queries = m.filter(F.col("id") % 50 == 0)
+    n_q = queries.count()
+    exact = SIM.knn_brute(m, queries, k=5).localCheckpoint(eager=True)
+
+    def recall(n_tables: int) -> float:
+        approx = SIM.knn_lsh(m, queries, k=5, n_planes=4, n_tables=n_tables)
+        hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+        return hits / (n_q * 5.0)
+
+    r2t = recall(2)
+    r8t = recall(8)
+    rows = [
+        ("lsh", int(r8t >= 0.5)),
+        ("lsh_table_mono", int(r8t >= r2t)),
+    ]
+    return spark.createDataFrame(rows, "method string, recall_ok int")
+
+
 def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-descent all-neighbors graph (similarity.nn_descent_graph,
     seeded = deterministic) scored by edge recall vs the exact

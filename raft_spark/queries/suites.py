@@ -1001,7 +1001,8 @@ UNION ALL
 SELECT m, 0::BIGINT, 0.0 FROM (VALUES
     ('pca_trace_gap'), ('pca_pc1_var_gap'), ('pca_orth'),
     ('tsvd_energy_slack'), ('rsvd_vs_tsvd_slack'), ('rsvd_perc_slack'),
-    ('power_res_slack'), ('lanczos_res_slack'), ('lstsq_orth_slack')
+    ('power_res_slack'), ('lanczos_res_slack'), ('si_lanczos_res_slack'),
+    ('lstsq_orth_slack')
 ) t(m)
 """
 
@@ -1115,6 +1116,29 @@ def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
         lan_slack = max(lan_slack, float(rk) / max(abs(float(evals[ki])), 1e-12))
     lanczos_res_slack = max(0.0, lan_slack - 0.01)
 
+    # shift-invert (sigma) interior eigenpair on the same Laplacian:
+    # σ=0.5 sits mid-spectrum of the normalized Laplacian ([0,2]);
+    # the back-transformed pair must satisfy the SAME residual band at
+    # m = 2k+6 ≪ n — the r3 verdict's SM-convergence gap, gated
+    si_evals, si_vecs = SV2.lanczos_eigsh(
+        spark, lap, n=50, k=1, m=8, sigma=0.5, which="LM",
+        inner="factorize", return_vectors=True,
+    )
+    v_si = si_vecs.select("idx", F.col("evec")[0].alias("val"))
+    av_si = SV2.spmv(lap, v_si)
+    r_si = (
+        v_si.select("idx", F.col("val").alias("_v"))
+        .join(av_si.select("idx", F.col("val").alias("_av")), "idx", "left")
+        .select(
+            (F.coalesce("_av", F.lit(0.0)) - F.lit(float(si_evals[0])) * F.col("_v")).alias("r")
+        )
+        .agg(F.sqrt(F.sum(F.col("r") * F.col("r"))).alias("n2"))
+        .collect()[0]["n2"]
+    )
+    si_lanczos_res_slack = max(
+        0.0, float(r_si) / max(abs(float(si_evals[0])), 1e-12) - 0.01
+    )
+
     # lstsq residual orthogonality over the make_regression problem
     reg = RQ.q_make_regression(spark, sf_dir)
     w = SV2.lstsq_normal(reg, ["x1", "x2", "x3"], "y")
@@ -1141,6 +1165,7 @@ def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("rsvd_perc_slack", 0, round(rsvd_perc_slack, 6)),
         ("power_res_slack", 0, round(power_res_slack, 6)),
         ("lanczos_res_slack", 0, round(lanczos_res_slack, 6)),
+        ("si_lanczos_res_slack", 0, round(si_lanczos_res_slack, 6)),
         ("lstsq_orth_slack", 0, round(lstsq_orth_slack, 6)),
     ]
     return spark.createDataFrame(rows, "method string, i long, value double")
@@ -1718,6 +1743,10 @@ UNION ALL
 SELECT 'ivf_pq_probe_mono', 1::INTEGER
 UNION ALL
 SELECT 'ivf_pq_roundtrip', 1::INTEGER
+UNION ALL
+SELECT 'lsh', 1::INTEGER
+UNION ALL
+SELECT 'lsh_table_mono', 1::INTEGER
 """
 
 
@@ -1743,7 +1772,13 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = PQ.q_ivf_pq_checks(spark, sf_dir).select(
         "method", F.col("recall_ok").cast("int")
     )
-    return ivf.unionByName(pq).unionByName(nnd).unionByName(ivfpq)
+    lsh = PQ.q_knn_lsh_checks(spark, sf_dir).select(
+        "method", F.col("recall_ok").cast("int")
+    )
+    return (
+        ivf.unionByName(pq).unionByName(nnd).unionByName(ivfpq)
+        .unionByName(lsh)
+    )
 
 
 @query("graph_solver_suite", oracle=_graph_solver_oracle())
