@@ -75,6 +75,29 @@ def test_knn_lsh_multiprobe_recall_monotone(spark, corpus):
     assert recalls[-1] >= 0.25, f"4-table recall {recalls[-1]}"
 
 
+def test_lsh_buckets_multi_matches_per_table_banks(spark):
+    """lsh_buckets_multi's stacked one-pass banks are BIT-IDENTICAL to
+    calling lsh_buckets per table with seed+9973t — the contract that
+    makes multi-table recall reproducible across the one-pass and
+    single-table code paths (and across the inline-JVM vs numpy
+    plane generators, which share the LCG)."""
+    import numpy as np
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, features array<double>")
+    multi = {
+        (r["id"], r["table"]): r["bucket"]
+        for r in SIM.lsh_buckets_multi(df, n_planes=4, n_tables=3, seed=77).collect()
+    }
+    for t in range(3):
+        single = {
+            r["id"]: r["bucket"]
+            for r in SIM.lsh_buckets(df, n_planes=4, seed=77 + 9973 * t).collect()
+        }
+        assert all(single[i] == multi[(i, t)] for i in single)
+
+
 def test_nn_descent_graph_recall_and_determinism(spark):
     """NN-descent converges to the exact kNN graph on clustered data
     (recall ~1.0 in 3 rounds), holds a floor on structureless uniform

@@ -142,6 +142,15 @@ def main() -> None:
     out["knn_ivf_1m_s"] = round(time.perf_counter() - t, 2)
     assert ki == 1000
 
+    # multi-table LSH at the same 1M corpus: one Arrow pass hashes all
+    # 8 tables; the (table, bucket) equi-join bounds candidates
+    from raft_spark.operators.similarity import knn_lsh
+
+    t = time.perf_counter()
+    kl = knn_lsh(df, queries, k=10, n_planes=10, n_tables=8).count()
+    out["knn_lsh_8tab_1m_s"] = round(time.perf_counter() - t, 2)
+    assert kl >= 900  # sparse buckets may leave a few queries short
+
     # the distributed rank that underpins quantiles / vocab ids —
     # earlier sections' checkpointed frames are released first so the
     # 10M-row shuffle isn't measured under their memory pressure
