@@ -255,6 +255,142 @@ def dedup_clusters(
     )
 
 
+def semantic_pairs_exact(
+    df: DataFrame,
+    assignments: DataFrame,
+    tau: float = 0.92,
+    id_col: str = "id",
+    vec_col: str = "features",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Within-cluster embedding pairs with cosine ≥ tau, decided by
+    EXACT integer arithmetic → (a, b).
+
+    Each vector is quantized once (q = floor(x·scale + 0.5), int64);
+    cos(a,b) ≥ τ is evaluated as 10⁸·S² ≥ τq²·Na·Nb ∧ S > 0 with
+    S = Σ qa·qb, N = Σ q² (exact int64 sums; the comparison itself in
+    decimal(38,0) ↔ DuckDB HUGEINT, τq = round(τ·10⁴)) — zero float
+    ops after quantization, so the pair set is engine- and
+    partition-order-exact (the eps_pairs_exact / LAP discipline
+    applied to cosine). Same overflow contract as eps_pairs_exact:
+    |x|·scale must keep d·q_max² < 2⁶³ (guarded).
+
+    The candidate product is the within-cluster self-join — O(Σ c_i²)
+    work bounded by the clustering granularity, never all-pairs. This
+    is the SemDeDup shape: the cluster assignment (k-means at scale)
+    prunes the quadratic step to intra-cluster blocks.
+    """
+    d = df.select(F.size(F.col(vec_col))).first()[0]
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)).cast("long")
+    )
+    n2 = F.aggregate(
+        "_q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    base = df.select(F.col(id_col).alias("id"), qv.alias("_q")) \
+        .withColumn("_n2", n2)
+    qmax = base.select(
+        F.max(
+            F.aggregate(
+                "_q", F.lit(0).cast("long"),
+                lambda acc, v: F.greatest(acc, F.abs(v)),
+            )
+        ).alias("m")
+    ).first()["m"] or 0
+    bound = int((2**62 / max(d, 1)) ** 0.5)
+    if qmax > bound:
+        raise ValueError(
+            f"quantized magnitude {qmax} exceeds the int64-exact bound "
+            f"{bound} for dim {d}: lower scale (cosine is scale-invariant)"
+        )
+    t = base.join(
+        assignments.select(F.col(id_col).alias("id"), "cluster"), "id"
+    )
+    a = t.select(
+        F.col("id").alias("a"), F.col("_q").alias("_qa"),
+        F.col("_n2").alias("_na"), "cluster",
+    )
+    b = t.select(
+        F.col("id").alias("b"), F.col("_q").alias("_qb"),
+        F.col("_n2").alias("_nb"), "cluster",
+    )
+    s = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    tau_q = int(round(tau * 10_000))
+    dec = "decimal(38,0)"
+    sd = F.col("_s").cast(dec)
+    pred = (F.col("_s") > 0) & (
+        sd * sd * F.lit(100_000_000).cast(dec)
+        >= F.lit(tau_q * tau_q).cast(dec)
+        * F.col("_na").cast(dec) * F.col("_nb").cast(dec)
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("_s", s)
+        .filter(pred)
+        .select("a", "b")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    tau: float = 0.92,
+    assignments: DataFrame | None = None,
+    k: int = 16,
+    n_iters: int = 4,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "features",
+    scale: float = 1e6,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication over an embedding column
+    (Abbas et al. 2023, "SemDeDup" — public method): cluster the
+    embeddings, drop all but one member of every within-cluster group
+    of near-identical vectors → (id, cluster, group, keep).
+
+    Pipeline: cluster assignment (k-means trained here by default;
+    pass ``assignments`` (id, cluster) to reuse an IVF/LSH/bucket
+    partition — the corpus-scale seam, same contract as dbscan's
+    precomputed ``pairs``) → exact-integer within-cluster cosine pairs
+    (semantic_pairs_exact) → connected components over the pair graph
+    (size-probed driver/distributed solve) → keep = the group minimum
+    id (deterministic canonical, matching dedup_clusters' policy).
+
+    group = smallest reachable id; singletons are their own group.
+    Scale: one Arrow assign pass + intra-cluster joins bounded by
+    cluster sizes + O(log V) CC rounds — no all-pairs product, no
+    driver state beyond the size-probed CC seam.
+    """
+    from raft_spark.operators.solvers import connected_components_auto
+
+    if assignments is None:
+        from raft_spark.operators.similarity import kmeans
+
+        asg_full, _, _ = kmeans(
+            df, k, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+        assignments = asg_full.select(F.col("id").alias(id_col), "cluster")
+    pairs = semantic_pairs_exact(
+        df, assignments, tau=tau, id_col=id_col, vec_col=vec_col, scale=scale
+    )
+    labels = connected_components_auto(
+        pairs.select(F.col("a").alias("row"), F.col("b").alias("col"))
+    )
+    return (
+        assignments.select(F.col(id_col).cast("long").alias("id"), "cluster")
+        .join(labels.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.coalesce(F.col("label"), F.col("id")).alias("group"),
+        )
+        .withColumn("keep", (F.col("id") == F.col("group")).cast("int"))
+    )
+
+
 def dedup_report(clusters: DataFrame) -> DataFrame:
     """Corpus-level dedup summary from :func:`dedup_clusters` output →
     one row (n_docs, n_clusters, n_duplicates, dup_rate,

@@ -70,6 +70,7 @@ _GATE_ORDER = [
     "simhash",
     "ngram_jaccard",
     "dedup_clusters",
+    "semantic_dedup",
     "embedding_neardup",
     "knn_cosine",
     "ann_recall_suite",

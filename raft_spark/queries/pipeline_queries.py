@@ -568,6 +568,79 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, recall_ok int")
 
 
+@query(
+    "semantic_dedup",
+    # Full-pipeline oracle: axis-sign bucket assignment (SQL-exact), the
+    # 10^8*S^2 >= tau_q^2*Na*Nb integer cosine predicate in HUGEINT, and
+    # min-label closure for the groups — zero float arithmetic after the
+    # shared quantization, so every row is engine-exact.
+    oracle="""
+WITH RECURSIVE v AS (
+    SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+),
+q AS (
+    SELECT id,
+           ((CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END)
+          + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END)
+          + (CASE WHEN e[5] > 0 THEN 16 ELSE 0 END)
+          + (CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)
+          + (CASE WHEN e[7] > 0 THEN 64 ELSE 0 END)
+          + (CASE WHEN e[8] > 0 THEN 128 ELSE 0 END)) AS cluster,
+           list_transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+    FROM v
+),
+n AS (
+    SELECT id, cluster, qv,
+           CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+    FROM q
+),
+pairs AS (
+    SELECT a.id AS a, b.id AS b
+    FROM n a JOIN n b ON a.cluster = b.cluster AND a.id < b.id
+    WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+      AND 100000000::HUGEINT
+          * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT)
+          * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT)
+          >= 84640000::HUGEINT * a.n2::HUGEINT * b.n2::HUGEINT
+),
+sym AS (
+    SELECT a AS row, b AS col FROM pairs
+    UNION ALL SELECT b, a FROM pairs
+),
+reach AS (
+    SELECT row AS node, row AS lab FROM sym
+    UNION
+    SELECT s.col AS node, r.lab FROM reach r JOIN sym s ON s.row = r.node
+),
+grp AS (SELECT node, min(lab) AS g FROM reach GROUP BY node)
+SELECT n.id::BIGINT AS id, n.cluster::BIGINT AS cluster,
+       coalesce(g.g, n.id)::BIGINT AS grp,
+       (CASE WHEN coalesce(g.g, n.id) = n.id THEN 1 ELSE 0 END)::INTEGER AS keep
+FROM n LEFT JOIN grp g ON g.node = n.id
+""",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-level dedup (dedup.semantic_dedup) over
+    the embeddings table: per-id (cluster, duplicate-group, keep flag)
+    at cosine ≥ 0.92. The gate variant assigns clusters by the
+    deterministic axis-sign bucket of the first 8 dims (SQL-exact;
+    production passes k-means/IVF assignments through the same seam);
+    the within-cluster cosine predicate and the min-label groups are
+    exact-integer on both engines — no float after quantization."""
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    bucket = None
+    for j in range(8):
+        bit = (F.col("features")[j] > 0).cast("long") * (2 ** j)
+        bucket = bit if bucket is None else bucket + bit
+    asg = m.select("id", bucket.alias("cluster"))
+    out = D.semantic_dedup(m, tau=0.92, assignments=asg)
+    return out.select(
+        "id", "cluster", F.col("group").alias("grp"), "keep"
+    )
+
+
 def q_knn_lsh_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table LSH ANN (similarity.knn_lsh n_tables — the
     documented multi-probe path, r4) gate members: (a) recall@5 floor

@@ -180,3 +180,78 @@ def test_dbscan_rejects_similarity_metrics(spark):
     )
     with _pt.raises(ValueError, match="similarity, not a distance"):
         dbscan(df, eps=0.9, metric="cosine")
+
+
+def _planted_semdup(spark, rng, n_clusters=6, dup_groups=4):
+    """Small corpus with planted near-identical vector groups."""
+    rows = []
+    vid = 0
+    for g in range(dup_groups):
+        base = rng.standard_normal(16)
+        for _ in range(3):  # 3 near-copies per group (cos ≈ 1)
+            v = base + rng.standard_normal(16) * 1e-4
+            rows.append((vid, [float(x) for x in v])); vid += 1
+    for _ in range(30):  # background singletons
+        rows.append((vid, [float(x) for x in rng.standard_normal(16)])); vid += 1
+    return spark.createDataFrame(rows, "id long, features array<double>")
+
+
+def test_semantic_dedup_matches_numpy_reference(spark):
+    rng = np.random.default_rng(7)
+    """semantic_dedup ≡ numpy brute force within the same clustering:
+    groups are the connected components of the exact-integer cosine
+    graph restricted to clusters, keep = group min."""
+    df = _planted_semdup(spark, rng)
+    # deterministic 4-bucket assignment so the reference can mirror it
+    asg = df.select(
+        "id", (F.col("id") % 4).alias("cluster")
+    )
+    out = {r["id"]: (r["cluster"], r["group"], r["keep"])
+           for r in D.semantic_dedup(df, tau=0.92, assignments=asg).collect()}
+
+    X = np.zeros((len(out), 16))
+    for r in df.collect():
+        X[r["id"]] = r["features"]
+    q = np.floor(X * 1e6 + 0.5)
+    n2 = (q * q).sum(1)
+    parent = list(range(len(X)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a in range(len(X)):
+        for b in range(a + 1, len(X)):
+            if a % 4 != b % 4:
+                continue
+            s = float(q[a] @ q[b])
+            if s > 0 and 1e8 * s * s >= 9200**2 * n2[a] * n2[b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    for i in range(len(X)):
+        grp = find(i)
+        assert out[i] == (i % 4, grp, int(i == grp)), f"id {i}"
+
+
+def test_semantic_dedup_kmeans_default_drops_planted_dups(spark):
+    rng = np.random.default_rng(7)
+    """Default path (k-means trained in-operator): every planted
+    near-copy group loses all but one member; keeps are group minima."""
+    df = _planted_semdup(spark, rng)
+    out = D.semantic_dedup(df, tau=0.92, k=4, n_iters=3)
+    rows = out.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r["group"], []).append(r)
+    # planted triples: ids (0,1,2), (3,4,5), (6,7,8), (9,10,11) — each
+    # trio is near-identical so ends up in one k-means cluster together
+    for g0 in (0, 3, 6, 9):
+        trio = [r for r in rows if r["id"] in (g0, g0 + 1, g0 + 2)]
+        assert len({r["group"] for r in trio}) == 1, f"group split at {g0}"
+        assert sum(r["keep"] for r in trio) == 1
+    for g, members in by_group.items():
+        assert sum(r["keep"] for r in members) == 1
+        assert min(r["id"] for r in members) == g
