@@ -391,6 +391,78 @@ def semantic_dedup(
     )
 
 
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level (substring) duplication detection — the token-window
+    approximation of suffix-array substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better",
+    public method): every n-token window whose exact content occurs
+    ≥ ``min_count`` times corpus-wide marks its n positions
+    duplicated → (doc_id, n_tokens, dup_tokens, dup_frac_ppm).
+
+    Shape: one pass builds all windows per doc IN-ROW (transform over
+    the token array — no per-token explode until the hash is taken),
+    the window hashes groupBy-count (map-side combinable word-count
+    shuffle, O(total tokens) rows), duplicated hashes join back and
+    their covered positions union per doc. Everything after
+    tokenization is exact integer/string equality, so the output is
+    engine-exact; the duplicated fraction is emitted integer-quantized
+    (ppm, exact int division) — never round(double).
+    """
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
+    ).withColumn("_ntok", F.size("_t"))
+    sh = base.filter(F.col("_ntok") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ntok") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i + F.lit(1), n))),
+            )
+        ).alias("start", "h"),
+    )
+    dup = (
+        sh.groupBy("h")
+        .agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    cov = (
+        sh.join(dup, "h")
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("start"), F.col("start") + n - 1)).alias("_p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dup_tokens"))
+    )
+    return (
+        base.select("doc_id", F.col("_ntok").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        )
+        .withColumn(
+            "dup_frac_ppm",
+            F.floor(
+                F.col("dup_tokens") * 1_000_000
+                / F.greatest(F.col("n_tokens"), F.lit(1))
+            ).cast("long"),
+        )
+    )
+
+
 def dedup_report(clusters: DataFrame) -> DataFrame:
     """Corpus-level dedup summary from :func:`dedup_clusters` output →
     one row (n_docs, n_clusters, n_duplicates, dup_rate,

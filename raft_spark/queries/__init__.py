@@ -71,6 +71,7 @@ _GATE_ORDER = [
     "ngram_jaccard",
     "dedup_clusters",
     "semantic_dedup",
+    "duplicated_spans",
     "embedding_neardup",
     "knn_cosine",
     "ann_recall_suite",

@@ -569,6 +569,45 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "duplicated_spans",
+    oracle=r"""
+WITH bt AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w,
+           len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ntok
+    FROM documents
+),
+pos AS (
+    SELECT doc_id, w, unnest(range(0, ntok - 7)) AS start
+    FROM bt WHERE ntok >= 8
+),
+sh AS (
+    SELECT doc_id, start,
+           md5(array_to_string(w[start + 1 : start + 8], ' ')) AS h
+    FROM pos
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2),
+cov AS (
+    SELECT DISTINCT s.doc_id, s.start + x.j AS p
+    FROM sh s JOIN dup USING (h), range(0, 8) x(j)
+),
+cnt AS (SELECT doc_id, count(*) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT bt.doc_id::BIGINT AS doc_id, ntok::BIGINT AS n_tokens,
+       coalesce(cnt.dup_tokens, 0)::BIGINT AS dup_tokens,
+       floor(coalesce(cnt.dup_tokens, 0) * 1000000.0
+             / greatest(ntok, 1))::BIGINT AS dup_frac_ppm
+FROM bt LEFT JOIN cnt USING (doc_id)
+""",
+)
+def q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication stats (dedup.duplicated_spans): per-doc
+    count and ppm fraction of token positions covered by an 8-token
+    window that repeats anywhere in the corpus — exact integer/string
+    pipeline after tokenization, mirrored clause-for-clause in SQL."""
+    return D.duplicated_spans(load(spark, "documents", sf_dir), n=8, min_count=2)
+
+
+@query(
     "semantic_dedup",
     # Full-pipeline oracle: axis-sign bucket assignment (SQL-exact), the
     # 10^8*S^2 >= tau_q^2*Na*Nb integer cosine predicate in HUGEINT, and

@@ -101,3 +101,42 @@ def test_exact_dedup_numeric_canonical_for_string_ids(spark):
     )
     got = {r["doc_id"]: (r["canonical_id"], r["is_dup"]) for r in exact_dedup(docs).collect()}
     assert got[9] == (9, 0) and got[10] == (9, 1) and got[2] == (2, 0)
+
+
+def test_duplicated_spans_matches_python_reference(spark):
+    """duplicated_spans ≡ a pure-python sliding-window reference on a
+    corpus with one planted repeated 8-gram (cross-doc), one repeated
+    span WITHIN a doc, and clean/short docs."""
+    from raft_spark.operators.dedup import duplicated_spans
+
+    span = "a b c d e f g h"
+    docs = [
+        (0, f"x1 x2 {span} y1 y2"),           # planted, doc 0
+        (1, f"z1 {span} z2 z3"),              # planted, doc 1
+        (2, f"{span} q1 {span}"),             # repeated within one doc
+        (3, "u1 u2 u3 u4 u5 u6 u7 u8 u9"),    # clean, no dups
+        (4, "short doc"),                     # ntok < n
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in duplicated_spans(df, n=8, min_count=2).collect()}
+
+    # python reference
+    from collections import Counter
+
+    toks = {d: t.split() for d, t in docs}
+    windows = Counter()
+    for d, t in toks.items():
+        for i in range(len(t) - 7):
+            windows[" ".join(t[i : i + 8])] += 1
+    expect = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - 7):
+            if windows[" ".join(t[i : i + 8])] >= 2:
+                covered |= set(range(i, i + 8))
+        expect[d] = (len(t), len(covered), (len(covered) * 1_000_000) // max(len(t), 1))
+    for d in toks:
+        r = got[d]
+        assert (r["n_tokens"], r["dup_tokens"], r["dup_frac_ppm"]) == expect[d], d
+    assert got[3]["dup_tokens"] == 0 and got[4]["dup_tokens"] == 0
+    assert got[2]["dup_tokens"] > 0  # within-doc repeat counts
