@@ -44,6 +44,8 @@ HEADLINE = [
     "knn_cosine",         # brute-force ANN baseline + salted top-k
     "knn_pq_recall",      # PQ-compressed ADC scan + exact refine (vs brute)
     "dedup_clusters",     # LSH candidates -> connected components -> clusters
+    "semantic_dedup",     # embedding clusters -> exact-int cosine pairs -> CC
+    "duplicated_spans",   # repeated n-gram windows -> covered positions
     "exact_dedup",        # content-hash dedup
     "text_stats",         # narrow text projection stack
     "lang_quality",       # narrow text projection stack

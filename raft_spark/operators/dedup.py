@@ -391,6 +391,34 @@ def semantic_dedup(
     )
 
 
+def span_hash_table(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Long-form n-token window hashes → (doc_id, start, h): the
+    STATELESS per-row expression shared by batch duplicated_spans and
+    the streaming span-flag lookup (windows built in-row with
+    transform, hashed with md5 — no aggregation, no vocab, so a stream
+    can evaluate it with zero state)."""
+    toks = F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+    )
+    base = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
+    ).withColumn("_ntok", F.size("_t"))
+    return base.filter(F.col("_ntok") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("_ntok") - n),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i + F.lit(1), n))),
+            )
+        ).alias("start", "h"),
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     n: int = 8,
@@ -420,15 +448,7 @@ def duplicated_spans(
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), toks.alias("_t")
     ).withColumn("_ntok", F.size("_t"))
-    sh = base.filter(F.col("_ntok") >= n).select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("_ntok") - n),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("_t", i + F.lit(1), n))),
-            )
-        ).alias("start", "h"),
-    )
+    sh = span_hash_table(docs, n=n, text_col=text_col, id_col=id_col)
     dup = (
         sh.groupBy("h")
         .agg(F.count("*").alias("_c"))

@@ -333,6 +333,30 @@ def streaming_neardup_candidates(
     )
 
 
+def streaming_span_flags(
+    doc_stream: DataFrame,
+    dup_hash_index: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming span-duplication lookup: each arriving document's
+    n-token window hashes (dedup.span_hash_table — a stateless in-row
+    expression, zero stream state) are stream-static joined against a
+    batch-built index of known-duplicated hashes (duplicated_spans'
+    ``dup`` set, refreshed offline). Emits (doc_id, start) per flagged
+    window in append mode — the consumer masks/drops those spans or
+    aggregates per doc, exactly as the batch twin does.
+
+    At scale the index is a bucketed table on h so each micro-batch's
+    probe is a pruned hash-join — the same contract as
+    streaming_neardup_candidates."""
+    from raft_spark.operators.dedup import span_hash_table
+
+    spans = span_hash_table(doc_stream, n=n, text_col=text_col, id_col=id_col)
+    return spans.join(dup_hash_index.select("h"), "h").select("doc_id", "start")
+
+
 def streaming_index_ingest(
     vec_stream: DataFrame,
     centroids,

@@ -162,3 +162,22 @@ def test_pagerank_exact_plan_constant_across_iterations(spark, sf_dir):
     short = audit_plan(pagerank_exact(coo, iters=2))
     long = audit_plan(pagerank_exact(coo, iters=5))
     assert abs(len(long.text) - len(short.text)) < 200
+
+
+def test_semantic_dedup_no_nested_loop(spark, sf_dir):
+    # the within-cluster pair product must be the cluster equi-join —
+    # a BroadcastNestedLoopJoin/Cartesian would be the all-pairs shape
+    # SemDeDup's clustering exists to avoid
+    rep = audit_plan(QUERIES["semantic_dedup"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in rep.text
+    assert "CartesianProduct" not in rep.text
+
+
+def test_duplicated_spans_partial_agg_no_early_explode(spark, sf_dir):
+    # window hashes are built in-row (transform) so the only Generate
+    # nodes come AFTER hashing (posexplode of the hash array, position
+    # coverage); the count over hashes must be a partial (map-side
+    # combinable) aggregate
+    rep = audit_plan(QUERIES["duplicated_spans"](spark, sf_dir))
+    assert "partial_count" in rep.text or "HashAggregate" in rep.text
+    assert "BroadcastNestedLoopJoin" not in rep.text

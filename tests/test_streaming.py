@@ -304,3 +304,35 @@ def test_running_topk_long_key(spark, events_dir):
     rows = _rows(spark, "topk_long_sink")
     assert len(rows) > 0
     assert all(isinstance(r["user_id"], int) for r in rows)
+
+
+def test_streaming_span_flags_match_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-static span-duplication lookup: streaming the corpus
+    against its own duplicated-hash index reproduces the batch join
+    exactly (window hashing is a stateless expression)."""
+    import shutil as _sh
+
+    from raft_spark.operators.dedup import span_hash_table
+    from raft_spark.sources.tables import load
+
+    d = tmp_path_factory.mktemp("span_stream")
+    _sh.copy(f"{sf_dir}/documents.parquet", d / "part-0.parquet")
+    docs = load(spark, "documents", sf_dir)
+    sh = span_hash_table(docs)
+    index = (
+        sh.groupBy("h").count().filter(F.col("count") >= 2).select("h")
+        .localCheckpoint(eager=True)
+    )
+
+    sch = spark.read.parquet(str(d)).schema
+    doc_stream = spark.readStream.schema(sch).parquet(str(d))
+    out = S.streaming_span_flags(doc_stream, index)
+    S.run_to_memory_sink(out, "span_sink", output_mode="append")
+    got = {(r["doc_id"], r["start"]) for r in _rows(spark, "span_sink")}
+
+    want = {
+        (r["doc_id"], r["start"])
+        for r in sh.join(index, "h").select("doc_id", "start").collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the synthetic corpus has repeated spans
