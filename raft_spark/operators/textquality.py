@@ -282,3 +282,50 @@ def fingerprint(text, prefix_len: int = 64) -> Column:
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * 31 + F.ascii(ch)) % FP_MOD,
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (standard curation step — ROOTS/BigScience-style
+# regex pass; public method). Pure JVM expressions, zero shuffle.
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to syntax valid in BOTH Java regex (Spark) and RE2
+# (DuckDB/Go tooling): no lookaround, no backrefs — so the same pattern
+# set runs anywhere in the pipeline.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+\d{1,3}[ -]?\d{2,4}[ -]?\d{3,4}[ -]?\d{3,4}\b",
+}
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc PII match counts → (doc_id, n_email, n_ipv4, n_phone,
+    has_pii). One narrow projection (regexp_extract_all per pattern) —
+    zero shuffle, scales as a pure map."""
+    cols = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(p), F.lit(0)))
+        .cast("long").alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = docs.select(F.col(id_col).cast("long").alias("doc_id"), *cols)
+    total = sum(F.col(f"n_{n}") for n in PII_PATTERNS)
+    return out.withColumn("has_pii", (total > 0).cast("int"))
+
+
+def redact_pii(
+    docs: DataFrame,
+    replacement: str = "[PII]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Replace every PII match with ``replacement`` → original columns
+    with ``text_col`` rewritten. Email first (its local part may
+    contain digit runs a later pattern would split), then phone, then
+    ipv4 — a chained regexp_replace, still one narrow projection."""
+    txt = F.col(text_col)
+    for name in ("email", "phone", "ipv4"):
+        txt = F.regexp_replace(txt, PII_PATTERNS[name], replacement)
+    return docs.withColumn(text_col, txt)

@@ -140,3 +140,33 @@ def test_duplicated_spans_matches_python_reference(spark):
         assert (r["n_tokens"], r["dup_tokens"], r["dup_frac_ppm"]) == expect[d], d
     assert got[3]["dup_tokens"] == 0 and got[4]["dup_tokens"] == 0
     assert got[2]["dup_tokens"] > 0  # within-doc repeat counts
+
+
+def test_pii_stats_and_redaction(spark):
+    """Planted PII: counts per category are exact, redaction removes
+    every match (stats over redacted text are all zero) and leaves
+    clean text untouched."""
+    from raft_spark.operators.textquality import pii_stats, redact_pii
+
+    docs = [
+        (0, "contact me at jane.doe+x@example.org or bob@sub.example.co"),
+        (1, "server at 10.0.255.7 answered; backup 192.168.1.1 did not"),
+        (2, "call +1 555 0100 999 or +44-20-7946-0958 now"),
+        (3, "a perfectly clean sentence with no identifiers"),
+        (4, "mixed: a@b.io from 8.8.8.8 dialed +33 1 2345 6789"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (2, 0, 0)
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 2, 0)
+    assert got[2]["n_email"] == 0 and got[2]["n_ipv4"] == 0 and got[2]["n_phone"] == 2
+    assert got[3]["has_pii"] == 0
+    assert got[4]["has_pii"] == 1 and got[4]["n_email"] == 1 and got[4]["n_ipv4"] == 1
+
+    red = redact_pii(df)
+    after = {r["doc_id"]: r for r in pii_stats(red).collect()}
+    for d in range(5):
+        assert after[d]["has_pii"] == 0, d
+    texts = {r["doc_id"]: r["text"] for r in red.collect()}
+    assert texts[3] == docs[3][1]  # clean text untouched
+    assert "[PII]" in texts[0] and "example.org" not in texts[0]
