@@ -668,6 +668,79 @@ def lsh_buckets(
     return df.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+def knn_graph_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    graph: DataFrame | None = None,
+    k: int = 10,
+    beam: int = 32,
+    n_rounds: int = 3,
+    n_entry: int = 8,
+    graph_k: int = 10,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Graph-ANN query serving: the greedy beam walk over a prebuilt
+    kNN graph — the search half of the nn_descent build path (the
+    CAGRA-style graph-ANN of the reference's neighbors ecosystem;
+    build = :func:`nn_descent_graph`, this is the promised downstream
+    graph walk) → (qid, nid, cosine, rank).
+
+    Distributed shape: ALL queries advance together. The frontier is a
+    (qid, nid) frame cut to ``beam`` rows per query each round by the
+    bounded select_k; expansion is one equi-join against the adjacency
+    list; scoring is the exact JVM cosine on pre-normalized vectors.
+    One join + one score + one bounded top-k per round — no Python
+    crossing, no driver state, work O(Q·beam·degree) per round
+    independent of corpus size (the point of graph ANN: the scan is
+    replaced by ≤ n_rounds hops). Recall is monotone in both beam and
+    n_rounds: the frontier is always unioned into its own expansion,
+    so the per-query best-beam set never regresses.
+
+    Entry points are the ``n_entry`` corpus ids with smallest seeded
+    hash — deterministic, shared by every query, broadcast.
+    """
+    if graph is None:
+        graph = nn_descent_graph(
+            corpus, k=graph_k, id_col=id_col, vec_col=vec_col
+        )
+    adj = graph.select(
+        F.col("id").alias("_u"), F.col("nid").alias("_w")
+    ).localCheckpoint(eager=True)
+    cn = _norm_table(corpus, id_col, vec_col).select(
+        F.col("_id").alias("nid"), F.col("_v").alias("_vc")
+    ).localCheckpoint(eager=True)
+    qn = _norm_table(queries, id_col, vec_col).select(
+        F.col("_id").alias("qid"), F.col("_v").alias("_vq")
+    ).localCheckpoint(eager=True)
+    entries = (
+        corpus.select(F.col(id_col).alias("nid"))
+        .orderBy(F.xxhash64(F.col("nid").cast("string")), F.col("nid"))
+        .limit(n_entry)
+    )
+    frontier = qn.select("qid").crossJoin(F.broadcast(entries))
+    scored = None
+    for _ in range(n_rounds):
+        expand = (
+            frontier.join(adj, frontier["nid"] == adj["_u"])
+            .select("qid", F.col("_w").alias("nid"))
+        )
+        cand = frontier.unionByName(expand).distinct()
+        scored = (
+            cand.join(qn, "qid")
+            .join(cn, "nid")
+            .select("qid", "nid", F.round(A.dot("_vq", "_vc"), 6).alias("cosine"))
+        )
+        top = select_k(
+            scored, ["qid"], "cosine", beam, ascending=False, payload_cols=["nid"]
+        )
+        frontier = top.select("qid", "nid").localCheckpoint(eager=True)
+    return select_k(
+        scored.filter(F.col("qid") != F.col("nid")),
+        ["qid"], "cosine", k, ascending=False, payload_cols=["nid"],
+    )
+
+
 def lsh_buckets_multi(
     df: DataFrame,
     n_planes: int = 8,

@@ -709,6 +709,38 @@ def q_knn_lsh_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, recall_ok int")
 
 
+def q_knn_graph_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-ANN serving gate members (similarity.knn_graph_search —
+    the CAGRA-style beam walk over the nn_descent graph, r4):
+    (a) recall@5 floor 0.5 at 3 rounds × beam 32 (observed 1.0 at
+    sf0.001, 0.96 at sf0.01 — the walk converges to near-exact on this
+    corpus), (b) round monotonicity — recall at 3 rounds ≥ recall at
+    1 (the frontier unions into its own expansion). Both deterministic:
+    seeded nn_descent build + deterministic tie-broken select_k."""
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    queries = m.filter(F.col("id") % 50 == 0)
+    n_q = queries.count()
+    exact = SIM.knn_brute(m, queries, k=5).localCheckpoint(eager=True)
+    graph = SIM.nn_descent_graph(m, k=10).select("id", "nid") \
+        .localCheckpoint(eager=True)
+
+    def recall(rounds: int) -> float:
+        approx = SIM.knn_graph_search(
+            m, queries, graph=graph, k=5, beam=32, n_rounds=rounds
+        )
+        hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+        return hits / (n_q * 5.0)
+
+    r1 = recall(1)
+    r3 = recall(3)
+    rows = [
+        ("graph", int(r3 >= 0.5)),
+        ("graph_round_mono", int(r3 >= r1)),
+    ]
+    return spark.createDataFrame(rows, "method string, recall_ok int")
+
+
 def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NN-descent all-neighbors graph (similarity.nn_descent_graph,
     seeded = deterministic) scored by edge recall vs the exact

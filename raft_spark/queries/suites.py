@@ -1747,6 +1747,10 @@ UNION ALL
 SELECT 'lsh', 1::INTEGER
 UNION ALL
 SELECT 'lsh_table_mono', 1::INTEGER
+UNION ALL
+SELECT 'graph', 1::INTEGER
+UNION ALL
+SELECT 'graph_round_mono', 1::INTEGER
 """
 
 
@@ -1775,9 +1779,12 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = PQ.q_knn_lsh_checks(spark, sf_dir).select(
         "method", F.col("recall_ok").cast("int")
     )
+    graph = PQ.q_knn_graph_checks(spark, sf_dir).select(
+        "method", F.col("recall_ok").cast("int")
+    )
     return (
         ivf.unionByName(pq).unionByName(nnd).unionByName(ivfpq)
-        .unionByName(lsh)
+        .unionByName(lsh).unionByName(graph)
     )
 
 

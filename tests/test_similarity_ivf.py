@@ -172,3 +172,28 @@ def test_eps_pairs_decimal_fallback_matches_int64(spark):
     # |q|max ~ 4e10 > 2^30/sqrt(8): decimal path engages
     got = {(r["a"], r["b"]) for r in eps_pairs_exact(big, eps=1.5e4).collect()}
     assert got == want and len(want) > 0
+
+
+def test_knn_graph_search_recall_and_round_monotone(spark, corpus):
+    """Greedy beam walk over the nn_descent graph: recall@5 vs brute
+    clears a floor far above the entry-point baseline, and is monotone
+    in rounds (the frontier is unioned into its own expansion)."""
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    n_q = queries.count()
+    exact = SIM.knn_brute(corpus, queries, k=5)
+    graph = SIM.nn_descent_graph(corpus, k=10).select("id", "nid") \
+        .localCheckpoint(eager=True)
+    recalls = []
+    for rounds in (1, 3):
+        approx = SIM.knn_graph_search(
+            corpus, queries, graph=graph, k=5, beam=32, n_rounds=rounds
+        )
+        hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+        recalls.append(hits / (n_q * 5))
+    assert recalls[1] >= recalls[0], f"not monotone: {recalls}"
+    assert recalls[1] >= 0.5, f"3-round recall {recalls[1]}"
+    per_q = (
+        SIM.knn_graph_search(corpus, queries, graph=graph, k=5, beam=32)
+        .groupBy("qid").count().agg(F.min("count")).collect()[0][0]
+    )
+    assert per_q == 5
