@@ -7,8 +7,11 @@ ANSI-SQL equivalent for the correctness gate (CORRECTNESS_r{N}.json).
 Conventions (driver compares row-count + column names + value hash,
 order-insensitive, columns sorted by name):
 - every computed column is aliased identically in Spark and SQL;
-- floating outputs are rounded to 6 decimals on BOTH sides so cross-
-  engine summation-order differences cannot flip the hash;
+- hash-exact rows emit INTEGER-QUANTIZED values (floor(x*1e6+0.5)
+  bigints, exact int/decimal(38,0) <-> HUGEINT arithmetic) so no
+  engine rounding implementation sits between the engines at all;
+  remaining float outputs are round(x, 6) on both sides and derive
+  from order-independent aggregates only;
 - ids/ranks/counts are cast to bigint on both sides.
 """
 
