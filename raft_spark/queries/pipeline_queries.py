@@ -421,6 +421,21 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_image_meta(frame)
 
 
+
+def ann_shared(spark: SparkSession, sf_dir: str):
+    """Shared ANN-gate fixtures: (corpus m, queries, n_q, exact top-5)
+    computed ONCE and passed into every ann_recall_suite member — the
+    suite previously re-ran the identical knn_brute six times (63 s of
+    redundant exact scans per gate pass). Standalone member queries
+    still build their own when called directly."""
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    queries = m.filter(F.col("id") % 50 == 0)
+    n_q = queries.count()
+    exact = SIM.knn_brute(m, queries, k=5).localCheckpoint(eager=True)
+    return m, queries, n_q, exact
+
+
 @query(
     "knn_ivf_recall",
     # The k-means quantizer is deterministic but not SQL-expressible;
@@ -430,16 +445,13 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recall value is pinned by tests/test_similarity_ivf.py).
     oracle="SELECT 1::INTEGER AS recall_ok",
 )
-def q_knn_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_ivf_recall(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
     """IVF ANN (spherical k-means coarse quantizer, 8 lists, 3 probes)
     scored by recall@5 against the exact brute-force neighbors — the
     scale path for similarity search (probe fraction bounds candidate
     volume at n_probe/n_lists of brute force)."""
-    m = embeddings_matrix(spark, sf_dir).select("id", "features")
-    queries = m.filter(F.col("id") % 50 == 0)
-    exact = SIM.knn_brute(m, queries, k=5)
+    m, queries, n_q, exact = shared or ann_shared(spark, sf_dir)
     approx = SIM.knn_ivf(m, queries, k=5, n_lists=8, n_probe=3, kmeans_iters=2)
-    n_q = queries.count()
     hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
     recall = hits / (n_q * 5.0)
     return spark.createDataFrame(
@@ -476,18 +488,15 @@ def q_pairwise_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact recall value is pinned by tests/test_similarity_ivf.py).
     oracle="SELECT 1::INTEGER AS recall_ok",
 )
-def q_knn_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_pq_recall(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
     """Product-quantization ANN (16 subspaces × 16 codes, ADC lookup
     scoring over compressed codes, exact refinement of the 8k-deep
     shortlist) scored by recall@5 against exact brute force — the
     memory-compression scale path: corpus floats are replaced by m
     small ints, so a 100 TB embedding table ADC-scans from a few TB
     of codes."""
-    m = embeddings_matrix(spark, sf_dir).select("id", "features")
-    queries = m.filter(F.col("id") % 50 == 0)
-    exact = SIM.knn_brute(m, queries, k=5)
+    m, queries, n_q, exact = shared or ann_shared(spark, sf_dir)
     approx = SIM.knn_pq(m, queries, k=5, m_subspaces=16, n_codes=16, refine_factor=8)
-    n_q = queries.count()
     hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
     recall = hits / (n_q * 5.0)
     return spark.createDataFrame([(int(recall >= 0.5),)], "recall_ok int")
@@ -513,7 +522,7 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ivf_pq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_ivf_pq_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
     """IVF-PQ (neighbors/ivf_pq.cuh semantics) gate members — the
     round-3 verdict's 'pytest-only' gap closed: (method, recall_ok)
     rows for (a) the recall@5 floor of the composite coarse-quantizer
@@ -525,11 +534,7 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     IO, so a reloaded index IS the index). One index build shared by
     all three members; exact recall values pinned in
     tests/test_similarity_ivf.py."""
-    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
-        .localCheckpoint(eager=True)
-    queries = m.filter(F.col("id") % 50 == 0)
-    n_q = queries.count()
-    exact = SIM.knn_brute(m, queries, k=5).localCheckpoint(eager=True)
+    m, queries, n_q, exact = shared or ann_shared(spark, sf_dir)
     index = SIM.build_ivf_pq_index(m, n_lists=8, m_subspaces=16, n_codes=16)
     index["codes"] = index["codes"].localCheckpoint(eager=True)
 
@@ -680,7 +685,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_lsh_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_lsh_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
     """Multi-table LSH ANN (similarity.knn_lsh n_tables — the
     documented multi-probe path, r4) gate members: (a) recall@5 floor
     0.5 at 4 planes × 8 tables (observed 0.66 at sf0.001, 0.78 at
@@ -689,11 +694,7 @@ def q_knn_lsh_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotonicity — recall at 8 tables ≥ recall at 2 (candidate sets
     are supersets by construction; a regression in the per-table
     seeding or the union/dedup breaks exactly this)."""
-    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
-        .localCheckpoint(eager=True)
-    queries = m.filter(F.col("id") % 50 == 0)
-    n_q = queries.count()
-    exact = SIM.knn_brute(m, queries, k=5).localCheckpoint(eager=True)
+    m, queries, n_q, exact = shared or ann_shared(spark, sf_dir)
 
     def recall(n_tables: int) -> float:
         approx = SIM.knn_lsh(m, queries, k=5, n_planes=4, n_tables=n_tables)
@@ -709,7 +710,9 @@ def q_knn_lsh_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, recall_ok int")
 
 
-def q_knn_graph_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_knn_graph_checks(
+    spark: SparkSession, sf_dir: str, shared=None, graph=None
+) -> DataFrame:
     """Graph-ANN serving gate members (similarity.knn_graph_search —
     the CAGRA-style beam walk over the nn_descent graph, r4):
     (a) recall@5 floor 0.5 at 3 rounds × beam 32 (observed 1.0 at
@@ -717,13 +720,10 @@ def q_knn_graph_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus), (b) round monotonicity — recall at 3 rounds ≥ recall at
     1 (the frontier unions into its own expansion). Both deterministic:
     seeded nn_descent build + deterministic tie-broken select_k."""
-    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
-        .localCheckpoint(eager=True)
-    queries = m.filter(F.col("id") % 50 == 0)
-    n_q = queries.count()
-    exact = SIM.knn_brute(m, queries, k=5).localCheckpoint(eager=True)
-    graph = SIM.nn_descent_graph(m, k=10).select("id", "nid") \
-        .localCheckpoint(eager=True)
+    m, queries, n_q, exact = shared or ann_shared(spark, sf_dir)
+    if graph is None:
+        graph = SIM.nn_descent_graph(m, k=10).select("id", "nid") \
+            .localCheckpoint(eager=True)
 
     def recall(rounds: int) -> float:
         approx = SIM.knn_graph_search(
@@ -741,7 +741,7 @@ def q_knn_graph_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "method string, recall_ok int")
 
 
-def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_nn_descent_recall(spark: SparkSession, sf_dir: str, graph=None) -> DataFrame:
     """NN-descent all-neighbors graph (similarity.nn_descent_graph,
     seeded = deterministic) scored by edge recall vs the exact
     brute-force kNN graph — the graph-ANN build path. Floor 0.5;
@@ -752,7 +752,10 @@ def q_nn_descent_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = SIM.knn_brute(m, m, k=10).select(
         F.col("qid").alias("id"), "nid"
     )
-    approx = SIM.nn_descent_graph(m, k=10, n_iters=4).select("id", "nid")
+    approx = (
+        graph if graph is not None
+        else SIM.nn_descent_graph(m, k=10, n_iters=4).select("id", "nid")
+    )
     n_exact = exact.count()
     hits = approx.join(exact, ["id", "nid"], "left_semi").count()
     return spark.createDataFrame(

@@ -1763,23 +1763,31 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_ivf.py). Since r4 the IVF-PQ composite adds
     probe monotonicity and the persistent-index round-trip
     (write_ivf_pq_index → read_ivf_pq_index returns the identical
-    neighbor set)."""
-    ivf = PQ.q_knn_ivf_recall(spark, sf_dir).select(
+    neighbor set); since r4 the suite also shares ONE corpus
+    checkpoint, ONE exact brute scan, and ONE nn_descent build across
+    all ten members (each member query still builds its own when run
+    standalone)."""
+    from raft_spark.operators import similarity as SIM2
+
+    shared = PQ.ann_shared(spark, sf_dir)  # one corpus + one exact scan
+    g10 = SIM2.nn_descent_graph(shared[0], k=10).select("id", "nid") \
+        .localCheckpoint(eager=True)  # one build feeds nnd recall AND the walk
+    ivf = PQ.q_knn_ivf_recall(spark, sf_dir, shared=shared).select(
         F.lit("ivf").alias("method"), F.col("recall_ok").cast("int")
     )
-    pq = PQ.q_knn_pq_recall(spark, sf_dir).select(
+    pq = PQ.q_knn_pq_recall(spark, sf_dir, shared=shared).select(
         F.lit("pq").alias("method"), F.col("recall_ok").cast("int")
     )
-    nnd = PQ.q_nn_descent_recall(spark, sf_dir).select(
+    nnd = PQ.q_nn_descent_recall(spark, sf_dir, graph=g10).select(
         F.lit("nn_descent").alias("method"), F.col("recall_ok").cast("int")
     )
-    ivfpq = PQ.q_ivf_pq_checks(spark, sf_dir).select(
+    ivfpq = PQ.q_ivf_pq_checks(spark, sf_dir, shared=shared).select(
         "method", F.col("recall_ok").cast("int")
     )
-    lsh = PQ.q_knn_lsh_checks(spark, sf_dir).select(
+    lsh = PQ.q_knn_lsh_checks(spark, sf_dir, shared=shared).select(
         "method", F.col("recall_ok").cast("int")
     )
-    graph = PQ.q_knn_graph_checks(spark, sf_dir).select(
+    graph = PQ.q_knn_graph_checks(spark, sf_dir, shared=shared, graph=g10).select(
         "method", F.col("recall_ok").cast("int")
     )
     return (
