@@ -289,19 +289,32 @@ def semantic_pairs_exact(
     )
     base = df.select(F.col(id_col).alias("id"), qv.alias("_q")) \
         .withColumn("_n2", n2)
-    qmax = base.select(
+    guard = base.select(
         F.max(
             F.aggregate(
                 "_q", F.lit(0).cast("long"),
                 lambda acc, v: F.greatest(acc, F.abs(v)),
             )
-        ).alias("m")
-    ).first()["m"] or 0
+        ).alias("m"),
+        F.max("_n2").alias("n2max"),
+    ).first()
+    qmax = guard["m"] or 0
+    n2max = guard["n2max"] or 0
     bound = int((2**62 / max(d, 1)) ** 0.5)
     if qmax > bound:
         raise ValueError(
             f"quantized magnitude {qmax} exceeds the int64-exact bound "
             f"{bound} for dim {d}: lower scale (cosine is scale-invariant)"
+        )
+    # decimal(38,0) envelope: the predicate squares the int64 sums —
+    # 10⁸·S² and τq²·Na·Nb with |S| ≤ √(Na·Nb) ≤ max(N) and τq ≤ 10⁴,
+    # so both sides are ≤ 10⁸·max(N)². Keep max(N) ≤ 3·10¹⁴ so the
+    # products stay under 10³⁸−1; past it Spark (ANSI off) would NULL
+    # the overflow and silently drop true pairs.
+    if n2max > 300_000_000_000_000:
+        raise ValueError(
+            f"quantized norm² {n2max} exceeds the decimal(38,0)-exact "
+            f"bound 3e14: lower scale (cosine is scale-invariant)"
         )
     t = base.join(
         assignments.select(F.col(id_col).alias("id"), "cluster"), "id"
@@ -366,6 +379,16 @@ def semantic_dedup(
     """
     from raft_spark.operators.solvers import connected_components_auto
 
+    # ids flow into the long-typed CC node space; a non-numeric id
+    # column would silently cast to NULL rows below, so fail loudly
+    # (exact_dedup is the operator that accepts arbitrary id types)
+    id_type = dict(df.dtypes).get(id_col)
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"semantic_dedup needs an integer id column; {id_col!r} is "
+            f"{id_type} — map ids to int64 first (e.g. xxhash64) or use "
+            "exact_dedup for string-id exact matching"
+        )
     if assignments is None:
         from raft_spark.operators.similarity import kmeans
 

@@ -700,6 +700,8 @@ def knn_graph_search(
     Entry points are the ``n_entry`` corpus ids with smallest seeded
     hash — deterministic, shared by every query, broadcast.
     """
+    if n_rounds < 1:
+        raise ValueError(f"n_rounds must be >= 1 (got {n_rounds})")
     if graph is None:
         graph = nn_descent_graph(
             corpus, k=graph_k, id_col=id_col, vec_col=vec_col
@@ -1304,15 +1306,17 @@ def write_ivf_pq_index(index: dict, path: str) -> None:
     """Persist the index: codes partitioned by list_id (a probe reads
     only its lists' directories), centroids/codebooks as small parquet
     sidecars — everything reloadable by any Spark job."""
-    import pandas as pd
-
     spark = index["codes"].sparkSession
     index["codes"].write.mode("overwrite").partitionBy("list_id").parquet(
         f"{path}/codes"
     )
     C = index["centroids"]
+    # explicit schema + plain-Python floats: schema inference over numpy
+    # arrays only works when Arrow conversion is on, and the gate driver's
+    # session has it off (r4 red row CANNOT_INFER_TYPE_FOR_FIELD `center`)
     spark.createDataFrame(
-        pd.DataFrame({"list_id": range(len(C)), "center": list(C)})
+        [(i, [float(x) for x in C[i]]) for i in range(len(C))],
+        "list_id int, center array<double>",
     ).write.mode("overwrite").parquet(f"{path}/centroids")
     B = index["codebooks"]
     m, k, _ = B.shape

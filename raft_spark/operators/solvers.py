@@ -1239,6 +1239,14 @@ def minres_solve(
         # rotations to column k, then form the new one.
         delta = c_prev * alpha - c_prev2 * s_prev * beta_k
         rho1 = float(np.hypot(delta, beta_next))
+        if rho1 == 0.0:
+            # alpha = beta_next = 0 on the first step: b lies in the
+            # eigenspace of sigma — same singular-shift condition the
+            # factorize path reports via np.linalg.inv
+            raise ValueError(
+                f"A - {sigma}*I is singular on the Krylov subspace — "
+                "sigma hits an eigenvalue; perturb the shift"
+            )
         rho2 = s_prev * alpha + c_prev2 * c_prev * beta_k
         rho3 = s_prev2 * beta_k
         c = delta / rho1
@@ -1363,7 +1371,8 @@ def lanczos_eigsh(
                     vec[int(r["idx"])] = float(r["val"])
                 y = minv @ vec
                 return spark.createDataFrame(
-                    pd.DataFrame({"idx": np.arange(n), "val": y})
+                    pd.DataFrame({"idx": np.arange(n), "val": y}),
+                    "idx long, val double",
                 )
         else:
 

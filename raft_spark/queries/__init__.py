@@ -33,10 +33,13 @@ from raft_spark.queries.text_queries import flagship  # noqa: F401, E402
 # Curated gate order. Oracled queries first (proven-green members from
 # round 1 up front, new suites after), rows-only last — every oracled
 # row lands inside the driver's checked window.
+# The driver checks the FIRST 50 registered queries only (proven by the
+# r4 artifact: positions 51-52 were silently skipped), so this list must
+# stay at <= 50 entries — fold new capability into existing suites
+# instead of appending rows.
 _GATE_ORDER = [
-    # -- text encodings
-    "tfidf",
-    "bm25",
+    # -- text encodings (tfidf + bm25 merged into one suite row in r5)
+    "text_encodings",
     "bm25_topk",
     # -- dense reductions / maps
     "row_norms",
@@ -92,11 +95,16 @@ _GATE_ORDER = [
     # -- streaming
     "stream_agg_suite",
     "stream_key_suite",
-    # -- rows-only (☆): non-SQL-expressible, pytest-pinned
+    # -- solver/graph invariant suites (★ since r3; stream_running_topk
+    # folded into stream_key_suite in r5 to fit the 50-row window)
     "solver_spectra",
     "graph_solver_suite",
-    "stream_running_topk",
 ]
+
+assert len(_GATE_ORDER) <= 50, (
+    f"gate order has {len(_GATE_ORDER)} entries; the driver checks only "
+    "the first 50 — fold new queries into a suite instead"
+)
 
 _missing = [n for n in _GATE_ORDER if n not in _ALL_QUERIES]
 assert not _missing, f"gate order references unregistered queries: {_missing}"

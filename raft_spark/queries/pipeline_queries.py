@@ -557,13 +557,18 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
 
     # unique dir per run: a fixed path races when two gate replicas run
     # concurrently on one host (writer A overwrites while reader B is
-    # mid-roundtrip → spurious roundtrip failure)
+    # mid-roundtrip → spurious roundtrip failure); removed afterwards so
+    # repeated gate runs don't accumulate indexes in /tmp
+    import shutil
     import tempfile
 
-    path = tempfile.mkdtemp(prefix="raft_spark_ivfpq_") + "/index"
-    SIM.write_ivf_pq_index(index, path)
-    loaded = SIM.read_ivf_pq_index(spark, path)
-    _, pairs_loaded = recall(4, loaded)
+    tmp = tempfile.mkdtemp(prefix="raft_spark_ivfpq_")
+    try:
+        SIM.write_ivf_pq_index(index, tmp + "/index")
+        loaded = SIM.read_ivf_pq_index(spark, tmp + "/index")
+        _, pairs_loaded = recall(4, loaded)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     rows = [
         ("ivf_pq", int(r_mid >= 0.5)),

