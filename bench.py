@@ -133,6 +133,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # relative pass-to-pass disagreement per query
+                # (|t1-t2|/min): lets a reader separate host noise
+                # (large spread) from real plan drift (small spread,
+                # shifted min) without re-running the bench
+                "spreads": {k: round(v, 3) for k, v in sorted(spread.items())},
                 "sf": float(sf),
             }
         )

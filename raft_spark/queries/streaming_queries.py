@@ -409,3 +409,41 @@ def m_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("ingest_rows", float(n)), ("ingest_eq", float(int(diff == 0 and n > 0)))],
         "kind string, value double",
     )
+
+
+def m_stream_spanflags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming span-duplication lookup (incremental.streaming_span_
+    flags): documents stream against a batch-built index of duplicated
+    8-token window hashes; every flagged (doc_id, start) must equal the
+    batch twin row-for-row (span_hash_table is a stateless in-row
+    expression, so stream ≡ batch exactly). Returns (kind, value):
+    spanflag_rows = number of flagged windows (genuinely data-valued —
+    DuckDB recomputes it from the raw text with the same window/md5
+    clauses as the duplicated_spans oracle) and spanflag_eq = the
+    exact-agreement flag."""
+    from raft_spark.operators.dedup import span_hash_table
+    from raft_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    sh = span_hash_table(docs)
+    index = (
+        sh.groupBy("h").agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") >= 2).select("h")
+        .localCheckpoint(eager=True)
+    )
+
+    d = _stage_table_dir(sf_dir, "documents")
+    sch = spark.read.parquet(d).schema
+    doc_stream = spark.readStream.schema(sch).parquet(d)
+    out = S.streaming_span_flags(doc_stream, index)
+    S.run_to_memory_sink(out, "gate_spanflag_sink", output_mode="append")
+    got = spark.sql("select * from gate_spanflag_sink").localCheckpoint(eager=True)
+
+    want = span_hash_table(docs).join(index, "h").select("doc_id", "start")
+    diff = got.exceptAll(want).count() + want.exceptAll(got).count()
+    n = got.count()
+    return spark.createDataFrame(
+        [("spanflag_rows", float(n)),
+         ("spanflag_eq", float(int(diff == 0 and n > 0)))],
+        "kind string, value double",
+    )

@@ -959,6 +959,29 @@ SELECT 'ingest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
 UNION ALL
 SELECT 'rtopk', NULL::TIMESTAMP, event_type, rank, event_id, value
 FROM {_sub('stream_running_topk')}
+UNION ALL
+SELECT 'spanflag_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, cnt::DOUBLE
+FROM (
+    WITH bt AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w,
+               len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ntok
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, w, unnest(range(0, ntok - 7)) AS start
+        FROM bt WHERE ntok >= 8
+    ),
+    sh AS (
+        SELECT doc_id, start,
+               md5(array_to_string(w[start + 1 : start + 8], ' ')) AS h
+        FROM pos
+    ),
+    dup AS (SELECT h FROM sh GROUP BY h HAVING count(*) >= 2)
+    SELECT count(*) AS cnt FROM sh JOIN dup USING (h)
+)
+UNION ALL
+SELECT 'spanflag_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 """
 
 
@@ -1008,9 +1031,20 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("k"), F.col("rank").alias("a"),
         F.col("event_id").cast("long").alias("b"), F.col("value").alias("v"),
     )
+    # r6: streaming span-flag lookup joins the suite — spanflag_rows is
+    # data-valued (DuckDB re-derives the flagged-window count from raw
+    # text with the duplicated_spans oracle's own clauses) and
+    # spanflag_eq pins stream ≡ batch row-for-row
+    spf = STRQ.m_stream_spanflags(spark, sf_dir).select(
+        F.col("kind").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+        F.col("value").alias("v"),
+    )
     return (
         topk.unionByName(sess).unionByName(ded)
         .unionByName(nd).unionByName(ing).unionByName(rtopk)
+        .unionByName(spf)
     )
 
 

@@ -48,6 +48,11 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long (ns since epoch) and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # streaming queries in the gate/bench run with implicit temp
+        # checkpoints; delete them on stop so repeated runs don't
+        # accumulate /tmp state (also silences the per-query
+        # ResolveWriteToStream warning in driver artifacts)
+        .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
