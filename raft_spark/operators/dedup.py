@@ -262,23 +262,34 @@ def semantic_pairs_exact(
     id_col: str = "id",
     vec_col: str = "features",
     scale: float = 1e6,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Within-cluster embedding pairs with cosine ≥ tau, decided by
     EXACT integer arithmetic → (a, b).
 
     Each vector is quantized once (q = floor(x·scale + 0.5), int64);
     cos(a,b) ≥ τ is evaluated as 10⁸·S² ≥ τq²·Na·Nb ∧ S > 0 with
-    S = Σ qa·qb, N = Σ q² (exact int64 sums; the comparison itself in
-    decimal(38,0) ↔ DuckDB HUGEINT, τq = round(τ·10⁴)) — zero float
-    ops after quantization, so the pair set is engine- and
-    partition-order-exact (the eps_pairs_exact / LAP discipline
-    applied to cosine). Same overflow contract as eps_pairs_exact:
-    |x|·scale must keep d·q_max² < 2⁶³ (guarded).
+    S = Σ qa·qb, N = Σ q² (exact integer sums; τq = round(τ·10⁴)) —
+    the decision is bit-exact in integer arithmetic (see the tiered
+    evaluation below), so the pair set is engine- and partition-order-
+    exact (the eps_pairs_exact / LAP discipline applied to cosine; the
+    DuckDB oracle mirrors the same predicate in HUGEINT). Same
+    overflow contract as eps_pairs_exact: |x|·scale must keep
+    d·q_max² < 2⁶³ (guarded).
 
     The candidate product is the within-cluster self-join — O(Σ c_i²)
     work bounded by the clustering granularity, never all-pairs. This
     is the SemDeDup shape: the cluster assignment (k-means at scale)
     prunes the quadratic step to intra-cluster blocks.
+
+    r6: the self-join is BLOCKED within each cluster (the
+    similarity._blocked_cross discipline with cluster as an extra
+    equi-key): each row gets block id hash(id) mod n_blocks, the tiny
+    ordered block-pair table broadcasts, and the join key becomes
+    (cluster, block) — a skewed assignment (one cluster holding 10% of
+    the corpus) spreads its c² candidate work across ~n_blocks²/2
+    block-pairs instead of serializing on one hot join key. Pair set
+    unchanged (canonical a < b output).
     """
     d = df.select(F.size(F.col(vec_col))).first()[0]
     qv = F.transform(
@@ -306,47 +317,136 @@ def semantic_pairs_exact(
             f"quantized magnitude {qmax} exceeds the int64-exact bound "
             f"{bound} for dim {d}: lower scale (cosine is scale-invariant)"
         )
-    # decimal(38,0) envelope: the predicate squares the int64 sums —
-    # 10⁸·S² and τq²·Na·Nb with |S| ≤ √(Na·Nb) ≤ max(N) and τq ≤ 10⁴,
-    # so both sides are ≤ 10⁸·max(N)². Keep max(N) ≤ 3·10¹⁴ so the
-    # products stay under 10³⁸−1; past it Spark (ANSI off) would NULL
-    # the overflow and silently drop true pairs. The bound is
-    # DELIBERATELY conservative (covers τq all the way to 10⁴, ~3.6×
-    # slack at τ=0.92) — the margin is intentional, not an oversight.
+    # norm² envelope: the predicate squares the integer sums — 10⁸·S²
+    # and τq²·Na·Nb with |S| ≤ √(Na·Nb) ≤ max(N) and τq ≤ 10⁴, so both
+    # sides are ≤ 10⁸·max(N)². Keep max(N) ≤ 3·10¹⁴ so (a) the DuckDB
+    # HUGEINT oracle's products stay under 10³⁸−1 and (b) every partial
+    # sum of S stays < 2⁵³, the float-exact-dgemm premise of tier 1
+    # below. The bound is DELIBERATELY conservative (covers τq all the
+    # way to 10⁴, ~3.6× slack at τ=0.92) — intentional margin.
     if n2max > 300_000_000_000_000:
         raise ValueError(
             f"quantized norm² {n2max} exceeds the decimal(38,0)-exact "
             f"bound 3e14: lower scale (cosine is scale-invariant)"
         )
+    tau_q = int(round(tau * 10_000))
     t = base.join(
         assignments.select(F.col(id_col).alias("id"), "cluster"), "id"
     )
-    a = t.select(
-        F.col("id").alias("a"), F.col("_q").alias("_qa"),
-        F.col("_n2").alias("_na"), "cluster",
+    # hybrid blocking: clusters above the threshold get hash-mod block
+    # ids (their c² work spreads over ~n_blocks²/2 tile tasks); small
+    # clusters stay one tile each so the Python per-group overhead
+    # doesn't multiply by n_blocks² across 10k tiny clusters
+    sizes = t.groupBy("cluster").agg(F.count("*").alias("_csz"))
+    t2 = t.join(sizes, "cluster")
+    blocked = (F.col("_csz") > 4096).cast("int")
+    blk = F.when(
+        F.col("_csz") > 4096, F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+    ).otherwise(F.lit(0))
+    a = t2.select(
+        "cluster", blocked.alias("_blk"), blk.alias("_ba"),
+        F.lit(0).alias("_side"), F.col("id").cast("long").alias("id"),
+        "_q", "_n2",
     )
-    b = t.select(
-        F.col("id").alias("b"), F.col("_q").alias("_qb"),
-        F.col("_n2").alias("_nb"), "cluster",
+    b = t2.select(
+        "cluster", blocked.alias("_blk"), blk.alias("_bb"),
+        F.lit(1).alias("_side"), F.col("id").cast("long").alias("id"),
+        "_q", "_n2",
     )
-    s = F.aggregate(
-        F.zip_with("_qa", "_qb", lambda x, y: x * y),
-        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    # ordered block-pair table, flagged: unblocked clusters see only the
+    # (0,0) tile, blocked ones all n_blocks·(n_blocks+1)/2 ordered pairs
+    sp = df.sparkSession
+    pairs_blocked = sp.range(n_blocks * n_blocks).select(
+        F.lit(1).alias("_blk"),
+        (F.col("id") / n_blocks).cast("long").alias("_ba"),
+        (F.col("id") % n_blocks).alias("_bb"),
+    ).filter(F.col("_ba") <= F.col("_bb"))
+    blocks = sp.createDataFrame(
+        [(0, 0, 0)], "_blk int, _ba long, _bb long"
+    ).unionByName(pairs_blocked)
+    aexp = a.join(F.broadcast(blocks), ["_blk", "_ba"]).select(
+        "cluster", "_ba", "_bb", "_side", "id", "_q", "_n2"
     )
-    tau_q = int(round(tau * 10_000))
-    dec = "decimal(38,0)"
-    sd = F.col("_s").cast(dec)
-    pred = (F.col("_s") > 0) & (
-        sd * sd * F.lit(100_000_000).cast(dec)
-        >= F.lit(tau_q * tau_q).cast(dec)
-        * F.col("_na").cast(dec) * F.col("_nb").cast(dec)
+    bexp = b.join(F.broadcast(blocks), ["_blk", "_bb"]).select(
+        "cluster", "_ba", "_bb", "_side", "id", "_q", "_n2"
     )
+
+    # Arrow tile evaluation (the gram_matrix / _partial_topk pattern):
+    # one BLAS gemm per (cluster, block-pair) tile replaces the former
+    # per-pair zip_with/aggregate expression, whose measured JVM cost
+    # (~76 µs per candidate pair) made skewed clusters intractable.
+    # The decision stays EXACT in three tiers:
+    #   1. qmax ≤ ⌊√2⁵³⌋: float64 dgemm on integer-valued operands is
+    #      exactly rounded at every step (each product ≤ qmax² < 2⁵³,
+    #      every partial sum ≤ √(Na·Nb) ≤ n2max ≤ 3e14 < 2⁵³), so S is
+    #      the exact integer dot product;
+    #   2. otherwise int64 matmul (exact under the 2⁶² guard above);
+    #   3. the comparison 10⁸·S² ≥ τq²·Na·Nb runs in float64 with a
+    #      relative safety band of 1e-9 (float error is ~1e-15); only
+    #      candidates INSIDE the band get an arbitrary-precision
+    #      Python-int recheck — the set of emitted pairs is identical
+    #      to the all-decimal evaluation, including exact-tie cells.
+    import pandas as pd
+
+    float_exact = qmax <= 94_906_265  # floor(sqrt(2^53))
+    chunk = 1024  # bounds the S tile at chunk × |B-side| float64
+
+    def tile(key, pdf):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64")}
+        )
+        aa = pdf[pdf["_side"] == 0]
+        bb = pdf[pdf["_side"] == 1]
+        if len(aa) == 0 or len(bb) == 0:
+            return empty
+        same_block = int(key[1]) == int(key[2])
+        qa = np.stack(aa["_q"].to_numpy()).astype(np.int64)
+        qb = np.stack(bb["_q"].to_numpy()).astype(np.int64)
+        ia = aa["id"].to_numpy()
+        ib = bb["id"].to_numpy()
+        na = aa["_n2"].to_numpy().astype(np.float64)
+        nb = bb["_n2"].to_numpy().astype(np.float64)
+        rhs_row = float(tau_q * tau_q) * nb  # per-B factor, scaled by na below
+        if float_exact:
+            qbf = qb.astype(np.float64).T
+        outs_a, outs_b = [], []
+        for lo in range(0, len(ia), chunk):
+            hi = min(lo + chunk, len(ia))
+            if float_exact:
+                s = qa[lo:hi].astype(np.float64) @ qbf
+            else:
+                s = (qa[lo:hi] @ qb.T).astype(np.float64)
+            lhs = 1e8 * s * s
+            rhs = na[lo:hi, None] * rhs_row[None, :]
+            acc = (s > 0) & (lhs >= rhs * (1 + 1e-9))
+            band = (s > 0) & ~acc & (lhs >= rhs * (1 - 1e-9))
+            if band.any():
+                for i, j in zip(*np.nonzero(band)):
+                    s_ = int(s[i, j])
+                    acc[i, j] = (
+                        100_000_000 * s_ * s_
+                        >= tau_q * tau_q * int(na[lo + i]) * int(nb[j])
+                    )
+            if same_block:
+                acc &= ia[lo:hi, None] < ib[None, :]
+            ii, jj = np.nonzero(acc)
+            if len(ii):
+                outs_a.append(ia[lo + ii])
+                outs_b.append(ib[jj])
+        if not outs_a:
+            return empty
+        pa = np.concatenate(outs_a)
+        pb = np.concatenate(outs_b)
+        return pd.DataFrame(
+            {"a": np.minimum(pa, pb), "b": np.maximum(pa, pb)}
+        )
+
     return (
-        a.join(b, "cluster")
-        .filter(F.col("a") < F.col("b"))
-        .withColumn("_s", s)
-        .filter(pred)
-        .select("a", "b")
+        aexp.unionByName(bexp)
+        .groupBy("cluster", "_ba", "_bb")
+        .applyInPandas(tile, "a long, b long")
     )
 
 

@@ -276,6 +276,55 @@ def q_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("row", "col", F.round("value", 6).alias("value"))
 
 
+def _gen_dense_int(spark: SparkSession, n: int, k: int, seed: int) -> DataFrame:
+    """Integer-valued dense operand (value = floor(uniform·1000)): every
+    scalar product ≤ 999² and every K-term sum stays far under 2⁵³, so
+    BLAS-tile, join-agg, and DuckDB summation orders all yield the SAME
+    exact double — the gate's no-float-ambiguity discipline."""
+    return _gen_dense(spark, n, k, seed).withColumn(
+        "value", F.floor(F.col("value") * 1000).cast("double")
+    )
+
+
+def _sql_gen_dense_int(name: str, n: int, k: int, seed: int) -> str:
+    return f"""
+{name} AS (
+    SELECT (i // {k}) AS row, (i % {k}) AS col,
+           floor(({sql_uniform('i', seed)}) * 1000)::DOUBLE AS value
+    FROM range(0, {n * k}) t(i)
+)
+"""
+
+
+@query(
+    "dgemm_blocked",
+    oracle="WITH "
+    + _sql_gen_dense_int("a", 67, 13, 31)
+    + ","
+    + _sql_gen_dense_int("b2", 13, 41, 37)
+    + """
+SELECT a.row::BIGINT AS row, b2.col::BIGINT AS col,
+       sum(a.value * b2.value) AS value
+FROM a JOIN b2 ON a.col = b2.row
+GROUP BY 1, 2
+""",
+)
+def q_dgemm_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """linalg/gemm.cuh:51, blocked-BLAS physical strategy
+    (sparse.dense_gemm): C = A·B at 67×13 · 13×41 with block sizes that
+    do NOT divide the dims, forcing ragged edge tiles and multi-tile
+    assembly. Integer-valued operands make the result summation-order
+    exact (see _gen_dense_int), so this member hashes bit-stable against
+    both the join-agg plan and the DuckDB oracle."""
+    out = SP.dense_gemm(
+        _gen_dense_int(spark, 67, 13, 31),
+        _gen_dense_int(spark, 13, 41, 37),
+        row_block=32,
+        col_block=16,
+    )
+    return out.select("row", "col", "value")
+
+
 @query(
     "label_ops",
     oracle="""

@@ -557,6 +557,8 @@ UNION ALL
 SELECT 'sddmm', row, col, value FROM {_sub('sddmm')}
 UNION ALL
 SELECT 'gemm', row, col, value FROM {_sub('gemm')}
+UNION ALL
+SELECT 'dgemm', row, col, value FROM {_sub('dgemm_blocked')}
 """
 
 
@@ -571,6 +573,8 @@ def q_matmul_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .select(F.lit("sddmm").alias("op"), "row", "col", "value"))
         .unionByName(SPQ.q_gemm(spark, sf_dir)
                      .select(F.lit("gemm").alias("op"), "row", "col", "value"))
+        .unionByName(SPQ.q_dgemm_blocked(spark, sf_dir)
+                     .select(F.lit("dgemm").alias("op"), "row", "col", "value"))
     )
 
 

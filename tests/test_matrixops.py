@@ -208,3 +208,35 @@ def test_mean_center_inverts_with_explicit_means(spark):
     got = {r["id"]: r["features"] for r in restored.collect()}
     for i in range(len(x)):
         assert np.allclose(got[i], x[i], atol=1e-12)
+
+
+def test_dense_gemm_blocked_matches_numpy(spark):
+    # blocked-BLAS dense gemm (sparse.dense_gemm): rectangular operands
+    # with block sizes that do NOT divide the dims (ragged edge tiles),
+    # checked cell-for-cell against numpy. The long-form join-agg gemm
+    # stays the sparse-operand plan; this is the dense-operand strategy
+    # (linalg/gemm.cuh:51's cuBLAS role).
+    from raft_spark.operators.sparse import dense_gemm, gemm
+
+    rng = np.random.default_rng(7)
+    m, k, n = 37, 53, 29
+    A = rng.normal(size=(m, k))
+    B = rng.normal(size=(k, n))
+
+    def longf(M_):
+        return spark.createDataFrame(
+            [(int(i), int(j), float(M_[i, j]))
+             for i in range(M_.shape[0]) for j in range(M_.shape[1])],
+            "row long, col long, value double",
+        )
+    al, bl = longf(A), longf(B)
+    got = dense_gemm(al, bl, row_block=16, col_block=8).collect()
+    C = np.zeros((m, n))
+    for r in got:
+        C[r["row"], r["col"]] = r["value"]
+    assert len(got) == m * n
+    assert np.abs(C - A @ B).max() < 1e-9
+
+    # and it agrees with the long-form plan on the same input
+    got2 = {(r["row"], r["col"]): r["value"] for r in gemm(al, bl).collect()}
+    assert all(abs(got2[(r["row"], r["col"])] - r["value"]) < 1e-9 for r in got)

@@ -151,6 +151,39 @@ def main() -> None:
     out["knn_lsh_8tab_1m_s"] = round(time.perf_counter() - t, 2)
     assert kl >= 900  # sparse buckets may leave a few queries short
 
+    # r6 probes (VERDICT r5 task 3): the curation paths whose 100x
+    # behavior sf0.1 cannot witness.
+
+    # semantic_dedup's O(Σc²) seam under a deliberately skewed
+    # precomputed assignment: 10% of the corpus in ONE cluster (≈
+    # (n/10)² candidate pairs) — the blocked within-cluster self-join
+    # must spread that hot cluster over block-pairs, not serialize it
+    # on one join key. Run at a 10x-reduced corpus so the cell stays
+    # minutes, not hours, on local[32]; the candidate count still
+    # dwarfs any sf0.1 input by ~100x.
+    from raft_spark.operators.dedup import semantic_pairs_exact
+
+    n_sem = max(n // 10, 10_000)
+    sem = df.filter(F.col("id") < n_sem)
+    asg = spark.range(n_sem).select(
+        "id",
+        F.when(F.col("id") < n_sem // 10, F.lit(0))
+        .otherwise(F.pmod(F.xxhash64("id"), F.lit(10_000)) + 1)
+        .alias("cluster"),
+    )
+    t = time.perf_counter()
+    semantic_pairs_exact(sem, asg, tau=0.92).count()
+    out["semantic_pairs_skew_s"] = round(time.perf_counter() - t, 2)
+
+    # span-level dedup at 100k x 200-word docs: window hashing stays
+    # in-row, the hash count is the only corpus-wide shuffle, and the
+    # covered-position union is bounded by total tokens
+    t = time.perf_counter()
+    D.duplicated_spans(docs, n=8, min_count=2).agg(
+        F.sum("dup_tokens")
+    ).collect()
+    out["duplicated_spans_100k_docs_s"] = round(time.perf_counter() - t, 2)
+
     # the distributed rank that underpins quantiles / vocab ids —
     # earlier sections' checkpointed frames are released first so the
     # 10M-row shuffle isn't measured under their memory pressure
@@ -168,6 +201,44 @@ def main() -> None:
     gr = global_rank(big, ["v", "id"], rank_name="r").count()
     out["global_rank_10m_s"] = round(time.perf_counter() - t, 2)
     assert gr == 10_000_000
+
+    # connected components at 10M candidate edges over ~3M nodes —
+    # forces the distributed pointer-jump path (edge count >> the 500k
+    # driver-union-find threshold); a sparse random graph at mean
+    # degree ~6.7 has a giant component plus long chains, so the
+    # O(log V) jump rounds are genuinely exercised
+    from raft_spark.operators.solvers import connected_components_auto
+
+    edges = spark.range(10_000_000).select(
+        (F.pmod(F.xxhash64("id"), F.lit(3_000_000))).alias("row"),
+        (F.pmod(F.xxhash64(F.col("id") + 1_000_000_007), F.lit(3_000_000))).alias("col"),
+    ).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    nlab = connected_components_auto(edges).count()
+    out["cc_10m_edges_s"] = round(time.perf_counter() - t, 2)
+    assert nlab > 1_000_000
+
+    # blocked-BLAS dense gemm vs the long-form join-agg plan at
+    # 1024³ dense (the join-agg intermediate is m·n·K ≈ 1.07e9 rows;
+    # blocked replicates block-level only) — the ≥5x gap is the reason
+    # dense operands route to dense_gemm
+    from raft_spark.operators.sparse import dense_gemm, gemm as long_gemm
+
+    def _dense_long(nr, nc, seed):
+        return spark.range(nr * nc).select(
+            (F.col("id") / nc).cast("long").alias("row"),
+            (F.col("id") % nc).alias("col"),
+            (uniform(F.col("id"), seed=seed) - 0.5).alias("value"),
+        )
+
+    ga = _dense_long(1024, 1024, 11).localCheckpoint(eager=True)
+    gb = _dense_long(1024, 1024, 12).localCheckpoint(eager=True)
+    t = time.perf_counter()
+    assert dense_gemm(ga, gb).count() == 1024 * 1024
+    out["dense_gemm_blocked_1k_s"] = round(time.perf_counter() - t, 2)
+    t = time.perf_counter()
+    assert long_gemm(ga, gb).count() == 1024 * 1024
+    out["dense_gemm_longform_1k_s"] = round(time.perf_counter() - t, 2)
 
     print(json.dumps(out))
 
