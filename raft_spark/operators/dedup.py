@@ -255,6 +255,88 @@ def dedup_clusters(
     )
 
 
+def quantized_embeddings(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "features",
+    scale: float = 1e6,
+    keep: tuple = (),
+) -> DataFrame:
+    """Stateless (id, _q, _n2) integer quantization shared by the batch
+    semantic operators and the streaming lookup: q = floor(x·scale+0.5)
+    per element (int64), _n2 = Σq² (exact int64). Pure projection — no
+    driver action — so it evaluates identically on batch frames and
+    un-watermarked streams (append mode). ``keep`` passes extra columns
+    through (e.g. a precomputed ``cluster``)."""
+    qv = F.transform(
+        F.col(vec_col), lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)).cast("long")
+    )
+    n2 = F.aggregate(
+        "_q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
+    )
+    return df.select(
+        F.col(id_col).alias("id"), qv.alias("_q"), *[F.col(c) for c in keep]
+    ).withColumn("_n2", n2)
+
+
+def _guard_quantized(base: DataFrame, d: int) -> None:
+    """Overflow guards for the exact integer cosine predicate (one
+    scalar aggregate): (a) d·q_max² < 2⁶² keeps every int64 dot/norm
+    sum exact; (b) the norm² envelope max(N) ≤ 3·10¹⁴ keeps the squared
+    comparison 10⁸·S² vs τq²·Na·Nb inside BOTH decimal(38,0)/HUGEINT
+    (oracle side) and the 2⁵³ float-exact-dgemm premise (every partial
+    sum of S is ≤ √(Na·Nb) ≤ max(N) by Cauchy–Schwarz). The bound is
+    DELIBERATELY conservative (covers τq all the way to 10⁴, ~3.6×
+    slack at τ=0.92) — intentional margin. Applied at BATCH build time;
+    a stream side shares the contract via its batch-built index."""
+    guard = base.select(
+        F.max(
+            F.aggregate(
+                "_q", F.lit(0).cast("long"),
+                lambda acc, v: F.greatest(acc, F.abs(v)),
+            )
+        ).alias("m"),
+        F.max("_n2").alias("n2max"),
+    ).first()
+    qmax = guard["m"] or 0
+    n2max = guard["n2max"] or 0
+    bound = int((2**62 / max(d, 1)) ** 0.5)
+    if qmax > bound:
+        raise ValueError(
+            f"quantized magnitude {qmax} exceeds the int64-exact bound "
+            f"{bound} for dim {d}: lower scale (cosine is scale-invariant)"
+        )
+    if n2max > 300_000_000_000_000:
+        raise ValueError(
+            f"quantized norm² {n2max} exceeds the decimal(38,0)-exact "
+            f"bound 3e14: lower scale (cosine is scale-invariant)"
+        )
+
+
+def semantic_index(
+    df: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "features",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Static side of a streaming semantic near-dup lookup: the corpus
+    quantized and bucketed → (cluster, cand_id, _qc, _nc), with the
+    exact-arithmetic overflow guards applied at build time (the stream
+    side is a guard-free pure projection under the same scale
+    contract). At corpus scale, persist partitioned/bucketed by
+    ``cluster`` so each micro-batch probe prunes to its lists."""
+    d = df.select(F.size(F.col(vec_col))).first()[0]
+    base = quantized_embeddings(df, id_col=id_col, vec_col=vec_col, scale=scale)
+    _guard_quantized(base, d)
+    return base.join(
+        assignments.select(F.col(id_col).alias("id"), "cluster"), "id"
+    ).select(
+        "cluster", F.col("id").alias("cand_id"),
+        F.col("_q").alias("_qc"), F.col("_n2").alias("_nc"),
+    )
+
+
 def semantic_pairs_exact(
     df: DataFrame,
     assignments: DataFrame,
@@ -263,6 +345,7 @@ def semantic_pairs_exact(
     vec_col: str = "features",
     scale: float = 1e6,
     n_blocks: int = 8,
+    block_threshold: int = 4096,
 ) -> DataFrame:
     """Within-cluster embedding pairs with cosine ≥ tau, decided by
     EXACT integer arithmetic → (a, b).
@@ -292,43 +375,8 @@ def semantic_pairs_exact(
     unchanged (canonical a < b output).
     """
     d = df.select(F.size(F.col(vec_col))).first()[0]
-    qv = F.transform(
-        F.col(vec_col), lambda x: F.floor(x * F.lit(scale) + F.lit(0.5)).cast("long")
-    )
-    n2 = F.aggregate(
-        "_q", F.lit(0).cast("long"), lambda acc, v: acc + v * v
-    )
-    base = df.select(F.col(id_col).alias("id"), qv.alias("_q")) \
-        .withColumn("_n2", n2)
-    guard = base.select(
-        F.max(
-            F.aggregate(
-                "_q", F.lit(0).cast("long"),
-                lambda acc, v: F.greatest(acc, F.abs(v)),
-            )
-        ).alias("m"),
-        F.max("_n2").alias("n2max"),
-    ).first()
-    qmax = guard["m"] or 0
-    n2max = guard["n2max"] or 0
-    bound = int((2**62 / max(d, 1)) ** 0.5)
-    if qmax > bound:
-        raise ValueError(
-            f"quantized magnitude {qmax} exceeds the int64-exact bound "
-            f"{bound} for dim {d}: lower scale (cosine is scale-invariant)"
-        )
-    # norm² envelope: the predicate squares the integer sums — 10⁸·S²
-    # and τq²·Na·Nb with |S| ≤ √(Na·Nb) ≤ max(N) and τq ≤ 10⁴, so both
-    # sides are ≤ 10⁸·max(N)². Keep max(N) ≤ 3·10¹⁴ so (a) the DuckDB
-    # HUGEINT oracle's products stay under 10³⁸−1 and (b) every partial
-    # sum of S stays < 2⁵³, the float-exact-dgemm premise of tier 1
-    # below. The bound is DELIBERATELY conservative (covers τq all the
-    # way to 10⁴, ~3.6× slack at τ=0.92) — intentional margin.
-    if n2max > 300_000_000_000_000:
-        raise ValueError(
-            f"quantized norm² {n2max} exceeds the decimal(38,0)-exact "
-            f"bound 3e14: lower scale (cosine is scale-invariant)"
-        )
+    base = quantized_embeddings(df, id_col=id_col, vec_col=vec_col, scale=scale)
+    _guard_quantized(base, d)
     tau_q = int(round(tau * 10_000))
     t = base.join(
         assignments.select(F.col(id_col).alias("id"), "cluster"), "id"
@@ -339,9 +387,10 @@ def semantic_pairs_exact(
     # doesn't multiply by n_blocks² across 10k tiny clusters
     sizes = t.groupBy("cluster").agg(F.count("*").alias("_csz"))
     t2 = t.join(sizes, "cluster")
-    blocked = (F.col("_csz") > 4096).cast("int")
+    blocked = (F.col("_csz") > block_threshold).cast("int")
     blk = F.when(
-        F.col("_csz") > 4096, F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks))
+        F.col("_csz") > block_threshold,
+        F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)),
     ).otherwise(F.lit(0))
     a = t2.select(
         "cluster", blocked.alias("_blk"), blk.alias("_ba"),
@@ -375,20 +424,21 @@ def semantic_pairs_exact(
     # one BLAS gemm per (cluster, block-pair) tile replaces the former
     # per-pair zip_with/aggregate expression, whose measured JVM cost
     # (~76 µs per candidate pair) made skewed clusters intractable.
-    # The decision stays EXACT in three tiers:
-    #   1. qmax ≤ ⌊√2⁵³⌋: float64 dgemm on integer-valued operands is
-    #      exactly rounded at every step (each product ≤ qmax² < 2⁵³,
-    #      every partial sum ≤ √(Na·Nb) ≤ n2max ≤ 3e14 < 2⁵³), so S is
-    #      the exact integer dot product;
-    #   2. otherwise int64 matmul (exact under the 2⁶² guard above);
-    #   3. the comparison 10⁸·S² ≥ τq²·Na·Nb runs in float64 with a
+    # The decision stays EXACT in two tiers:
+    #   1. float64 dgemm on integer-valued operands is exactly rounded
+    #      at EVERY step — each product ≤ qmax² ≤ n2max ≤ 3e14 < 2⁵³,
+    #      and every partial sum ≤ Σ|qa_k||qb_k| ≤ √(Na·Nb) ≤ n2max
+    #      (Cauchy–Schwarz) — so S is the exact integer dot product.
+    #      (The n2max ≤ 3e14 guard above makes this unconditional:
+    #      qmax ≤ √3e14 ≈ 1.7e7 < ⌊√2⁵³⌋, so no wider-int fallback
+    #      tier is ever needed.)
+    #   2. the comparison 10⁸·S² ≥ τq²·Na·Nb runs in float64 with a
     #      relative safety band of 1e-9 (float error is ~1e-15); only
     #      candidates INSIDE the band get an arbitrary-precision
     #      Python-int recheck — the set of emitted pairs is identical
     #      to the all-decimal evaluation, including exact-tie cells.
     import pandas as pd
 
-    float_exact = qmax <= 94_906_265  # floor(sqrt(2^53))
     chunk = 1024  # bounds the S tile at chunk × |B-side| float64
 
     def tile(key, pdf):
@@ -409,15 +459,11 @@ def semantic_pairs_exact(
         na = aa["_n2"].to_numpy().astype(np.float64)
         nb = bb["_n2"].to_numpy().astype(np.float64)
         rhs_row = float(tau_q * tau_q) * nb  # per-B factor, scaled by na below
-        if float_exact:
-            qbf = qb.astype(np.float64).T
+        qbf = qb.astype(np.float64).T
         outs_a, outs_b = [], []
         for lo in range(0, len(ia), chunk):
             hi = min(lo + chunk, len(ia))
-            if float_exact:
-                s = qa[lo:hi].astype(np.float64) @ qbf
-            else:
-                s = (qa[lo:hi] @ qb.T).astype(np.float64)
+            s = qa[lo:hi].astype(np.float64) @ qbf
             lhs = 1e8 * s * s
             rhs = na[lo:hi, None] * rhs_row[None, :]
             acc = (s > 0) & (lhs >= rhs * (1 + 1e-9))

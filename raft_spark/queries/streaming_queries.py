@@ -447,3 +447,55 @@ def m_stream_spanflags(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("spanflag_eq", float(int(diff == 0 and n > 0)))],
         "kind string, value double",
     )
+
+
+def m_stream_semlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming semantic near-dup lookup (incremental.streaming_
+    semantic_lookup): the embeddings table streams against a batch-built
+    dedup.semantic_index of ITSELF under the same deterministic
+    axis-sign bucket assignment the batch semantic_dedup gate row uses
+    (q_semantic_dedup, pipeline_queries) — so every emitted (id,
+    cand_id) is a directed within-bucket exact-cosine-≥-τ match that
+    DuckDB re-derives independently in HUGEINT. Returns (kind, value):
+    semlookup_rows = the directed match count (data-valued: equals 2×
+    the unordered pair count of the batch oracle) and semlookup_eq =
+    stream ≡ batch row-for-row (the lookup is a stateless projection +
+    stream-static join, so the streamed frame must equal the batch twin
+    exactly)."""
+    from raft_spark.operators.dedup import semantic_index
+    from raft_spark.sources.tables import embeddings_matrix
+
+    corpus = embeddings_matrix(spark, sf_dir).select("id", "features")
+    bucket = None
+    for j in range(8):
+        bit = (F.col("features")[j] > 0).cast("long") * (2 ** j)
+        bucket = bit if bucket is None else bucket + bit
+    asg = corpus.select("id", bucket.alias("cluster"))
+    idx = semantic_index(corpus, asg).localCheckpoint(eager=True)
+
+    d = _stage_table_dir(sf_dir, "embeddings")
+    sch = spark.read.parquet(d).schema
+    stream = (
+        spark.readStream.schema(sch).parquet(d)
+        .select(F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("features"))
+        .withColumn("cluster", bucket)
+    )
+    out = S.streaming_semantic_lookup(stream, idx, tau=0.92)
+    S.run_to_memory_sink(out, "gate_semlookup_sink", output_mode="append")
+    got = spark.sql("select * from gate_semlookup_sink").localCheckpoint(eager=True)
+
+    batch = S.streaming_semantic_lookup(
+        corpus.withColumn("cluster", bucket), idx, tau=0.92
+    )
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    n = got.count()
+    # eq needs no n>0 clause: a silently-empty stream sink at gate
+    # scale reddens the data-valued rows member (2x the oracle's
+    # HUGEINT pair count), and at sf0.001 the corpus genuinely has no
+    # within-bucket pair at tau=0.92, so empty==empty must stay green
+    return spark.createDataFrame(
+        [("semlookup_rows", float(n)),
+         ("semlookup_eq", float(int(diff == 0)))],
+        "kind string, value double",
+    )

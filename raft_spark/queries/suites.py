@@ -986,6 +986,40 @@ FROM (
 )
 UNION ALL
 SELECT 'spanflag_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
+SELECT 'semlookup_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, (2 * cnt)::DOUBLE
+FROM (
+    WITH v AS (
+        SELECT vec_id AS id, embedding::DOUBLE[] AS e FROM embeddings
+    ),
+    q AS (
+        SELECT id,
+               ((CASE WHEN e[1] > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END)
+              + (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END)
+              + (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END)
+              + (CASE WHEN e[5] > 0 THEN 16 ELSE 0 END)
+              + (CASE WHEN e[6] > 0 THEN 32 ELSE 0 END)
+              + (CASE WHEN e[7] > 0 THEN 64 ELSE 0 END)
+              + (CASE WHEN e[8] > 0 THEN 128 ELSE 0 END)) AS cluster,
+               list_transform(e, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS qv
+        FROM v
+    ),
+    nq AS (
+        SELECT id, cluster, qv,
+               CAST(list_dot_product(qv, qv) AS BIGINT) AS n2
+        FROM q
+    )
+    SELECT count(*) AS cnt
+    FROM nq a JOIN nq b ON a.cluster = b.cluster AND a.id < b.id
+    WHERE CAST(list_dot_product(a.qv, b.qv) AS BIGINT) > 0
+      AND 100000000::HUGEINT
+          * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT)
+          * CAST(list_dot_product(a.qv, b.qv) AS HUGEINT)
+          >= 84640000::HUGEINT * a.n2::HUGEINT * b.n2::HUGEINT
+)
+UNION ALL
+SELECT 'semlookup_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 """
 
 
@@ -1045,10 +1079,20 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
         F.col("value").alias("v"),
     )
+    # r6: streaming semantic near-dup lookup — semlookup_rows is
+    # data-valued (DuckDB re-derives the directed within-bucket
+    # exact-cosine match count in HUGEINT) and semlookup_eq pins
+    # stream ≡ batch row-for-row
+    sem = STRQ.m_stream_semlookup(spark, sf_dir).select(
+        F.col("kind").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+        F.col("value").alias("v"),
+    )
     return (
         topk.unionByName(sess).unionByName(ded)
         .unionByName(nd).unionByName(ing).unionByName(rtopk)
-        .unionByName(spf)
+        .unionByName(spf).unionByName(sem)
     )
 
 

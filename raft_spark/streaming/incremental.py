@@ -373,6 +373,58 @@ def streaming_index_ingest(
     return _assign_lists(vec_stream, centroids, vec_col, list_col="list_id")
 
 
+def streaming_semantic_lookup(
+    vec_stream: DataFrame,
+    index: DataFrame,
+    tau: float = 0.92,
+    id_col: str = "id",
+    vec_col: str = "features",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Streaming semantic near-dup lookup (the SemDeDup predicate as an
+    incremental check): each arriving embedding is quantized by the
+    stateless shared expression (dedup.quantized_embeddings) and
+    stream-static joined on ``cluster`` against a batch-built
+    dedup.semantic_index; a candidate is emitted iff the EXACT integer
+    cosine predicate 10⁸·S² ≥ τq²·Na·Nb ∧ S > 0 holds — the identical
+    decision the batch pair operator makes, evaluated here in
+    decimal(38,0) column arithmetic. Zero stream state, append mode.
+
+    The stream must already carry ``cluster``, produced by the SAME
+    assignment used to build the index — a deterministic bucket
+    expression, or similarity._assign_lists over the index's k-means
+    centroids (the streaming_index_ingest pass). Per-candidate JVM
+    evaluation is the right physical shape for a LOOKUP: an arriving
+    row's candidate set is one cluster's list, never a corpus
+    self-join (the batch tile path covers that case). Emits
+    (id, cand_id). Overflow contract enforced at index build time."""
+    from raft_spark.operators.dedup import quantized_embeddings
+
+    q = quantized_embeddings(
+        vec_stream, id_col=id_col, vec_col=vec_col, scale=scale,
+        keep=("cluster",),
+    )
+    tau_q = int(round(tau * 10_000))
+    s = F.aggregate(
+        F.zip_with("_q", "_qc", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    sd = F.col("_s").cast(dec)
+    pred = (F.col("_s") > 0) & (
+        sd * sd * F.lit(100_000_000).cast(dec)
+        >= F.lit(tau_q * tau_q).cast(dec)
+        * F.col("_n2").cast(dec) * F.col("_nc").cast(dec)
+    )
+    return (
+        q.join(index, "cluster")
+        .filter(F.col("id") != F.col("cand_id"))
+        .withColumn("_s", s)
+        .filter(pred)
+        .select("id", "cand_id")
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once projection of a stream with redelivery: drop exact
     duplicates by event_id within the watermark horizon.

@@ -255,3 +255,44 @@ def test_semantic_dedup_kmeans_default_drops_planted_dups(spark):
     for g, members in by_group.items():
         assert sum(r["keep"] for r in members) == 1
         assert min(r["id"] for r in members) == g
+
+
+def test_semantic_pairs_blocked_equals_unblocked(spark):
+    # The hybrid blocking is a PHYSICAL choice only: forcing block ids
+    # onto every cluster (block_threshold=0, 3 blocks) must emit the
+    # identical canonical pair set as the single-tile path.
+    rng = np.random.default_rng(11)
+    df = _planted_semdup(spark, rng)
+    asg = df.select("id", (F.col("id") % 2).alias("cluster"))
+    one = sorted(
+        (r["a"], r["b"])
+        for r in D.semantic_pairs_exact(df, asg, tau=0.92).collect()
+    )
+    blk = sorted(
+        (r["a"], r["b"])
+        for r in D.semantic_pairs_exact(
+            df, asg, tau=0.92, n_blocks=3, block_threshold=0
+        ).collect()
+    )
+    assert one == blk and len(one) > 0
+    assert all(a < b for a, b in one)
+
+
+def test_semantic_pairs_exact_tie_accepted(spark):
+    # cos(a, b) == tau EXACTLY: the float64 screen lands inside the
+    # 1e-9 band and the arbitrary-precision recheck must accept the
+    # pair (the >= contract), while a clearly-below pair stays out.
+    # scale=1e4 quantizes these coordinates exactly: q0=(10000, 0),
+    # q1=(8000, 6000) -> S=8e7, Na=Nb=1e8, and 1e8*S^2 == tau_q^2*Na*Nb
+    # at tau=0.8 (tau_q=8000) -- an exact tie.
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.8, 0.6]), (2, [0.6, 0.8])],
+        "id long, features array<double>",
+    )
+    asg = df.select("id", F.lit(0).alias("cluster"))
+    got = sorted(
+        (r["a"], r["b"])
+        for r in D.semantic_pairs_exact(df, asg, tau=0.8, scale=1e4).collect()
+    )
+    # cos(0,1)=0.8 (tie: in), cos(1,2)=0.96 (in), cos(0,2)=0.6 (out)
+    assert got == [(0, 1), (1, 2)]

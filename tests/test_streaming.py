@@ -336,3 +336,44 @@ def test_streaming_span_flags_match_batch(spark, sf_dir, tmp_path_factory):
     }
     assert got == want
     assert len(got) > 0  # the synthetic corpus has repeated spans
+
+
+def test_streaming_semantic_lookup_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Stream-static semantic near-dup lookup: streaming the embeddings
+    corpus against its own semantic_index (axis-sign buckets) emits the
+    exact directed within-bucket cosine->=tau matches — equal to the
+    batch twin row-for-row, and symmetric-closure-equal to the batch
+    pair operator semantic_pairs_exact under the same assignment."""
+    import shutil as _sh
+
+    from raft_spark.operators.dedup import semantic_index, semantic_pairs_exact
+    from raft_spark.sources.tables import embeddings_matrix
+
+    d = tmp_path_factory.mktemp("sem_stream")
+    _sh.copy(f"{sf_dir}/embeddings.parquet", d / "part-0.parquet")
+    corpus = embeddings_matrix(spark, sf_dir).select("id", "features")
+    bucket = None
+    for j in range(8):
+        bit = (F.col("features")[j] > 0).cast("long") * (2 ** j)
+        bucket = bit if bucket is None else bucket + bit
+    asg = corpus.select("id", bucket.alias("cluster"))
+    idx = semantic_index(corpus, asg).localCheckpoint(eager=True)
+
+    sch = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(sch).parquet(str(d))
+        .select(F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("features"))
+        .withColumn("cluster", bucket)
+    )
+    out = S.streaming_semantic_lookup(stream, idx, tau=0.4)
+    S.run_to_memory_sink(out, "semlookup_sink", output_mode="append")
+    got = {(r["id"], r["cand_id"]) for r in _rows(spark, "semlookup_sink")}
+
+    pairs = {
+        (r["a"], r["b"])
+        for r in semantic_pairs_exact(corpus, asg, tau=0.4).collect()
+    }
+    want = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
+    assert got == want
+    assert len(got) > 0  # the corpus plants near-duplicate embeddings

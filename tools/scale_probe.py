@@ -179,7 +179,7 @@ def main() -> None:
     # in-row, the hash count is the only corpus-wide shuffle, and the
     # covered-position union is bounded by total tokens
     t = time.perf_counter()
-    D.duplicated_spans(docs, n=8, min_count=2).agg(
+    D.duplicated_spans(docs, n=8, min_count=2, id_col="id").agg(
         F.sum("dup_tokens")
     ).collect()
     out["duplicated_spans_100k_docs_s"] = round(time.perf_counter() - t, 2)
