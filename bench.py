@@ -56,6 +56,7 @@ HEADLINE = [
     "matrix_gather",      # broadcast-join row gather
     "sort_cols_per_row",  # in-row sort (zero shuffle)
     "stream_windowed_moments",  # structured-streaming incremental agg
+    "data_mixture",       # stratified + token-budget corpus mixing
     "pagerank",           # integer-exact iterative join-agg (12 rounds)
     "dbscan",             # quantized eps-pairs -> core/border/noise
     "triangles",          # wedge-join exact triangle count

@@ -1,0 +1,105 @@
+"""Data mixing for training-data pipelines: deterministic stratified
+sampling and per-stratum token-budget selection.
+
+A 100 TB pre-training corpus is assembled as a MIXTURE: each source
+(web crawl, books, code, ...) contributes either a fixed sampling rate
+or a fixed token budget. Both selections here are pure functions of
+(id, stratum, mixture spec) — no RNG state, no driver decisions — so
+the same spec replayed over re-partitioned, re-ordered, or incremental
+data picks the identical document set (the property that makes a
+mixture reproducible across pipeline re-runs and engines; the DuckDB
+gate oracle recomputes every decision independently).
+
+Physical shape at scale:
+- the mixture spec is a tiny dim table → broadcast join, zero shuffle
+  for the Bernoulli path (a narrow filter over the corpus scan);
+- the budget path needs a per-stratum prefix sum → ONE shuffle
+  partitioned by stratum (a window, map-side-prunable since AQE sees
+  the broadcast filter first). Strata counts are ~10-100, far below
+  executor counts, so skew is the concern at 100 TB: a single giant
+  stratum serializes its window. The mitigation is the standard
+  two-phase rank (reductions.global_rank) applied per stratum; at the
+  gate's strata sizes the plain window is the right plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Two composed minstd LCG steps over the 2^31-1 Mersenne prime field.
+# Every intermediate fits int64 (operands < 2^31, products < 2^62) so
+# Spark and DuckDB evaluate it bit-identically in BIGINT arithmetic —
+# the engine-exactness contract the md5/xxhash alternatives can't give
+# (xxhash64 is Spark-only; hex-parsing md5 differs across engines).
+P31 = 2_147_483_647
+_A1 = 48_271
+_A2 = 279_470_273
+
+
+def mix_priority(id_col) -> Column:
+    """Deterministic pseudo-uniform priority in [0, 2^31-1) from an
+    integer id: two composed multiplicative-congruential steps. The
+    SQL twin is ``((id+1)*48271 % 2147483647) * 279470273 % 2147483647``.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h1 = ((c.cast("long") + F.lit(1)) * F.lit(_A1)) % F.lit(P31)
+    return (h1 * F.lit(_A2)) % F.lit(P31)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: DataFrame,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    rate_col: str = "rate_ppm",
+) -> DataFrame:
+    """Deterministic Bernoulli mixture: keep a row iff
+    priority(id) % 10^6 < rate_ppm for its stratum. ``rates`` is the
+    mixture spec (strata_col, rate_ppm) — broadcast, so the whole
+    selection is a narrow projection over the corpus scan (0 shuffles).
+    Adds ``keep_frac`` (0/1 int); rows from strata absent in the spec
+    are dropped (inner join — an unspecified stratum has no rate).
+    """
+    pri = mix_priority(id_col)
+    return (
+        df.join(F.broadcast(rates), strata_col)
+        .withColumn(
+            "keep_frac",
+            (pri % F.lit(1_000_000) < F.col(rate_col)).cast("int"),
+        )
+    )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    budgets: DataFrame,
+    token_col: str = "ntok",
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    budget_col: str = "token_budget",
+) -> DataFrame:
+    """Per-stratum token-budget selection: rank each stratum's rows by
+    (priority, id) and keep the prefix whose cumulative ``token_col``
+    stays within the stratum's budget (inclusive — the document that
+    exactly reaches the budget is kept; the one that would cross it is
+    not). Deterministic: the kept set is a pure function of
+    (ids, token counts, spec). Adds ``keep_budget`` (0/1 int) and
+    ``cum_tokens``. One shuffle (window partitioned by stratum).
+    """
+    from pyspark.sql.window import Window
+
+    pri = mix_priority(id_col)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(pri.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(budgets), strata_col)
+        .withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
+        .withColumn(
+            "keep_budget",
+            (F.col("cum_tokens") <= F.col(budget_col)).cast("int"),
+        )
+    )

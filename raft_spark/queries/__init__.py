@@ -85,6 +85,9 @@ _GATE_ORDER = [
     "rng_distributions",
     "datagen_suite",
     "sampling_suite",
+    # -- corpus mixing (r6: deterministic stratified + token-budget
+    # selection — the data-mixing leg of the training pipeline)
+    "data_mixture",
     # -- solvers (oracled; lstsq_simple folded into solver_spectra and
     # spectral_partition into graph_solver_suite in r6 — their member
     # oracles still compose into the suite hashes via _sub(), so the

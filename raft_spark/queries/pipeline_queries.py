@@ -766,3 +766,76 @@ def q_nn_descent_recall(spark: SparkSession, sf_dir: str, graph=None) -> DataFra
     return spark.createDataFrame(
         [(int(hits / n_exact >= 0.5),)], "recall_ok int"
     )
+
+
+@query(
+    "data_mixture",
+    oracle=r"""
+WITH spec AS (
+    SELECT source,
+           CAST(regexp_extract(source, '[0-9]+') AS BIGINT) AS s
+    FROM (SELECT DISTINCT source FROM documents)
+),
+d AS (
+    SELECT doc_id, source,
+           len(list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> ''))::BIGINT AS ntok,
+           ((doc_id + 1) * 48271 % 2147483647) * 279470273
+               % 2147483647 AS pri
+    FROM documents
+),
+j AS (
+    SELECT d.*, 100000 + 40000 * s AS rate_ppm,
+           400 + 120 * s AS token_budget
+    FROM d JOIN spec USING (source)
+),
+r AS (
+    SELECT *,
+           sum(ntok) OVER (PARTITION BY source ORDER BY pri, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_tokens
+    FROM j
+)
+SELECT doc_id::BIGINT AS doc_id, source, ntok::BIGINT AS ntok,
+       (CASE WHEN pri % 1000000 < rate_ppm
+             THEN 1 ELSE 0 END)::INTEGER AS keep_frac,
+       cum_tokens::BIGINT AS cum_tokens,
+       (CASE WHEN cum_tokens <= token_budget
+             THEN 1 ELSE 0 END)::INTEGER AS keep_budget
+FROM r
+""",
+)
+def q_data_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus mixing (mixing.stratified_sample +
+    mixing.token_budget_mixture): each source contributes (a) a
+    Bernoulli fraction rate_ppm and (b) a token-budget prefix, both
+    derived from the source index so the spec is self-contained. Every
+    decision is exact BIGINT arithmetic (two-step LCG priority), so the
+    oracle recomputes the identical kept sets clause-for-clause."""
+    from raft_spark.operators import mixing as MIX
+
+    docs = load(spark, "documents", sf_dir)
+    s = F.regexp_extract("source", r"([0-9]+)", 1).cast("long")
+    # the spec is ~20 rows; derive once (eager) so the two mixture
+    # passes don't each re-aggregate the corpus for it — a real caller
+    # passes the mixture weights as a literal dim table instead
+    spec = docs.select("source").distinct().select(
+        "source",
+        (F.lit(100_000) + F.lit(40_000) * s).alias("rate_ppm"),
+        (F.lit(400) + F.lit(120) * s).alias("token_budget"),
+    ).localCheckpoint(eager=True)
+    ntok = F.size(
+        F.filter(F.split("text", r"\s+"), lambda x: x != "")
+    ).cast("long")
+    d = docs.select("doc_id", "source", ntok.alias("ntok"))
+    out = MIX.stratified_sample(
+        d, spec.select("source", "rate_ppm"), id_col="doc_id",
+        strata_col="source",
+    )
+    out = MIX.token_budget_mixture(
+        out, spec.select("source", "token_budget"), token_col="ntok",
+        id_col="doc_id", strata_col="source",
+    )
+    return out.select(
+        "doc_id", "source", "ntok", "keep_frac", "cum_tokens",
+        "keep_budget",
+    )

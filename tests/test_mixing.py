@@ -1,0 +1,99 @@
+"""Data-mixing operator invariants (operators/mixing.py).
+
+The selections must be pure functions of (ids, token counts, spec):
+re-partitioning cannot change the kept sets, rates 0/10^6 are the
+empty/full sets, and the budget selection is prefix-closed in priority
+order with the inclusive-boundary contract. Cross-engine equality of
+the composed gate query rides on check_oracle / test_gate_immunity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators import mixing as MIX
+
+
+def _toy(spark, n=200, strata=4):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % strata).cast("string")).alias(
+            "source"
+        ),
+        (F.col("id") % 37 + 3).alias("ntok"),
+    )
+
+
+def _spec(spark, strata=4, rate=500_000, budget=300):
+    return spark.createDataFrame(
+        [(f"s{i}", rate, budget) for i in range(strata)],
+        "source string, rate_ppm long, token_budget long",
+    )
+
+
+def test_rate_extremes_and_determinism(spark):
+    d = _toy(spark)
+    none = MIX.stratified_sample(d, _spec(spark, rate=0))
+    full = MIX.stratified_sample(d, _spec(spark, rate=1_000_000))
+    assert none.agg(F.sum("keep_frac")).first()[0] == 0
+    assert full.agg(F.sum("keep_frac")).first()[0] == 200
+
+    spec = _spec(spark)
+    a = {
+        r["doc_id"]
+        for r in MIX.stratified_sample(d, spec).filter("keep_frac = 1").collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in MIX.stratified_sample(d.repartition(7), spec)
+        .filter("keep_frac = 1")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < 200
+
+
+def test_budget_prefix_closed_and_inclusive(spark):
+    d = _toy(spark)
+    out = MIX.token_budget_mixture(d, _spec(spark)).withColumn(
+        "pri", MIX.mix_priority("doc_id")
+    )
+    rows = sorted(
+        out.collect(), key=lambda r: (r["source"], r["pri"], r["doc_id"])
+    )
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        # cum_tokens is the running sum in (priority, id) order
+        run = 0
+        for r in rs:
+            run += r["ntok"]
+            assert r["cum_tokens"] == run
+        keeps = [r["keep_budget"] for r in rs]
+        # prefix-closed: once a row is dropped, every later row is too
+        assert keeps == sorted(keeps, reverse=True)
+        # inclusive boundary: last kept row's cum_tokens <= budget and
+        # the first dropped row (if any) crosses it
+        kept = [r for r in rs if r["keep_budget"] == 1]
+        assert kept and kept[-1]["cum_tokens"] <= 300
+        dropped = [r for r in rs if r["keep_budget"] == 0]
+        if dropped:
+            assert dropped[0]["cum_tokens"] > 300
+
+
+def test_budget_determinism_under_partitioning(spark):
+    d = _toy(spark)
+    spec = _spec(spark)
+    a = {
+        r["doc_id"]
+        for r in MIX.token_budget_mixture(d, spec)
+        .filter("keep_budget = 1")
+        .collect()
+    }
+    b = {
+        r["doc_id"]
+        for r in MIX.token_budget_mixture(d.repartition(13), spec)
+        .filter("keep_budget = 1")
+        .collect()
+    }
+    assert a == b and len(a) > 0
