@@ -97,7 +97,10 @@ def stratified_sample(
     narrow filter (pushes to the scan), reproducible across retries /
     partitionings / engines, and a row's fate never changes when other
     rows appear (stable under incremental corpus growth). Returns the
-    input rows + the draw as ``_draw``."""
+    input rows + the draw as ``_draw``. Dict-spec twin of
+    operators/mixing.stratified_sample (table-spec, integer-ppm exact);
+    operators/mixing.token_budget_mixture covers the fixed-token-budget
+    flavor of the same rebalancing step."""
     u = uniform(F.col(id_col), seed)
     frac = F.lit(float(default_frac))
     for k, v in sorted(fracs.items()):

@@ -60,6 +60,12 @@ def stratified_sample(
     selection is a narrow projection over the corpus scan (0 shuffles).
     Adds ``keep_frac`` (0/1 int); rows from strata absent in the spec
     are dropped (inner join — an unspecified stratum has no rate).
+
+    Table-spec twin of functions/rng.stratified_sample (the dict-spec
+    filter flavor over the counter-based float RNG): use that one for
+    inline literal mixes, this one when the mixture spec is itself
+    data (a weights table produced upstream) or when the decision must
+    be integer-exact across engines (the gate oracle recomputes it).
     """
     pri = mix_priority(id_col)
     return (
@@ -78,6 +84,8 @@ def token_budget_mixture(
     id_col: str = "doc_id",
     strata_col: str = "source",
     budget_col: str = "token_budget",
+    two_phase: bool = True,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Per-stratum token-budget selection: rank each stratum's rows by
     (priority, id) and keep the prefix whose cumulative ``token_col``
@@ -85,21 +93,71 @@ def token_budget_mixture(
     exactly reaches the budget is kept; the one that would cross it is
     not). Deterministic: the kept set is a pure function of
     (ids, token counts, spec). Adds ``keep_budget`` (0/1 int) and
-    ``cum_tokens``. One shuffle (window partitioned by stratum).
+    ``cum_tokens``.
+
+    ``two_phase=True`` (default) computes the prefix sum WITHOUT a
+    per-stratum single-task window (the reductions.global_rank shape
+    generalized to a grouped running sum): range-repartition on
+    (stratum, priority, id) — so each stratum spans contiguous
+    partitions in priority order — cumsum locally per partition, then
+    add broadcast per-(partition, stratum) token offsets. A stratum
+    holding 50% of a 100 TB corpus parallelizes across its partition
+    range instead of serializing one window task. ``two_phase=False``
+    is the plain per-stratum window (the small-data twin the pytest
+    pins equality against).
     """
     from pyspark.sql.window import Window
 
     pri = mix_priority(id_col)
-    w = (
-        Window.partitionBy(strata_col)
-        .orderBy(pri.asc(), F.col(id_col).asc())
+    j = df.join(F.broadcast(budgets), strata_col)
+    if not two_phase:
+        w = (
+            Window.partitionBy(strata_col)
+            .orderBy(pri.asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return j.withColumn("cum_tokens", F.sum(F.col(token_col)).over(w)) \
+            .withColumn(
+                "keep_budget",
+                (F.col("cum_tokens") <= F.col(budget_col)).cast("int"),
+            )
+
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # materialize ONCE: RangePartitioner samples boundaries per plan
+    # instance — the offsets branch and the cumsum branch below must
+    # see the SAME physical partitioning (global_rank's contract).
+    parted = (
+        j.withColumn("_pri", pri)
+        .repartitionByRange(n_parts, strata_col, "_pri", id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offsets = (
+        parted.groupBy("_pid", strata_col)
+        .agg(F.sum(token_col).alias("_t"))
+        .withColumn(
+            "_off",
+            F.sum("_t").over(
+                Window.partitionBy(strata_col)
+                .orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .fillna(0, ["_off"])
+        .drop("_t")
+    )
+    local = F.sum(token_col).over(
+        Window.partitionBy("_pid", strata_col)
+        .orderBy(F.col("_pri").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        df.join(F.broadcast(budgets), strata_col)
-        .withColumn("cum_tokens", F.sum(F.col(token_col)).over(w))
+        parted.withColumn("_lc", local)
+        .join(F.broadcast(offsets), ["_pid", strata_col])
+        .withColumn("cum_tokens", (F.col("_off") + F.col("_lc")).cast("long"))
         .withColumn(
             "keep_budget",
             (F.col("cum_tokens") <= F.col(budget_col)).cast("int"),
         )
+        .drop("_pid", "_pri", "_lc", "_off")
     )

@@ -97,3 +97,17 @@ def test_budget_determinism_under_partitioning(spark):
         .collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_two_phase_equals_plain_window(spark):
+    d = _toy(spark, n=500, strata=3)
+    spec = _spec(spark, strata=3, budget=900)
+    a = sorted(
+        (r["doc_id"], r["cum_tokens"], r["keep_budget"])
+        for r in MIX.token_budget_mixture(d, spec, two_phase=True).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["cum_tokens"], r["keep_budget"])
+        for r in MIX.token_budget_mixture(d, spec, two_phase=False).collect()
+    )
+    assert a == b and len(a) == 500

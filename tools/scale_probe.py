@@ -240,6 +240,34 @@ def main() -> None:
     assert long_gemm(ga, gb).count() == 1024 * 1024
     out["dense_gemm_longform_1k_s"] = round(time.perf_counter() - t, 2)
 
+    # token-budget mixing at 10M docs with ONE stratum holding 50%
+    # (the skew worst case for the per-stratum prefix sum): the
+    # two-phase path must parallelize the hot stratum across its
+    # partition range — a plain per-stratum window would serialize 5M
+    # rows into one task
+    from raft_spark.operators.mixing import token_budget_mixture
+
+    mix = spark.range(10_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.pmod(F.xxhash64("id"), F.lit(2)) == 0, F.lit("hot"))
+        .otherwise(
+            F.concat(F.lit("s"), F.pmod(F.xxhash64(F.col("id") + 7), F.lit(50)))
+        )
+        .alias("source"),
+        (F.pmod(F.xxhash64(F.col("id") + 13), F.lit(400)) + 50).alias("ntok"),
+    ).localCheckpoint(eager=True)
+    specs = [("hot", 600_000_000)] + [(f"s{i}", 12_000_000) for i in range(50)]
+    spec = spark.createDataFrame(
+        specs, "source string, token_budget long"
+    )
+    t = time.perf_counter()
+    kept = (
+        token_budget_mixture(mix, spec, two_phase=True)
+        .agg(F.sum("keep_budget")).first()[0]
+    )
+    out["token_budget_skew_10m_s"] = round(time.perf_counter() - t, 2)
+    assert kept and kept > 1_000_000
+
     print(json.dumps(out))
 
 
