@@ -337,6 +337,25 @@ def semantic_index(
     )
 
 
+def write_semantic_index(index: DataFrame, path: str) -> None:
+    """Persist the streaming-lookup static side partitioned by
+    ``cluster`` (the ivf-pq index pattern: one directory per list, so
+    a probe job's cluster filter prunes to its directories; at corpus
+    scale the arriving micro-batch touches a handful of lists, not the
+    whole index). Reload with :func:`read_semantic_index`."""
+    index.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def read_semantic_index(spark, path: str) -> DataFrame:
+    """Reload a persisted semantic index. The partition column comes
+    back via directory-name inference (int) — recast to long so the
+    stream-static join key type matches the build-time frame exactly."""
+    return spark.read.parquet(path).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "cand_id", "_qc", "_nc",
+    )
+
+
 def semantic_pairs_exact(
     df: DataFrame,
     assignments: DataFrame,

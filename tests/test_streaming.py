@@ -377,3 +377,48 @@ def test_streaming_semantic_lookup_matches_batch(spark, sf_dir, tmp_path_factory
     want = {(a, b) for a, b in pairs} | {(b, a) for a, b in pairs}
     assert got == want
     assert len(got) > 0  # the corpus plants near-duplicate embeddings
+
+
+def test_semantic_index_roundtrip_lookup(spark, sf_dir, tmp_path_factory):
+    """Persisted semantic index (write/read, partitioned by cluster)
+    serves the streaming lookup identically to the in-memory build —
+    the restart seam of the incremental near-dup pipeline."""
+    import shutil as _sh
+
+    from raft_spark.operators.dedup import (
+        read_semantic_index,
+        semantic_index,
+        write_semantic_index,
+    )
+    from raft_spark.sources.tables import embeddings_matrix
+
+    d = tmp_path_factory.mktemp("sem_idx_stream")
+    _sh.copy(f"{sf_dir}/embeddings.parquet", d / "part-0.parquet")
+    corpus = embeddings_matrix(spark, sf_dir).select("id", "features")
+    bucket = None
+    for j in range(8):
+        bit = (F.col("features")[j] > 0).cast("long") * (2 ** j)
+        bucket = bit if bucket is None else bucket + bit
+    asg = corpus.select("id", bucket.alias("cluster"))
+    idx = semantic_index(corpus, asg).localCheckpoint(eager=True)
+    ipath = str(tmp_path_factory.mktemp("sem_idx") / "index")
+    write_semantic_index(idx, ipath)
+    idx2 = read_semantic_index(spark, ipath)
+    assert dict(idx2.dtypes)["cluster"] == "bigint"
+
+    sch = spark.read.parquet(str(d)).schema
+    stream = (
+        spark.readStream.schema(sch).parquet(str(d))
+        .select(F.col("vec_id").alias("id"),
+                F.col("embedding").cast("array<double>").alias("features"))
+        .withColumn("cluster", bucket)
+    )
+    out = S.streaming_semantic_lookup(stream, idx2, tau=0.4)
+    S.run_to_memory_sink(out, "semlookup_rt_sink", output_mode="append")
+    got = {(r["id"], r["cand_id"]) for r in _rows(spark, "semlookup_rt_sink")}
+
+    batch = S.streaming_semantic_lookup(
+        corpus.withColumn("cluster", bucket), idx, tau=0.4
+    )
+    want = {(r["id"], r["cand_id"]) for r in batch.collect()}
+    assert got == want and len(got) > 0
