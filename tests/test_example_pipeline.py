@@ -51,8 +51,26 @@ def test_readme_pipeline_end_to_end(spark, sf_dir, tmp_path):
     n_mixed = mixed.count()
     assert 0 < n_mixed <= n_dedup
 
+    from raft_spark.operators.mixing import token_budget_mixture
+
+    budgets = mixed.select("source").distinct().select(
+        "source", F.lit(2_000).alias("token_budget")
+    )
+    capped = token_budget_mixture(
+        mixed.withColumn("ntok", TQ.ws_token_count("text")), budgets,
+        token_col="ntok", id_col="doc_id", strata_col="source",
+    ).filter("keep_budget = 1")
+    n_capped = capped.count()
+    assert 0 < n_capped <= n_mixed
+    over_budget = (
+        capped.groupBy("source").agg(F.sum("ntok").alias("t"))
+        .filter(F.col("t") > 2_000).count()
+    )
+    assert over_budget == 0
+    mixed = capped
+
     packed = pack_sequences(mixed, budget=512)
-    assert packed.count() == n_mixed
+    assert packed.count() == n_capped
     over = (
         packed.groupBy("pack_id")
         .agg(F.sum("n_tokens").alias("t"), F.max("truncated").alias("tr"))
@@ -69,4 +87,4 @@ def test_readme_pipeline_end_to_end(spark, sf_dir, tmp_path):
     p = str(tmp_path / "corpus_out")
     write_jsonl_corpus(out, p, partitions=2)
     back = read_jsonl_corpus(spark, p, schema="doc_id long, lang string, text string, pack_id long")
-    assert back.count() == n_mixed
+    assert back.count() == n_capped
