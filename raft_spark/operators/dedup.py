@@ -279,27 +279,15 @@ def quantized_embeddings(
     ).withColumn("_n2", n2)
 
 
-def _guard_quantized(base: DataFrame, d: int) -> None:
-    """Overflow guards for the exact integer cosine predicate (one
-    scalar aggregate): (a) d·q_max² < 2⁶² keeps every int64 dot/norm
-    sum exact; (b) the norm² envelope max(N) ≤ 3·10¹⁴ keeps the squared
-    comparison 10⁸·S² vs τq²·Na·Nb inside BOTH decimal(38,0)/HUGEINT
-    (oracle side) and the 2⁵³ float-exact-dgemm premise (every partial
-    sum of S is ≤ √(Na·Nb) ≤ max(N) by Cauchy–Schwarz). The bound is
+def _check_quantized_bounds(qmax: int, n2max: int, d: int) -> None:
+    """Overflow contract for the exact integer cosine predicate:
+    (a) d·q_max² < 2⁶² keeps every int64 dot/norm sum exact; (b) the
+    norm² envelope max(N) ≤ 3·10¹⁴ keeps the squared comparison
+    10⁸·S² vs τq²·Na·Nb inside BOTH decimal(38,0)/HUGEINT (oracle
+    side) and the 2⁵³ float-exact-dgemm premise (every partial sum of
+    S is ≤ √(Na·Nb) ≤ max(N) by Cauchy–Schwarz). The bound is
     DELIBERATELY conservative (covers τq all the way to 10⁴, ~3.6×
-    slack at τ=0.92) — intentional margin. Applied at BATCH build time;
-    a stream side shares the contract via its batch-built index."""
-    guard = base.select(
-        F.max(
-            F.aggregate(
-                "_q", F.lit(0).cast("long"),
-                lambda acc, v: F.greatest(acc, F.abs(v)),
-            )
-        ).alias("m"),
-        F.max("_n2").alias("n2max"),
-    ).first()
-    qmax = guard["m"] or 0
-    n2max = guard["n2max"] or 0
+    slack at τ=0.92) — intentional margin."""
     bound = int((2**62 / max(d, 1)) ** 0.5)
     if qmax > bound:
         raise ValueError(
@@ -311,6 +299,24 @@ def _guard_quantized(base: DataFrame, d: int) -> None:
             f"quantized norm² {n2max} exceeds the decimal(38,0)-exact "
             f"bound 3e14: lower scale (cosine is scale-invariant)"
         )
+
+
+def _guard_quantized(base: DataFrame, d: int) -> None:
+    """One scalar aggregate applying :func:`_check_quantized_bounds`
+    to a quantized frame. Applied at BATCH build time; a stream side
+    shares the contract via its batch-built index. (semantic_pairs_
+    exact folds the same maxima into its per-cluster sizes aggregate
+    instead — no extra corpus pass there.)"""
+    guard = base.select(
+        F.max(
+            F.aggregate(
+                "_q", F.lit(0).cast("long"),
+                lambda acc, v: F.greatest(acc, F.abs(v)),
+            )
+        ).alias("m"),
+        F.max("_n2").alias("n2max"),
+    ).first()
+    _check_quantized_bounds(guard["m"] or 0, guard["n2max"] or 0, d)
 
 
 def semantic_index(
@@ -365,6 +371,7 @@ def semantic_pairs_exact(
     scale: float = 1e6,
     n_blocks: int = 8,
     block_threshold: int = 4096,
+    jvm_threshold: int = 64,
 ) -> DataFrame:
     """Within-cluster embedding pairs with cosine ≥ tau, decided by
     EXACT integer arithmetic → (a, b).
@@ -392,10 +399,18 @@ def semantic_pairs_exact(
     the corpus) spreads its c² candidate work across ~n_blocks²/2
     block-pairs instead of serializing on one hot join key. Pair set
     unchanged (canonical a < b output).
+
+    The evaluation is HYBRID by cluster size: clusters with ≤
+    ``jvm_threshold`` rows (≤ ~2k candidates each) go through a plain
+    JVM zip_with/decimal predicate join — zero Python crossing, the
+    right shape when the corpus is thousands of tiny clusters; bigger
+    clusters go through Arrow BLAS tiles (~0.3 µs/candidate vs ~76 µs
+    for the JVM expression — the only form that survives a skewed
+    assignment). Both branches decide the IDENTICAL exact predicate
+    (pytest pins branch equality on a shared input).
     """
     d = df.select(F.size(F.col(vec_col))).first()[0]
     base = quantized_embeddings(df, id_col=id_col, vec_col=vec_col, scale=scale)
-    _guard_quantized(base, d)
     tau_q = int(round(tau * 10_000))
     t = base.join(
         assignments.select(F.col(id_col).alias("id"), "cluster"), "id"
@@ -404,8 +419,60 @@ def semantic_pairs_exact(
     # ids (their c² work spreads over ~n_blocks²/2 tile tasks); small
     # clusters stay one tile each so the Python per-group overhead
     # doesn't multiply by n_blocks² across 10k tiny clusters
-    sizes = t.groupBy("cluster").agg(F.count("*").alias("_csz"))
-    t2 = t.join(sizes, "cluster")
+    # per-cluster sizes, with the overflow-guard maxima folded into the
+    # SAME aggregate — the guard costs no extra corpus pass
+    qm = F.aggregate(
+        "_q", F.lit(0).cast("long"), lambda acc, v: F.greatest(acc, F.abs(v))
+    )
+    sizes = t.groupBy("cluster").agg(
+        F.count("*").alias("_csz"), F.max(qm).alias("_qm"),
+        F.max("_n2").alias("_nm"),
+    ).localCheckpoint(eager=True)
+    g = sizes.agg(F.max("_qm").alias("m"), F.max("_nm").alias("n")).first()
+    _check_quantized_bounds(g["m"] or 0, g["n"] or 0, d)
+    # one materialization for the small/big branches below (and the
+    # a/b sides within the tile branch) — the quantized working set
+    t2 = t.join(sizes.select("cluster", "_csz"), "cluster") \
+        .localCheckpoint(eager=True)
+
+    # JVM branch: tiny clusters, per-candidate decimal predicate
+    small = t2.filter(F.col("_csz") <= jvm_threshold)
+    sa = small.select(
+        F.col("id").cast("long").alias("a"), F.col("_q").alias("_qa"),
+        F.col("_n2").alias("_na"), "cluster",
+    )
+    sb = small.select(
+        F.col("id").cast("long").alias("b"), F.col("_q").alias("_qb"),
+        F.col("_n2").alias("_nb"), "cluster",
+    )
+    s_expr = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    sd = F.col("_s").cast(dec)
+    jvm_pred = (F.col("_s") > 0) & (
+        sd * sd * F.lit(100_000_000).cast(dec)
+        >= F.lit(tau_q * tau_q).cast(dec)
+        * F.col("_na").cast(dec) * F.col("_nb").cast(dec)
+    )
+    jvm_pairs = (
+        sa.join(sb, "cluster")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("_s", s_expr)
+        .filter(jvm_pred)
+        .select("a", "b")
+    )
+
+    # skip the Arrow-tile stage wholesale when every cluster fits the
+    # JVM branch (one limit(1) scan of the checkpointed frame) — the
+    # common small/many-clusters case then pays zero Python machinery
+    big = t2.filter(F.col("_csz") > jvm_threshold)
+    if big.limit(1).count() == 0:
+        return jvm_pairs
+
+    # Arrow-tile branch: everything above the threshold
+    t2 = big
     blocked = (F.col("_csz") > block_threshold).cast("int")
     blk = F.when(
         F.col("_csz") > block_threshold,
@@ -508,11 +575,12 @@ def semantic_pairs_exact(
             {"a": np.minimum(pa, pb), "b": np.maximum(pa, pb)}
         )
 
-    return (
+    tile_pairs = (
         aexp.unionByName(bexp)
         .groupBy("cluster", "_ba", "_bb")
         .applyInPandas(tile, "a long, b long")
     )
+    return tile_pairs.unionByName(jvm_pairs)
 
 
 def semantic_dedup(

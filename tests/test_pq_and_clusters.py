@@ -257,24 +257,35 @@ def test_semantic_dedup_kmeans_default_drops_planted_dups(spark):
         assert min(r["id"] for r in members) == g
 
 
-def test_semantic_pairs_blocked_equals_unblocked(spark):
-    # The hybrid blocking is a PHYSICAL choice only: forcing block ids
-    # onto every cluster (block_threshold=0, 3 blocks) must emit the
-    # identical canonical pair set as the single-tile path.
+def test_semantic_pairs_branches_all_equal(spark):
+    # The three physical strategies — JVM per-candidate predicate
+    # (jvm_threshold high), single Arrow tile per cluster
+    # (jvm_threshold=0), forced block-pair tiles (block_threshold=0,
+    # 3 blocks) — must emit the identical canonical pair set; only
+    # the plan differs.
     rng = np.random.default_rng(11)
     df = _planted_semdup(spark, rng)
     asg = df.select("id", (F.col("id") % 2).alias("cluster"))
+    jvm = sorted(
+        (r["a"], r["b"])
+        for r in D.semantic_pairs_exact(
+            df, asg, tau=0.92, jvm_threshold=1_000_000
+        ).collect()
+    )
     one = sorted(
         (r["a"], r["b"])
-        for r in D.semantic_pairs_exact(df, asg, tau=0.92).collect()
+        for r in D.semantic_pairs_exact(
+            df, asg, tau=0.92, jvm_threshold=0
+        ).collect()
     )
     blk = sorted(
         (r["a"], r["b"])
         for r in D.semantic_pairs_exact(
-            df, asg, tau=0.92, n_blocks=3, block_threshold=0
+            df, asg, tau=0.92, n_blocks=3, block_threshold=0,
+            jvm_threshold=0,
         ).collect()
     )
-    assert one == blk and len(one) > 0
+    assert jvm == one == blk and len(one) > 0
     assert all(a < b for a, b in one)
 
 
@@ -290,9 +301,12 @@ def test_semantic_pairs_exact_tie_accepted(spark):
         "id long, features array<double>",
     )
     asg = df.select("id", F.lit(0).alias("cluster"))
-    got = sorted(
-        (r["a"], r["b"])
-        for r in D.semantic_pairs_exact(df, asg, tau=0.8, scale=1e4).collect()
-    )
-    # cos(0,1)=0.8 (tie: in), cos(1,2)=0.96 (in), cos(0,2)=0.6 (out)
-    assert got == [(0, 1), (1, 2)]
+    for jt in (0, 100):  # tile branch (band recheck) AND jvm branch
+        got = sorted(
+            (r["a"], r["b"])
+            for r in D.semantic_pairs_exact(
+                df, asg, tau=0.8, scale=1e4, jvm_threshold=jt
+            ).collect()
+        )
+        # cos(0,1)=0.8 (tie: in), cos(1,2)=0.96 (in), cos(0,2)=0.6 (out)
+        assert got == [(0, 1), (1, 2)], jt
