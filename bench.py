@@ -57,6 +57,7 @@ HEADLINE = [
     "sort_cols_per_row",  # in-row sort (zero shuffle)
     "stream_windowed_moments",  # structured-streaming incremental agg
     "data_mixture",       # stratified + token-budget corpus mixing
+    "temporal_join_suite",  # as-of + banded range joins (one keyed window)
     "pagerank",           # integer-exact iterative join-agg (12 rounds)
     "dbscan",             # quantized eps-pairs -> core/border/noise
     "triangles",          # wedge-join exact triangle count

@@ -1,0 +1,155 @@
+"""Temporal joins: as-of join and banded range join over event tables.
+
+Spark has no native as-of join (the pandas merge_asof / kdb aj shape:
+for each left row, the single most recent right row at or before its
+timestamp, per key). The scalable DataFrame form is the union+window
+trick: tag both sides, sort (key, ts) once, and let a running
+last-non-null carry each right row forward to the left rows it
+matches — ONE shuffle (the window partition), no per-row lookup, no
+theta join. The banded range join avoids Spark's O(n·m) broadcast
+nested loop for |l.ts − r.ts| ≤ w predicates by bucketing time into
+w-sized cells and equi-joining each left cell against the right cell
+and its two neighbors — every true pair matches exactly once (|Δts| ≤
+w ⟹ |Δbucket| ≤ 1), so no post-dedup.
+
+Both are exact integer-time operators (epoch microseconds, int64):
+the DuckDB gate oracle checks the as-of members against DuckDB's
+NATIVE ``ASOF JOIN`` — an independent implementation, not a mirrored
+clause — and the range member against a plain inequality join.
+
+Scale notes: the as-of window partitions by the join key (user, ...)
+— high-cardinality, small per-key state; a pathological single hot
+key serializes its window task (the mixing.token_budget_mixture
+two-phase prefix pattern is the escape hatch if that ever bites).
+The range join's per-(key, cell) groups bound the join fan-out by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("event_id",),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """For each left row, attach the single right row with the largest
+    ``ts`` ≤ left.ts (``backward``; inclusive) or the smallest ``ts`` ≥
+    left.ts (``forward``; inclusive) sharing ``by``. Adds each
+    ``right_cols`` column as ``<name>_r`` plus ``gap_us`` (non-negative
+    int64 microseconds; NULL when unmatched). ``tolerance_us`` nulls
+    matches farther than the tolerance. Ties on right ``ts`` are broken
+    by ``tiebreak_col`` (largest wins for backward, smallest for
+    forward) — pass one whenever right (by, ts) pairs can repeat, or
+    the match would be partition-order-dependent.
+
+    One shuffle: the (by)-partitioned sort window. Left columns pass
+    through unchanged.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    sgn = 1 if direction == "backward" else -1
+    lcols = left.columns
+    # events carry TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the cast is epoch-exact vs the oracle's epoch_us
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tb = (
+        (F.col(tiebreak_col) * sgn) if tiebreak_col is not None else F.lit(0)
+    )
+    l_ = left.select(
+        F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
+        F.lit(1).alias("_side"), F.lit(0).cast("long").alias("_tb"),
+        F.struct(*lcols).alias("_l"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}_r")
+          for c in right_cols],
+        F.lit(None).cast("long").alias("_rts"),
+    )
+    r_ = right.select(
+        F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
+        F.lit(0).alias("_side"), tb.cast("long").alias("_tb"),
+        F.lit(None).cast(l_.schema["_l"].dataType).alias("_l"),
+        *[F.col(c).alias(f"{c}_r") for c in right_cols],
+        (ts_us * sgn).alias("_rts"),
+    )
+    from pyspark.sql.window import Window
+
+    # right rows sort BEFORE left rows at equal ts (side 0 < 1) → the
+    # inclusive contract; the running last-non-null carries the most
+    # recent right payload (largest (_ts, _tb) seen so far) forward
+    w = (
+        Window.partitionBy("_by")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_.unionByName(r_).select(
+        "_side", "_ts", "_l",
+        *[F.last(f"{c}_r", ignorenulls=True).over(w).alias(f"{c}_r")
+          for c in right_cols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_mts"),
+    )
+    # both _ts and _mts live in the signed sort space, and the carried
+    # match always sorts at-or-before the left row — the difference IS
+    # the non-negative real gap in either direction
+    out = carried.filter(F.col("_side") == 1).withColumn(
+        "gap_us", (F.col("_ts") - F.col("_mts")).cast("long")
+    )
+    if tolerance_us is not None:
+        keep = F.col("gap_us") <= F.lit(int(tolerance_us))
+        out = out.select(
+            "_l",
+            *[F.when(keep, F.col(f"{c}_r")).alias(f"{c}_r")
+              for c in right_cols],
+            F.when(keep, F.col("gap_us")).alias("gap_us"),
+        )
+    return out.select(
+        *[F.col("_l").getField(c).alias(c) for c in lcols],
+        *[f"{c}_r" for c in right_cols],
+        "gap_us",
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    width_us: int = 300_000_000,
+    right_cols: tuple = ("event_id",),
+) -> DataFrame:
+    """All (left, right) pairs sharing ``by`` with |l.ts − r.ts| ≤
+    ``width_us`` (inclusive band): left columns + ``<name>_r`` right
+    columns + signed ``delta_us`` (l.ts − r.ts, int64). Bucketed band
+    join — each side keyed by floor(ts/width); right rows explode to
+    their bucket and both neighbors, so the equi-join on (by, bucket)
+    sees every true pair exactly once and nothing farther than one
+    cell away. Shuffle O(|L| + 3|R|), never a nested loop."""
+    lcols = left.columns
+    lb = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(int(width_us)))
+    l_ = left.select(
+        F.col(by).alias("_by"), lb.alias("_cell"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_lts"),
+        F.struct(*lcols).alias("_l"),
+    )
+    r_ = right.select(
+        F.col(by).alias("_by"),
+        F.explode(F.array(lb - 1, lb, lb + 1)).alias("_cell"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_rts"),
+        *[F.col(c).alias(f"{c}_r") for c in right_cols],
+    )
+    return (
+        l_.join(r_, ["_by", "_cell"])
+        .filter(F.abs(F.col("_lts") - F.col("_rts")) <= F.lit(int(width_us)))
+        .select(
+            *[F.col("_l").getField(c).alias(c) for c in lcols],
+            *[f"{c}_r" for c in right_cols],
+            (F.col("_lts") - F.col("_rts")).cast("long").alias("delta_us"),
+        )
+    )

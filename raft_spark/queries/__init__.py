@@ -26,6 +26,7 @@ from raft_spark.queries import pipeline_queries  # noqa: F401, E402
 from raft_spark.queries import rng_queries  # noqa: F401, E402
 from raft_spark.queries import solver_queries  # noqa: F401, E402
 from raft_spark.queries import streaming_queries  # noqa: F401, E402
+from raft_spark.queries import temporal_queries  # noqa: F401, E402
 from raft_spark.queries import matrix_queries  # noqa: F401, E402
 from raft_spark.queries import suites  # noqa: F401, E402
 from raft_spark.queries.text_queries import flagship  # noqa: F401, E402
@@ -88,6 +89,11 @@ _GATE_ORDER = [
     # -- corpus mixing (r6: deterministic stratified + token-budget
     # selection — the data-mixing leg of the training pipeline)
     "data_mixture",
+    # -- temporal joins (r6: as-of backward/forward/tolerance vs
+    # DuckDB's NATIVE ASOF JOIN + banded range join). Window now FULL
+    # (50/50); next fold candidates when a slot is needed: row_mse and
+    # gemv into dense_map_suite (judge-endorsed, r5 verdict item 1)
+    "temporal_join_suite",
     # -- solvers (oracled; lstsq_simple folded into solver_spectra and
     # spectral_partition into graph_solver_suite in r6 — their member
     # oracles still compose into the suite hashes via _sub(), so the

@@ -1,0 +1,109 @@
+"""Temporal-join operator invariants (operators/temporal.py).
+
+Cross-engine equality of the gate suite rides on check_oracle /
+test_gate_immunity (DuckDB's native ASOF JOIN is the oracle); here we
+pin the semantics the oracle data cannot exercise: tie-breaking on
+duplicate right timestamps, inclusive boundaries, unmatched nulls, and
+the band join against a brute-force cross product.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators.temporal import asof_join, range_join
+
+T0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, u, T0 + dt.timedelta(seconds=s), float(v))
+         for (i, u, s, v) in rows],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+
+
+def test_asof_ties_inclusive_and_unmatched(spark):
+    left = _ev(spark, [(100, 1, 10, 0), (101, 1, 5, 0), (102, 2, 10, 0)])
+    # user 1: two right rows at the SAME ts=10 (ids 7, 8) and one at 3;
+    # user 2 has no right rows at all
+    right = _ev(spark, [(7, 1, 10, 0), (8, 1, 10, 0), (5, 1, 3, 0)])
+
+    back = {
+        r["event_id"]: (r["event_id_r"], r["gap_us"])
+        for r in asof_join(
+            left, right, right_cols=("event_id",), tiebreak_col="event_id"
+        ).collect()
+    }
+    # inclusive: left ts=10 matches right ts=10; tie -> LARGEST id (8)
+    assert back[100] == (8, 0)
+    assert back[101] == (5, 2_000_000)
+    assert back[102] == (None, None)
+
+    fwd = {
+        r["event_id"]: (r["event_id_r"], r["gap_us"])
+        for r in asof_join(
+            left, right, right_cols=("event_id",), direction="forward",
+            tiebreak_col="event_id",
+        ).collect()
+    }
+    # forward tie -> SMALLEST id (7); left ts=5 looks ahead to ts=10
+    assert fwd[100] == (7, 0)
+    assert fwd[101] == (7, 5_000_000)
+    assert fwd[102] == (None, None)
+
+
+def test_asof_tolerance_boundary(spark):
+    left = _ev(spark, [(1, 1, 100, 0), (2, 1, 200, 0)])
+    right = _ev(spark, [(9, 1, 90, 0)])
+    out = {
+        r["event_id"]: (r["event_id_r"], r["gap_us"])
+        for r in asof_join(
+            left, right, right_cols=("event_id",),
+            tolerance_us=10_000_000,
+        ).collect()
+    }
+    # gap exactly == tolerance stays matched (inclusive); beyond -> null
+    assert out[1] == (9, 10_000_000)
+    assert out[2] == (None, None)
+
+
+def test_range_join_equals_bruteforce(spark):
+    import itertools
+
+    rows_l = [(i, i % 3, 7 * i, 0) for i in range(40)]
+    rows_r = [(100 + i, i % 3, 11 * i + 2, 0) for i in range(40)]
+    left, right = _ev(spark, rows_l), _ev(spark, rows_r)
+    w = 30_000_000  # 30 s band
+    got = {
+        (r["event_id"], r["event_id_r"], r["delta_us"])
+        for r in range_join(left, right, width_us=w).collect()
+    }
+    want = {
+        (i, j, (sl - sr) * 1_000_000)
+        for (i, ul, sl, _), (j, ur, sr, _) in itertools.product(rows_l, rows_r)
+        if ul == ur and abs(sl - sr) * 1_000_000 <= w
+    }
+    assert got == want and len(got) > 0
+    # boundary pairs (|delta| == w exactly) must be present
+    assert any(abs(d) == w for (_, _, d) in got)
+
+
+def test_range_join_partition_invariant(spark):
+    rows_l = [(i, i % 5, 13 * i, 0) for i in range(60)]
+    rows_r = [(200 + i, i % 5, 17 * i + 1, 0) for i in range(60)]
+    left, right = _ev(spark, rows_l), _ev(spark, rows_r)
+    a = {
+        (r["event_id"], r["event_id_r"])
+        for r in range_join(left, right, width_us=60_000_000).collect()
+    }
+    b = {
+        (r["event_id"], r["event_id_r"])
+        for r in range_join(
+            left.repartition(7), right.repartition(3), width_us=60_000_000
+        ).collect()
+    }
+    assert a == b and len(a) > 0
