@@ -48,8 +48,9 @@ _GATE_ORDER = [
     "col_moments",
     "col_weighted_mean",
     "argminmax",
-    "gemv",
-    "row_mse",
+    # (gemv + row_mse folded into dense_map_suite as exact-int per-row
+    # members gemv_q / mse_q in r6 — the standalone rounded-double
+    # queries stay registered for bench/tests)
     "select_k_dense",
     "histogram_events",
     "reduce_rows_by_key",
@@ -90,9 +91,7 @@ _GATE_ORDER = [
     # selection — the data-mixing leg of the training pipeline)
     "data_mixture",
     # -- temporal joins (r6: as-of backward/forward/tolerance vs
-    # DuckDB's NATIVE ASOF JOIN + banded range join). Window now FULL
-    # (50/50); next fold candidates when a slot is needed: row_mse and
-    # gemv into dense_map_suite (judge-endorsed, r5 verdict item 1)
+    # DuckDB's NATIVE ASOF JOIN + banded range join)
     "temporal_join_suite",
     # -- solvers (oracled; lstsq_simple folded into solver_spectra and
     # spectral_partition into graph_solver_suite in r6 — their member
