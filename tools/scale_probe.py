@@ -268,6 +268,35 @@ def main() -> None:
     out["token_budget_skew_10m_s"] = round(time.perf_counter() - t, 2)
     assert kept and kept > 1_000_000
 
+    # temporal joins at 10M x 10M events / 1000 keys: the as-of window
+    # sorts 20M tagged rows once (the aggregate forces the window —
+    # count() alone lets Catalyst prune it); the 1s-band range join
+    # emits ~10M pairs through the cell equi-join, never a nested loop
+    from raft_spark.operators.temporal import asof_join, range_join
+
+    def _ev(n, seed):
+        return spark.range(n).select(
+            (F.col("id") + seed * 100_000_000).alias("event_id"),
+            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(1000)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
+                         F.lit(30 * 86400 * 1_000_000))
+            ).cast("timestamp_ntz").alias("ts"),
+        ).localCheckpoint(eager=True)
+
+    evl, evr = _ev(10_000_000, 1), _ev(10_000_000, 2)
+    t = time.perf_counter()
+    arow = asof_join(evl, evr, right_cols=("event_id",),
+                     tiebreak_col="event_id") \
+        .agg(F.sum("gap_us"), F.count("event_id_r").alias("n")).first()
+    out["asof_join_10m_s"] = round(time.perf_counter() - t, 2)
+    assert arow["n"] == 10_000_000
+    t = time.perf_counter()
+    npairs = range_join(evl, evr, width_us=1_000_000).count()
+    out["range_join_10m_1s_s"] = round(time.perf_counter() - t, 2)
+    assert npairs > 1_000_000
+
     print(json.dumps(out))
 
 
