@@ -213,3 +213,29 @@ def test_dbscan_full_composition_plan(spark, sf_dir):
     assert rep.n_sortmerge_joins <= 9
     assert "CartesianProduct" not in rep.text
     assert "BroadcastNestedLoopJoin" not in rep.text
+
+
+def test_temporal_join_plans_pinned(spark, sf_dir):
+    # r6: as-of rides one keyed sort window per member — no nested
+    # loop, no Python crossing; the band join must stay a cell
+    # equi-join (a BroadcastNestedLoopJoin here would be the O(n*m)
+    # theta-join Spark falls back to for pure inequality predicates)
+    rep = audit_plan(QUERIES["temporal_join_suite"](spark, sf_dir))
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoop" not in rep.text
+    assert "Python" not in rep.text and "ArrowEval" not in rep.text
+    # 3 asof members (union + window each) + 1 band join + final union:
+    # 11 distinct exchanges was the measured shape at pin time
+    assert rep.n_exchanges <= 12
+
+
+def test_data_mixture_plan_pinned(spark, sf_dir):
+    # r6: Bernoulli keep is a broadcast-joined narrow projection; the
+    # budget path adds the range repartition + the tiny offsets agg.
+    # No Python crossing anywhere.
+    rep = audit_plan(QUERIES["data_mixture"](spark, sf_dir))
+    assert "CartesianProduct" not in rep.text
+    assert "Python" not in rep.text and "ArrowEval" not in rep.text
+    # the offsets join must broadcast; the spec joins sit behind the
+    # range-repartition localCheckpoint boundary, so only it is visible
+    assert rep.n_broadcast_joins >= 1
