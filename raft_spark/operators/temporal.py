@@ -153,3 +153,68 @@ def range_join(
             (F.col("_lts") - F.col("_rts")).cast("long").alias("delta_us"),
         )
     )
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("event_id",),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """:func:`asof_join` for a DIMENSION-sized right side (slowly
+    changing attributes: config versions, exchange rates, model
+    checkpoints): the right table aggregates to ONE time-sorted array
+    per key and broadcasts, so the as-of pick is a JVM array
+    filter + element_at per left row — ZERO shuffle of the fact side
+    (the window variant shuffles every left row into the keyed sort).
+    Same contract and output columns as asof_join; equality is pinned
+    in pytest. Right side must fit the broadcast budget: Σ per-key
+    history lengths, i.e. the whole dimension table."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    back = direction == "backward"
+    lcols = left.columns
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tb = F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
+    # struct field order (_t, _k, payload...) drives sort_array's
+    # lexicographic order — max/min of (_t, _k) IS the tie-pinned match
+    packed = right.groupBy(F.col(by).alias("_by")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(
+                ts_us.alias("_t"), tb.alias("_k"),
+                *[F.col(c).alias(f"_p_{c}") for c in right_cols],
+            ))
+        ).alias("_arr")
+    )
+    lts = ts_us
+    j = left.join(
+        F.broadcast(packed), F.col(by) == F.col("_by"), "left"
+    ).withColumn("_lts", lts)
+    if back:
+        cand = F.filter("_arr", lambda s: s["_t"] <= F.col("_lts"))
+        pick = F.element_at(cand, -1)
+    else:
+        cand = F.filter("_arr", lambda s: s["_t"] >= F.col("_lts"))
+        pick = F.element_at(cand, 1)
+    gap = (
+        (F.col("_lts") - F.col("_m._t")) if back
+        else (F.col("_m._t") - F.col("_lts"))
+    )
+    out = j.withColumn("_m", pick).withColumn("gap_us", gap.cast("long"))
+    if tolerance_us is not None:
+        keep = F.col("gap_us") <= F.lit(int(tolerance_us))
+        return out.select(
+            *lcols,
+            *[F.when(keep, F.col(f"_m._p_{c}")).alias(f"{c}_r")
+              for c in right_cols],
+            F.when(keep, F.col("gap_us")).alias("gap_us"),
+        )
+    return out.select(
+        *lcols,
+        *[F.col(f"_m._p_{c}").alias(f"{c}_r") for c in right_cols],
+        "gap_us",
+    )

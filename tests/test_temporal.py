@@ -107,3 +107,48 @@ def test_range_join_partition_invariant(spark):
         ).collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_asof_broadcast_equals_window(spark, sf_dir):
+    """The broadcast (dimension-right) physical strategy must emit the
+    identical match set as the window variant on real data — both
+    directions and the tolerance path."""
+    from raft_spark.operators.temporal import asof_join_broadcast
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    l = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    r = ev.filter("event_type = 'view'").select("event_id", "user_id", "ts")
+    for kw in (
+        {},
+        {"direction": "forward"},
+        {"tolerance_us": 3_600_000_000},
+    ):
+        a = sorted(
+            (x["event_id"], x["event_id_r"], x["gap_us"])
+            for x in asof_join(
+                l, r, right_cols=("event_id",), tiebreak_col="event_id", **kw
+            ).collect()
+        )
+        b = sorted(
+            (x["event_id"], x["event_id_r"], x["gap_us"])
+            for x in asof_join_broadcast(
+                l, r, right_cols=("event_id",), tiebreak_col="event_id", **kw
+            ).collect()
+        )
+        assert a == b and len(a) > 0, kw
+
+
+def test_asof_broadcast_ties(spark):
+    from raft_spark.operators.temporal import asof_join_broadcast
+
+    left = _ev(spark, [(100, 1, 10, 0)])
+    right = _ev(spark, [(7, 1, 10, 0), (8, 1, 10, 0)])
+    back = asof_join_broadcast(
+        left, right, right_cols=("event_id",), tiebreak_col="event_id"
+    ).collect()[0]
+    assert (back["event_id_r"], back["gap_us"]) == (8, 0)
+    fwd = asof_join_broadcast(
+        left, right, right_cols=("event_id",), direction="forward",
+        tiebreak_col="event_id",
+    ).collect()[0]
+    assert (fwd["event_id_r"], fwd["gap_us"]) == (7, 0)
