@@ -499,3 +499,40 @@ def m_stream_semlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("semlookup_eq", float(int(diff == 0)))],
         "kind string, value double",
     )
+
+
+def m_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming as-of enrichment (temporal.asof_join_broadcast on a
+    streaming fact side — stateless broadcast join + JVM array pick):
+    clicks stream against the static views dimension. Returns (kind,
+    value): asof_rows = the streamed MATCHED count (data-valued —
+    DuckDB recomputes it with its native ASOF JOIN) and asof_eq =
+    stream ≡ batch row-for-row."""
+    from raft_spark.operators.temporal import asof_join_broadcast
+
+    d = _stage_table_dir(sf_dir, "events")
+    ev = spark.read.parquet(d)
+    r = ev.filter("event_type = 'view'") \
+        .select("event_id", "user_id", "ts").localCheckpoint(eager=True)
+    stream = (
+        spark.readStream.schema(ev.schema).parquet(d)
+        .filter("event_type = 'click'")
+        .select("event_id", "user_id", "ts")
+    )
+    out = asof_join_broadcast(
+        stream, r, right_cols=("event_id",), tiebreak_col="event_id"
+    )
+    S.run_to_memory_sink(out, "gate_asof_sink", output_mode="append")
+    got = spark.sql("select * from gate_asof_sink").localCheckpoint(eager=True)
+
+    l = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    batch = asof_join_broadcast(
+        l, r, right_cols=("event_id",), tiebreak_col="event_id"
+    )
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    matched = got.filter(F.col("event_id_r").isNotNull()).count()
+    return spark.createDataFrame(
+        [("asof_rows", float(matched)),
+         ("asof_eq", float(int(diff == 0)))],
+        "kind string, value double",
+    )

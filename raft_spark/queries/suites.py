@@ -1058,6 +1058,21 @@ FROM (
 )
 UNION ALL
 SELECT 'semlookup_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
+SELECT 'asof_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, cnt::DOUBLE
+FROM (
+    WITH al AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    ar AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    )
+    SELECT count(ar.event_id) AS cnt
+    FROM al ASOF LEFT JOIN ar
+      ON al.user_id = ar.user_id AND al.ts >= ar.ts
+)
+UNION ALL
+SELECT 'asof_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 """
 
 
@@ -1127,10 +1142,19 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
         F.col("value").alias("v"),
     )
+    # r6: streaming as-of enrichment — asof_rows is data-valued
+    # (DuckDB recomputes the matched count with its NATIVE ASOF JOIN)
+    # and asof_eq pins the streamed frame ≡ batch row-for-row
+    aso = STRQ.m_stream_asof(spark, sf_dir).select(
+        F.col("kind").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+        F.col("value").alias("v"),
+    )
     return (
         topk.unionByName(sess).unionByName(ded)
         .unionByName(nd).unionByName(ing).unionByName(rtopk)
-        .unionByName(spf).unionByName(sem)
+        .unionByName(spf).unionByName(sem).unionByName(aso)
     )
 
 

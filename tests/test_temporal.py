@@ -152,3 +152,45 @@ def test_asof_broadcast_ties(spark):
         tiebreak_col="event_id",
     ).collect()[0]
     assert (fwd["event_id_r"], fwd["gap_us"]) == (7, 0)
+
+
+def test_asof_broadcast_streams(spark, sf_dir, tmp_path_factory):
+    """asof_join_broadcast is a stateless broadcast join + JVM array
+    pick, so it runs UNCHANGED on a streaming fact side — the streamed
+    enrichment must equal the batch twin row-for-row (the stream-static
+    dimension-lookup pattern: events arriving against a slowly-changing
+    attributes table)."""
+    import shutil as _sh
+
+    from raft_spark.operators.temporal import asof_join_broadcast
+    from raft_spark.streaming.incremental import run_to_memory_sink
+
+    d = tmp_path_factory.mktemp("asof_stream")
+    _sh.copy(f"{sf_dir}/events.parquet", d / "part-0.parquet")
+    ev = spark.read.parquet(str(d))
+    r = ev.filter("event_type = 'view'") \
+        .select("event_id", "user_id", "ts").localCheckpoint(eager=True)
+
+    sch = ev.schema
+    stream = (
+        spark.readStream.schema(sch).parquet(str(d))
+        .filter("event_type = 'click'")
+        .select("event_id", "user_id", "ts")
+    )
+    out = asof_join_broadcast(
+        stream, r, right_cols=("event_id",), tiebreak_col="event_id"
+    )
+    run_to_memory_sink(out, "asof_stream_sink", output_mode="append")
+    got = {
+        (x["event_id"], x["event_id_r"], x["gap_us"])
+        for x in spark.sql("select * from asof_stream_sink").collect()
+    }
+
+    l = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
+    want = {
+        (x["event_id"], x["event_id_r"], x["gap_us"])
+        for x in asof_join_broadcast(
+            l, r, right_cols=("event_id",), tiebreak_col="event_id"
+        ).collect()
+    }
+    assert got == want and len(got) > 0
