@@ -218,3 +218,42 @@ def asof_join_broadcast(
         *[F.col(f"_m._p_{c}").alias(f"{c}_r") for c in right_cols],
         "gap_us",
     )
+
+
+def rolling_aggregates(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+    quantize: float = 1e6,
+) -> DataFrame:
+    """Leakage-safe trailing-window features per key: for each row,
+    the COUNT and quantized SUM of ``value_col`` over events of the
+    same key in [ts − window_us, ts) — strictly BEFORE the current
+    event (the training-feature convention: a row's features never see
+    its own label time). One RANGE-frame window over epoch
+    microseconds; the sum runs over floor(v·quantize + 0.5) int64
+    values, so both outputs are exact integers (engine- and
+    partition-order-independent). Adds ``roll_n`` and ``roll_sum_q``.
+
+    Same skew caveat as asof_join: one pathological hot key serializes
+    its window task; key cardinality is the parallelism."""
+    from pyspark.sql.window import Window
+
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    qv = F.floor(F.col(value_col) * F.lit(quantize) + F.lit(0.5)).cast("long")
+    base = df.withColumn("_ts_us", ts_us).withColumn("_qv", qv)
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("_ts_us"))
+        .rangeBetween(-int(window_us), -1)
+    )
+    return (
+        base.withColumn("roll_n", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "roll_sum_q",
+            F.coalesce(F.sum("_qv").over(w), F.lit(0)).cast("long"),
+        )
+        .drop("_ts_us", "_qv")
+    )

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from raft_spark.operators.temporal import asof_join, range_join
+from raft_spark.operators.temporal import asof_join, range_join, rolling_aggregates
 from raft_spark.queries.registry import query
 from raft_spark.sources.tables import load
 
@@ -52,6 +52,20 @@ SELECT 'range', l.event_id::BIGINT, r.event_id::BIGINT,
        (epoch_us(l.ts) - epoch_us(r.ts))::BIGINT
 FROM l JOIN r ON l.user_id = r.user_id
  AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 3600000000
+UNION ALL
+SELECT 'rolling', event_id::BIGINT, roll_n::BIGINT, roll_sum_q::BIGINT
+FROM (
+    SELECT event_id,
+           count(*) OVER w AS roll_n,
+           coalesce(sum(qv) OVER w, 0) AS roll_sum_q
+    FROM (
+        SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM events WHERE event_type = 'click'
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+)
 """,
 )
 def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -92,4 +106,17 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_r").cast("long").alias("b"),
         F.col("delta_us").alias("v"),
     )
-    return back.unionByName(fwd).unionByName(tol).unionByName(band)
+    roll = rolling_aggregates(
+        ev.filter("event_type = 'click'")
+        .select("event_id", "user_id", "ts", "value"),
+        window_us=_HOUR,
+    ).select(
+        F.lit("rolling").alias("op"),
+        F.col("event_id").cast("long").alias("a"),
+        F.col("roll_n").alias("b"),
+        F.col("roll_sum_q").alias("v"),
+    )
+    return (
+        back.unionByName(fwd).unionByName(tol).unionByName(band)
+        .unionByName(roll)
+    )

@@ -194,3 +194,33 @@ def test_asof_broadcast_streams(spark, sf_dir, tmp_path_factory):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_rolling_aggregates_boundaries(spark):
+    """Trailing-window features: strictly-before exclusivity (a row
+    never sees itself or same-timestamp peers), inclusive lower edge
+    at exactly ts - window, exact quantized sums."""
+    from raft_spark.operators.temporal import rolling_aggregates
+
+    rows = [
+        (1, 1, 0, 1.5),    # t=0
+        (2, 1, 60, 2.25),  # t=60s
+        (3, 1, 60, 4.0),   # same ts as 2 — peers exclude each other
+        (4, 1, 120, 8.0),  # window [60s+1us, 120s): sees 2,3 not 1? no —
+                           # window is [120-60, 120) = [60, 120) → 2,3
+        (5, 2, 30, 1.0),   # other key
+    ]
+    df = _ev(spark, rows)
+    out = {
+        r["event_id"]: (r["roll_n"], r["roll_sum_q"])
+        for r in rolling_aggregates(
+            df, window_us=60_000_000
+        ).collect()
+    }
+    assert out[1] == (0, 0)
+    # t=60: window [0, 60) → event 1 only; peers at t=60 excluded
+    assert out[2] == (1, 1_500_000)
+    assert out[3] == (1, 1_500_000)
+    # t=120: window [60, 120) → events 2 and 3 (inclusive lower edge)
+    assert out[4] == (2, 6_250_000)
+    assert out[5] == (0, 0)
