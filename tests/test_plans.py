@@ -224,9 +224,9 @@ def test_temporal_join_plans_pinned(spark, sf_dir):
     assert "CartesianProduct" not in rep.text
     assert "BroadcastNestedLoop" not in rep.text
     assert "Python" not in rep.text and "ArrowEval" not in rep.text
-    # 3 asof members (union + window each) + 1 band join + final union:
-    # 11 distinct exchanges was the measured shape at pin time
-    assert rep.n_exchanges <= 12
+    # 3 asof members (union + window each) + band join + rolling
+    # window + final union: 13 distinct exchanges measured at pin time
+    assert rep.n_exchanges <= 14
 
 
 def test_data_mixture_plan_pinned(spark, sf_dir):
