@@ -271,7 +271,14 @@ def main() -> None:
     # temporal joins at 10M x 10M events / 1000 keys: the as-of window
     # sorts 20M tagged rows once (the aggregate forces the window —
     # count() alone lets Catalyst prune it); the 1s-band range join
-    # emits ~10M pairs through the cell equi-join, never a nested loop
+    # emits ~10M pairs through the cell equi-join, never a nested loop.
+    # Release the earlier sections' checkpointed frames first — a full
+    # probe pass otherwise measures these cells under the accumulated
+    # block-manager pressure of the 10M-row sections (observed 7x
+    # inflation vs the solo best-of-3 recorded in BASELINE.md v6)
+    del big, edges, ga, gb, mix, spec
+    gc.collect()
+
     from raft_spark.operators.temporal import asof_join, range_join
 
     def _ev(n, seed):
