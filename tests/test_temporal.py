@@ -224,3 +224,49 @@ def test_rolling_aggregates_boundaries(spark):
     # t=120: window [60, 120) → events 2 and 3 (inclusive lower edge)
     assert out[4] == (2, 6_250_000)
     assert out[5] == (0, 0)
+
+
+def test_asof_randomized_bruteforce(spark):
+    """Randomized adversarial check: small key space and coarse
+    timestamps force heavy (key, ts) collisions; both physical
+    strategies must equal a Python brute force under the documented
+    tie rule (backward: max (ts, tiebreak) among ts <= t; forward:
+    min among ts >= t)."""
+    import random
+
+    from raft_spark.operators.temporal import asof_join, asof_join_broadcast
+
+    rng = random.Random(1234)
+    rows_l = [(i, rng.randrange(4), rng.randrange(12), 0.0)
+              for i in range(120)]
+    rows_r = [(1000 + i, rng.randrange(4), rng.randrange(12), 0.0)
+              for i in range(120)]
+    left, right = _ev(spark, rows_l), _ev(spark, rows_r)
+
+    def brute(direction):
+        out = {}
+        for (i, u, s, _) in rows_l:
+            if direction == "backward":
+                cand = [(rs, rid) for (rid, ru, rs, _) in rows_r
+                        if ru == u and rs <= s]
+                pick = max(cand) if cand else None
+                gap = (s - pick[0]) * 1_000_000 if pick else None
+            else:
+                cand = [(rs, rid) for (rid, ru, rs, _) in rows_r
+                        if ru == u and rs >= s]
+                pick = min(cand) if cand else None
+                gap = (pick[0] - s) * 1_000_000 if pick else None
+            out[i] = (pick[1] if pick else None, gap)
+        return out
+
+    for direction in ("backward", "forward"):
+        want = brute(direction)
+        for fn in (asof_join, asof_join_broadcast):
+            got = {
+                r["event_id"]: (r["event_id_r"], r["gap_us"])
+                for r in fn(
+                    left, right, right_cols=("event_id",),
+                    direction=direction, tiebreak_col="event_id",
+                ).collect()
+            }
+            assert got == want, (direction, fn.__name__)
