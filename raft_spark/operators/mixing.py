@@ -39,11 +39,21 @@ _A2 = 279_470_273
 
 def mix_priority(id_col) -> Column:
     """Deterministic pseudo-uniform priority in [0, 2^31-1) from an
-    integer id: two composed multiplicative-congruential steps. The
-    SQL twin is ``((id+1)*48271 % 2147483647) * 279470273 % 2147483647``.
+    integer id: two composed multiplicative-congruential steps. The id
+    is reduced INTO the field before any multiply — h0 = ((id % P) + P
+    + 1) % P — so every operand is < 2^31 and every product < 2^62 for
+    ANY int64 id (xxhash64-mapped ids ~1.9e19 would otherwise wrap
+    silently in Spark's non-ANSI long math while DuckDB BIGINT raises;
+    negative ids would yield negative priorities that pass every
+    ``pri % 10^6 < rate`` filter). For 0 ≤ id < P the reduction equals
+    the old ``id + 1``, so small-id outputs are unchanged. The SQL twin
+    is ``(((id % 2147483647) + 2147483648) % 2147483647) * 48271
+    % 2147483647 * 279470273 % 2147483647`` (both engines truncate
+    ``%`` toward zero, so the twin is bit-identical).
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h1 = ((c.cast("long") + F.lit(1)) * F.lit(_A1)) % F.lit(P31)
+    h0 = ((c.cast("long") % F.lit(P31)) + F.lit(P31 + 1)) % F.lit(P31)
+    h1 = (h0 * F.lit(_A1)) % F.lit(P31)
     return (h1 * F.lit(_A2)) % F.lit(P31)
 
 

@@ -324,14 +324,22 @@ def dense_gemm(
         kinv = {int(v): i for i, v in enumerate(ks)}
         rinv = {int(v): i for i, v in enumerate(arows)}
         cinv = {int(v): i for i, v in enumerate(bcols)}
-        am = np.zeros((len(arows), len(ks)))
-        am[
-            asub["row"].map(rinv).to_numpy(), asub["col"].map(kinv).to_numpy()
-        ] = asub["value"].to_numpy()
-        bm = np.zeros((len(ks), len(bcols)))
-        bm[
-            bsub["row"].map(kinv).to_numpy(), bsub["col"].map(cinv).to_numpy()
-        ] = bsub["value"].to_numpy()
+        # summed scatter (bincount over linearized indices), not fancy-
+        # index assignment: duplicate (row, col) entries (COO-style
+        # input) must SUM — assignment is last-write-wins and would
+        # silently diverge from the join-agg gemm plan on the same input
+        def scatter_sum(ridx, cidx, vals, nr, nc):
+            lin = ridx.astype(np.int64) * nc + cidx.astype(np.int64)
+            return np.bincount(lin, weights=vals, minlength=nr * nc).reshape(nr, nc)
+
+        am = scatter_sum(
+            asub["row"].map(rinv).to_numpy(), asub["col"].map(kinv).to_numpy(),
+            asub["value"].to_numpy(), len(arows), len(ks),
+        )
+        bm = scatter_sum(
+            bsub["row"].map(kinv).to_numpy(), bsub["col"].map(cinv).to_numpy(),
+            bsub["value"].to_numpy(), len(ks), len(bcols),
+        )
         cm = am @ bm  # the one BLAS call per tile
         rr, cc = np.meshgrid(arows, bcols, indexing="ij")
         return pd.DataFrame(

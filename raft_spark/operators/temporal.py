@@ -64,26 +64,41 @@ def asof_join(
     tb = (
         (F.col(tiebreak_col) * sgn) if tiebreak_col is not None else F.lit(0)
     )
+    # the carried match is ONE struct of (match ts, payload...) built
+    # only on right rows — the struct is non-null per right row even
+    # when payload FIELDS are null, so last(ignorenulls) advances the
+    # whole record atomically and every output column (payloads AND
+    # gap_us) comes from the SAME matched right row (per-column
+    # last(ignorenulls) windows backfilled a null payload field from an
+    # older right row — the pandas merge_asof contract attaches the
+    # matched row's null instead)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rdtypes = {f.name: f.dataType for f in right.schema.fields}
+    rrec_type = StructType(
+        [StructField("_rts", LongType())]
+        + [StructField(f"_p_{c}", rdtypes[c]) for c in right_cols]
+    )
     l_ = left.select(
         F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
         F.lit(1).alias("_side"), F.lit(0).cast("long").alias("_tb"),
         F.struct(*lcols).alias("_l"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"{c}_r")
-          for c in right_cols],
-        F.lit(None).cast("long").alias("_rts"),
+        F.lit(None).cast(rrec_type).alias("_rrec"),
     )
     r_ = right.select(
         F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
         F.lit(0).alias("_side"), tb.cast("long").alias("_tb"),
         F.lit(None).cast(l_.schema["_l"].dataType).alias("_l"),
-        *[F.col(c).alias(f"{c}_r") for c in right_cols],
-        (ts_us * sgn).alias("_rts"),
+        F.struct(
+            (ts_us * sgn).alias("_rts"),
+            *[F.col(c).alias(f"_p_{c}") for c in right_cols],
+        ).alias("_rrec"),
     )
     from pyspark.sql.window import Window
 
     # right rows sort BEFORE left rows at equal ts (side 0 < 1) → the
     # inclusive contract; the running last-non-null carries the most
-    # recent right payload (largest (_ts, _tb) seen so far) forward
+    # recent right record (largest (_ts, _tb) seen so far) forward
     w = (
         Window.partitionBy("_by")
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
@@ -91,15 +106,15 @@ def asof_join(
     )
     carried = l_.unionByName(r_).select(
         "_side", "_ts", "_l",
-        *[F.last(f"{c}_r", ignorenulls=True).over(w).alias(f"{c}_r")
-          for c in right_cols],
-        F.last("_rts", ignorenulls=True).over(w).alias("_mts"),
+        F.last("_rrec", ignorenulls=True).over(w).alias("_m"),
     )
-    # both _ts and _mts live in the signed sort space, and the carried
-    # match always sorts at-or-before the left row — the difference IS
-    # the non-negative real gap in either direction
-    out = carried.filter(F.col("_side") == 1).withColumn(
-        "gap_us", (F.col("_ts") - F.col("_mts")).cast("long")
+    # both _ts and _m._rts live in the signed sort space, and the
+    # carried match always sorts at-or-before the left row — the
+    # difference IS the non-negative real gap in either direction
+    out = carried.filter(F.col("_side") == 1).select(
+        "_l",
+        *[F.col("_m").getField(f"_p_{c}").alias(f"{c}_r") for c in right_cols],
+        (F.col("_ts") - F.col("_m").getField("_rts")).cast("long").alias("gap_us"),
     )
     if tolerance_us is not None:
         keep = F.col("gap_us") <= F.lit(int(tolerance_us))
@@ -132,16 +147,28 @@ def range_join(
     sees every true pair exactly once and nothing farther than one
     cell away. Shuffle O(|L| + 3|R|), never a nested loop."""
     lcols = left.columns
-    lb = F.floor(F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(int(width_us)))
+    w = int(width_us)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # exact int64 floor-division, NOT floor(ts/width): the double
+    # division misbuckets a cell-edge row by one once |ts_us|·(1/width)
+    # error exceeds its distance to an integer (|ts_us| > ~2^52 at
+    # epoch-µs, sooner for µs-scale widths), silently dropping true
+    # band pairs. Subtracting the non-negative pmod residue first makes
+    # the dividend exactly divisible, so DIV is a true floor for
+    # negative timestamps too.
+    lb = F.expr(
+        f"(unix_micros(cast({ts_col} as timestamp)) "
+        f"- pmod(unix_micros(cast({ts_col} as timestamp)), {w})) DIV {w}"
+    )
     l_ = left.select(
         F.col(by).alias("_by"), lb.alias("_cell"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_lts"),
+        ts_us.alias("_lts"),
         F.struct(*lcols).alias("_l"),
     )
     r_ = right.select(
         F.col(by).alias("_by"),
         F.explode(F.array(lb - 1, lb, lb + 1)).alias("_cell"),
-        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("_rts"),
+        ts_us.alias("_rts"),
         *[F.col(c).alias(f"{c}_r") for c in right_cols],
     )
     return (

@@ -780,7 +780,8 @@ d AS (
     SELECT doc_id, source,
            len(list_filter(string_split_regex(text, '\s+'),
                            x -> x <> ''))::BIGINT AS ntok,
-           ((doc_id + 1) * 48271 % 2147483647) * 279470273
+           (((doc_id % 2147483647) + 2147483648) % 2147483647)
+               * 48271 % 2147483647 * 279470273
                % 2147483647 AS pri
     FROM documents
 ),

@@ -240,3 +240,28 @@ def test_dense_gemm_blocked_matches_numpy(spark):
     # and it agrees with the long-form plan on the same input
     got2 = {(r["row"], r["col"]): r["value"] for r in gemm(al, bl).collect()}
     assert all(abs(got2[(r["row"], r["col"])] - r["value"]) < 1e-9 for r in got)
+
+
+def test_dense_gemm_duplicate_coo_entries_sum(spark):
+    # COO-style duplicated (row, col) entries must SUM in BOTH gemm
+    # plans — the tile scatter was last-write-wins pre-fix, silently
+    # diverging from the join-agg plan on the same input
+    from raft_spark.operators.sparse import dense_gemm, gemm
+
+    a = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 0, 2.0), (0, 1, 4.0), (1, 1, 5.0)],
+        "row long, col long, value double",
+    )
+    b = spark.createDataFrame(
+        [(0, 0, 10.0), (1, 0, 100.0), (1, 0, 1.0), (1, 1, 7.0)],
+        "row long, col long, value double",
+    )
+    want = {(r["row"], r["col"]): r["value"] for r in gemm(a, b).collect()}
+    got = {
+        (r["row"], r["col"]): r["value"]
+        for r in dense_gemm(a, b, row_block=2, col_block=2).collect()
+        if r["value"] != 0.0
+    }
+    # A = [[3,4],[0,5]], B = [[10,0],[101,7]] -> C = [[434,28],[505,35]]
+    assert got == {(0, 0): 434.0, (0, 1): 28.0, (1, 0): 505.0, (1, 1): 35.0}
+    assert want == got

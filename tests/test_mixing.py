@@ -111,3 +111,47 @@ def test_two_phase_equals_plain_window(spark):
         for r in MIX.token_budget_mixture(d, spec, two_phase=False).collect()
     )
     assert a == b and len(a) == 500
+
+
+def test_priority_extreme_ids_engine_exact(spark):
+    # xxhash64-scale, negative, and boundary ids: the priority must be
+    # (a) in [0, 2^31-1) — never negative, never wrapped — and
+    # (b) bit-identical to the DuckDB SQL twin evaluated in BIGINT
+    import duckdb
+
+    ids = [0, 1, 2**31 - 2, 2**31 - 1, 2**40 + 17, 2**62 + 12345,
+           2**63 - 5, -1, -17, -(2**62) - 99]
+    got = {
+        r["doc_id"]: r["pri"]
+        for r in spark.createDataFrame([(i,) for i in ids], "doc_id long")
+        .select("doc_id", MIX.mix_priority("doc_id").alias("pri"))
+        .collect()
+    }
+    twin = (
+        "SELECT doc_id, (((doc_id % 2147483647) + 2147483648) % 2147483647)"
+        " * 48271 % 2147483647 * 279470273 % 2147483647 AS pri"
+        " FROM ids"
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ids AS SELECT unnest(?::BIGINT[]) AS doc_id", [ids]
+    )
+    want = dict(con.execute(twin).fetchall())
+    assert got == want
+    assert all(0 <= p < 2_147_483_647 for p in got.values())
+    # small non-negative ids keep the pre-fix outputs (gate stability)
+    assert got[0] == (1 * 48271 % 2_147_483_647) * 279_470_273 % 2_147_483_647
+
+
+def test_stratified_sample_negative_ids_not_kept_wholesale(spark):
+    # pre-fix, negative ids gave negative priorities, so pri % 1e6 <
+    # rate held for EVERY row and a 1% mixture kept 100% of the stratum
+    d = spark.range(400).select(
+        (-F.col("id") - 1).alias("doc_id"), F.lit("s0").alias("source"),
+    )
+    rates = spark.createDataFrame([("s0", 10_000)], "source string, rate_ppm long")
+    kept = (
+        MIX.stratified_sample(d, rates, id_col="doc_id")
+        .agg(F.sum("keep_frac").alias("k")).collect()[0]["k"]
+    )
+    assert kept < 100  # ~1% of 400 expected; 400 == the pre-fix bug

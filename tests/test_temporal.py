@@ -270,3 +270,57 @@ def test_asof_randomized_bruteforce(spark):
                 ).collect()
             }
             assert got == want, (direction, fn.__name__)
+
+
+def test_asof_null_payload_field_is_atomic(spark):
+    # the matched (newest) right row carries a NULL payload FIELD: the
+    # output must attach that row's NULL (merge_asof semantics), never
+    # backfill the field from an OLDER right row while gap/other
+    # columns come from the newer one
+    left = _ev(spark, [(100, 1, 20, 0.0)])
+    right = spark.createDataFrame(
+        [
+            (7, 1, T0 + dt.timedelta(seconds=5), 55.0),   # older, value set
+            (8, 1, T0 + dt.timedelta(seconds=10), None),  # match, value NULL
+        ],
+        "event_id long, user_id long, ts timestamp_ntz, value double",
+    )
+    got = asof_join(
+        left, right, right_cols=("event_id", "value"), tiebreak_col="event_id"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["event_id_r"] == 8
+    assert r["value_r"] is None          # NOT 55.0 from row 7
+    assert r["gap_us"] == 10_000_000
+
+
+def test_range_join_far_epoch_exact_bucketing(spark):
+    # epoch-µs ~1.4e16 (year ~2413) with a 7 µs band: floor(ts/width)
+    # in double arithmetic misbuckets cell-edge rows (0.5 ulp = 0.25 >
+    # 1/7) — the integer floor-division must still find every pair
+    base = 14_000_000_000_000_000
+    w = 7
+    lrows = [(i, 1, base + i) for i in range(60)]
+    rrows = [(1000 + i, 1, base + 3 * i - 15) for i in range(40)]
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, us long"
+        ).select(
+            "event_id", "user_id",
+            F.timestamp_micros(F.col("us")).alias("ts"),
+        )
+
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in range_join(mk(lrows), mk(rrows), width_us=w).collect()
+    }
+    want = {
+        (li, ri)
+        for (li, _, lu) in lrows
+        for (ri, _, ru) in rrows
+        if abs(lu - ru) <= w
+    }
+    assert want, "degenerate test: no true pairs"
+    assert got == want
