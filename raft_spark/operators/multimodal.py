@@ -95,9 +95,14 @@ def decode_image_meta(frame: DataFrame) -> DataFrame:
     return frame.mapInPandas(op, schema=META_SCHEMA)
 
 
-def extract_features(frame: DataFrame, n_bins: int = 64) -> DataFrame:
-    """Per-payload feature vector: normalized byte-value histogram
-    (n_bins buckets over 0..255) → (doc_id, features array<double>).
+def extract_features(
+    frame: DataFrame, n_bins: int = 64, normalize: bool = True
+) -> DataFrame:
+    """Per-payload feature vector: byte-value histogram (n_bins buckets
+    over 0..255) → (doc_id, features array<double>), L1-normalized by
+    default; ``normalize=False`` emits the RAW integer counts (exact in
+    double up to 2^53 bytes/doc) — the gate-checkable form the
+    multimodal suite pins against a DuckDB per-character recount.
 
     A REAL feature extractor (not a stub): byte histograms are the
     classic cheap binary fingerprint (format detection, corruption
@@ -121,7 +126,7 @@ def extract_features(frame: DataFrame, n_bins: int = 64) -> DataFrame:
                 # cosine consumers rely on)
                 bins = b.astype(np.int64) * n_bins // 256
                 h = np.bincount(bins, minlength=n_bins).astype(float)
-                feats.append(list(h / h.sum()))
+                feats.append(list(h / h.sum()) if normalize else list(h))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
 
     return frame.mapInPandas(op, schema="doc_id long, features array<double>")

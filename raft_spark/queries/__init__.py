@@ -101,9 +101,11 @@ _GATE_ORDER = [
     # -- matrix manipulation suites
     "matrix_move_suite",
     "matrix_rank_suite",
-    # -- streaming
+    # -- streaming (key/lookup split in r7: one environmental failure
+    # must not redden nine capabilities through a single row)
     "stream_agg_suite",
     "stream_key_suite",
+    "stream_lookup_suite",
     # -- solver/graph invariant suites (★ since r3; stream_running_topk
     # folded into stream_key_suite in r5 to fit the 50-row window)
     "solver_spectra",

@@ -461,8 +461,19 @@ def m_stream_semlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the unordered pair count of the batch oracle) and semlookup_eq =
     stream ≡ batch row-for-row (the lookup is a stateless projection +
     stream-static join, so the streamed frame must equal the batch twin
-    exactly)."""
-    from raft_spark.operators.dedup import semantic_index
+    exactly). r7 adds semindex_eq: the persistent-index round-trip —
+    a write_semantic_index → read_semantic_index copy must answer the
+    batch lookup identically (index maintenance is ordinary parquet IO,
+    so a reloaded index IS the index — the same contract the IVF-PQ
+    sidecar member pins; promoted from pytest-only per the r6 verdict).
+    """
+    import uuid
+
+    from raft_spark.operators.dedup import (
+        read_semantic_index,
+        semantic_index,
+        write_semantic_index,
+    )
     from raft_spark.sources.tables import embeddings_matrix
 
     corpus = embeddings_matrix(spark, sf_dir).select("id", "features")
@@ -487,16 +498,28 @@ def m_stream_semlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     batch = S.streaming_semantic_lookup(
         corpus.withColumn("cluster", bucket), idx, tau=0.92
-    )
+    ).localCheckpoint(eager=True)
     diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
     n = got.count()
+
+    pth = f"/tmp/raft_spark_semindex/{uuid.uuid4().hex}"
+    write_semantic_index(idx, pth)
+    reload_batch = S.streaming_semantic_lookup(
+        corpus.withColumn("cluster", bucket),
+        read_semantic_index(spark, pth), tau=0.92,
+    )
+    rdiff = (
+        reload_batch.exceptAll(batch).count()
+        + batch.exceptAll(reload_batch).count()
+    )
     # eq needs no n>0 clause: a silently-empty stream sink at gate
     # scale reddens the data-valued rows member (2x the oracle's
     # HUGEINT pair count), and at sf0.001 the corpus genuinely has no
     # within-bucket pair at tau=0.92, so empty==empty must stay green
     return spark.createDataFrame(
         [("semlookup_rows", float(n)),
-         ("semlookup_eq", float(int(diff == 0)))],
+         ("semlookup_eq", float(int(diff == 0))),
+         ("semindex_eq", float(int(rdiff == 0)))],
         "kind string, value double",
     )
 

@@ -794,19 +794,82 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_oracle() -> str:
+    # r7 promotion: feat is the RAW byte-bucket histogram of
+    # extract_features(normalize=False) — DuckDB recounts it
+    # per-character (the corpus is ASCII, so character == byte; the
+    # meta member's octet_length == length identity would redden this
+    # row if that ever stopped holding); resize pins the bounded-size
+    # output contract of resize_image (a = actual output payload bytes
+    # computed Spark-side, must equal width·height).
     return f"""
-SELECT f.doc_id, f.frame_idx, m.n_bytes, m.width, m.height, m.format
-FROM {_sub('multimodal_frames')} f JOIN {_sub('multimodal_meta')} m USING (doc_id)
+SELECT 'meta' AS op, doc_id, n_bytes AS a, width::BIGINT AS b,
+       height::BIGINT AS c, format AS d
+FROM {_sub('multimodal_meta')}
+UNION ALL
+SELECT 'frame', doc_id, frame_idx, 0::BIGINT, 0::BIGINT, ''
+FROM {_sub('multimodal_frames')}
+UNION ALL
+SELECT 'feat', doc_id, bin, cnt, 0::BIGINT, ''
+FROM (
+    SELECT doc_id::BIGINT AS doc_id,
+           (ascii(substring(text, i, 1)) * 64 // 256)::BIGINT AS bin,
+           count(*)::BIGINT AS cnt
+    FROM (SELECT doc_id, text,
+                 unnest(range(1, length(text) + 1)) AS i
+          FROM documents)
+    GROUP BY 1, 2
+)
+UNION ALL
+SELECT 'resize', doc_id::BIGINT, 1024::BIGINT, 32::BIGINT, 32::BIGINT, ''
+FROM documents
 """
 
 
 @query("multimodal", oracle=_multimodal_oracle())
 def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-payload plumbing: stubbed decode metadata (mapInPandas
-    Arrow batches) joined onto the frame-sampling explode."""
-    return PQ.q_multimodal_frames(spark, sf_dir).join(
-        PQ.q_multimodal_meta(spark, sf_dir), "doc_id"
+    """Binary-payload plumbing as (op, doc_id, a, b, c, d): stubbed
+    decode metadata + frame-sampling explode (both since r2), plus the
+    r7-promoted members — feat (raw byte-bucket histogram counts from
+    extract_features(normalize=False), recounted per-character by
+    DuckDB) and resize (resize_image's bounded-size output: the actual
+    output payload byte count must equal the 32×32 target)."""
+    from raft_spark.operators import multimodal as MM
+    from raft_spark.sources.tables import load
+
+    frame = MM.with_binary_payload(load(spark, "documents", sf_dir)) \
+        .localCheckpoint(eager=True)
+    meta = PQ.q_multimodal_meta(spark, sf_dir).select(
+        F.lit("meta").alias("op"), F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_bytes").cast("long").alias("a"),
+        F.col("width").cast("long").alias("b"),
+        F.col("height").cast("long").alias("c"),
+        F.col("format").alias("d"),
     )
+    frames = PQ.q_multimodal_frames(spark, sf_dir).select(
+        F.lit("frame").alias("op"), F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("frame_idx").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"), F.lit(0).cast("long").alias("c"),
+        F.lit("").alias("d"),
+    )
+    feat = (
+        MM.extract_features(frame, normalize=False)
+        .select("doc_id", F.posexplode("features").alias("bin", "cnt"))
+        .filter(F.col("cnt") > 0)
+        .select(
+            F.lit("feat").alias("op"), F.col("doc_id").cast("long").alias("doc_id"),
+            F.col("bin").cast("long").alias("a"),
+            F.col("cnt").cast("long").alias("b"),
+            F.lit(0).cast("long").alias("c"), F.lit("").alias("d"),
+        )
+    )
+    rs = MM.resize_image(frame, width=32, height=32).select(
+        F.lit("resize").alias("op"), F.col("doc_id").cast("long").alias("doc_id"),
+        F.length("payload").cast("long").alias("a"),
+        F.col("width").cast("long").alias("b"),
+        F.col("height").cast("long").alias("c"),
+        F.lit("").alias("d"),
+    )
+    return meta.unionByName(frames).unionByName(feat).unionByName(rs)
 
 
 # ---------------------------------------------------------------------------
@@ -976,12 +1039,11 @@ def q_stream_agg_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stream_key_oracle() -> str:
-    # r4: neardup_eq / ingest_eq are stream≡batch flags (MinHash band
-    # lookup and IVF ingest are stateless passes, so the streamed frame
-    # must equal the batch twin row-for-row); ingest_rows is
-    # data-valued — every corpus vector is assigned exactly one list,
-    # so the streamed assignment count equals count(*) of embeddings,
-    # which DuckDB recomputes independently.
+    # r7 split: this row carries the STATEFUL streaming members only
+    # (windowed top-k, session windows, watermarked dedup, custom
+    # applyInPandasWithState running top-k). The five stream-static
+    # lookups moved to stream_lookup_suite — one environmental failure
+    # no longer reddens nine capabilities at once (r6 verdict task 1).
     return f"""
 SELECT 'topk' AS op, win_start AS ts, '' AS k, rank AS a, user_id AS b, total AS v
 FROM {_sub('stream_topk_users')}
@@ -992,15 +1054,31 @@ UNION ALL
 SELECT 'dedup', NULL::TIMESTAMP, event_type, 0::BIGINT, 0::BIGINT, n::DOUBLE
 FROM {_sub('stream_dedup')}
 UNION ALL
-SELECT 'neardup_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+SELECT 'rtopk', NULL::TIMESTAMP, event_type, rank, event_id, value
+FROM {_sub('stream_running_topk')}
+"""
+
+
+def _stream_lookup_oracle() -> str:
+    # The stream-static lookup members (all stateless stream-static
+    # joins; r4: neardup_eq / ingest_eq are stream≡batch flags — the
+    # banding / IVF-assign expressions are stateless passes, so the
+    # streamed frame must equal the batch twin row-for-row; ingest_rows
+    # is data-valued — every corpus vector gets exactly one list, so
+    # the streamed assignment count equals count(*) of embeddings,
+    # which DuckDB recomputes independently). r7 adds semindex_eq: the
+    # persistent semantic index round-trip (reloaded parquet index must
+    # answer the batch lookup identically — promoted from pytest-only).
+    return f"""
+SELECT 'neardup_eq' AS op, NULL::TIMESTAMP AS ts, '' AS k,
+       0::BIGINT AS a, 0::BIGINT AS b, 1.0 AS v
 UNION ALL
 SELECT 'ingest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 UNION ALL
 SELECT 'ingest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
        (SELECT count(*) FROM embeddings)::DOUBLE
 UNION ALL
-SELECT 'rtopk', NULL::TIMESTAMP, event_type, rank, event_id, value
-FROM {_sub('stream_running_topk')}
+SELECT 'semindex_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 UNION ALL
 SELECT 'spanflag_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, cnt::DOUBLE
 FROM (
@@ -1078,12 +1156,13 @@ SELECT 'asof_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 
 @query("stream_key_suite", oracle=_stream_key_oracle())
 def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming grouped top-k + session_window sessionization +
-    watermarked exactly-once dedup as (op, ts, k, a, b, v). Since r4
-    also carries the stream-static members that were pytest-only in
-    r3: near-dup candidate lookup stream≡batch (streaming_neardup_
-    candidates) and ANN-index ingest stream≡batch + row conservation
-    (streaming_index_ingest)."""
+    """Streaming STATEFUL members as (op, ts, k, a, b, v): grouped
+    top-k (windowed partial + batch finalize), session_window
+    sessionization, watermarked exactly-once dedup, and the
+    applyInPandasWithState running top-k. The stream-static lookups
+    live in stream_lookup_suite since r7 (two gate rows ⇒ one
+    environmental hiccup can no longer redden nine capabilities, and
+    each row stays inside any per-row time budget)."""
     topk = STRQ.q_stream_topk(spark, sf_dir).select(
         F.lit("topk").alias("op"), F.col("win_start").alias("ts"),
         F.lit("").alias("k"), F.col("rank").alias("a"),
@@ -1099,6 +1178,32 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("k"), F.lit(0).cast("long").alias("a"),
         F.lit(0).cast("long").alias("b"), F.col("n").cast("double").alias("v"),
     )
+    # r5: the applyInPandasWithState running top-k rides this row — the
+    # driver checks only the first 50 registered queries, and its r4
+    # artifact proved positions 51+ are silently skipped, so the former
+    # standalone stream_running_topk row folds in here (the member
+    # query stays registered/runnable; its oracle composes via _sub).
+    rtopk = STRQ.q_stream_running_topk(spark, sf_dir).select(
+        F.lit("rtopk").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"),
+        F.col("event_type").alias("k"), F.col("rank").alias("a"),
+        F.col("event_id").cast("long").alias("b"), F.col("value").alias("v"),
+    )
+    return topk.unionByName(sess).unionByName(ded).unionByName(rtopk)
+
+
+@query("stream_lookup_suite", oracle=_stream_lookup_oracle())
+def q_stream_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LOOKUP members as (op, ts, k, a, b, v) — all
+    stateless stream-static joins, split out of stream_key_suite in
+    r7: near-dup band lookup (neardup_eq: stream≡batch), ANN-index
+    ingest (ingest_rows data-valued + ingest_eq), span-duplication
+    lookup (spanflag_rows data-valued — DuckDB re-derives the
+    flagged-window count from raw text — + spanflag_eq), semantic
+    near-dup lookup (semlookup_rows re-derived in HUGEINT +
+    semlookup_eq + the r7-promoted semindex_eq persistent-index
+    round-trip), and streaming as-of enrichment (asof_rows via
+    DuckDB's native ASOF JOIN + asof_eq)."""
     nd = STRQ.m_stream_neardup_eq(spark, sf_dir).select(
         F.lit("neardup_eq").alias("op"),
         F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
@@ -1111,21 +1216,6 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
         F.col("value").alias("v"),
     )
-    # r5: the applyInPandasWithState running top-k rides this row — the
-    # driver checks only the first 50 registered queries, and its r4
-    # artifact proved positions 51+ are silently skipped, so the former
-    # standalone stream_running_topk row folds in here (the member
-    # query stays registered/runnable; its oracle composes via _sub).
-    rtopk = STRQ.q_stream_running_topk(spark, sf_dir).select(
-        F.lit("rtopk").alias("op"),
-        F.lit(None).cast("timestamp").alias("ts"),
-        F.col("event_type").alias("k"), F.col("rank").alias("a"),
-        F.col("event_id").cast("long").alias("b"), F.col("value").alias("v"),
-    )
-    # r6: streaming span-flag lookup joins the suite — spanflag_rows is
-    # data-valued (DuckDB re-derives the flagged-window count from raw
-    # text with the duplicated_spans oracle's own clauses) and
-    # spanflag_eq pins stream ≡ batch row-for-row
     spf = STRQ.m_stream_spanflags(spark, sf_dir).select(
         F.col("kind").alias("op"),
         F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
@@ -1152,9 +1242,8 @@ def q_stream_key_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
     )
     return (
-        topk.unionByName(sess).unionByName(ded)
-        .unionByName(nd).unionByName(ing).unionByName(rtopk)
-        .unionByName(spf).unionByName(sem).unionByName(aso)
+        nd.unionByName(ing).unionByName(spf)
+        .unionByName(sem).unionByName(aso)
     )
 
 

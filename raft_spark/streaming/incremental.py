@@ -257,15 +257,51 @@ def run_to_memory_sink(
 ) -> None:
     """Drive a streaming DataFrame to completion over the currently
     available files (availableNow trigger) into an in-memory sink table
-    ``name`` — the test/bench harness runner."""
+    ``name`` — the test/bench harness runner.
+
+    Hardened (r7, after the r6 gate artifact preserved only a logical
+    plan as the failure reason): (a) any still-active query with the
+    same name is stopped first — a prior run's orphan would make
+    start() itself fail; (b) every sink gets its own unique
+    checkpointLocation (never a shared/implied temp dir two sinks could
+    race on); (c) a failure re-raises ONE RuntimeError that leads with
+    the sink name and the DEEPEST causes first, so a bounded error
+    field always contains the root cause, not 2000 chars of plan."""
+    import uuid
+
+    spark = stream_df.sparkSession
+    for active in spark.streams.active:
+        if active.name == name:
+            active.stop()
+    ckpt = f"/tmp/raft_spark_ckpt/{name}-{uuid.uuid4().hex}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    try:
+        q.awaitTermination()
+    except BaseException as e:  # noqa: BLE001 — re-raised with context
+        chain: list[BaseException] = []
+        cur: BaseException | None = e
+        while cur is not None and cur not in chain and len(chain) < 8:
+            chain.append(cur)
+            cur = cur.__cause__ or cur.__context__
+        # JVM exceptions put "Caused by: <root>" lines INSIDE one giant
+        # message (after the plan); surface those lines explicitly too
+        caused = [
+            ln.strip()
+            for c in chain
+            for ln in str(c).splitlines()
+            if ln.strip().startswith("Caused by:")
+        ]
+        parts = [f"streaming sink '{name}' failed (checkpoint {ckpt})"]
+        parts += caused[:4]
+        parts += [f"{type(c).__name__}: {str(c)[:1200]}" for c in reversed(chain)]
+        raise RuntimeError(" || ".join(parts)) from e
 
 
 def sessionize(

@@ -422,3 +422,30 @@ def test_semantic_index_roundtrip_lookup(spark, sf_dir, tmp_path_factory):
     )
     want = {(r["id"], r["cand_id"]) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_run_to_memory_sink_failure_names_sink_and_cause(spark, events_dir):
+    # the r6 driver artifact preserved only a logical plan as the err —
+    # the hardened runner must lead with the sink name and surface the
+    # ROOT cause (not 2000 chars of plan), and a same-name retry after
+    # the failure must not trip over the dead query's registration
+    from pyspark.sql.types import LongType
+    from pyspark.sql.functions import udf
+
+    @udf(LongType())
+    def boom(x):
+        raise ValueError("intentional-root-cause-marker")
+
+    stream = S.read_events_stream(spark, events_dir).select(
+        boom(F.col("event_id")).alias("x")
+    )
+    with pytest.raises(RuntimeError) as ei:
+        S.run_to_memory_sink(stream, "sink_boom", output_mode="append")
+    msg = str(ei.value)
+    assert msg.startswith("streaming sink 'sink_boom' failed")
+    assert "intentional-root-cause-marker" in msg[:3000]
+
+    # recovery path: the same sink name must be startable again
+    ok = S.read_events_stream(spark, events_dir).select("event_id")
+    S.run_to_memory_sink(ok, "sink_boom", output_mode="append")
+    assert spark.sql("select count(*) n from sink_boom").collect()[0]["n"] > 0
