@@ -18,10 +18,15 @@ NATIVE ``ASOF JOIN`` — an independent implementation, not a mirrored
 clause — and the range member against a plain inequality join.
 
 Scale notes: the as-of window partitions by the join key (user, ...)
-— high-cardinality, small per-key state; a pathological single hot
-key serializes its window task (the mixing.token_budget_mixture
-two-phase prefix pattern is the escape hatch if that ever bites).
-The range join's per-(key, cell) groups bound the join fan-out by
+— high-cardinality, small per-key state. A pathological single hot
+key (null-bucket user, bot traffic) would serialize its window task;
+:func:`asof_join_skew` is the escape hatch — the
+mixing.token_budget_mixture two-phase prefix pattern generalized to a
+grouped running carry — and :func:`asof_join_auto` probes the inputs
+and picks between the three physical strategies (window / skew /
+broadcast), the reference's select_k auto-selection discipline
+(matrix/select_k_types.hpp:28-69) applied to the as-of join. The
+range join's per-(key, cell) groups bound the join fan-out by
 construction.
 """
 
@@ -29,6 +34,90 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _asof_tagged(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts_col: str,
+    right_cols: tuple,
+    direction: str,
+    tiebreak_col: str | None,
+) -> DataFrame:
+    """Shared tagged-union frame of every as-of strategy: both sides
+    stacked with (_by, _ts signed-sort-space, _side right-before-left,
+    _tb tiebreak, _l left struct, _rrec right record struct). The
+    carried match is ONE struct of (match ts, payload...) built only on
+    right rows — non-null per right row even when payload FIELDS are
+    null, so a running last(ignorenulls) advances the whole record
+    atomically and every output column (payloads AND gap_us) comes from
+    the SAME matched right row (per-column windows backfilled a null
+    payload field from an older right row; the pandas merge_asof
+    contract attaches the matched row's null instead)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    sgn = 1 if direction == "backward" else -1
+    # events carry TIMESTAMP_NTZ; the session timezone is pinned UTC
+    # (session.py), so the cast is epoch-exact vs the oracle's epoch_us
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tb = (
+        (F.col(tiebreak_col) * sgn) if tiebreak_col is not None else F.lit(0)
+    )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    rdtypes = {f.name: f.dataType for f in right.schema.fields}
+    rrec_type = StructType(
+        [StructField("_rts", LongType())]
+        + [StructField(f"_p_{c}", rdtypes[c]) for c in right_cols]
+    )
+    l_ = left.select(
+        F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
+        F.lit(1).alias("_side"), F.lit(0).cast("long").alias("_tb"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(rrec_type).alias("_rrec"),
+    )
+    r_ = right.select(
+        F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
+        F.lit(0).alias("_side"), tb.cast("long").alias("_tb"),
+        F.lit(None).cast(l_.schema["_l"].dataType).alias("_l"),
+        F.struct(
+            (ts_us * sgn).alias("_rts"),
+            *[F.col(c).alias(f"_p_{c}") for c in right_cols],
+        ).alias("_rrec"),
+    )
+    return l_.unionByName(r_)
+
+
+def _asof_finish(
+    matched: DataFrame,
+    lcols: list,
+    right_cols: tuple,
+    tolerance_us: int | None,
+) -> DataFrame:
+    """Shared output stage: ``matched`` holds left rows with _l, _ts
+    and the carried match struct _m; unpack payloads, derive gap_us
+    (both _ts and _m._rts live in the signed sort space and the match
+    sorts at-or-before the left row, so the difference IS the
+    non-negative real gap in either direction), apply tolerance."""
+    out = matched.select(
+        "_l",
+        *[F.col("_m").getField(f"_p_{c}").alias(f"{c}_r") for c in right_cols],
+        (F.col("_ts") - F.col("_m").getField("_rts")).cast("long").alias("gap_us"),
+    )
+    if tolerance_us is not None:
+        keep = F.col("gap_us") <= F.lit(int(tolerance_us))
+        out = out.select(
+            "_l",
+            *[F.when(keep, F.col(f"{c}_r")).alias(f"{c}_r")
+              for c in right_cols],
+            F.when(keep, F.col("gap_us")).alias("gap_us"),
+        )
+    return out.select(
+        *[F.col("_l").getField(c).alias(c) for c in lcols],
+        *[f"{c}_r" for c in right_cols],
+        "gap_us",
+    )
 
 
 def asof_join(
@@ -52,50 +141,14 @@ def asof_join(
     the match would be partition-order-dependent.
 
     One shuffle: the (by)-partitioned sort window. Left columns pass
-    through unchanged.
+    through unchanged. Key cardinality is the parallelism — for a
+    skewed/hot key use :func:`asof_join_skew` (identical output), or
+    let :func:`asof_join_auto` pick.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward|forward: {direction}")
-    sgn = 1 if direction == "backward" else -1
-    lcols = left.columns
-    # events carry TIMESTAMP_NTZ; the session timezone is pinned UTC
-    # (session.py), so the cast is epoch-exact vs the oracle's epoch_us
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    tb = (
-        (F.col(tiebreak_col) * sgn) if tiebreak_col is not None else F.lit(0)
-    )
-    # the carried match is ONE struct of (match ts, payload...) built
-    # only on right rows — the struct is non-null per right row even
-    # when payload FIELDS are null, so last(ignorenulls) advances the
-    # whole record atomically and every output column (payloads AND
-    # gap_us) comes from the SAME matched right row (per-column
-    # last(ignorenulls) windows backfilled a null payload field from an
-    # older right row — the pandas merge_asof contract attaches the
-    # matched row's null instead)
-    from pyspark.sql.types import LongType, StructField, StructType
-
-    rdtypes = {f.name: f.dataType for f in right.schema.fields}
-    rrec_type = StructType(
-        [StructField("_rts", LongType())]
-        + [StructField(f"_p_{c}", rdtypes[c]) for c in right_cols]
-    )
-    l_ = left.select(
-        F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
-        F.lit(1).alias("_side"), F.lit(0).cast("long").alias("_tb"),
-        F.struct(*lcols).alias("_l"),
-        F.lit(None).cast(rrec_type).alias("_rrec"),
-    )
-    r_ = right.select(
-        F.col(by).alias("_by"), (ts_us * sgn).alias("_ts"),
-        F.lit(0).alias("_side"), tb.cast("long").alias("_tb"),
-        F.lit(None).cast(l_.schema["_l"].dataType).alias("_l"),
-        F.struct(
-            (ts_us * sgn).alias("_rts"),
-            *[F.col(c).alias(f"_p_{c}") for c in right_cols],
-        ).alias("_rrec"),
-    )
     from pyspark.sql.window import Window
 
+    lcols = left.columns
+    u = _asof_tagged(left, right, by, ts_col, right_cols, direction, tiebreak_col)
     # right rows sort BEFORE left rows at equal ts (side 0 < 1) → the
     # inclusive contract; the running last-non-null carries the most
     # recent right record (largest (_ts, _tb) seen so far) forward
@@ -104,31 +157,138 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = l_.unionByName(r_).select(
+    carried = u.select(
         "_side", "_ts", "_l",
         F.last("_rrec", ignorenulls=True).over(w).alias("_m"),
     )
-    # both _ts and _m._rts live in the signed sort space, and the
-    # carried match always sorts at-or-before the left row — the
-    # difference IS the non-negative real gap in either direction
-    out = carried.filter(F.col("_side") == 1).select(
-        "_l",
-        *[F.col("_m").getField(f"_p_{c}").alias(f"{c}_r") for c in right_cols],
-        (F.col("_ts") - F.col("_m").getField("_rts")).cast("long").alias("gap_us"),
+    return _asof_finish(
+        carried.filter(F.col("_side") == 1), lcols, right_cols, tolerance_us
     )
-    if tolerance_us is not None:
-        keep = F.col("gap_us") <= F.lit(int(tolerance_us))
-        out = out.select(
-            "_l",
-            *[F.when(keep, F.col(f"{c}_r")).alias(f"{c}_r")
-              for c in right_cols],
-            F.when(keep, F.col("gap_us")).alias("gap_us"),
+
+
+def asof_join_skew(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("event_id",),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    tiebreak_col: str | None = None,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """:func:`asof_join` for SKEWED keys — identical output (pinned in
+    pytest), different physical plan: the mixing.token_budget_mixture
+    two-phase prefix pattern generalized to a grouped running carry.
+
+    A hot key's rows spread over ``n_parts`` contiguous TIME buckets
+    (deterministic approx-quantile boundaries of the tagged union's
+    sort timestamp — a pure row expression, so no RangePartitioner
+    sample to pin and no checkpoint) instead of landing in one hash
+    bucket. Phase 1 computes the running last-right-record per
+    (bucket, key) locally — window groups are bounded by bucket size,
+    so parallelism = n_parts, not key cardinality. Phase 2 broadcasts
+    the per-(bucket, key) carry-in — the latest right record from
+    EARLIER buckets (every earlier-bucket row sorts strictly before
+    every row of this bucket, so the latest earlier record is exactly
+    the window's carry at the bucket boundary) — and the match is
+    coalesce(local running carry, boundary carry-in).
+
+    Cost: one quantile pass + one tiny (bucket, key) aggregate + the
+    same single big window shuffle the plain strategy pays. The carry
+    table is O(distinct keys × n_parts) rows — dimension-sized in the
+    hot-key / low-cardinality regimes this strategy exists for (the
+    auto router sends high-cardinality inputs to the plain window,
+    where per-key groups are already small)."""
+    from pyspark.sql.window import Window
+
+    lcols = left.columns
+    u = _asof_tagged(left, right, by, ts_col, right_cols, direction, tiebreak_col)
+    n_parts = n_parts or left.sparkSession.sparkContext.defaultParallelism
+    qs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(u.approxQuantile("_ts", qs, 0.001))) if qs else []
+    if bounds:
+        barr = F.array(*[F.lit(int(b)).cast("long") for b in bounds])
+        pid = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + (F.col("_ts") >= b).cast("int"),
         )
-    return out.select(
-        *[F.col("_l").getField(c).alias(c) for c in lcols],
-        *[f"{c}_r" for c in right_cols],
-        "gap_us",
+    else:
+        pid = F.lit(0)
+    parted = u.withColumn("_pid", pid)
+    # per (bucket, key): the latest right record (max ignores NULLs,
+    # so left rows don't contribute; struct order = (_ts, _tb) first)
+    pk = parted.groupBy("_pid", "_by").agg(
+        F.max(
+            F.when(F.col("_side") == 0, F.struct("_ts", "_tb", "_rrec"))
+        ).alias("_mrec")
     )
+    carry = (
+        pk.withColumn(
+            "_cin",
+            F.last("_mrec", ignorenulls=True).over(
+                Window.partitionBy("_by").orderBy("_pid")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+        )
+        .filter(F.col("_cin").isNotNull())
+        .select("_pid", "_by", F.col("_cin").getField("_rrec").alias("_cin"))
+    )
+    wl = (
+        Window.partitionBy("_pid", "_by")
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        parted.withColumn("_loc", F.last("_rrec", ignorenulls=True).over(wl))
+        .join(F.broadcast(carry), ["_pid", "_by"], "left")
+        .filter(F.col("_side") == 1)
+        # any local right record sorts AFTER every earlier partition's,
+        # so the local carry wins whenever present
+        .withColumn("_m", F.coalesce(F.col("_loc"), F.col("_cin")))
+    )
+    return _asof_finish(matched, lcols, right_cols, tolerance_us)
+
+
+def asof_join_auto(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    right_cols: tuple = ("event_id",),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
+    tiebreak_col: str | None = None,
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.10,
+    probe_rows: int = 1_000_000,
+) -> DataFrame:
+    """Strategy-selecting as-of join (the reference's select_k
+    auto-selection shape, matrix/select_k_types.hpp:28-69): all three
+    strategies produce IDENTICAL output, so the probe only chooses the
+    physical plan. (1) a dimension-sized right side (≤ broadcast_rows)
+    → :func:`asof_join_broadcast` (zero fact shuffle); (2) else a
+    seeded left-key sample whose top key holds ≥ skew_share of rows →
+    :func:`asof_join_skew` (hot key would serialize the plain window);
+    (3) else the plain one-shuffle :func:`asof_join`. Probe cost: one
+    right count + one sampled left groupBy (~probe_rows rows)."""
+    kw = dict(
+        by=by, ts_col=ts_col, right_cols=right_cols, direction=direction,
+        tolerance_us=tolerance_us, tiebreak_col=tiebreak_col,
+    )
+    if right.count() <= broadcast_rows:
+        return asof_join_broadcast(left, right, **kw)
+    n_left = left.count()
+    frac = min(1.0, probe_rows / max(n_left, 1))
+    sample = left.sample(fraction=frac, seed=7) if frac < 1.0 else left
+    top = (
+        sample.groupBy(by).count()
+        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+        .collect()[0]
+    )
+    if top["tot"] and top["mx"] / top["tot"] >= skew_share:
+        return asof_join_skew(left, right, **kw)
+    return asof_join(left, right, **kw)
 
 
 def range_join(

@@ -324,3 +324,75 @@ def test_range_join_far_epoch_exact_bucketing(spark):
     }
     assert want, "degenerate test: no true pairs"
     assert got == want
+
+
+def test_asof_skew_equals_window_randomized(spark):
+    # the two-phase skew strategy must equal the plain window (and the
+    # brute-force rule) under heavy (key, ts) collisions AND with few
+    # range partitions so keys straddle partition boundaries
+    import random
+
+    from raft_spark.operators.temporal import asof_join, asof_join_skew
+
+    rng = random.Random(99)
+    rows_l = [(i, rng.randrange(3), rng.randrange(10), 0.0)
+              for i in range(150)]
+    rows_r = [(1000 + i, rng.randrange(3), rng.randrange(10), 0.0)
+              for i in range(150)]
+    left, right = _ev(spark, rows_l), _ev(spark, rows_r)
+
+    for direction in ("backward", "forward"):
+        for tol in (None, 3_000_000):
+            kw = dict(right_cols=("event_id",), direction=direction,
+                      tolerance_us=tol, tiebreak_col="event_id")
+            want = sorted(
+                (r["event_id"], r["event_id_r"], r["gap_us"])
+                for r in asof_join(left, right, **kw).collect()
+            )
+            got = sorted(
+                (r["event_id"], r["event_id_r"], r["gap_us"])
+                for r in asof_join_skew(left, right, n_parts=7, **kw).collect()
+            )
+            assert got == want, (direction, tol)
+
+
+def test_asof_skew_single_hot_key(spark):
+    # ONE key for every row: the plain window serializes this into one
+    # task; the skew strategy spreads it over n_parts and must still
+    # produce the identical match for every left row
+    from raft_spark.operators.temporal import asof_join, asof_join_skew
+
+    rows_l = [(i, 1, 2 * i, 0.0) for i in range(300)]
+    rows_r = [(1000 + i, 1, 3 * i, 0.0) for i in range(200)]
+    left, right = _ev(spark, rows_l), _ev(spark, rows_r)
+    kw = dict(right_cols=("event_id",), tiebreak_col="event_id")
+    want = {r["event_id"]: (r["event_id_r"], r["gap_us"])
+            for r in asof_join(left, right, **kw).collect()}
+    got = {r["event_id"]: (r["event_id_r"], r["gap_us"])
+           for r in asof_join_skew(left, right, n_parts=8, **kw).collect()}
+    assert got == want
+    assert sum(1 for v in want.values() if v[0] is not None) > 250
+
+
+def test_asof_auto_routes_all_strategies(spark):
+    # force each router branch via thresholds; all three must agree
+    from raft_spark.operators.temporal import asof_join, asof_join_auto
+
+    rows_l = [(i, i % 2, 5 * (i % 9), 0.0) for i in range(200)]
+    rows_r = [(1000 + i, i % 2, 7 * (i % 8), 0.0) for i in range(80)]
+    left, right = _ev(spark, rows_l), _ev(spark, rows_r)
+    kw = dict(right_cols=("event_id",), tiebreak_col="event_id")
+    want = sorted(
+        (r["event_id"], r["event_id_r"], r["gap_us"])
+        for r in asof_join(left, right, **kw).collect()
+    )
+    for forced in (
+        dict(broadcast_rows=10_000),              # -> broadcast
+        dict(broadcast_rows=0, skew_share=0.05),  # -> skew (top key 50%)
+        dict(broadcast_rows=0, skew_share=0.99),  # -> plain window
+    ):
+        got = sorted(
+            (r["event_id"], r["event_id_r"], r["gap_us"])
+            for r in asof_join_auto(left, right, **kw, **forced).collect()
+        )
+        assert got == want, forced

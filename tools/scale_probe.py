@@ -304,6 +304,35 @@ def main() -> None:
     out["range_join_10m_1s_s"] = round(time.perf_counter() - t, 2)
     assert npairs > 1_000_000
 
+    # as-of hot-key escape hatch (r7): 10M left rows on ONE key — the
+    # plain window serializes this into a single task; the two-phase
+    # skew strategy must land within ~2x of the 1000-key window cell
+    # above (the r6 verdict's acceptance bar). Right side 1M rows on
+    # the same key (a genuinely hot dimension history).
+    from raft_spark.operators.temporal import asof_join_skew
+
+    del evl, evr
+    gc.collect()
+
+    def _hot(n, seed):
+        return spark.range(n).select(
+            (F.col("id") + seed * 100_000_000).alias("event_id"),
+            F.lit(0).cast("long").alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
+                         F.lit(30 * 86400 * 1_000_000))
+            ).cast("timestamp_ntz").alias("ts"),
+        ).localCheckpoint(eager=True)
+
+    hl, hr = _hot(10_000_000, 3), _hot(1_000_000, 4)
+    t = time.perf_counter()
+    hrow = asof_join_skew(hl, hr, right_cols=("event_id",),
+                          tiebreak_col="event_id") \
+        .agg(F.sum("gap_us"), F.count("event_id_r").alias("n")).first()
+    out["asof_skew_10m_1key_s"] = round(time.perf_counter() - t, 2)
+    assert hrow["n"] > 9_000_000
+
     print(json.dumps(out))
 
 
