@@ -444,3 +444,70 @@ def rolling_aggregates(
         )
         .drop("_ts_us", "_qv")
     )
+
+
+def rolling_aggregates_skew(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+    quantize: float = 1e6,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """:func:`rolling_aggregates` for SKEWED keys — identical output
+    (pinned in pytest), the asof_join_skew discipline applied to a
+    trailing RANGE window: a hot key's rows spread over uniform TIME
+    cells of width W = max(window_us, span/n_parts) instead of one
+    hash-window task. Every row is emitted to its own cell (as a
+    target AND in-cell contributor) and as a GHOST contributor to the
+    next cell — W ≥ window_us guarantees each target's [ts − w, ts)
+    frame lies inside its own cell ∪ the previous one, so the ghost
+    copies are exactly the missing contributors and nothing double
+    counts (the ghost and its original live in different cells, hence
+    different window partitions). One 2×-replicated window shuffle with
+    per-(cell, key) groups bounded by cell population; output drops the
+    ghosts."""
+    from pyspark.sql.window import Window
+
+    lcols = df.columns
+    n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    qv = F.floor(F.col(value_col) * F.lit(quantize) + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.struct(*lcols).alias("_o"), ts_us.alias("_ts_us"), qv.alias("_qv"),
+        F.col(by).alias("_by"),
+    )
+    lo, hi = base.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+    if lo is None:
+        cell_w = int(window_us)
+    else:
+        cell_w = max(int(window_us), -(-(int(hi) - int(lo) + 1) // n_parts))
+    # exact int64 floor-division (the range_join discipline)
+    cell = F.expr(f"(_ts_us - pmod(_ts_us, {cell_w})) DIV {cell_w}")
+    tagged = base.withColumn("_cell", cell).withColumn("_ghost", F.lit(0))
+    ghosts = base.withColumn("_cell", cell + 1).withColumn("_ghost", F.lit(1))
+    u = tagged.unionByName(ghosts)
+    w = (
+        Window.partitionBy("_cell", "_by")
+        .orderBy(F.col("_ts_us"))
+        .rangeBetween(-int(window_us), -1)
+    )
+    # ghosts contribute to sums/counts but never emit; a target's frame
+    # within its cell sees its cell-mates directly and its previous
+    # cell's rows through their ghost copies — each source row exactly
+    # once. count() must skip ghost TARGET positions? No: count/sum run
+    # over frame ROWS, and every frame row (original or ghost) stands
+    # for one distinct source event in [ts − w, ts).
+    out = (
+        u.withColumn("roll_n", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn(
+            "roll_sum_q",
+            F.coalesce(F.sum("_qv").over(w), F.lit(0)).cast("long"),
+        )
+        .filter(F.col("_ghost") == 0)
+    )
+    return out.select(
+        *[F.col("_o").getField(c).alias(c) for c in lcols],
+        "roll_n", "roll_sum_q",
+    )

@@ -15,7 +15,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from raft_spark.operators.temporal import asof_join, range_join, rolling_aggregates
+from raft_spark.operators.temporal import (
+    asof_join,
+    asof_join_skew,
+    range_join,
+    rolling_aggregates,
+    rolling_aggregates_skew,
+)
 from raft_spark.queries.registry import query
 from raft_spark.sources.tables import load
 
@@ -53,7 +59,26 @@ SELECT 'range', l.event_id::BIGINT, r.event_id::BIGINT,
 FROM l JOIN r ON l.user_id = r.user_id
  AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 3600000000
 UNION ALL
+SELECT 'asof_skew', l.event_id::BIGINT,
+       coalesce(r.event_id, -1)::BIGINT,
+       coalesce(epoch_us(l.ts) - epoch_us(r.ts), -1)::BIGINT
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
 SELECT 'rolling', event_id::BIGINT, roll_n::BIGINT, roll_sum_q::BIGINT
+FROM (
+    SELECT event_id,
+           count(*) OVER w AS roll_n,
+           coalesce(sum(qv) OVER w, 0) AS roll_sum_q
+    FROM (
+        SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM events WHERE event_type = 'click'
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+)
+UNION ALL
+SELECT 'rolling_skew', event_id::BIGINT, roll_n::BIGINT, roll_sum_q::BIGINT
 FROM (
     SELECT event_id,
            count(*) OVER w AS roll_n,
@@ -100,6 +125,14 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   tiebreak_col="event_id"),
         "asof_tol",
     )
+    # r7: the skew strategies are gate members of their own — same
+    # DuckDB clauses as their plain twins, different physical plan
+    # (small n_parts forces multiple time cells at gate scale)
+    skew = _shape(
+        asof_join_skew(l, r, right_cols=("event_id",),
+                       tiebreak_col="event_id", n_parts=8),
+        "asof_skew",
+    )
     band = range_join(l, r, width_us=_HOUR, right_cols=("event_id",)).select(
         F.lit("range").alias("op"),
         F.col("event_id").cast("long").alias("a"),
@@ -116,7 +149,17 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("roll_n").alias("b"),
         F.col("roll_sum_q").alias("v"),
     )
+    rollsk = rolling_aggregates_skew(
+        ev.filter("event_type = 'click'")
+        .select("event_id", "user_id", "ts", "value"),
+        window_us=_HOUR, n_parts=8,
+    ).select(
+        F.lit("rolling_skew").alias("op"),
+        F.col("event_id").cast("long").alias("a"),
+        F.col("roll_n").alias("b"),
+        F.col("roll_sum_q").alias("v"),
+    )
     return (
-        back.unionByName(fwd).unionByName(tol).unionByName(band)
-        .unionByName(roll)
+        back.unionByName(fwd).unionByName(tol).unionByName(skew)
+        .unionByName(band).unionByName(roll).unionByName(rollsk)
     )

@@ -225,8 +225,10 @@ def test_temporal_join_plans_pinned(spark, sf_dir):
     assert "BroadcastNestedLoop" not in rep.text
     assert "Python" not in rep.text and "ArrowEval" not in rep.text
     # 3 asof members (union + window each) + band join + rolling
-    # window + final union: 13 distinct exchanges measured at pin time
-    assert rep.n_exchanges <= 14
+    # window + the r7 skew members (asof_skew: bucket window + pk agg +
+    # carry window + broadcast; rolling_skew: ghost-union window) +
+    # final union: 23 distinct exchanges measured at pin time
+    assert rep.n_exchanges <= 24
 
 
 def test_data_mixture_plan_pinned(spark, sf_dir):
@@ -239,3 +241,23 @@ def test_data_mixture_plan_pinned(spark, sf_dir):
     # the offsets join must broadcast; the spec joins sit behind the
     # range-repartition localCheckpoint boundary, so only it is visible
     assert rep.n_broadcast_joins >= 1
+
+
+def test_dedup_clusters_composed_plan(spark, sf_dir):
+    # r7 (VERDICT r6 task 5): dedup_clusters carried the noisiest bench
+    # spread (4.38 on a 4.37 s min). The candidate-edge materialization
+    # is structural — connected_components_auto eagerly checkpoints the
+    # edge table, so the LSH candidate derivation runs exactly once per
+    # call — and this pin converts any real regression of the composed
+    # downstream plan (labels join + size agg over documents) into a
+    # pytest failure, the dbscan adjudication pattern. Checkpoints
+    # truncate lineage, so the LSH stage itself is audited by
+    # test_bm25/minhash pins; here we audit from the checkpointed
+    # edges onward.
+    rep = audit_plan(QUERIES["dedup_clusters"](spark, sf_dir))
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoopJoin" not in rep.text
+    # labels are driver/union-find (small graph) or checkpointed CC
+    # output; composed shape = docs scan + labels join + sizes agg +
+    # final join: 6 distinct exchanges measured at pin time
+    assert rep.n_exchanges <= 7

@@ -396,3 +396,53 @@ def test_asof_auto_routes_all_strategies(spark):
             for r in asof_join_auto(left, right, **kw, **forced).collect()
         )
         assert got == want, forced
+
+
+def test_rolling_skew_equals_plain(spark):
+    # the cell-replicated skew strategy must equal the plain RANGE
+    # window under heavy ts collisions, across every cell width the
+    # n_parts knob induces (cells smaller/larger than the data span)
+    import random
+
+    from raft_spark.operators.temporal import (
+        rolling_aggregates,
+        rolling_aggregates_skew,
+    )
+
+    rng = random.Random(4242)
+    rows = [(i, rng.randrange(3), rng.randrange(40), float(rng.randrange(100)))
+            for i in range(250)]
+    df = _ev(spark, rows)
+    kw = dict(window_us=7_000_000, quantize=1e6)
+    want = sorted(
+        (r["event_id"], r["roll_n"], r["roll_sum_q"])
+        for r in rolling_aggregates(df, **kw).collect()
+    )
+    for n_parts in (1, 4, 16):
+        got = sorted(
+            (r["event_id"], r["roll_n"], r["roll_sum_q"])
+            for r in rolling_aggregates_skew(df, n_parts=n_parts, **kw).collect()
+        )
+        assert got == want, n_parts
+
+
+def test_rolling_skew_single_hot_key(spark):
+    from raft_spark.operators.temporal import (
+        rolling_aggregates,
+        rolling_aggregates_skew,
+    )
+
+    rows = [(i, 1, i, float(i % 7)) for i in range(400)]
+    df = _ev(spark, rows)
+    kw = dict(window_us=10_000_000, quantize=1e6)
+    want = sorted(
+        (r["event_id"], r["roll_n"], r["roll_sum_q"])
+        for r in rolling_aggregates(df, **kw).collect()
+    )
+    got = sorted(
+        (r["event_id"], r["roll_n"], r["roll_sum_q"])
+        for r in rolling_aggregates_skew(df, n_parts=8, **kw).collect()
+    )
+    assert got == want
+    # windows genuinely non-trivial: 10 s window over 1 s spacing
+    assert max(n for (_, n, _) in want) == 10

@@ -91,6 +91,101 @@ def main() -> None:
                       "d": d, "k": k, "sec": round(best, 3)})
         print(json.dumps(cells[-1]), flush=True)
 
+    # temporal grids (r6 verdict task 4, the select_k grid discipline
+    # applied to the r6 operators): as-of across key cardinality — the
+    # parameter that sets window parallelism — and the banded range
+    # join across band width — the replication-vs-output tradeoff.
+    # Frames are released per cell: accumulated checkpoint blocks
+    # inflate later cells ~7x (BASELINE.md v6 note).
+    import gc
+
+    from raft_spark.operators.temporal import asof_join, range_join
+
+    def gen_events(n, keys, seed):
+        return spark.range(n).select(
+            (F.col("id") + seed * 100_000_000).alias("event_id"),
+            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(keys)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
+                         F.lit(30 * 86400 * 1_000_000))
+            ).cast("timestamp_ntz").alias("ts"),
+        ).localCheckpoint(eager=True)
+
+    asof_grid = [(r, k) for r in (1_000_000, 10_000_000)
+                 for k in (10, 1_000, 100_000)]
+    if quick:
+        asof_grid = asof_grid[:2]
+    for n_rows, keys in asof_grid:
+        evl = gen_events(n_rows, keys, 1)
+        evr = gen_events(n_rows, keys, 2)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            asof_join(evl, evr, right_cols=("event_id",),
+                      tiebreak_col="event_id") \
+                .agg(F.count("event_id_r")).collect()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        cells.append({"op": "asof_join", "rows": n_rows, "keys": keys,
+                      "sec": round(best, 3)})
+        print(json.dumps(cells[-1]), flush=True)
+        del evl, evr
+        gc.collect()
+
+    range_grid = [100_000, 1_000_000, 10_000_000]  # 0.1s / 1s / 10s in µs
+    if quick:
+        range_grid = range_grid[:1]
+    for width_us in range_grid:
+        evl = gen_events(10_000_000, 1_000, 3)
+        evr = gen_events(10_000_000, 1_000, 4)
+        best, pairs = None, 0
+        for _ in range(2):
+            t0 = time.perf_counter()
+            pairs = range_join(evl, evr, width_us=width_us).count()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        cells.append({"op": "range_join", "rows": 10_000_000,
+                      "width_us": width_us, "pairs": pairs,
+                      "sec": round(best, 3)})
+        print(json.dumps(cells[-1]), flush=True)
+        del evl, evr
+        gc.collect()
+
+    # token-budget mixing across stratum skew (two-phase path): hot=0.5
+    # routes half the corpus into ONE stratum — the case the two-phase
+    # prefix sum exists for
+    from raft_spark.operators.mixing import token_budget_mixture
+
+    mix_grid = [(1_000_000, 0.0), (10_000_000, 0.0), (10_000_000, 0.5)]
+    if quick:
+        mix_grid = mix_grid[:1]
+    for n_rows, hot in mix_grid:
+        n_strata = 20
+        hot_sel = F.rand(5) < hot if hot else F.lit(False)
+        d = spark.range(n_rows).select(
+            F.col("id").alias("doc_id"),
+            F.when(hot_sel, F.lit("s0")).otherwise(
+                F.concat(F.lit("s"), (F.col("id") % n_strata).cast("string"))
+            ).alias("source"),
+            (F.col("id") % 37 + 3).alias("ntok"),
+        ).localCheckpoint(eager=True)
+        budgets = spark.createDataFrame(
+            [(f"s{i}", 1_000_000) for i in range(n_strata)],
+            "source string, token_budget long",
+        )
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            token_budget_mixture(d, budgets).agg(F.sum("keep_budget")).collect()
+            t = time.perf_counter() - t0
+            best = t if best is None else min(best, t)
+        cells.append({"op": "token_budget_mixture", "rows": n_rows,
+                      "hot_frac": hot, "sec": round(best, 3)})
+        print(json.dumps(cells[-1]), flush=True)
+        del d
+        gc.collect()
+
     print(json.dumps({"metric": "sweep_cells", "value": len(cells),
                       "total_sec": round(sum(c["sec"] for c in cells), 3)}))
 
