@@ -301,6 +301,72 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pii_oracle() -> str:
+    from raft_spark.operators.textquality import PII_PATTERNS as P
+
+    em, ip, ph = P["email"], P["ipv4"], P["phone"]
+    return f"""
+WITH inj AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' user' || doc_id
+                     || '@example.com from 10.0.0.1 call +44 20 7946 0958'
+                ELSE text END AS t
+    FROM documents
+),
+red AS (
+    SELECT doc_id, t,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{em}', '[PII]', 'g'),
+               '{ph}', '[PII]', 'g'),
+               '{ip}', '[PII]', 'g') AS rt
+    FROM inj
+)
+SELECT doc_id::BIGINT AS doc_id,
+       len(regexp_extract_all(t, '{em}'))::BIGINT AS n_email,
+       len(regexp_extract_all(t, '{ip}'))::BIGINT AS n_ipv4,
+       len(regexp_extract_all(t, '{ph}'))::BIGINT AS n_phone,
+       (CASE WHEN len(regexp_extract_all(t, '{em}'))
+                + len(regexp_extract_all(t, '{ip}'))
+                + len(regexp_extract_all(t, '{ph}')) > 0
+             THEN 1 ELSE 0 END)::INTEGER AS has_pii,
+       (CASE WHEN len(regexp_extract_all(rt, '{em}'))
+                + len(regexp_extract_all(rt, '{ip}'))
+                + len(regexp_extract_all(rt, '{ph}')) > 0
+             THEN 1 ELSE 0 END)::INTEGER AS pii_after_redact
+FROM red
+"""
+
+
+@query("pii_gate", oracle=_pii_oracle())
+def q_pii_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact (textquality.pii_stats / redact_pii) as a
+    gate member: the corpus carries no natural PII, so a deterministic
+    email/ipv4/phone payload is injected in-query for doc_id % 7 == 0 —
+    BOTH engines derive the identical text, count matches with the
+    shared RE2-and-Java-safe patterns, run the same three-stage
+    redaction chain, and recount (pii_after_redact must be 0 per doc).
+    Promoted from pytest-only (r6 verdict: PII was the one curation
+    operator with no driver row)."""
+    docs = load(spark, "documents", sf_dir)
+    injected = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"), F.lit(" user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0.0.1 call +44 20 7946 0958"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    stats = TQ.pii_stats(injected)
+    after = TQ.pii_stats(TQ.redact_pii(injected)).select(
+        "doc_id", F.col("has_pii").alias("pii_after_redact")
+    )
+    return stats.join(after, "doc_id")
+
+
 @query(
     "lang_quality",
     oracle=r"""

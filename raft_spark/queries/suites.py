@@ -766,25 +766,30 @@ def _text_quality_oracle() -> str:
 SELECT s.doc_id, s.ws_tokens, s.re_tokens, s.vowel_ratio, s.punct_ratio,
        s.fingerprint, l.pred_lang, l.true_lang, l.quality,
        r.dup_word_frac, r.top_word_frac, r.top_bigram_frac,
-       c.bench_hits, c.contaminated
+       c.bench_hits, c.contaminated,
+       p.n_email, p.n_ipv4, p.n_phone, p.has_pii, p.pii_after_redact
 FROM {_sub('text_stats')} s
 JOIN {_sub('lang_quality')} l USING (doc_id)
 JOIN {_sub('repetition_stats')} r USING (doc_id)
 JOIN {_sub('contamination')} c USING (doc_id)
+JOIN {_sub('pii_gate')} p USING (doc_id)
 """
 
 
 @query("text_quality", oracle=_text_quality_oracle())
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """text_stats + lang_quality + repetition filters + benchmark
-    decontamination joined on doc_id — the full per-document curation
-    pre-filter row (token counts, ratios, fingerprint, language-ID,
-    quality score, Gopher-style repetition shares, eval-leak flag)."""
+    decontamination + PII detect/redact (r7 promotion) joined on
+    doc_id — the full per-document curation pre-filter row (token
+    counts, ratios, fingerprint, language-ID, quality score,
+    Gopher-style repetition shares, eval-leak flag, PII counts and the
+    redaction-clean flag)."""
     return (
         PQ.q_text_stats(spark, sf_dir)
         .join(PQ.q_lang_quality(spark, sf_dir), "doc_id")
         .join(PQ.q_repetition_stats(spark, sf_dir), "doc_id")
         .join(PQ.q_contamination(spark, sf_dir), "doc_id")
+        .join(PQ.q_pii_gate(spark, sf_dir), "doc_id")
     )
 
 
