@@ -333,6 +333,20 @@ def main() -> None:
     out["asof_skew_10m_1key_s"] = round(time.perf_counter() - t, 2)
     assert hrow["n"] > 9_000_000
 
+    # rolling trailing-window twin: 10M rows, ONE key, 1-hour window —
+    # the plain RANGE window serializes this; the cell-replicated skew
+    # strategy spreads it (ghost duplication = 2x shuffle volume)
+    from raft_spark.operators.temporal import rolling_aggregates_skew
+
+    del hr
+    gc.collect()
+    hv = hl.withColumn("value", (F.col("event_id") % 97).cast("double"))
+    t = time.perf_counter()
+    rrow = rolling_aggregates_skew(hv, window_us=3_600_000_000) \
+        .agg(F.sum("roll_n").alias("s"), F.count("*").alias("n")).first()
+    out["rolling_skew_10m_1key_s"] = round(time.perf_counter() - t, 2)
+    assert rrow["n"] == 10_000_000 and rrow["s"] > 0
+
     print(json.dumps(out))
 
 
