@@ -351,6 +351,170 @@ def dbscan(
     return out
 
 
+def _slink_tree(
+    df: DataFrame,
+    pairs: DataFrame | None,
+    metric: str,
+    id_col: str,
+    vec_col: str,
+    n_blocks: int,
+) -> DataFrame:
+    """Weighted MST (row, col, value) of the pairwise distance graph —
+    the single-linkage dendrogram's edge set (Gower–Ross)."""
+    from raft_spark.operators.solvers import mst_edges_auto
+
+    if pairs is None:
+        if metric not in ("l1", "l2", "sqeuclidean"):
+            # cosine/inner are SIMILARITIES: a min-spanning tree over
+            # them would link the LEAST similar pairs first
+            raise ValueError(
+                f"single_linkage: metric {metric!r} is a similarity, not "
+                "a distance; use l1/l2/sqeuclidean, or precompute "
+                "weighted `pairs` with your own distance"
+            )
+        pairs = pairwise_distances(
+            df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+        )
+    if "dist" not in pairs.columns:
+        raise ValueError(
+            "single_linkage: n_clusters/dendrogram mode needs weighted "
+            "pairs (a, b, dist) — eps_pairs_exact emits (a, b) only"
+        )
+    # canonicalize orientation, drop self-pairs, collapse duplicates
+    # from candidate generators (LSH emits one row per matching band)
+    # to the MINIMUM observed distance — the single-linkage distance
+    coo = (
+        pairs.select(
+            F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("row"),
+            F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("col"),
+            F.col("dist").cast("double").alias("value"),
+        )
+        .filter(F.col("row") != F.col("col"))
+        .groupBy("row", "col")
+        .agg(F.min("value").alias("value"))
+    )
+    return mst_edges_auto(coo)
+
+
+def single_linkage(
+    df: DataFrame,
+    n_clusters: int | None = None,
+    distance_threshold: float | None = None,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "features",
+    n_blocks: int = 16,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Single-linkage agglomerative (hierarchical) clustering →
+    (id, cluster) flat labels, cluster = the smallest member id.
+
+    Built on the SLINK/Gower–Ross identity: the single-linkage
+    dendrogram IS the minimum spanning tree of the pairwise distance
+    graph. The two flat-cut modes map to existing engine primitives —
+    no new physical machinery:
+
+    - ``distance_threshold=t``: clusters = connected components of the
+      graph restricted to pairs with dist ≤ t. No MST needed — with no
+      explicit ``pairs`` the edge table comes from
+      :func:`eps_pairs_exact` (int64-quantized predicate, so the flat
+      labeling is engine-exact and SQL-adjudicable, the dbscan
+      discipline); labels via pointer-jumped components.
+    - ``n_clusters=k``: cut the k−1 LARGEST MST edges under the total
+      order (value, row, col), components of the rest. Distance ties
+      are broken by that order — any tie-break yields a valid
+      single-linkage cut; this one is deterministic and
+      partitioning-independent. The cut ranks tree edges with
+      ``global_rank`` (range-repartitioned two-phase rank), never a
+      single-partition window: the tree has V−1 edges and V can be
+      corpus-sized.
+
+    Exact pairwise generation is O(n²) like the reference's distance
+    kernels — at corpus scale feed precomputed ``pairs`` from LSH/IVF
+    candidates (same seam as :func:`dbscan`; for n_clusters mode the
+    candidate graph should contain the true MST — the standard
+    approximate single-linkage contract, and the realized cut heights
+    are auditable via :func:`single_linkage_dendrogram`).
+    """
+    from raft_spark.operators.reductions import global_rank
+    from raft_spark.operators.solvers import connected_components_auto
+
+    if (n_clusters is None) == (distance_threshold is None):
+        raise ValueError(
+            "single_linkage: pass exactly one of n_clusters / "
+            "distance_threshold"
+        )
+    ids = df.select(F.col(id_col).cast("long").alias("id"))
+    if distance_threshold is not None:
+        if pairs is None:
+            pairs = eps_pairs_exact(
+                df, eps=distance_threshold, id_col=id_col, vec_col=vec_col,
+                n_blocks=n_blocks,
+            )
+        elif "dist" in pairs.columns:
+            pairs = pairs.filter(F.col("dist") <= distance_threshold)
+        kept = (
+            pairs.select(
+                F.least(F.col("a").cast("long"), F.col("b").cast("long")).alias("row"),
+                F.greatest(F.col("a").cast("long"), F.col("b").cast("long")).alias("col"),
+            )
+            .filter(F.col("row") != F.col("col"))
+            .distinct()
+        )
+        labels = connected_components_auto(kept)
+    else:
+        tree = _slink_tree(df, pairs, metric, id_col, vec_col, n_blocks)
+        tree = tree.localCheckpoint(eager=True)  # count + rank + CC consumers
+        n_nodes = ids.count()
+        base = n_nodes - tree.count()  # forest components before any cut
+        if n_clusters < base:
+            raise ValueError(
+                f"single_linkage: the pairs graph already has {base} "
+                f"components before any cut — n_clusters={n_clusters} is "
+                "unreachable (densify the candidate pairs)"
+            )
+        cut = n_clusters - base
+        if cut > 0:
+            ranked = global_rank(
+                tree,
+                [F.col("value").desc(), F.col("row"), F.col("col")],
+                rank_name="_r",
+            )
+            tree = ranked.filter(F.col("_r") > cut).drop("_r")
+        labels = connected_components_auto(tree.select("row", "col"))
+    return (
+        ids.join(labels.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("label", F.col("id")).cast("long").alias("cluster"),
+        )
+    )
+
+
+def single_linkage_dendrogram(
+    df: DataFrame,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "features",
+    n_blocks: int = 16,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """The single-linkage merge sequence → (merge_order, row, col,
+    height): MST edges globally ranked by (height, row, col). Merge i
+    joins the two clusters containing ``row`` and ``col`` at linkage
+    distance ``height`` — the information content of scipy's linkage
+    matrix (children arrays are a driver-side union-find walk of this
+    frame, O(V) state; the distributed artifact is the edge list)."""
+    from raft_spark.operators.reductions import global_rank
+
+    tree = _slink_tree(df, pairs, metric, id_col, vec_col, n_blocks)
+    return global_rank(
+        tree,
+        [F.col("value"), F.col("row"), F.col("col")],
+        rank_name="merge_order",
+    ).select("merge_order", "row", "col", F.col("value").alias("height"))
+
+
 def _partial_topk(s, nids, qid_vals, k):
     """Tie-exact local top-k under (cosine desc, nid asc) for a scored
     block ``s`` (B×Q, −inf = excluded): one batched argpartition across

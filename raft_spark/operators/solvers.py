@@ -728,6 +728,56 @@ def mst_edges(coo: DataFrame, max_rounds: int = 40) -> DataFrame:
     return chosen
 
 
+def mst_edges_auto(
+    coo: DataFrame, driver_threshold: int = 500_000, max_rounds: int = 40
+) -> DataFrame:
+    """Strategy-probed MST → (row, col, value) tree edges: when the
+    edge table fits comfortably on the driver, one collect + Kruskal
+    (sort + union-find) beats O(log V) Borůvka rounds whose per-round
+    fixed cost (two joins, a distinct, a checkpoint, a nested CC call)
+    dominates on small graphs; above the threshold the fully
+    distributed :func:`mst_edges` runs unchanged — the
+    connected_components_auto / knn_brute size-probe discipline.
+
+    Both paths compare edges by the SAME refined total order
+    (value, row, col) — Kruskal scans it sorted, Borůvka min_by's the
+    struct — and an MST is UNIQUE under any strict total order on
+    edges, so the two strategies return the identical tree (ties
+    included), pinned by tests/test_single_linkage.py.
+    """
+    edges = (
+        coo.select("row", "col", "value")
+        .filter(F.col("row") < F.col("col"))
+        .localCheckpoint(eager=True)
+    )
+    if edges.count() > driver_threshold:
+        return mst_edges(edges, max_rounds=max_rounds)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    tree: list[tuple[int, int, float]] = []
+    for e in sorted(
+        edges.collect(), key=lambda e: (e["value"], e["row"], e["col"])
+    ):
+        a, b = int(e["row"]), int(e["col"])
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            tree.append((a, b, float(e["value"])))
+    return coo.sparkSession.createDataFrame(
+        tree, "row long, col long, value double"
+    )
+
+
 def triangle_count(coo: DataFrame) -> int:
     """Exact triangle count of an undirected graph (edge table in any
     orientation; self-loops dropped) — the node-iterator wedge join:

@@ -309,7 +309,7 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query("dbscan")  # gate coverage rides on graph_solver_suite
-def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dbscan(spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None) -> DataFrame:
     """DBSCAN over the embeddings table with EXACT int64-quantized
     ε-pairing (similarity.eps_pairs_exact: Σ(qa−qb)² ≤ round(ε·1e6)²,
     no float boundary pairs), eps=1.2, min_pts=4 → (id, cluster,
@@ -320,7 +320,8 @@ def q_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raft_spark.operators import similarity as SIM
 
     m = embeddings_matrix(spark, sf_dir).select("id", "features")
-    pairs = SIM.eps_pairs_exact(m, eps=1.2)
+    if pairs is None:
+        pairs = SIM.eps_pairs_exact(m, eps=1.2)
     out = SIM.dbscan(m, eps=1.2, min_pts=4, pairs=pairs)
     return out.select(
         "id", "cluster",
@@ -357,3 +358,48 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """21-core of the sparse orders graph (solvers.k_core iterative
     peel, fixpoint-verified) → (node,) survivors."""
     return SV.k_core(_orders_graph(spark, sf_dir), k=21)
+
+
+@query("single_linkage")  # gate coverage rides on graph_solver_suite
+def q_single_linkage(
+    spark: SparkSession, sf_dir: str, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Single-linkage flat clusters at distance_threshold=1.2 over the
+    embeddings table (similarity.single_linkage, threshold mode):
+    clusters = connected components of the SAME int64-quantized ε≤1.2
+    pair set the dbscan member uses (the suite computes that pair
+    table ONCE and feeds both members), so the SQL twin reuses the
+    pair CTE and only adds a reachability closure → (id, cluster)."""
+    from raft_spark.operators import similarity as SIM
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    if pairs is None:
+        pairs = SIM.eps_pairs_exact(m, eps=1.2)
+    return SIM.single_linkage(m, distance_threshold=1.2, pairs=pairs)
+
+
+@query("single_linkage_k")  # gate coverage rides on graph_solver_suite
+def q_single_linkage_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k single-linkage (the MST-cut path: Borůvka tree,
+    global_rank cut of the k−1 largest tree edges under the total
+    order, components of the rest) over the 50-node lineitem graph via
+    the precomputed-``pairs`` seam → one row (n_clusters_realized,
+    n_points). The exact flat labeling is pytest-adjudicated against a
+    naive O(n³) agglomerative loop (tests/test_single_linkage.py); the
+    gate pins that the cut realizes EXACTLY k components in the driver
+    env — the invariant a SQL twin can state without recomputing an
+    MST (boundary-value ties make a threshold-CC rederivation of the
+    labels unsound, so the count is the honest oracle here)."""
+    from raft_spark.operators import similarity as SIM
+
+    g = _graph(spark, sf_dir)
+    nodes = g.select(F.col("row").alias("id")).distinct()
+    pairs = g.select(
+        F.col("row").alias("a"), F.col("col").alias("b"),
+        F.col("value").alias("dist"),
+    )
+    out = SIM.single_linkage(nodes, n_clusters=6, pairs=pairs)
+    return out.agg(
+        F.countDistinct("cluster").cast("long").alias("n_clusters_realized"),
+        F.count("*").cast("long").alias("n_points"),
+    )

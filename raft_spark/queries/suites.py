@@ -1590,6 +1590,12 @@ dreach AS (
     SELECT e.v AS node, r.lab FROM dreach r JOIN dcesym e ON e.u = r.node
 ),
 dlab AS (SELECT node, min(lab) AS cluster FROM dreach GROUP BY node),
+slreach AS (
+    SELECT a AS node, a AS lab FROM dsym
+    UNION
+    SELECT e.b AS node, r.lab FROM slreach r JOIN dsym e ON e.a = r.node
+),
+sllab AS (SELECT node, min(lab) AS cluster FROM slreach GROUP BY node),
 dcorelab AS (
     SELECT c.a AS id, coalesce(l.cluster, c.a) AS cluster
     FROM dcore c LEFT JOIN dlab l ON l.node = c.a
@@ -1660,6 +1666,20 @@ SELECT 'dbscan', e.vec_id::BIGINT,
 FROM embeddings e
 LEFT JOIN dcorelab cl ON cl.id = e.vec_id
 LEFT JOIN dborder bl ON bl.id = e.vec_id
+UNION ALL
+-- single-linkage threshold mode: flat clusters = reachability closure
+-- over the SAME quantized ε≤1.2 pair set (dsym); isolated points keep
+-- their own id (engine: similarity.single_linkage distance_threshold)
+SELECT 'slink', e.vec_id::BIGINT,
+       coalesce(sl.cluster, e.vec_id)::BIGINT, 1.0
+FROM embeddings e LEFT JOIN sllab sl ON sl.node = e.vec_id
+UNION ALL
+-- fixed-k single-linkage: the MST-cut path must realize EXACTLY k=6
+-- components on the 50-node lineitem graph (full labeling pytest-
+-- pinned vs a naive O(n^3) agglomerative loop — an MST is not
+-- SQL-expressible, and boundary-value ties make a threshold-CC
+-- rederivation of the labels unsound)
+SELECT 'slink_k', (SELECT count(*) FROM gnodes)::BIGINT, 0::BIGINT, 6.0
 UNION ALL
 SELECT 'triangles', 0::BIGINT, 0::BIGINT, count(*)::DOUBLE
 FROM ge e1 JOIN ge e2 ON e2.a = e1.b
@@ -2155,11 +2175,33 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank_int").cast("double").alias("value"),
     )
     # DBSCAN over exact int64-quantized ε-pairs — the quantized pair
-    # predicate makes the whole clustering cross-engine deterministic
-    dbs = SQ.q_dbscan(spark, sf_dir).select(
+    # predicate makes the whole clustering cross-engine deterministic.
+    # The ε≤1.2 pair table is computed ONCE (checkpointed) and shared
+    # with the single-linkage member below — one blocked O(n²) pass,
+    # two clusterings.
+    from raft_spark.operators import similarity as SIM
+    from raft_spark.sources.tables import embeddings_matrix
+
+    _m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    _epairs = SIM.eps_pairs_exact(_m, eps=1.2).localCheckpoint(eager=True)
+    dbs = SQ.q_dbscan(spark, sf_dir, pairs=_epairs).select(
         F.lit("dbscan").alias("method"), F.col("id").cast("long").alias("a"),
         F.col("cluster").cast("long").alias("b"),
         F.col("kind_code").cast("double").alias("value"),
+    )
+    # single-linkage clustering: threshold mode rides the same exact
+    # quantized pair predicate as dbscan; fixed-k drives the MST-cut
+    # path (size-probed Kruskal/Borůvka + total-order cut) in the
+    # driver env
+    sl = SQ.q_single_linkage(spark, sf_dir, pairs=_epairs).select(
+        F.lit("slink").alias("method"), F.col("id").cast("long").alias("a"),
+        F.col("cluster").cast("long").alias("b"), F.lit(1.0).alias("value"),
+    )
+    slk = SQ.q_single_linkage_k(spark, sf_dir).select(
+        F.lit("slink_k").alias("method"),
+        F.col("n_points").cast("long").alias("a"),
+        F.lit(0).cast("long").alias("b"),
+        F.col("n_clusters_realized").cast("double").alias("value"),
     )
     # exact graph analytics on the sparse orders graph
     tri = SQ.q_triangles(spark, sf_dir).select(
@@ -2195,6 +2237,7 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mst.unionByName(cc).unionByName(lap_obj)
         .unionByName(prk).unionByName(dbs)
+        .unionByName(sl).unionByName(slk)
         .unionByName(tri).unionByName(kco).unionByName(kfix)
         .unionByName(sp)
     )
