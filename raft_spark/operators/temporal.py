@@ -276,8 +276,36 @@ def asof_join_auto(
         by=by, ts_col=ts_col, right_cols=right_cols, direction=direction,
         tolerance_us=tolerance_us, tiebreak_col=tiebreak_col,
     )
+    strategy = asof_route(
+        left, right, by=by,
+        broadcast_rows=broadcast_rows, skew_share=skew_share,
+        probe_rows=probe_rows,
+    )
+    fn = {
+        "broadcast": asof_join_broadcast,
+        "skew": asof_join_skew,
+        "window": asof_join,
+    }[strategy]
+    return fn(left, right, **kw)
+
+
+def asof_route(
+    left: DataFrame,
+    right: DataFrame,
+    by: str = "user_id",
+    broadcast_rows: int = 1_000_000,
+    skew_share: float = 0.10,
+    probe_rows: int = 1_000_000,
+) -> str:
+    """The routing decision behind :func:`asof_join_auto`, exposed so
+    tests and scale probes can assert WHICH physical strategy a shaped
+    input selects (the reference's select_k heuristics are similarly
+    unit-probed, cpp/tests/matrix/select_k.cu): ``"broadcast"`` |
+    ``"skew"`` | ``"window"``. Cost: one right count, and — only past
+    the broadcast gate — one left count + a ≤ probe_rows sampled
+    groupBy."""
     if right.count() <= broadcast_rows:
-        return asof_join_broadcast(left, right, **kw)
+        return "broadcast"
     n_left = left.count()
     frac = min(1.0, probe_rows / max(n_left, 1))
     sample = left.sample(fraction=frac, seed=7) if frac < 1.0 else left
@@ -287,8 +315,8 @@ def asof_join_auto(
         .collect()[0]
     )
     if top["tot"] and top["mx"] / top["tot"] >= skew_share:
-        return asof_join_skew(left, right, **kw)
-    return asof_join(left, right, **kw)
+        return "skew"
+    return "window"
 
 
 def range_join(
@@ -381,12 +409,18 @@ def asof_join_broadcast(
     j = left.join(
         F.broadcast(packed), F.col(by) == F.col("_by"), "left"
     ).withColumn("_lts", lts)
+    # try_element_at, NOT element_at: when a left row's key exists on
+    # the right but every right timestamp is strictly after (backward)
+    # or before (forward) it, `cand` is EMPTY — element_at on an empty
+    # array throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode
+    # (the Spark 4 default); try_element_at returns NULL, which is
+    # exactly this operator's documented unmatched contract.
     if back:
         cand = F.filter("_arr", lambda s: s["_t"] <= F.col("_lts"))
-        pick = F.element_at(cand, -1)
+        pick = F.try_element_at(cand, F.lit(-1))
     else:
         cand = F.filter("_arr", lambda s: s["_t"] >= F.col("_lts"))
-        pick = F.element_at(cand, 1)
+        pick = F.try_element_at(cand, F.lit(1))
     gap = (
         (F.col("_lts") - F.col("_m._t")) if back
         else (F.col("_m._t") - F.col("_lts"))

@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 
 from raft_spark.operators.temporal import (
     asof_join,
+    asof_join_auto,
+    asof_join_broadcast,
     asof_join_skew,
     range_join,
     rolling_aggregates,
@@ -63,6 +65,16 @@ SELECT 'asof_skew', l.event_id::BIGINT,
        coalesce(r.event_id, -1)::BIGINT,
        coalesce(epoch_us(l.ts) - epoch_us(r.ts), -1)::BIGINT
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
+SELECT 'asof_bcast', l.event_id::BIGINT,
+       coalesce(r.event_id, -1)::BIGINT,
+       coalesce(epoch_us(l.ts) - epoch_us(r.ts), -1)::BIGINT
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+UNION ALL
+SELECT 'asof_auto', l.event_id::BIGINT,
+       coalesce(r.event_id, -1)::BIGINT,
+       coalesce(epoch_us(r.ts) - epoch_us(l.ts), -1)::BIGINT
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
 UNION ALL
 SELECT 'rolling', event_id::BIGINT, roll_n::BIGINT, roll_sum_q::BIGINT
 FROM (
@@ -133,6 +145,28 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                        tiebreak_col="event_id", n_parts=8),
         "asof_skew",
     )
+    # r8: the broadcast strategy and the auto router get BATCH gate rows
+    # of their own (same DuckDB native ASOF clauses as their plain
+    # twins). Until now broadcast's only driver row was the streaming
+    # one — the ANSI element_at bug hid there for two rounds; every
+    # physical strategy now has a batch row the driver greens/reds
+    # independently (reference shape: every select_k algorithm variant
+    # is tested, cpp/tests/matrix/select_k.cu, not just kAuto's pick).
+    # The corpus contains unmatched-within-key left rows (encoded -1),
+    # so the empty-candidate path is exercised under the driver's ANSI
+    # session. asof_auto runs FORWARD so the router + the forward
+    # try_element_at arm are both covered; at gate scale the right side
+    # is dimension-sized, so the router picks broadcast.
+    bcast = _shape(
+        asof_join_broadcast(l, r, right_cols=("event_id",),
+                            tiebreak_col="event_id"),
+        "asof_bcast",
+    )
+    auto = _shape(
+        asof_join_auto(l, r, right_cols=("event_id",), direction="forward",
+                       tiebreak_col="event_id"),
+        "asof_auto",
+    )
     band = range_join(l, r, width_us=_HOUR, right_cols=("event_id",)).select(
         F.lit("range").alias("op"),
         F.col("event_id").cast("long").alias("a"),
@@ -161,5 +195,6 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         back.unionByName(fwd).unionByName(tol).unionByName(skew)
+        .unionByName(bcast).unionByName(auto)
         .unionByName(band).unionByName(roll).unionByName(rollsk)
     )

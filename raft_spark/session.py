@@ -44,7 +44,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.ansi.enabled", "false")
+        # ANSI ON — the Spark 4 default and the conf the correctness
+        # driver runs under. Pinning it OFF here (as before r8) made
+        # local green a weaker predicate than driver green: expressions
+        # that throw under ANSI (invalid array index, overflow, bad
+        # cast) silently returned NULL locally and only surfaced as red
+        # driver rows. Every operator must be ANSI-safe by construction;
+        # tests/test_ansi_parity.py pins that for the whole gate.
+        .config("spark.sql.ansi.enabled", "true")
         # events.parquet carries TIMESTAMP(NANOS) which Spark's reader
         # rejects; read as long (ns since epoch) and convert explicitly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -227,8 +227,12 @@ def test_temporal_join_plans_pinned(spark, sf_dir):
     # 3 asof members (union + window each) + band join + rolling
     # window + the r7 skew members (asof_skew: bucket window + pk agg +
     # carry window + broadcast; rolling_skew: ghost-union window) +
-    # final union: 23 distinct exchanges measured at pin time
-    assert rep.n_exchanges <= 24
+    # the r8 batch strategy members (asof_bcast: right pack agg +
+    # broadcast — zero fact shuffle; asof_auto routed to the forward
+    # broadcast at gate scale: same shape) + final union: 29 distinct
+    # exchanges measured at pin time — the fact side still never
+    # shuffles for either broadcast-strategy member
+    assert rep.n_exchanges <= 29
 
 
 def test_data_mixture_plan_pinned(spark, sf_dir):

@@ -446,3 +446,45 @@ def test_rolling_skew_single_hot_key(spark):
     assert got == want
     # windows genuinely non-trivial: 10 s window over 1 s spacing
     assert max(n for (_, n, _) in want) == 10
+
+
+def test_asof_broadcast_empty_candidates_under_ansi(spark):
+    """Regression for the r6/r7 driver red: a left row whose key EXISTS
+    on the right but precedes every right timestamp (backward) — or
+    follows every one (forward) — filters the packed history down to an
+    EMPTY array. element_at(±1) on that empty array throws
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI mode (the Spark 4 and
+    correctness-driver default); try_element_at must return NULL — the
+    operator's documented unmatched contract. Pinned explicitly under
+    ansi=true so a future session-conf change cannot re-mask it."""
+    from raft_spark.operators.temporal import asof_join_broadcast
+
+    saved = spark.conf.get("spark.sql.ansi.enabled")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        left = _ev(spark, [(1, 1, 5, 0), (2, 1, 50, 0), (3, 2, 10, 0)])
+        right = _ev(spark, [(9, 1, 10, 0)])  # key 1 only, ts=10
+
+        back = {
+            r["event_id"]: (r["event_id_r"], r["gap_us"])
+            for r in asof_join_broadcast(
+                left, right, right_cols=("event_id",)
+            ).collect()
+        }
+        # ts=5 precedes every right row for its key -> empty candidates
+        assert back[1] == (None, None)
+        assert back[2] == (9, 40_000_000)
+        assert back[3] == (None, None)  # key absent entirely
+
+        fwd = {
+            r["event_id"]: (r["event_id_r"], r["gap_us"])
+            for r in asof_join_broadcast(
+                left, right, right_cols=("event_id",), direction="forward"
+            ).collect()
+        }
+        # ts=50 follows every right row for its key -> empty candidates
+        assert fwd[2] == (None, None)
+        assert fwd[1] == (9, 5_000_000)
+        assert fwd[3] == (None, None)
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", saved)

@@ -347,6 +347,47 @@ def main() -> None:
     out["rolling_skew_10m_1key_s"] = round(time.perf_counter() - t, 2)
     assert rrow["n"] == 10_000_000 and rrow["s"] > 0
 
+    # asof_join_auto router at 10M left rows (r8): three shaped inputs,
+    # one per physical strategy — asof_route must pick broadcast for a
+    # dimension-sized right, skew for a hot-key left past the broadcast
+    # gate, window otherwise; each cell then times the routed join
+    # end-to-end (probe cost included — that IS auto's price).
+    from raft_spark.operators.temporal import asof_join_auto, asof_route
+
+    del hl, hv
+    gc.collect()
+
+    cells = [
+        # (name, left_rows, left_keys, right_rows, right_keys, expect)
+        ("auto_bcast", 10_000_000, 1000, 100_000, 1000, "broadcast"),
+        ("auto_skew", 10_000_000, 1, 2_000_000, 1, "skew"),
+        ("auto_window", 10_000_000, 1000, 2_000_000, 1000, "window"),
+    ]
+
+    def _keyed(n, keys, seed):
+        return spark.range(n).select(
+            (F.col("id") + seed * 100_000_000).alias("event_id"),
+            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(keys)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
+                         F.lit(30 * 86400 * 1_000_000))
+            ).cast("timestamp_ntz").alias("ts"),
+        ).localCheckpoint(eager=True)
+
+    for name, nl, kl, nr, kr, expect in cells:
+        al, ar = _keyed(nl, kl, 5), _keyed(nr, kr, 6)
+        got = asof_route(al, ar)
+        assert got == expect, f"{name}: routed {got}, expected {expect}"
+        t = time.perf_counter()
+        row = asof_join_auto(al, ar, right_cols=("event_id",),
+                             tiebreak_col="event_id") \
+            .agg(F.sum("gap_us"), F.count("event_id_r").alias("n")).first()
+        out[f"asof_{name}_10m_s"] = round(time.perf_counter() - t, 2)
+        assert row["n"] > 9_000_000
+        del al, ar
+        gc.collect()
+
     print(json.dumps(out))
 
 
