@@ -459,7 +459,18 @@ def rolling_aggregates(
     partition-order-independent). Adds ``roll_n`` and ``roll_sum_q``.
 
     Same skew caveat as asof_join: one pathological hot key serializes
-    its window task; key cardinality is the parallelism."""
+    its window task; key cardinality is the parallelism.
+
+    DENSE-FRAME caveat (measured, not theoretical): Spark's sliding
+    RANGE frame re-aggregates the ENTIRE frame every time the lower
+    bound moves (SlidingWindowFunctionFrame has no retract), so this
+    single-window form costs O(n · avg_frame_rows), not O(n) — a
+    10M-row/1-key/1-hour-window input (~14k rows per frame) measured
+    ~240 s where the two-pass prefix form
+    (:func:`rolling_aggregates_prefix`) is linear. Use this form for
+    SPARSE frames (few events per window — it is one shuffle instead
+    of two); route dense or unknown inputs through
+    :func:`rolling_aggregates_auto`."""
     from pyspark.sql.window import Window
 
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -480,6 +491,118 @@ def rolling_aggregates(
     )
 
 
+def _roll_prefix_core(base: DataFrame, part_cols: list, window_us: int) -> DataFrame:
+    """Shared linear-time trailing-window engine: ``sum over
+    [ts − w, ts)`` = ``cum<(ts) − cum<(ts − w)``, computed as (1) one
+    window pass of running EXCLUSIVE and INCLUSIVE cumulative
+    count/sum per partition (both frames are unbounded-preceding —
+    Spark's only add-only incremental frame, O(rows); the sliding
+    RANGE frame re-aggregates the whole frame per row, O(rows ·
+    frame)), then (2) an as-of carry: each target row asks for the
+    inclusive cums at ``ts − w − 1`` via a tagged union + running
+    last-non-null — the asof_join trick pointed at the row's own
+    history. The carried pair is ONE struct, so count and sum always
+    come from the same boundary row (struct-atomic carry discipline).
+
+    ``base`` columns: ``part_cols...``, ``_ts_us`` (long), ``_qv``
+    (long), ``_o`` (original-row struct; arbitrary for non-targets),
+    ``_tgt`` (1 → emit a result row). Non-target rows (e.g. ghost
+    contributors) enter the cums but produce no output. Returns
+    ``_o, roll_n, roll_sum_q`` for target rows."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from pyspark.sql.window import Window
+
+    w_in = (
+        Window.partitionBy(*part_cols).orderBy("_ts_us")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    w_ex = (
+        Window.partitionBy(*part_cols).orderBy("_ts_us")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    cums = base.select(
+        "*",
+        F.struct(
+            F.count(F.lit(1)).over(w_in).cast("long").alias("_n"),
+            F.coalesce(F.sum("_qv").over(w_in), F.lit(0)).cast("long").alias("_s"),
+        ).alias("_cin"),
+        F.count(F.lit(1)).over(w_ex).cast("long").alias("_cn_ex"),
+        F.coalesce(F.sum("_qv").over(w_ex), F.lit(0)).cast("long").alias("_cs_ex"),
+    )
+    ctype = StructType([StructField("_n", LongType()), StructField("_s", LongType())])
+    qtype = StructType(
+        [
+            StructField("_o", base.schema["_o"].dataType),
+            StructField("_cn_ex", LongType()),
+            StructField("_cs_ex", LongType()),
+        ]
+    )
+    data = cums.select(
+        *part_cols, F.col("_ts_us").alias("_t"), F.lit(0).alias("_tag"),
+        F.col("_cin").alias("_c"), F.lit(None).cast(qtype).alias("_q"),
+    )
+    qrys = cums.filter(F.col("_tgt") == 1).select(
+        *part_cols,
+        (F.col("_ts_us") - F.lit(int(window_us)) - 1).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast(ctype).alias("_c"),
+        F.struct(
+            F.col("_o").alias("_o"), F.col("_cn_ex"), F.col("_cs_ex")
+        ).alias("_q"),
+    )
+    # data rows sort before a query at the same _t (tag 0 < 1): a
+    # boundary row at exactly ts − w − 1 is OUTSIDE the frame, so its
+    # inclusive cums must be subtracted — and peers carry peer-equal
+    # inclusive cums (RANGE frames include all peers), so the carry is
+    # deterministic under any tie order.
+    wc = (
+        Window.partitionBy(*part_cols).orderBy("_t", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        data.unionByName(qrys)
+        .withColumn("_cc", F.last("_c", ignorenulls=True).over(wc))
+        .filter(F.col("_tag") == 1)
+        .select(
+            F.col("_q._o").alias("_o"),
+            (F.col("_q._cn_ex") - F.coalesce(F.col("_cc._n"), F.lit(0)))
+            .cast("long").alias("roll_n"),
+            (F.col("_q._cs_ex") - F.coalesce(F.col("_cc._s"), F.lit(0)))
+            .cast("long").alias("roll_sum_q"),
+        )
+    )
+
+
+def rolling_aggregates_prefix(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+    quantize: float = 1e6,
+) -> DataFrame:
+    """:func:`rolling_aggregates` for DENSE frames — identical output
+    (pinned in pytest), linear time regardless of how many events fall
+    in each window: two unbounded-preceding cumulative passes + the
+    as-of boundary carry (:func:`_roll_prefix_core`) instead of one
+    sliding RANGE frame that Spark re-aggregates per row. Two keyed
+    shuffles instead of one; wins whenever the average frame holds
+    more than a few dozen rows (the 10M-row/1-key/1-hour cell: ~240 s
+    sliding → linear here)."""
+    lcols = df.columns
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    qv = F.floor(F.col(value_col) * F.lit(quantize) + F.lit(0.5)).cast("long")
+    base = df.select(
+        F.col(by).alias("_by"), ts_us.alias("_ts_us"), qv.alias("_qv"),
+        F.struct(*lcols).alias("_o"), F.lit(1).alias("_tgt"),
+    )
+    res = _roll_prefix_core(base, ["_by"], int(window_us))
+    return res.select(
+        *[F.col("_o").getField(c).alias(c) for c in lcols],
+        "roll_n", "roll_sum_q",
+    )
+
+
 def rolling_aggregates_skew(
     df: DataFrame,
     by: str = "user_id",
@@ -491,19 +614,26 @@ def rolling_aggregates_skew(
 ) -> DataFrame:
     """:func:`rolling_aggregates` for SKEWED keys — identical output
     (pinned in pytest), the asof_join_skew discipline applied to a
-    trailing RANGE window: a hot key's rows spread over uniform TIME
-    cells of width W = max(window_us, span/n_parts) instead of one
+    trailing window: a hot key's rows spread over uniform TIME cells
+    of width W = max(window_us, span/n_parts) instead of one
     hash-window task. Every row is emitted to its own cell (as a
     target AND in-cell contributor) and as a GHOST contributor to the
     next cell — W ≥ window_us guarantees each target's [ts − w, ts)
     frame lies inside its own cell ∪ the previous one, so the ghost
     copies are exactly the missing contributors and nothing double
     counts (the ghost and its original live in different cells, hence
-    different window partitions). One 2×-replicated window shuffle with
-    per-(cell, key) groups bounded by cell population; output drops the
-    ghosts."""
-    from pyspark.sql.window import Window
+    different window partitions).
 
+    Within each (cell, key) the frame sums run through the LINEAR
+    prefix-sum engine (:func:`_roll_prefix_core`), not a sliding RANGE
+    frame: Spark re-aggregates a sliding frame from scratch every time
+    its lower bound moves, so the sliding form is O(rows · frame) — on
+    the 10M-row/1-key/1-hour probe cell it measured ~240 s while
+    producing identical output. Local cumulative counts both spill in
+    (early ghosts older than the frame), but they appear in the
+    target's exclusive cum AND the boundary carry, so the difference
+    cancels them exactly. Parallelism = time cells, independent of key
+    cardinality; every pass is O(rows) per cell."""
     lcols = df.columns
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -519,29 +649,92 @@ def rolling_aggregates_skew(
         cell_w = max(int(window_us), -(-(int(hi) - int(lo) + 1) // n_parts))
     # exact int64 floor-division (the range_join discipline)
     cell = F.expr(f"(_ts_us - pmod(_ts_us, {cell_w})) DIV {cell_w}")
-    tagged = base.withColumn("_cell", cell).withColumn("_ghost", F.lit(0))
-    ghosts = base.withColumn("_cell", cell + 1).withColumn("_ghost", F.lit(1))
-    u = tagged.unionByName(ghosts)
-    w = (
-        Window.partitionBy("_cell", "_by")
-        .orderBy(F.col("_ts_us"))
-        .rangeBetween(-int(window_us), -1)
+    tagged = base.withColumn("_cell", cell).withColumn("_tgt", F.lit(1))
+    ghosts = base.withColumn("_cell", cell + 1).withColumn("_tgt", F.lit(0))
+    res = _roll_prefix_core(
+        tagged.unionByName(ghosts), ["_cell", "_by"], int(window_us)
     )
-    # ghosts contribute to sums/counts but never emit; a target's frame
-    # within its cell sees its cell-mates directly and its previous
-    # cell's rows through their ghost copies — each source row exactly
-    # once. count() must skip ghost TARGET positions? No: count/sum run
-    # over frame ROWS, and every frame row (original or ghost) stands
-    # for one distinct source event in [ts − w, ts).
-    out = (
-        u.withColumn("roll_n", F.count(F.lit(1)).over(w).cast("long"))
-        .withColumn(
-            "roll_sum_q",
-            F.coalesce(F.sum("_qv").over(w), F.lit(0)).cast("long"),
-        )
-        .filter(F.col("_ghost") == 0)
-    )
-    return out.select(
+    return res.select(
         *[F.col("_o").getField(c).alias(c) for c in lcols],
         "roll_n", "roll_sum_q",
     )
+
+
+def rolling_route(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    window_us: int = 3_600_000_000,
+    dense_frame_rows: int = 64,
+    skew_share: float = 0.10,
+    probe_rows: int = 1_000_000,
+) -> str:
+    """Routing decision behind :func:`rolling_aggregates_auto`:
+    ``"skew"`` | ``"prefix"`` | ``"window"``. One count + one sampled
+    groupBy (≤ probe_rows) estimating the top-key share and the
+    row-weighted average frame population ⟨frame⟩ = (Σc²/Σc)·w/span
+    (c = sampled per-key counts, span scaled by the sample fraction).
+    A hot key (top share ≥ skew_share) serializes BOTH the sliding
+    window and the prefix passes, so it routes to the cell-parallel
+    skew strategy first; dense frames (⟨frame⟩ ≥ dense_frame_rows)
+    route to the linear prefix form — Spark's sliding RANGE frame
+    costs O(rows · frame); sparse frames keep the one-shuffle sliding
+    window."""
+    n = df.count()
+    if n == 0:
+        return "window"
+    frac = min(1.0, probe_rows / n)
+    sample = df.sample(fraction=frac, seed=7) if frac < 1.0 else df
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    stats = (
+        sample.select(F.col(by).alias("_by"), ts_us.alias("_ts_us"))
+        .groupBy("_by")
+        .agg(F.count(F.lit(1)).alias("_c"),
+             F.min("_ts_us").alias("_lo"), F.max("_ts_us").alias("_hi"))
+        .agg(
+            F.max("_c").alias("mx"), F.sum("_c").alias("tot"),
+            F.sum(F.col("_c") * F.col("_c")).alias("sq"),
+            F.min("_lo").alias("lo"), F.max("_hi").alias("hi"),
+        )
+        .collect()[0]
+    )
+    if not stats["tot"]:
+        return "window"
+    if stats["mx"] / stats["tot"] >= skew_share:
+        return "skew"
+    span = max(int(stats["hi"]) - int(stats["lo"]) + 1, 1)
+    # sampled counts are ≈ frac · true counts, so the true weighted
+    # mean per-key frame population is (Σc²/Σc) / frac · w / span
+    est_frame = (stats["sq"] / stats["tot"]) / frac * int(window_us) / span
+    return "prefix" if est_frame >= dense_frame_rows else "window"
+
+
+def rolling_aggregates_auto(
+    df: DataFrame,
+    by: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_us: int = 3_600_000_000,
+    quantize: float = 1e6,
+    dense_frame_rows: int = 64,
+    skew_share: float = 0.10,
+    probe_rows: int = 1_000_000,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Strategy-selecting trailing-window features (the asof_join_auto
+    discipline): all three strategies are output-identical, the probe
+    only picks the physical plan — skew (hot key: cell-parallel linear
+    prefix), prefix (dense frames: keyed linear prefix), or the plain
+    one-shuffle sliding window (sparse frames)."""
+    strategy = rolling_route(
+        df, by=by, ts_col=ts_col, window_us=window_us,
+        dense_frame_rows=dense_frame_rows, skew_share=skew_share,
+        probe_rows=probe_rows,
+    )
+    kw = dict(by=by, ts_col=ts_col, value_col=value_col,
+              window_us=window_us, quantize=quantize)
+    if strategy == "skew":
+        return rolling_aggregates_skew(df, n_parts=n_parts, **kw)
+    if strategy == "prefix":
+        return rolling_aggregates_prefix(df, **kw)
+    return rolling_aggregates(df, **kw)

@@ -488,3 +488,91 @@ def test_asof_broadcast_empty_candidates_under_ansi(spark):
         assert fwd[3] == (None, None)
     finally:
         spark.conf.set("spark.sql.ansi.enabled", saved)
+
+
+def test_rolling_prefix_boundaries_and_equality(spark):
+    """The linear prefix form must reproduce rolling_aggregates exactly:
+    the pinned boundary scenario (strictly-before exclusivity, peers,
+    inclusive lower edge) plus randomized inputs with heavy (key, ts)
+    collisions — the tie cases where a wrong carry order would show."""
+    import random
+
+    from raft_spark.operators.temporal import (
+        rolling_aggregates,
+        rolling_aggregates_prefix,
+    )
+
+    rows = [
+        (1, 1, 0, 1.5), (2, 1, 60, 2.25), (3, 1, 60, 4.0),
+        (4, 1, 120, 8.0), (5, 2, 30, 1.0),
+    ]
+    out = {
+        r["event_id"]: (r["roll_n"], r["roll_sum_q"])
+        for r in rolling_aggregates_prefix(
+            _ev(spark, rows), window_us=60_000_000
+        ).collect()
+    }
+    assert out[1] == (0, 0)
+    assert out[2] == (1, 1_500_000)
+    assert out[3] == (1, 1_500_000)
+    assert out[4] == (2, 6_250_000)
+    assert out[5] == (0, 0)
+
+    rng = random.Random(13)
+    rows = [
+        (i, rng.randrange(4), rng.randrange(50), float(rng.randrange(20)))
+        for i in range(300)
+    ]
+    df = _ev(spark, rows)
+    kw = dict(window_us=10_000_000, quantize=1e6)
+    want = sorted(
+        (r["event_id"], r["roll_n"], r["roll_sum_q"])
+        for r in rolling_aggregates(df, **kw).collect()
+    )
+    got = sorted(
+        (r["event_id"], r["roll_n"], r["roll_sum_q"])
+        for r in rolling_aggregates_prefix(df, **kw).collect()
+    )
+    assert got == want
+    # ties are actually present (coarse ts space)
+    assert len({(u, s) for (_, u, s, _) in rows}) < len(rows)
+
+
+def test_rolling_auto_routes_all_strategies(spark):
+    """rolling_route must pick each strategy on shaped inputs, and
+    rolling_aggregates_auto's output must equal the plain operator on
+    every route (strategies choose plans, never answers)."""
+    from raft_spark.operators.temporal import (
+        rolling_aggregates,
+        rolling_aggregates_auto,
+        rolling_route,
+    )
+
+    # 1000 rows: keys 0..19 uniform (top share 5% < skew gate),
+    # 100 s span, 1 s window -> sparse frames
+    sparse = _ev(spark, [(i, i % 20, i // 10, float(i % 5)) for i in range(1000)])
+    # one hot key holding everything
+    hot = _ev(spark, [(i, 1, i % 50, float(i % 5)) for i in range(500)])
+    # dense frames: 10 keys, 50 s span, 40 s window -> ~200 rows/frame
+    dense = _ev(spark, [(i, i % 10, i % 50, float(i % 5)) for i in range(2000)])
+
+    assert rolling_route(sparse, window_us=1_000_000) == "window"
+    assert rolling_route(hot, window_us=1_000_000) == "skew"
+    assert rolling_route(dense, window_us=40_000_000, skew_share=0.5) == "prefix"
+
+    for df, w_us, auto_kw in (
+        (sparse, 1_000_000, {}),
+        (hot, 1_000_000, {}),
+        (dense, 40_000_000, {"skew_share": 0.5}),
+    ):
+        want = sorted(
+            (r["event_id"], r["roll_n"], r["roll_sum_q"])
+            for r in rolling_aggregates(df, window_us=w_us).collect()
+        )
+        got = sorted(
+            (r["event_id"], r["roll_n"], r["roll_sum_q"])
+            for r in rolling_aggregates_auto(
+                df, window_us=w_us, **auto_kw
+            ).collect()
+        )
+        assert got == want
