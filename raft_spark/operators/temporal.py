@@ -650,7 +650,13 @@ def rolling_aggregates_skew(
     # exact int64 floor-division (the range_join discipline)
     cell = F.expr(f"(_ts_us - pmod(_ts_us, {cell_w})) DIV {cell_w}")
     tagged = base.withColumn("_cell", cell).withColumn("_tgt", F.lit(1))
-    ghosts = base.withColumn("_cell", cell + 1).withColumn("_tgt", F.lit(0))
+    # ghosts contribute only (_ts_us, _qv) to the cums — drop their
+    # payload struct so the 2× replication shuffles keys + two longs,
+    # not a second copy of every source column
+    ghosts = (
+        base.withColumn("_cell", cell + 1).withColumn("_tgt", F.lit(0))
+        .withColumn("_o", F.lit(None).cast(base.schema["_o"].dataType))
+    )
     res = _roll_prefix_core(
         tagged.unionByName(ghosts), ["_cell", "_by"], int(window_us)
     )

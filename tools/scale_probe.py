@@ -347,6 +347,41 @@ def main() -> None:
     out["rolling_skew_10m_1key_s"] = round(time.perf_counter() - t, 2)
     assert rrow["n"] == 10_000_000 and rrow["s"] > 0
 
+    # rolling_route at 10M rows (r8): the dense-frame cell must route
+    # to the linear prefix strategy (Spark's sliding RANGE frame is
+    # O(rows · frame): this shape — 1000 keys, 1-day span, 1-hour
+    # window, ~400 rows per frame — would pay ~4·10⁹ re-aggregations
+    # through the sliding form) and the sparse 30-day shape must keep
+    # the one-shuffle window.
+    from raft_spark.operators.temporal import (
+        rolling_aggregates_prefix,
+        rolling_route,
+    )
+
+    def _vev(n, keys, span_days, seed):
+        return spark.range(n).select(
+            (F.col("id") + seed * 100_000_000).alias("event_id"),
+            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(keys)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
+                         F.lit(span_days * 86400 * 1_000_000))
+            ).cast("timestamp_ntz").alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        ).localCheckpoint(eager=True)
+
+    dense = _vev(10_000_000, 1000, 1, 9)
+    assert rolling_route(dense) == "prefix"
+    sparse_shape = _vev(1_000_000, 1000, 30, 10)
+    assert rolling_route(sparse_shape) == "window"
+    t = time.perf_counter()
+    prow = rolling_aggregates_prefix(dense) \
+        .agg(F.sum("roll_n").alias("s"), F.count("*").alias("n")).first()
+    out["rolling_prefix_10m_dense_s"] = round(time.perf_counter() - t, 2)
+    assert prow["n"] == 10_000_000 and prow["s"] > 0
+    del dense, sparse_shape
+    gc.collect()
+
     # asof_join_auto router at 10M left rows (r8): three shaped inputs,
     # one per physical strategy — asof_route must pick broadcast for a
     # dimension-sized right, skew for a hot-key left past the broadcast

@@ -186,6 +186,47 @@ def main() -> None:
         del d
         gc.collect()
 
+    # rolling-window strategy crossover (r8): frame population is the
+    # axis — Spark's sliding RANGE frame costs O(rows · frame) (it
+    # re-aggregates the whole frame whenever the lower bound moves),
+    # the prefix form O(rows) with one extra shuffle. The grid fixes
+    # 1M rows / 1000 keys / 1-hour window and varies the time span so
+    # the mean frame hits ~{4, 64, 1024} rows — bracketing the
+    # router's dense_frame_rows=64 threshold.
+    from raft_spark.operators.temporal import (
+        rolling_aggregates,
+        rolling_aggregates_prefix,
+    )
+
+    roll_grid = [4, 64, 1024]
+    if quick:
+        roll_grid = roll_grid[:1]
+    for frame in roll_grid:
+        n_rows, keys, w_us = 1_000_000, 1_000, 3_600_000_000
+        span_us = max((n_rows // keys) * w_us // frame, w_us)
+        d = spark.range(n_rows).select(
+            (F.col("id")).alias("event_id"),
+            F.pmod(F.xxhash64(F.col("id")), F.lit(keys)).alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000)
+                + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(span_us))
+            ).cast("timestamp_ntz").alias("ts"),
+            (F.col("id") % 97).cast("double").alias("value"),
+        ).localCheckpoint(eager=True)
+        for name, fn in (("rolling_window", rolling_aggregates),
+                         ("rolling_prefix", rolling_aggregates_prefix)):
+            best = None
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(d, window_us=w_us).agg(F.sum("roll_n")).collect()
+                t = time.perf_counter() - t0
+                best = t if best is None else min(best, t)
+            cells.append({"op": name, "rows": n_rows, "keys": keys,
+                          "mean_frame": frame, "sec": round(best, 3)})
+            print(json.dumps(cells[-1]), flush=True)
+        del d
+        gc.collect()
+
     print(json.dumps({"metric": "sweep_cells", "value": len(cells),
                       "total_sec": round(sum(c["sec"] for c in cells), 3)}))
 
