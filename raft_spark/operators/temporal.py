@@ -537,12 +537,16 @@ def _roll_prefix_core(base: DataFrame, part_cols: list, window_us: int) -> DataF
             StructField("_cs_ex", LongType()),
         ]
     )
-    data = cums.select(
-        *part_cols, F.col("_ts_us").alias("_t"), F.lit(0).alias("_tag"),
+    # Emit the data leg and (for targets) the query leg from ONE pass
+    # over the cums frame — referencing `cums` in two union branches
+    # would execute the whole cumulative window (scan + shuffle + sort)
+    # TWICE, and on a non-deterministic input the branches could even
+    # disagree on the rows themselves.
+    data_e = F.struct(
+        F.col("_ts_us").alias("_t"), F.lit(0).alias("_tag"),
         F.col("_cin").alias("_c"), F.lit(None).cast(qtype).alias("_q"),
     )
-    qrys = cums.filter(F.col("_tgt") == 1).select(
-        *part_cols,
+    qry_e = F.struct(
         (F.col("_ts_us") - F.lit(int(window_us)) - 1).alias("_t"),
         F.lit(1).alias("_tag"),
         F.lit(None).cast(ctype).alias("_c"),
@@ -550,6 +554,13 @@ def _roll_prefix_core(base: DataFrame, part_cols: list, window_us: int) -> DataF
             F.col("_o").alias("_o"), F.col("_cn_ex"), F.col("_cs_ex")
         ).alias("_q"),
     )
+    both = cums.select(
+        *part_cols,
+        F.explode(
+            F.when(F.col("_tgt") == 1, F.array(data_e, qry_e))
+            .otherwise(F.array(data_e))
+        ).alias("_e"),
+    ).select(*part_cols, "_e.*")
     # data rows sort before a query at the same _t (tag 0 < 1): a
     # boundary row at exactly ts − w − 1 is OUTSIDE the frame, so its
     # inclusive cums must be subtracted — and peers carry peer-equal
@@ -560,7 +571,7 @@ def _roll_prefix_core(base: DataFrame, part_cols: list, window_us: int) -> DataF
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        data.unionByName(qrys)
+        both
         .withColumn("_cc", F.last("_c", ignorenulls=True).over(wc))
         .filter(F.col("_tag") == 1)
         .select(
