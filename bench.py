@@ -57,7 +57,9 @@ HEADLINE = [
     "sort_cols_per_row",  # in-row sort (zero shuffle)
     "stream_windowed_moments",  # structured-streaming incremental agg
     "data_mixture",       # stratified + token-budget corpus mixing
-    "temporal_join_suite",  # as-of + banded range joins (one keyed window)
+    "asof_suite",         # as-of joins, all strategies + banded range join
+    "rolling_suite",      # trailing-window features: sliding/prefix/skew/auto
+    "incremental_dedup",  # cross-snapshot delta dedup vs persisted state
     "pagerank",           # integer-exact iterative join-agg (12 rounds)
     "dbscan",             # quantized eps-pairs -> core/border/noise
     "triangles",          # wedge-join exact triangle count

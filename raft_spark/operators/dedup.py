@@ -185,18 +185,8 @@ def band_table(
     expression — valid on batch tables AND streaming frames (pure
     projection + generator). The static side of a stream-static
     near-dup lookup is exactly this table, precomputed and stored."""
-    n_bands = num_perms // band_rows
     sig = minhash_signature_expr(text_col, num_perms)
-    structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                "_",
-                *[sig[b * band_rows + r].cast("string") for r in range(band_rows)],
-            ).alias("bsig"),
-        )
-        for b in range(n_bands)
-    ])
+    structs = bands_from_sig(sig, num_perms, band_rows)
     return docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.explode(structs).alias("_b")
     ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig"))
@@ -859,3 +849,207 @@ def ngram_jaccard_pairs(
     if min_jaccard > 0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental cross-snapshot dedup: persisted MinHash state + delta ingest
+# ---------------------------------------------------------------------------
+
+
+def stable_term_id_expr(term_col):
+    """Snapshot-STABLE, engine-portable term id: the first 15 hex chars
+    of md5(term) as a 60-bit integer, reduced mod P31.
+
+    Why not the vocab-rank tid (term_ids): ranks shift whenever a new
+    snapshot adds vocabulary, which would invalidate every persisted
+    signature; why not xxhash64: DuckDB cannot reproduce it, so the
+    incremental pipeline would lose its independent oracle. md5 is
+    content-derived (stable across snapshots forever) and bit-identical
+    in both engines — the DuckDB mirror is a hex fold:
+    ``list_reduce(list_prepend(0, list_transform(string_split(
+    substring(md5(term),1,15), ''), c -> strpos('0123456789abcdef', c)
+    - 1)), (a, b) -> a*16 + b) % 2147483647`` (parity pinned in
+    tests/test_incremental_dedup.py)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(_col(term_col)), 1, 15), 16, 10).cast("long"),
+        F.lit(P31),
+    )
+
+
+def minhash_signature_stable(text_col, num_perms: int = NUM_PERMS):
+    """:func:`minhash_signature_expr` with :func:`stable_term_id_expr`
+    term ids — one stateless per-row projection (no vocab build, no
+    aggregation), so it runs identically on batch frames, streams, and
+    across corpus snapshots: the signature a document gets today equals
+    the signature it got in last month's state, which is what makes the
+    persisted-state delta ingest (:func:`dedup_state_ingest`) sound."""
+    from raft_spark.functions.arrays import let_bind
+
+    def perm_min(hashes, p: int):
+        a, b = perm_consts(p)
+        return F.array_min(
+            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)
+        )
+
+    return let_bind(
+        F.transform(
+            F.array_distinct(F.split(_col(text_col), r"\s+")),
+            stable_term_id_expr,
+        ),
+        lambda hashes: F.array(*[perm_min(hashes, p) for p in range(num_perms)]),
+    )
+
+
+def bands_from_sig(sig, num_perms: int = NUM_PERMS, band_rows: int = BAND_ROWS):
+    """LSH band structs ``array<struct<band,bsig>>`` from a signature
+    array column/expression — the one shared rendering of the banding
+    (band_table and the persisted-state path must agree bit-for-bit or
+    the delta ingest would miss bucket-mates)."""
+    n_bands = num_perms // band_rows
+    sig = _col(sig) if isinstance(sig, str) else sig
+    return F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                "_",
+                *[sig[b * band_rows + r].cast("string") for r in range(band_rows)],
+            ).alias("bsig"),
+        )
+        for b in range(n_bands)
+    ])
+
+
+def _explode_bands(sigs: DataFrame, num_perms: int, band_rows: int) -> DataFrame:
+    return sigs.select(
+        "doc_id", F.explode(bands_from_sig(F.col("sig"), num_perms, band_rows)).alias("_b")
+    ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig"))
+
+
+def read_dedup_state(spark, state_path: str) -> tuple[DataFrame, DataFrame] | None:
+    """(signatures, clusters) of a persisted dedup state, or None if the
+    state has never been written."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        sigs = spark.read.parquet(state_path + "/sigs")
+        clusters = spark.read.parquet(state_path + "/clusters")
+    except AnalysisException:
+        return None
+    return sigs.select("doc_id", "sig"), clusters
+
+
+def dedup_state_ingest(
+    new_docs: DataFrame,
+    state_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perms: int = NUM_PERMS,
+    band_rows: int = BAND_ROWS,
+    max_bucket_docs: int = MAX_BUCKET_DOCS,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup: fold a NEW batch of documents
+    into a persisted corpus dedup state and return the refreshed
+    full-corpus cluster table (doc_id, cluster_id, cluster_size,
+    is_canonical) — how a 100 TB corpus actually ingests (nobody
+    re-clusters the world per delivery).
+
+    State layout under ``state_path``: ``sigs`` (doc_id, sig — the
+    snapshot-stable MinHash signatures, :func:`minhash_signature_stable`)
+    and ``clusters`` (the current assignment). Per ingest the DELTA work
+    is: signatures for the new batch only; an LSH band join of the new
+    bands against the corpus bands; est-Jaccard on the candidate pairs;
+    then connected components over (new candidate edges ∪ the old
+    assignment's star edges doc→cluster_id). The star edges CONTRACT
+    every previously-resolved component into one hub, so the solver
+    never re-walks old×old pairs — and because cluster_id is itself the
+    component's min doc_id, the contracted graph yields byte-identical
+    labels to the from-scratch run.
+
+    EQUALITY contract (gate-checked): ingest(batch₂, state(batch₁)) ==
+    from-scratch dedup of batch₁ ∪ batch₂, because (a) signatures are
+    content-derived (identical across snapshots), (b) the hot-bucket
+    cap is decided on the UNION's occupancy (old bands + new bands —
+    exactly what from-scratch sees), and (c) old×old candidate edges
+    are a subset of the already-contracted state whenever no bucket
+    crosses the cap between snapshots. Monotone-merge caveat: if new
+    docs push a bucket OVER the cap, from-scratch would retroactively
+    drop that bucket's old pairs; incremental keeps the committed
+    merges (dedup never un-merges) and only stops producing new pairs
+    from it — the operationally-correct behavior, and byte-equal
+    whenever no bucket straddles the cap across the split (true on the
+    gate corpus; asserted in tests).
+
+    REPLAY-safe: doc_ids already present in the state are anti-joined
+    out first, so at-least-once redelivery (the foreachBatch recovery
+    contract) is a no-op — pinned in tests/test_incremental_dedup.py.
+
+    Scale notes (100 TB): the corpus-side band table is a projection of
+    the persisted signature table (4 rows/doc); at real scale persist
+    it bucketed by (band, bsig-hash) so the per-delivery probe join
+    co-locates without a corpus shuffle, and maintain the (band, bsig)
+    occupancy counts additively instead of re-aggregating. The CC step
+    is the size-probed :func:`~raft_spark.operators.solvers.
+    connected_components_auto` over delta edges + contracted hubs only.
+    """
+    spark = new_docs.sparkSession
+    sig = minhash_signature_stable(text_col, num_perms)
+    incoming = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
+    )
+    state = read_dedup_state(spark, state_path)
+    if state is not None:
+        old_sigs, old_clusters = state
+        incoming = incoming.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
+        star = old_clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("a"), F.col("cluster_id").alias("b")
+        )
+    else:
+        old_sigs = None
+        star = None
+    incoming = incoming.localCheckpoint(eager=True)
+    all_sigs = (
+        old_sigs.unionByName(incoming) if old_sigs is not None else incoming
+    ).localCheckpoint(eager=True)
+
+    nb = _explode_bands(incoming, num_perms, band_rows)
+    ab = _explode_bands(all_sigs, num_perms, band_rows)
+    # hot-bucket cap on the UNION occupancy — the from-scratch decision
+    keep = (
+        ab.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= max_bucket_docs).drop("_n")
+    )
+    cand = (
+        nb.join(keep, ["band", "bsig"], "left_semi")
+        .select(F.col("doc_id").alias("_x"), "band", "bsig")
+        .join(
+            ab.join(keep, ["band", "bsig"], "left_semi")
+            .select(F.col("doc_id").alias("_y"), "band", "bsig"),
+            ["band", "bsig"],
+        )
+        .filter(F.col("_x") != F.col("_y"))
+        .select(
+            F.least("_x", "_y").alias("a"), F.greatest("_x", "_y").alias("b")
+        )
+        .distinct()
+    )
+    sa = all_sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("_sa"))
+    sb = all_sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("_sb"))
+    est = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(float(num_perms))
+    edges = (
+        cand.join(sa, "a").join(sb, "b")
+        .filter(est >= F.lit(threshold))
+        .select("a", "b")
+    )
+    pairs = edges.unionByName(star) if star is not None else edges
+    clusters = dedup_clusters(
+        pairs, all_sigs.select("doc_id"), id_col="doc_id"
+    ).localCheckpoint(eager=True)  # materialize BEFORE overwriting the
+    # state it was derived from (lineage through state_path/clusters)
+    all_sigs.write.mode("overwrite").parquet(state_path + "/sigs")
+    clusters.write.mode("overwrite").parquet(state_path + "/clusters")
+    return clusters

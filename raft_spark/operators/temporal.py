@@ -720,9 +720,15 @@ def rolling_route(
     if stats["mx"] / stats["tot"] >= skew_share:
         return "skew"
     span = max(int(stats["hi"]) - int(stats["lo"]) + 1, 1)
-    # sampled counts are ≈ frac · true counts, so the true weighted
-    # mean per-key frame population is (Σc²/Σc) / frac · w / span
-    est_frame = (stats["sq"] / stats["tot"]) / frac * int(window_us) / span
+    # Unbiased under Bernoulli sampling: with per-key true count C and
+    # sampled count c ~ Binomial(C, frac), E[c²] = frac²C² + frac(1−frac)C,
+    # so the naive (Σc²/Σc)/frac overshoots the true row-weighted mean
+    # ΣC²/ΣC by ≈ (1−frac)/frac rows — at frac = 1e-3 that is +999
+    # phantom rows per key, enough to misroute sparse inputs near the
+    # threshold to 'prefix'. Correct: ΣC²/ΣC = (Σc² − Σc)/Σc/frac + 1
+    # (exact at frac = 1, where it reduces to Σc²/Σc).
+    est_keymean = (stats["sq"] - stats["tot"]) / stats["tot"] / frac + 1.0
+    est_frame = est_keymean * int(window_us) / span
     return "prefix" if est_frame >= dense_frame_rows else "window"
 
 

@@ -78,8 +78,14 @@ _GATE_ORDER = [
     "semantic_dedup",
     "duplicated_spans",
     "embedding_neardup",
-    "knn_cosine",
+    # (knn_cosine folded into ann_recall_suite in r9 as the value-
+    # oracled exact_rank/exact_cos members — the standalone query stays
+    # registered for bench legacy-27 continuity and tests)
     "ann_recall_suite",
+    # -- incremental cross-snapshot dedup (r9: batch-2 deduped against
+    # batch-1's persisted signature state == from-scratch dedup of the
+    # union, DuckDB-oracled end to end)
+    "incremental_dedup",
     "curation_suite",
     "text_quality",
     "multimodal",
@@ -90,9 +96,10 @@ _GATE_ORDER = [
     # -- corpus mixing (r6: deterministic stratified + token-budget
     # selection — the data-mixing leg of the training pipeline)
     "data_mixture",
-    # -- temporal joins (r6: as-of backward/forward/tolerance vs
-    # DuckDB's NATIVE ASOF JOIN + banded range join)
-    "temporal_join_suite",
+    # -- temporal joins (r6; r9 split into asof/rolling rows so one red
+    # member cannot mark both operator families unverified at once)
+    "asof_suite",
+    "rolling_suite",
     # -- solvers (oracled; lstsq_simple folded into solver_spectra and
     # spectral_partition into graph_solver_suite in r6 — their member
     # oracles still compose into the suite hashes via _sub(), so the

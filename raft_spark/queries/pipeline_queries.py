@@ -158,6 +158,104 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedup_clusters(pairs, load(spark, "documents", sf_dir))
 
 
+# From-scratch fuzzy dedup over ALL documents with the snapshot-stable
+# md5 term ids (dedup.stable_term_id_expr — the DuckDB hex fold mirrors
+# Spark's conv(substring(md5(term),1,15),16,10) % P31 bit-for-bit) —
+# the independent oracle the INCREMENTAL two-batch ingest must equal.
+_INCREMENTAL_DEDUP_ORACLE = r"""
+WITH RECURSIVE tok AS (
+    SELECT doc_id, unnest(list_distinct(string_split_regex(text, '\s+'))) AS term
+    FROM documents
+),
+ht AS (
+    SELECT doc_id,
+           (list_reduce(list_prepend(0::BIGINT,
+                list_transform(string_split(substring(md5(term), 1, 15), ''),
+                    c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+            (a, b) -> a * 16 + b)) % 2147483647 AS tid
+    FROM tok
+),
+perms AS (
+    SELECT i AS perm,
+           ((i + 1) * 12582917) % 2147483647 AS a,
+           ((i + 1) * 4256249 + 7) % 2147483647 AS b
+    FROM range(0, 16) t(i)
+),
+sigs AS (
+    SELECT doc_id, perm, min((a * tid + b) % 2147483647) AS mh
+    FROM ht CROSS JOIN perms GROUP BY 1, 2
+),
+bands AS (
+    SELECT doc_id, (perm // 4) AS band,
+           string_agg(mh::VARCHAR, '_' ORDER BY perm) AS sig
+    FROM sigs GROUP BY 1, 2
+),
+keep AS (SELECT band, sig FROM bands GROUP BY 1, 2 HAVING count(*) <= 256),
+bandsk AS (SELECT b.* FROM bands b JOIN keep USING (band, sig)),
+cand AS (
+    SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+    FROM bandsk l JOIN bandsk r
+      ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+est AS (
+    SELECT a, b FROM (
+        SELECT cand.a, cand.b,
+               avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END) AS ej
+        FROM cand
+        JOIN sigs sa ON sa.doc_id = cand.a
+        JOIN sigs sb ON sb.doc_id = cand.b AND sb.perm = sa.perm
+        GROUP BY 1, 2
+    ) WHERE ej >= 0.5
+),
+edges AS (SELECT a AS u, b AS v FROM est UNION SELECT b, a FROM est),
+reach(u, v) AS (
+    SELECT u, v FROM edges
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+),
+lab AS (SELECT u AS node, least(u, min(v)) AS label FROM reach GROUP BY u),
+base AS (
+    SELECT d.doc_id::BIGINT AS doc_id,
+           coalesce(l.label, d.doc_id)::BIGINT AS cluster_id
+    FROM documents d LEFT JOIN lab l ON l.node = d.doc_id
+),
+cs AS (SELECT cluster_id, count(*) AS n FROM base GROUP BY 1)
+SELECT base.doc_id, base.cluster_id, cs.n::BIGINT AS cluster_size,
+       (CASE WHEN base.doc_id = base.cluster_id THEN 1 ELSE 0 END)::INTEGER AS is_canonical
+FROM base JOIN cs USING (cluster_id)
+"""
+
+
+@query("incremental_dedup", oracle=_INCREMENTAL_DEDUP_ORACLE)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental CROSS-SNAPSHOT dedup (dedup.dedup_state_ingest): the
+    corpus arrives as two deliveries (even doc_ids, then odd doc_ids);
+    batch 1 is ingested into an empty persisted state, batch 2 is
+    deduped AGAINST that state (snapshot-stable signatures + band join
+    + star-edge contraction) and the state is updated. The returned
+    full-corpus cluster table must equal the FROM-SCRATCH dedup of
+    batch₁ ∪ batch₂, which the DuckDB oracle recomputes independently
+    (md5 term ids, recursive-CTE components) — the equality contract a
+    100 TB ingest pipeline rests on. Replay safety (re-ingesting a
+    delivered batch is a no-op) is pinned in
+    tests/test_incremental_dedup.py."""
+    import shutil
+    import tempfile
+
+    docs = load(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    tmp = tempfile.mkdtemp(prefix="raft_spark_deltadedup_")
+    try:
+        D.dedup_state_ingest(b1, tmp + "/state")
+        out = D.dedup_state_ingest(b2, tmp + "/state")
+        # out is eagerly checkpointed by the operator, so removing the
+        # state directory underneath it is safe
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
 @query(
     "simhash",
     oracle="WITH " + SQL_COO + "," + SQL_VOCAB + """,
@@ -628,6 +726,8 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
     import shutil
     import tempfile
 
+    import numpy as np
+
     tmp = tempfile.mkdtemp(prefix="raft_spark_ivfpq_")
     try:
         SIM.write_ivf_pq_index(index, tmp + "/index")
@@ -636,10 +736,21 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # r9 (promoted from tests/test_pq_and_clusters.py): the sidecar
+    # NUMERIC state (centroids + PQ codebooks) must survive the
+    # round-trip bit-for-bit, not just the neighbor set — a lossy
+    # sidecar could still return equal neighbors on the gate corpus
+    # while corrupting a larger index
+    sidecar_eq = int(
+        np.array_equal(loaded["centroids"], index["centroids"])
+        and np.array_equal(loaded["codebooks"], index["codebooks"])
+    )
+
     rows = [
         ("ivf_pq", int(r_mid >= 0.5)),
         ("ivf_pq_probe_mono", int(r_full >= r_low)),
         ("ivf_pq_roundtrip", int(pairs_loaded == pairs_mid and len(pairs_mid) > 0)),
+        ("ivf_pq_sidecar_eq", sidecar_eq),
     ]
     return spark.createDataFrame(rows, "method string, recall_ok int")
 

@@ -2071,67 +2071,104 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["curation_suite"] = _curation_oracle()
 
 
-_ANN_RECALL_ORACLE = """
-SELECT 'ivf' AS method, 1::INTEGER AS recall_ok
+# r9 reshape: (method, a, b, value) — the exact brute-force top-5
+# ranking (the former standalone knn_cosine row, folded here to free a
+# gate slot) rides as two VALUE-oracled members over the suite's own
+# shared exact scan (zero added compute: every recall member already
+# scores against it), and the contract flags keep their constant-1
+# oracles. ivf_pq_sidecar_eq promoted from pytest in the same pass.
+_ANN_RECALL_ORACLE = f"""
+WITH rk AS (SELECT * FROM {_sub('knn_cosine')})
+SELECT 'exact_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
+       rank::DOUBLE AS value
+FROM rk
 UNION ALL
-SELECT 'pq', 1::INTEGER
+SELECT 'exact_cos', qid::BIGINT, nid::BIGINT, cosine FROM rk
 UNION ALL
-SELECT 'nn_descent', 1::INTEGER
+SELECT 'ivf', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
-SELECT 'ivf_pq', 1::INTEGER
+SELECT 'pq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
-SELECT 'ivf_pq_probe_mono', 1::INTEGER
+SELECT 'nn_descent', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
-SELECT 'ivf_pq_roundtrip', 1::INTEGER
+SELECT 'ivf_pq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
-SELECT 'lsh', 1::INTEGER
+SELECT 'ivf_pq_probe_mono', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
-SELECT 'lsh_table_mono', 1::INTEGER
+SELECT 'ivf_pq_roundtrip', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
-SELECT 'graph', 1::INTEGER
+SELECT 'ivf_pq_sidecar_eq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
-SELECT 'graph_round_mono', 1::INTEGER
+SELECT 'lsh', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'lsh_table_mono', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'graph', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'graph_round_mono', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
 @query("ann_recall_suite", oracle=_ANN_RECALL_ORACLE)
 def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF + PQ + IVF-PQ + NN-descent ANN contracts vs exact brute
-    force as (method, recall_ok) — the compressed/partitioned scale
-    paths for similarity search, folded into one gate row (each member
+    """Exact brute-force kNN + IVF + PQ + IVF-PQ + NN-descent ANN
+    contracts as (method, a, b, value) — the exact path's full
+    (qid, nid, rank, cosine) output is value-hashed against DuckDB's
+    independent cosine ranking (exact_rank / exact_cos members — the
+    folded former knn_cosine row, emitted from the SAME shared exact
+    scan every recall member scores against), and the compressed/
+    partitioned scale paths ride as contract flags (each member
     remains independently runnable; exact recall values are pinned by
     tests/test_similarity_ivf.py). Since r4 the IVF-PQ composite adds
     probe monotonicity and the persistent-index round-trip
     (write_ivf_pq_index → read_ivf_pq_index returns the identical
-    neighbor set); since r4 the suite also shares ONE corpus
+    neighbor set); r9 adds the sidecar NUMERIC equality (centroids +
+    codebooks bit-identical after reload). The suite shares ONE corpus
     checkpoint, ONE exact brute scan, and ONE nn_descent build across
-    all ten members (each member query still builds its own when run
+    all members (each member query still builds its own when run
     standalone)."""
     from raft_spark.operators import similarity as SIM2
 
     shared = PQ.ann_shared(spark, sf_dir)  # one corpus + one exact scan
     g10 = SIM2.nn_descent_graph(shared[0], k=10).select("id", "nid") \
         .localCheckpoint(eager=True)  # one build feeds nnd recall AND the walk
-    ivf = PQ.q_knn_ivf_recall(spark, sf_dir, shared=shared).select(
-        F.lit("ivf").alias("method"), F.col("recall_ok").cast("int")
+
+    def _flag(df: DataFrame) -> DataFrame:
+        return df.select(
+            "method",
+            F.lit(0).cast("long").alias("a"),
+            F.lit(-1).cast("long").alias("b"),
+            F.col("recall_ok").cast("double").alias("value"),
+        )
+
+    exact = shared[3]
+    ex_rank = exact.select(
+        F.lit("exact_rank").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("rank").cast("double").alias("value"),
     )
-    pq = PQ.q_knn_pq_recall(spark, sf_dir, shared=shared).select(
-        F.lit("pq").alias("method"), F.col("recall_ok").cast("int")
+    ex_cos = exact.select(
+        F.lit("exact_cos").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("cosine").cast("double").alias("value"),
     )
-    nnd = PQ.q_nn_descent_recall(spark, sf_dir, graph=g10).select(
-        F.lit("nn_descent").alias("method"), F.col("recall_ok").cast("int")
-    )
-    ivfpq = PQ.q_ivf_pq_checks(spark, sf_dir, shared=shared).select(
-        "method", F.col("recall_ok").cast("int")
-    )
-    lsh = PQ.q_knn_lsh_checks(spark, sf_dir, shared=shared).select(
-        "method", F.col("recall_ok").cast("int")
-    )
-    graph = PQ.q_knn_graph_checks(spark, sf_dir, shared=shared, graph=g10).select(
-        "method", F.col("recall_ok").cast("int")
-    )
+    ivf = _flag(PQ.q_knn_ivf_recall(spark, sf_dir, shared=shared).select(
+        F.lit("ivf").alias("method"), "recall_ok"
+    ))
+    pq = _flag(PQ.q_knn_pq_recall(spark, sf_dir, shared=shared).select(
+        F.lit("pq").alias("method"), "recall_ok"
+    ))
+    nnd = _flag(PQ.q_nn_descent_recall(spark, sf_dir, graph=g10).select(
+        F.lit("nn_descent").alias("method"), "recall_ok"
+    ))
+    ivfpq = _flag(PQ.q_ivf_pq_checks(spark, sf_dir, shared=shared))
+    lsh = _flag(PQ.q_knn_lsh_checks(spark, sf_dir, shared=shared))
+    graph = _flag(PQ.q_knn_graph_checks(spark, sf_dir, shared=shared, graph=g10))
     return (
-        ivf.unionByName(pq).unionByName(nnd).unionByName(ivfpq)
+        ex_rank.unionByName(ex_cos)
+        .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
     )
 

@@ -1,14 +1,24 @@
-"""Temporal-join gate queries: as-of join (backward / forward /
-tolerance) and the banded range join over the events table.
+"""Temporal gate queries, split into two rows (r9 — one red member
+must not mark two operator families unverified at once):
 
-The oracle is DuckDB's NATIVE ``ASOF JOIN`` — an independent engine
-implementation of the same semantics, not a mirrored clause — plus a
-plain inequality join for the band member. Every output column is
-int64 (ids, epoch-microsecond gaps), so the value hash is engine-exact
-with no quantization step. The right side of each member is tie-free
-on (user_id, ts) in this corpus, and the operator additionally pins
-tie order via its tiebreak column, so the match set is a pure function
-of the data."""
+- ``asof_suite``: as-of join (backward / forward / tolerance) in all
+  three physical strategies (plain window / skew cells / broadcast)
+  plus the auto router and the banded range join.
+- ``rolling_suite``: trailing-window features in all three physical
+  strategies (sliding window / linear prefix / skew cells) plus the
+  auto router (which must pick a NON-default route on the gate
+  corpus — the kAuto-next-to-every-fixed-algorithm discipline of
+  cpp/tests/matrix/select_k.cu).
+
+The as-of oracle is DuckDB's NATIVE ``ASOF JOIN`` — an independent
+engine implementation of the same semantics, not a mirrored clause —
+plus a plain inequality join for the band member; the rolling oracle
+is DuckDB's RANGE frame. Every output column is int64 (ids,
+epoch-microsecond gaps, quantized sums), so the value hash is
+engine-exact with no quantization step. The right side of each as-of
+member is tie-free on (user_id, ts) in this corpus, and the operator
+additionally pins tie order via its tiebreak column, so the match set
+is a pure function of the data."""
 
 from __future__ import annotations
 
@@ -22,6 +32,7 @@ from raft_spark.operators.temporal import (
     asof_join_skew,
     range_join,
     rolling_aggregates,
+    rolling_aggregates_auto,
     rolling_aggregates_prefix,
     rolling_aggregates_skew,
 )
@@ -29,10 +40,30 @@ from raft_spark.queries.registry import query
 from raft_spark.sources.tables import load
 
 _HOUR = 3_600_000_000  # microseconds
+_MONTH = 30 * 86_400_000_000  # 30 days — spans the whole gate corpus
+
+
+def _rolling_oracle_member(name: str, window_us: int) -> str:
+    return f"""
+SELECT '{name}' AS op, event_id::BIGINT AS a, roll_n::BIGINT AS b,
+       roll_sum_q::BIGINT AS v
+FROM (
+    SELECT event_id,
+           count(*) OVER w AS roll_n,
+           coalesce(sum(qv) OVER w, 0) AS roll_sum_q
+    FROM (
+        SELECT event_id, user_id, epoch_us(ts) AS tsu,
+               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM events WHERE event_type = 'click'
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY tsu
+                 RANGE BETWEEN {window_us} PRECEDING AND 1 PRECEDING)
+)
+"""
 
 
 @query(
-    "temporal_join_suite",
+    "asof_suite",
     oracle="""
 WITH l AS (
     SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
@@ -76,56 +107,20 @@ SELECT 'asof_auto', l.event_id::BIGINT,
        coalesce(r.event_id, -1)::BIGINT,
        coalesce(epoch_us(r.ts) - epoch_us(l.ts), -1)::BIGINT
 FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts <= r.ts
-UNION ALL
-SELECT 'rolling', event_id::BIGINT, roll_n::BIGINT, roll_sum_q::BIGINT
-FROM (
-    SELECT event_id,
-           count(*) OVER w AS roll_n,
-           coalesce(sum(qv) OVER w, 0) AS roll_sum_q
-    FROM (
-        SELECT event_id, user_id, epoch_us(ts) AS tsu,
-               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
-        FROM events WHERE event_type = 'click'
-    )
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu
-                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
-)
-UNION ALL
-SELECT 'rolling_prefix', event_id::BIGINT, roll_n::BIGINT, roll_sum_q::BIGINT
-FROM (
-    SELECT event_id,
-           count(*) OVER w AS roll_n,
-           coalesce(sum(qv) OVER w, 0) AS roll_sum_q
-    FROM (
-        SELECT event_id, user_id, epoch_us(ts) AS tsu,
-               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
-        FROM events WHERE event_type = 'click'
-    )
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu
-                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
-)
-UNION ALL
-SELECT 'rolling_skew', event_id::BIGINT, roll_n::BIGINT, roll_sum_q::BIGINT
-FROM (
-    SELECT event_id,
-           count(*) OVER w AS roll_n,
-           coalesce(sum(qv) OVER w, 0) AS roll_sum_q
-    FROM (
-        SELECT event_id, user_id, epoch_us(ts) AS tsu,
-               CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS qv
-        FROM events WHERE event_type = 'click'
-    )
-    WINDOW w AS (PARTITION BY user_id ORDER BY tsu
-                 RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
-)
 """,
 )
-def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_asof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of + range joins (operators/temporal.py) of clicks against
-    views per user: backward, forward, 1-hour tolerance, and the ±1 h
-    band — each checked against DuckDB's native ASOF JOIN / inequality
-    join. Unmatched members encode (-1, -1) so the left-join row count
-    is itself gate-checked."""
+    views per user: backward, forward, 1-hour tolerance, the ±1 h
+    band, and the three physical strategies (skew cells, broadcast,
+    auto router) — each checked against DuckDB's native ASOF JOIN /
+    inequality join. Unmatched members encode (-1, -1) so the
+    left-join row count is itself gate-checked. The corpus contains
+    unmatched-within-key left rows, so the empty-candidate
+    try_element_at path is exercised under the driver's ANSI session
+    (the r6/r7 lesson). asof_auto runs FORWARD so the router + the
+    forward arm are both covered; at gate scale the right side is
+    dimension-sized, so the router picks broadcast."""
     ev = load(spark, "events", sf_dir)
     l = ev.filter("event_type = 'click'").select("event_id", "user_id", "ts")
     r = ev.filter("event_type = 'view'").select("event_id", "user_id", "ts")
@@ -152,26 +147,11 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                   tiebreak_col="event_id"),
         "asof_tol",
     )
-    # r7: the skew strategies are gate members of their own — same
-    # DuckDB clauses as their plain twins, different physical plan
-    # (small n_parts forces multiple time cells at gate scale)
     skew = _shape(
         asof_join_skew(l, r, right_cols=("event_id",),
                        tiebreak_col="event_id", n_parts=8),
         "asof_skew",
     )
-    # r8: the broadcast strategy and the auto router get BATCH gate rows
-    # of their own (same DuckDB native ASOF clauses as their plain
-    # twins). Until now broadcast's only driver row was the streaming
-    # one — the ANSI element_at bug hid there for two rounds; every
-    # physical strategy now has a batch row the driver greens/reds
-    # independently (reference shape: every select_k algorithm variant
-    # is tested, cpp/tests/matrix/select_k.cu, not just kAuto's pick).
-    # The corpus contains unmatched-within-key left rows (encoded -1),
-    # so the empty-candidate path is exercised under the driver's ANSI
-    # session. asof_auto runs FORWARD so the router + the forward
-    # try_element_at arm are both covered; at gate scale the right side
-    # is dimension-sized, so the router picks broadcast.
     bcast = _shape(
         asof_join_broadcast(l, r, right_cols=("event_id",),
                             tiebreak_col="event_id"),
@@ -188,42 +168,61 @@ def q_temporal_join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id_r").cast("long").alias("b"),
         F.col("delta_us").alias("v"),
     )
-    roll = rolling_aggregates(
-        ev.filter("event_type = 'click'")
-        .select("event_id", "user_id", "ts", "value"),
-        window_us=_HOUR,
-    ).select(
-        F.lit("rolling").alias("op"),
-        F.col("event_id").cast("long").alias("a"),
-        F.col("roll_n").alias("b"),
-        F.col("roll_sum_q").alias("v"),
-    )
-    # r8: the linear prefix-sum strategy (dense frames — Spark's
-    # sliding RANGE frame is O(rows · frame); 10M/1-key probe 240 s →
-    # 14 s after the rewrite) gates under the same DuckDB clause
-    rollpx = rolling_aggregates_prefix(
-        ev.filter("event_type = 'click'")
-        .select("event_id", "user_id", "ts", "value"),
-        window_us=_HOUR,
-    ).select(
-        F.lit("rolling_prefix").alias("op"),
-        F.col("event_id").cast("long").alias("a"),
-        F.col("roll_n").alias("b"),
-        F.col("roll_sum_q").alias("v"),
-    )
-    rollsk = rolling_aggregates_skew(
-        ev.filter("event_type = 'click'")
-        .select("event_id", "user_id", "ts", "value"),
-        window_us=_HOUR, n_parts=8,
-    ).select(
-        F.lit("rolling_skew").alias("op"),
-        F.col("event_id").cast("long").alias("a"),
-        F.col("roll_n").alias("b"),
-        F.col("roll_sum_q").alias("v"),
-    )
     return (
         back.unionByName(fwd).unionByName(tol).unionByName(skew)
-        .unionByName(bcast).unionByName(auto)
-        .unionByName(band).unionByName(roll).unionByName(rollpx)
-        .unionByName(rollsk)
+        .unionByName(bcast).unionByName(auto).unionByName(band)
     )
+
+
+@query(
+    "rolling_suite",
+    oracle=(
+        _rolling_oracle_member("rolling", _HOUR)
+        + "UNION ALL"
+        + _rolling_oracle_member("rolling_prefix", _HOUR)
+        + "UNION ALL"
+        + _rolling_oracle_member("rolling_skew", _HOUR)
+        + "UNION ALL"
+        + _rolling_oracle_member("rolling_auto", _MONTH)
+    ),
+)
+def q_rolling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe trailing-window features over clicks per user in
+    all three physical strategies — sliding RANGE window (sparse
+    frames), linear two-pass prefix sums (dense frames — Spark's
+    sliding frame is O(rows·frame); the 10M/1-key/1-hour probe
+    measured 240 s sliding vs 14 s prefix), skew time-cells — plus the
+    auto router, all under the same DuckDB RANGE-frame clause.
+
+    The rolling_auto member runs a 30-day window (the corpus spans 30
+    days, ~14 click rows per user) with dense_frame_rows=8, so the
+    router's probe estimates ⟨frame⟩ ≈ 14 ≥ 8 and picks the PREFIX
+    route — a non-default routing decision exercised by the driver at
+    both sf0.01 and sf0.1 (pytest asserts the route; the gate checks
+    the routed plan's values against the independent oracle)."""
+    ev = load(spark, "events", sf_dir)
+    clicks = ev.filter("event_type = 'click'").select(
+        "event_id", "user_id", "ts", "value"
+    )
+
+    def _shape(df: DataFrame, op: str) -> DataFrame:
+        return df.select(
+            F.lit(op).alias("op"),
+            F.col("event_id").cast("long").alias("a"),
+            F.col("roll_n").alias("b"),
+            F.col("roll_sum_q").alias("v"),
+        )
+
+    roll = _shape(rolling_aggregates(clicks, window_us=_HOUR), "rolling")
+    rollpx = _shape(
+        rolling_aggregates_prefix(clicks, window_us=_HOUR), "rolling_prefix"
+    )
+    rollsk = _shape(
+        rolling_aggregates_skew(clicks, window_us=_HOUR, n_parts=8),
+        "rolling_skew",
+    )
+    rollauto = _shape(
+        rolling_aggregates_auto(clicks, window_us=_MONTH, dense_frame_rows=8),
+        "rolling_auto",
+    )
+    return roll.unionByName(rollpx).unionByName(rollsk).unionByName(rollauto)

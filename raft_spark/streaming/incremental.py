@@ -534,3 +534,41 @@ def windowed_count_min(
         .agg(F.count("*").alias("cnt"))
         .select(F.col("win.start").alias("win_start"), "depth", "bucket", "cnt")
     )
+
+
+def dedup_state_ingest_stream(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **ingest_kwargs,
+):
+    """Streaming twin of batch :func:`~raft_spark.operators.dedup.
+    dedup_state_ingest`: each arriving micro-batch of documents is
+    deduped against the persisted corpus state (snapshot-stable MinHash
+    signatures + LSH band join + star-edge contraction) and the state
+    is updated in place, via foreachBatch — the ingest-time shape of
+    cross-snapshot dedup (continuous deliveries instead of monthly
+    snapshots; same operator, same state layout, so batch bootstraps
+    and streaming continues seamlessly).
+
+    Replay safety is the foreachBatch recovery contract: Structured
+    Streaming re-runs a batch after a crash (at-least-once), and the
+    ingest anti-joins already-present doc_ids out, so redelivery leaves
+    the state byte-identical (pinned in tests). Returns the started
+    StreamingQuery (caller awaits/stops)."""
+    from raft_spark.operators.dedup import dedup_state_ingest
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        dedup_state_ingest(
+            batch_df, state_path, text_col=text_col, id_col=id_col,
+            **ingest_kwargs,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

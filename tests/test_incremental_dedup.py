@@ -1,0 +1,162 @@
+"""Incremental cross-snapshot dedup (dedup.dedup_state_ingest): the
+delta-ingest == from-scratch equality contract, replay safety, the
+engine-portable stable term id, and the rolling_auto router gate
+assertions (r9)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from raft_spark.operators import dedup as D
+from raft_spark.sources.tables import load
+
+
+def _cluster_map(df):
+    return {
+        r["doc_id"]: (r["cluster_id"], r["cluster_size"], r["is_canonical"])
+        for r in df.collect()
+    }
+
+
+def test_stable_tid_parity_with_duckdb(spark):
+    """stable_term_id_expr must equal the documented DuckDB hex fold
+    bit-for-bit — that identity is what makes the incremental pipeline
+    independently oracle-able."""
+    import duckdb
+
+    terms = ["hello", "world", "", "a", "émoji✓", "123", "the quick", "züge"]
+    df = spark.createDataFrame([(t,) for t in terms], "term string")
+    got = {
+        r["term"]: r["tid"]
+        for r in df.select(
+            "term", D.stable_term_id_expr("term").alias("tid")
+        ).collect()
+    }
+    con = duckdb.connect()
+    sql = """(list_reduce(list_prepend(0::BIGINT,
+        list_transform(string_split(substring(md5(term), 1, 15), ''),
+            c -> (strpos('0123456789abcdef', c) - 1)::BIGINT)),
+        (a, b) -> a * 16 + b)) % 2147483647"""
+    for t in terms:
+        want = con.execute(
+            f"SELECT {sql} FROM (SELECT ? AS term)", [t]
+        ).fetchone()[0]
+        assert got[t] == want, t
+
+
+def test_incremental_equals_from_scratch(spark, sf_dir, tmp_path):
+    """ingest(b2, state(b1)) == one-shot ingest(b1 ∪ b2, fresh state) —
+    the cross-snapshot equality the gate row checks against DuckDB."""
+    docs = load(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    p_inc = str(tmp_path / "inc")
+    D.dedup_state_ingest(b1, p_inc)
+    inc = _cluster_map(D.dedup_state_ingest(b2, p_inc))
+
+    p_all = str(tmp_path / "scratch")
+    scratch = _cluster_map(D.dedup_state_ingest(docs, p_all))
+
+    assert inc == scratch and len(inc) == docs.count()
+    # the corpus must actually exercise merges for this to mean much
+    assert any(can == 0 for (_, _, can) in inc.values())
+
+
+def test_no_bucket_straddles_cap_on_gate_split(spark, sf_dir):
+    """The equality contract is exact only while no LSH bucket crosses
+    the hot-bucket cap BETWEEN snapshots (the docstring's monotone-merge
+    caveat): a bucket kept (≤ cap) at batch-1 time but dropped (> cap)
+    on the union would leave committed batch-1 merges that from-scratch
+    retroactively un-merges. Pin that the gate corpus's even/odd split
+    has no such bucket — the gate row's oracle equality is structural,
+    not luck. (The corpus DOES have near-cap buckets — 237 at sf0.001 —
+    so this is a real check, not slack.)"""
+    docs = load(spark, "documents", sf_dir)
+    bands = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(
+            D.bands_from_sig(D.minhash_signature_stable("text"))
+        ).alias("_b"),
+    ).select("doc_id", "_b.band", "_b.bsig")
+    occ = bands.groupBy("band", "bsig").agg(
+        F.count("*").alias("n_union"),
+        F.sum((F.col("doc_id") % 2 == 0).cast("int")).alias("n_b1"),
+    )
+    cap = D.MAX_BUCKET_DOCS
+    straddle = occ.filter(
+        (F.col("n_b1") <= cap) & (F.col("n_union") > cap)
+    ).count()
+    assert straddle == 0
+
+
+def test_replay_is_noop(spark, sf_dir, tmp_path):
+    """Re-ingesting an already-delivered batch (the at-least-once
+    foreachBatch recovery case) must leave clusters AND state
+    byte-identical."""
+    docs = load(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "state")
+    D.dedup_state_ingest(b1, p)
+    first = _cluster_map(D.dedup_state_ingest(b2, p))
+    n_sigs = spark.read.parquet(p + "/sigs").count()
+
+    replay = _cluster_map(D.dedup_state_ingest(b2, p))
+    assert replay == first
+    assert spark.read.parquet(p + "/sigs").count() == n_sigs
+    # partial-overlap redelivery (half of b2 again + nothing new)
+    again = _cluster_map(
+        D.dedup_state_ingest(b2.filter(F.col("doc_id") % 4 == 1), p)
+    )
+    assert again == first
+
+
+def test_streaming_ingest_matches_batch(spark, sf_dir, tmp_path):
+    """Two micro-batches through the foreachBatch twin == the one-shot
+    batch ingest of the same corpus."""
+    from raft_spark.streaming.incremental import dedup_state_ingest_stream
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    # two parquet files → two availableNow micro-batches
+    d = tmp_path / "in"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "f1.parquet")
+    )
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "f2.parquet")
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d) + "/*/")
+    )
+    p_stream = str(tmp_path / "stream_state")
+    q = dedup_state_ingest_stream(
+        stream, p_stream, checkpoint=str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    p_batch = str(tmp_path / "batch_state")
+    want = _cluster_map(D.dedup_state_ingest(docs, p_batch))
+    got = _cluster_map(
+        spark.read.parquet(p_stream + "/clusters")
+        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+    )
+    assert got == want
+
+
+def test_rolling_auto_routes_prefix_on_gate_corpus(spark, sf_dir):
+    """The rolling_suite gate member must exercise a NON-default route:
+    with the corpus-spanning window and dense_frame_rows=8 the probe
+    estimates ⟨frame⟩ ≈ 14 rows ≥ 8 → prefix; with the production
+    default threshold (64) the same corpus stays on the sliding
+    window — both asserted so the member keeps meaning 'the router
+    routed', not 'the default fell through'."""
+    from raft_spark.operators.temporal import rolling_route
+
+    clicks = load(spark, "events", sf_dir).filter("event_type = 'click'")
+    month = 30 * 86_400_000_000
+    assert rolling_route(clicks, window_us=month, dense_frame_rows=8) == "prefix"
+    assert rolling_route(clicks, window_us=month) == "window"
