@@ -1828,6 +1828,8 @@ UNION ALL
 SELECT 'cms_lower_ok', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'cms_within_eps', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'jsonl_roundtrip_ok', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -1848,6 +1850,8 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       pack within budget, bin count ≥ the ceil lower bound (flags).
     - dedup_report: corpus dedup summary over dedup_clusters output,
       re-derived independently by the oracle's recursive CTE.
+    - jsonl_roundtrip (r9): exact multiset equality of the corpus after
+      a JSONL write→read round-trip, zero corrupt records (flag).
     """
     from raft_spark.operators import packing as PK
     from raft_spark.operators import sketches as SK
@@ -2061,9 +2065,40 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d4 = scalar(rep, "dedup_dup_rate", F.col("dup_rate"))
     d5 = scalar(rep, "dedup_max_cluster", F.col("max_cluster_size").cast("double"))
 
+    # ---- JSONL corpus IO round-trip (r9, promoted from pytest — the
+    # semindex_eq pattern: the driver greens a real write→read over the
+    # interchange format downstream tokenizer jobs consume, with zero
+    # corrupt-record leakage; exceptAll both ways = exact multiset
+    # equality of the full rows, not just a count) ----
+    import shutil
+    import tempfile
+
+    from raft_spark.sources.tables import read_jsonl_corpus, write_jsonl_corpus
+
+    sel = docs.select("doc_id", "lang", "text")
+    tmp = tempfile.mkdtemp(prefix="raft_spark_jsonl_")
+    try:
+        write_jsonl_corpus(sel, tmp + "/corpus", partitions=4)
+        back = read_jsonl_corpus(
+            spark, tmp + "/corpus", schema="doc_id long, lang string, text string"
+        ).localCheckpoint(eager=True)
+        n_corrupt = back.filter(F.col("_corrupt_record").isNotNull()).count()
+        back = back.drop("_corrupt_record")
+        jok = float(
+            n_corrupt == 0
+            and sel.exceptAll(back).count() == 0
+            and back.exceptAll(sel).count() == 0
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    j1 = scalar(
+        spark.createDataFrame([(jok,)], "v double"),
+        "jsonl_roundtrip_ok", F.col("v"),
+    )
+
     out = k_assign
     for p in [k_count, k_sum, r1, r2, r3, s1, s2, s3, s4,
-              ptot, pnd, pwb, plb, h1, c1, c2, d1, d2, d3, d4, d5]:
+              ptot, pnd, pwb, plb, h1, c1, c2, d1, d2, d3, d4, d5, j1]:
         out = out.unionByName(p)
     return out
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from raft_spark.functions.rng import uniform  # noqa: E402
 from raft_spark.session import get_spark  # noqa: E402
+from tools.datagen import events_table  # noqa: E402
 
 
 def dense_table(spark, n: int, d: int):
@@ -282,15 +283,7 @@ def main() -> None:
     from raft_spark.operators.temporal import asof_join, range_join
 
     def _ev(n, seed):
-        return spark.range(n).select(
-            (F.col("id") + seed * 100_000_000).alias("event_id"),
-            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(1000)).alias("user_id"),
-            F.timestamp_micros(
-                F.lit(1_700_000_000_000_000)
-                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
-                         F.lit(30 * 86400 * 1_000_000))
-            ).cast("timestamp_ntz").alias("ts"),
-        ).localCheckpoint(eager=True)
+        return events_table(spark, n, keys=1000, seed=seed)
 
     evl, evr = _ev(10_000_000, 1), _ev(10_000_000, 2)
     t = time.perf_counter()
@@ -315,15 +308,8 @@ def main() -> None:
     gc.collect()
 
     def _hot(n, seed):
-        return spark.range(n).select(
-            (F.col("id") + seed * 100_000_000).alias("event_id"),
-            F.lit(0).cast("long").alias("user_id"),
-            F.timestamp_micros(
-                F.lit(1_700_000_000_000_000)
-                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
-                         F.lit(30 * 86400 * 1_000_000))
-            ).cast("timestamp_ntz").alias("ts"),
-        ).localCheckpoint(eager=True)
+        # keys=1: pmod(xxhash64, 1) == 0 — the same single hot key
+        return events_table(spark, n, keys=1, seed=seed)
 
     hl, hr = _hot(10_000_000, 3), _hot(1_000_000, 4)
     t = time.perf_counter()
@@ -359,16 +345,8 @@ def main() -> None:
     )
 
     def _vev(n, keys, span_days, seed):
-        return spark.range(n).select(
-            (F.col("id") + seed * 100_000_000).alias("event_id"),
-            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(keys)).alias("user_id"),
-            F.timestamp_micros(
-                F.lit(1_700_000_000_000_000)
-                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
-                         F.lit(span_days * 86400 * 1_000_000))
-            ).cast("timestamp_ntz").alias("ts"),
-            (F.col("id") % 97).cast("double").alias("value"),
-        ).localCheckpoint(eager=True)
+        return events_table(spark, n, keys=keys, seed=seed,
+                            span_days=span_days, with_value=True)
 
     dense = _vev(10_000_000, 1000, 1, 9)
     assert rolling_route(dense) == "prefix"
@@ -400,15 +378,7 @@ def main() -> None:
     ]
 
     def _keyed(n, keys, seed):
-        return spark.range(n).select(
-            (F.col("id") + seed * 100_000_000).alias("event_id"),
-            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(keys)).alias("user_id"),
-            F.timestamp_micros(
-                F.lit(1_700_000_000_000_000)
-                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
-                         F.lit(30 * 86400 * 1_000_000))
-            ).cast("timestamp_ntz").alias("ts"),
-        ).localCheckpoint(eager=True)
+        return events_table(spark, n, keys=keys, seed=seed)
 
     for name, nl, kl, nr, kr, expect in cells:
         al, ar = _keyed(nl, kl, 5), _keyed(nr, kr, 6)

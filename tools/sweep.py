@@ -28,6 +28,7 @@ from raft_spark.functions.rng import uniform  # noqa: E402
 from raft_spark.operators.selectk import select_k  # noqa: E402
 from raft_spark.operators.similarity import knn_brute  # noqa: E402
 from raft_spark.session import get_spark  # noqa: E402
+from tools.datagen import events_table  # noqa: E402
 
 
 def gen_long(spark, n_rows: int, n_groups: int):
@@ -102,15 +103,7 @@ def main() -> None:
     from raft_spark.operators.temporal import asof_join, range_join
 
     def gen_events(n, keys, seed):
-        return spark.range(n).select(
-            (F.col("id") + seed * 100_000_000).alias("event_id"),
-            F.pmod(F.xxhash64(F.col("id") + seed), F.lit(keys)).alias("user_id"),
-            F.timestamp_micros(
-                F.lit(1_700_000_000_000_000)
-                + F.pmod(F.xxhash64(F.col("id") + seed + 7),
-                         F.lit(30 * 86400 * 1_000_000))
-            ).cast("timestamp_ntz").alias("ts"),
-        ).localCheckpoint(eager=True)
+        return events_table(spark, n, keys=keys, seed=seed)
 
     asof_grid = [(r, k) for r in (1_000_000, 10_000_000)
                  for k in (10, 1_000, 100_000)]
@@ -204,15 +197,8 @@ def main() -> None:
     for frame in roll_grid:
         n_rows, keys, w_us = 1_000_000, 1_000, 3_600_000_000
         span_us = max((n_rows // keys) * w_us // frame, w_us)
-        d = spark.range(n_rows).select(
-            (F.col("id")).alias("event_id"),
-            F.pmod(F.xxhash64(F.col("id")), F.lit(keys)).alias("user_id"),
-            F.timestamp_micros(
-                F.lit(1_700_000_000_000_000)
-                + F.pmod(F.xxhash64(F.col("id") + 7), F.lit(span_us))
-            ).cast("timestamp_ntz").alias("ts"),
-            (F.col("id") % 97).cast("double").alias("value"),
-        ).localCheckpoint(eager=True)
+        d = events_table(spark, n_rows, keys=keys, seed=0,
+                         span_us=span_us, with_value=True)
         for name, fn in (("rolling_window", rolling_aggregates),
                          ("rolling_prefix", rolling_aggregates_prefix)):
             best = None
