@@ -466,10 +466,12 @@ def rolling_aggregates(
     bound moves (SlidingWindowFunctionFrame has no retract), so this
     single-window form costs O(n · avg_frame_rows), not O(n) — a
     10M-row/1-key/1-hour-window input (~14k rows per frame) measured
-    ~240 s where the two-pass prefix form
-    (:func:`rolling_aggregates_prefix`) is linear. Use this form for
-    SPARSE frames (few events per window — it is one shuffle instead
-    of two); route dense or unknown inputs through
+    ~240 s where the dual-growing-frame form
+    (:func:`rolling_aggregates_prefix`) is linear AT THE SAME shuffle
+    count. Since the r9 rewrite the prefix form is never
+    asymptotically worse; this sliding form survives as the
+    reference-discipline fixed algorithm (and wins only the last few
+    percent on very sparse frames). Route unknown inputs through
     :func:`rolling_aggregates_auto`."""
     from pyspark.sql.window import Window
 
@@ -491,96 +493,57 @@ def rolling_aggregates(
     )
 
 
-def _roll_prefix_core(base: DataFrame, part_cols: list, window_us: int) -> DataFrame:
-    """Shared linear-time trailing-window engine: ``sum over
-    [ts − w, ts)`` = ``cum<(ts) − cum<(ts − w)``, computed as (1) one
-    window pass of running EXCLUSIVE and INCLUSIVE cumulative
-    count/sum per partition (both frames are unbounded-preceding —
-    Spark's only add-only incremental frame, O(rows); the sliding
-    RANGE frame re-aggregates the whole frame per row, O(rows ·
-    frame)), then (2) an as-of carry: each target row asks for the
-    inclusive cums at ``ts − w − 1`` via a tagged union + running
-    last-non-null — the asof_join trick pointed at the row's own
-    history. The carried pair is ONE struct, so count and sum always
-    come from the same boundary row (struct-atomic carry discipline).
+def _roll_dual_frame(base: DataFrame, part_cols: list, window_us: int) -> DataFrame:
+    """Shared linear-time trailing-window engine (r9 rewrite):
+    ``agg over [ts − w, ts)`` = ``cum(≤ ts−1) − cum(≤ ts−w−1)`` — the
+    DIFFERENCE OF TWO GROWING FRAMES, both ``rangeBetween(unbounded
+    Preceding, offset)``. Spark evaluates a growing frame with the
+    add-only incremental UnboundedPrecedingWindowFunctionFrame (O(1)
+    per row), and both frames share one partition/order spec, so the
+    whole thing is ONE WindowExec: one keyed shuffle, one sort, O(rows)
+    aggregation at ANY frame density. This supersedes the r8 two-pass
+    prefix-sum core (cums pass + tagged-union as-of carry): identical
+    output (pinned in pytest), but one shuffle instead of two and —
+    decisively at scale — the full row width crosses the exchange and
+    the window buffer ONCE (the 100M-row/1000-key probe measured 209 s
+    two-pass vs 33 s here; the sliding RANGE frame, which re-aggregates
+    the whole frame per row, took ~240 s already at 10M/1-key).
+
+    Correctness of the bounds (integer-µs timestamps): rows with
+    t' ≤ t−1 ⟺ t' < t, minus rows with t' ≤ t−w−1 ⟺ t' < t−w, leaves
+    exactly [t−w, t) — and RANGE frames include all peers, so ties are
+    handled deterministically on both sides of the difference.
 
     ``base`` columns: ``part_cols...``, ``_ts_us`` (long), ``_qv``
-    (long), ``_o`` (original-row struct; arbitrary for non-targets),
-    ``_tgt`` (1 → emit a result row). Non-target rows (e.g. ghost
-    contributors) enter the cums but produce no output. Returns
-    ``_o, roll_n, roll_sum_q`` for target rows."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    (long), ``_tgt`` (1 → emit a result row). Non-target rows (e.g.
+    the skew strategy's ghost contributors) enter both cums and
+    cancel out of neither — they are frame contributors — but produce
+    no output row. Returns the base columns plus ``roll_n`` /
+    ``roll_sum_q`` for target rows."""
     from pyspark.sql.window import Window
 
-    w_in = (
-        Window.partitionBy(*part_cols).orderBy("_ts_us")
-        .rangeBetween(Window.unboundedPreceding, 0)
-    )
     w_ex = (
         Window.partitionBy(*part_cols).orderBy("_ts_us")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    cums = base.select(
-        "*",
-        F.struct(
-            F.count(F.lit(1)).over(w_in).cast("long").alias("_n"),
-            F.coalesce(F.sum("_qv").over(w_in), F.lit(0)).cast("long").alias("_s"),
-        ).alias("_cin"),
-        F.count(F.lit(1)).over(w_ex).cast("long").alias("_cn_ex"),
-        F.coalesce(F.sum("_qv").over(w_ex), F.lit(0)).cast("long").alias("_cs_ex"),
-    )
-    ctype = StructType([StructField("_n", LongType()), StructField("_s", LongType())])
-    qtype = StructType(
-        [
-            StructField("_o", base.schema["_o"].dataType),
-            StructField("_cn_ex", LongType()),
-            StructField("_cs_ex", LongType()),
-        ]
-    )
-    # Emit the data leg and (for targets) the query leg from ONE pass
-    # over the cums frame — referencing `cums` in two union branches
-    # would execute the whole cumulative window (scan + shuffle + sort)
-    # TWICE, and on a non-deterministic input the branches could even
-    # disagree on the rows themselves.
-    data_e = F.struct(
-        F.col("_ts_us").alias("_t"), F.lit(0).alias("_tag"),
-        F.col("_cin").alias("_c"), F.lit(None).cast(qtype).alias("_q"),
-    )
-    qry_e = F.struct(
-        (F.col("_ts_us") - F.lit(int(window_us)) - 1).alias("_t"),
-        F.lit(1).alias("_tag"),
-        F.lit(None).cast(ctype).alias("_c"),
-        F.struct(
-            F.col("_o").alias("_o"), F.col("_cn_ex"), F.col("_cs_ex")
-        ).alias("_q"),
-    )
-    both = cums.select(
-        *part_cols,
-        F.explode(
-            F.when(F.col("_tgt") == 1, F.array(data_e, qry_e))
-            .otherwise(F.array(data_e))
-        ).alias("_e"),
-    ).select(*part_cols, "_e.*")
-    # data rows sort before a query at the same _t (tag 0 < 1): a
-    # boundary row at exactly ts − w − 1 is OUTSIDE the frame, so its
-    # inclusive cums must be subtracted — and peers carry peer-equal
-    # inclusive cums (RANGE frames include all peers), so the carry is
-    # deterministic under any tie order.
-    wc = (
-        Window.partitionBy(*part_cols).orderBy("_t", "_tag")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_bd = (
+        Window.partitionBy(*part_cols).orderBy("_ts_us")
+        .rangeBetween(Window.unboundedPreceding, -(int(window_us) + 1))
     )
     return (
-        both
-        .withColumn("_cc", F.last("_c", ignorenulls=True).over(wc))
-        .filter(F.col("_tag") == 1)
-        .select(
-            F.col("_q._o").alias("_o"),
-            (F.col("_q._cn_ex") - F.coalesce(F.col("_cc._n"), F.lit(0)))
-            .cast("long").alias("roll_n"),
-            (F.col("_q._cs_ex") - F.coalesce(F.col("_cc._s"), F.lit(0)))
-            .cast("long").alias("roll_sum_q"),
+        base.withColumn(
+            "roll_n",
+            (F.count(F.lit(1)).over(w_ex) - F.count(F.lit(1)).over(w_bd))
+            .cast("long"),
         )
+        .withColumn(
+            "roll_sum_q",
+            (
+                F.coalesce(F.sum("_qv").over(w_ex), F.lit(0))
+                - F.coalesce(F.sum("_qv").over(w_bd), F.lit(0))
+            ).cast("long"),
+        )
+        .filter(F.col("_tgt") == 1)
     )
 
 
@@ -592,25 +555,24 @@ def rolling_aggregates_prefix(
     window_us: int = 3_600_000_000,
     quantize: float = 1e6,
 ) -> DataFrame:
-    """:func:`rolling_aggregates` for DENSE frames — identical output
-    (pinned in pytest), linear time regardless of how many events fall
-    in each window: two unbounded-preceding cumulative passes + the
-    as-of boundary carry (:func:`_roll_prefix_core`) instead of one
-    sliding RANGE frame that Spark re-aggregates per row. Two keyed
-    shuffles instead of one; wins whenever the average frame holds
-    more than a few dozen rows (the 10M-row/1-key/1-hour cell: ~240 s
-    sliding → linear here)."""
+    """:func:`rolling_aggregates` in LINEAR time regardless of frame
+    density — identical output (pinned in pytest), computed as the
+    difference of two growing cumulative frames in one WindowExec
+    (:func:`_roll_dual_frame`) instead of one sliding RANGE frame that
+    Spark re-aggregates per row (O(rows · frame) — ~240 s at
+    10M/1-key/1-hour vs 7 s here; 33 s at 100M/1000-key where the r8
+    two-pass prefix form took 209 s). Same shuffle count as the
+    sliding form (one keyed exchange), so it is never asymptotically
+    worse — the sliding strategy survives only as the
+    reference-discipline fixed algorithm next to it."""
     lcols = df.columns
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     qv = F.floor(F.col(value_col) * F.lit(quantize) + F.lit(0.5)).cast("long")
     base = df.select(
-        F.col(by).alias("_by"), ts_us.alias("_ts_us"), qv.alias("_qv"),
-        F.struct(*lcols).alias("_o"), F.lit(1).alias("_tgt"),
+        *lcols, ts_us.alias("_ts_us"), qv.alias("_qv"), F.lit(1).alias("_tgt")
     )
-    res = _roll_prefix_core(base, ["_by"], int(window_us))
-    return res.select(
-        *[F.col("_o").getField(c).alias(c) for c in lcols],
-        "roll_n", "roll_sum_q",
+    return _roll_dual_frame(base, [by], int(window_us)).select(
+        *lcols, "roll_n", "roll_sum_q"
     )
 
 
@@ -635,16 +597,12 @@ def rolling_aggregates_skew(
     counts (the ghost and its original live in different cells, hence
     different window partitions).
 
-    Within each (cell, key) the frame sums run through the LINEAR
-    prefix-sum engine (:func:`_roll_prefix_core`), not a sliding RANGE
-    frame: Spark re-aggregates a sliding frame from scratch every time
-    its lower bound moves, so the sliding form is O(rows · frame) — on
-    the 10M-row/1-key/1-hour probe cell it measured ~240 s while
-    producing identical output. Local cumulative counts both spill in
-    (early ghosts older than the frame), but they appear in the
-    target's exclusive cum AND the boundary carry, so the difference
-    cancels them exactly. Parallelism = time cells, independent of key
-    cardinality; every pass is O(rows) per cell."""
+    Within each (cell, key) the frame aggregates run through the
+    linear dual-growing-frame engine (:func:`_roll_dual_frame`) — one
+    WindowExec per pass, O(rows), any frame density. Ghost rows null
+    out the payload struct so the 2× replication shuffles keys + two
+    longs, not a second copy of every source column. Parallelism =
+    time cells, independent of key cardinality."""
     lcols = df.columns
     n_parts = n_parts or df.sparkSession.sparkContext.defaultParallelism
     ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
@@ -668,7 +626,7 @@ def rolling_aggregates_skew(
         base.withColumn("_cell", cell + 1).withColumn("_tgt", F.lit(0))
         .withColumn("_o", F.lit(None).cast(base.schema["_o"].dataType))
     )
-    res = _roll_prefix_core(
+    res = _roll_dual_frame(
         tagged.unionByName(ghosts), ["_cell", "_by"], int(window_us)
     )
     return res.select(
@@ -687,49 +645,39 @@ def rolling_route(
     probe_rows: int = 1_000_000,
 ) -> str:
     """Routing decision behind :func:`rolling_aggregates_auto`:
-    ``"skew"`` | ``"prefix"`` | ``"window"``. One count + one sampled
-    groupBy (≤ probe_rows) estimating the top-key share and the
-    row-weighted average frame population ⟨frame⟩ = (Σc²/Σc)·w/span
-    (c = sampled per-key counts, span scaled by the sample fraction).
-    A hot key (top share ≥ skew_share) serializes BOTH the sliding
-    window and the prefix passes, so it routes to the cell-parallel
-    skew strategy first; dense frames (⟨frame⟩ ≥ dense_frame_rows)
-    route to the linear prefix form — Spark's sliding RANGE frame
-    costs O(rows · frame); sparse frames keep the one-shuffle sliding
-    window."""
+    ``"skew"`` | ``"prefix"`` (| ``"window"`` for empty input, where no
+    physical shape matters). One count + one sampled groupBy
+    (≤ probe_rows) estimating the top-key share; a hot key
+    (share ≥ skew_share) serializes any single hash-window task, so it
+    routes to the cell-parallel skew strategy; everything else takes
+    the dual-growing-frame prefix form.
+
+    Until r9 this probe also estimated frame density to choose between
+    the sliding RANGE window and the (then two-shuffle) prefix form.
+    The r9 one-WindowExec rewrite of :func:`rolling_aggregates_prefix`
+    made prefix the same shuffle count as the sliding window AND
+    O(rows) at any density — the re-swept crossover grid (BASELINE v9,
+    frames {4, 64, 1024} × payload {narrow, 256 B}) measures prefix at
+    or below the sliding window in EVERY cell, so the sliding route is
+    retired from the router (it remains a callable fixed strategy and
+    gate member). ``dense_frame_rows`` is kept for signature
+    compatibility and no longer consulted."""
     n = df.count()
     if n == 0:
         return "window"
     frac = min(1.0, probe_rows / n)
     sample = df.sample(fraction=frac, seed=7) if frac < 1.0 else df
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     stats = (
-        sample.select(F.col(by).alias("_by"), ts_us.alias("_ts_us"))
-        .groupBy("_by")
-        .agg(F.count(F.lit(1)).alias("_c"),
-             F.min("_ts_us").alias("_lo"), F.max("_ts_us").alias("_hi"))
-        .agg(
-            F.max("_c").alias("mx"), F.sum("_c").alias("tot"),
-            F.sum(F.col("_c") * F.col("_c")).alias("sq"),
-            F.min("_lo").alias("lo"), F.max("_hi").alias("hi"),
-        )
+        sample.groupBy(F.col(by).alias("_by"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.max("_c").alias("mx"), F.sum("_c").alias("tot"))
         .collect()[0]
     )
     if not stats["tot"]:
         return "window"
     if stats["mx"] / stats["tot"] >= skew_share:
         return "skew"
-    span = max(int(stats["hi"]) - int(stats["lo"]) + 1, 1)
-    # Unbiased under Bernoulli sampling: with per-key true count C and
-    # sampled count c ~ Binomial(C, frac), E[c²] = frac²C² + frac(1−frac)C,
-    # so the naive (Σc²/Σc)/frac overshoots the true row-weighted mean
-    # ΣC²/ΣC by ≈ (1−frac)/frac rows — at frac = 1e-3 that is +999
-    # phantom rows per key, enough to misroute sparse inputs near the
-    # threshold to 'prefix'. Correct: ΣC²/ΣC = (Σc² − Σc)/Σc/frac + 1
-    # (exact at frac = 1, where it reduces to Σc²/Σc).
-    est_keymean = (stats["sq"] - stats["tot"]) / stats["tot"] / frac + 1.0
-    est_frame = est_keymean * int(window_us) / span
-    return "prefix" if est_frame >= dense_frame_rows else "window"
+    return "prefix"
 
 
 def rolling_aggregates_auto(
@@ -745,10 +693,12 @@ def rolling_aggregates_auto(
     n_parts: int | None = None,
 ) -> DataFrame:
     """Strategy-selecting trailing-window features (the asof_join_auto
-    discipline): all three strategies are output-identical, the probe
-    only picks the physical plan — skew (hot key: cell-parallel linear
-    prefix), prefix (dense frames: keyed linear prefix), or the plain
-    one-shuffle sliding window (sparse frames)."""
+    discipline): all strategies are output-identical, the probe only
+    picks the physical plan — skew (hot key: cell-parallel dual
+    growing frames) or prefix (everything else; since the r9 rewrite
+    it matches the sliding window's shuffle count and beats it at
+    every measured frame density, so the sliding form is reached only
+    by calling :func:`rolling_aggregates` explicitly)."""
     strategy = rolling_route(
         df, by=by, ts_col=ts_col, window_us=window_us,
         dense_frame_rows=dense_frame_rows, skew_share=skew_share,

@@ -5,10 +5,10 @@ must not mark two operator families unverified at once):
   three physical strategies (plain window / skew cells / broadcast)
   plus the auto router and the banded range join.
 - ``rolling_suite``: trailing-window features in all three physical
-  strategies (sliding window / linear prefix / skew cells) plus the
-  auto router (which must pick a NON-default route on the gate
-  corpus — the kAuto-next-to-every-fixed-algorithm discipline of
-  cpp/tests/matrix/select_k.cu).
+  strategies (sliding window / dual-growing-frame prefix / skew
+  cells) plus the auto router, whose routing decision on the gate
+  corpus is pytest-asserted — the kAuto-next-to-every-fixed-algorithm
+  discipline of cpp/tests/matrix/select_k.cu.
 
 The as-of oracle is DuckDB's NATIVE ``ASOF JOIN`` — an independent
 engine implementation of the same semantics, not a mirrored clause —
@@ -188,18 +188,19 @@ def q_asof_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rolling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe trailing-window features over clicks per user in
-    all three physical strategies — sliding RANGE window (sparse
-    frames), linear two-pass prefix sums (dense frames — Spark's
-    sliding frame is O(rows·frame); the 10M/1-key/1-hour probe
-    measured 240 s sliding vs 14 s prefix), skew time-cells — plus the
-    auto router, all under the same DuckDB RANGE-frame clause.
+    all three physical strategies — sliding RANGE window (the fixed
+    legacy algorithm: Spark re-aggregates its frame per row,
+    O(rows·frame) — 240 s at 10M/1-key/1-hour), the one-WindowExec
+    dual-growing-frame prefix form (O(rows) at any density, 7 s on the
+    same probe, 33 s at 100M), skew time-cells — plus the auto router,
+    all under the same DuckDB RANGE-frame clause.
 
-    The rolling_auto member runs a 30-day window (the corpus spans 30
-    days, ~14 click rows per user) with dense_frame_rows=8, so the
-    router's probe estimates ⟨frame⟩ ≈ 14 ≥ 8 and picks the PREFIX
-    route — a non-default routing decision exercised by the driver at
-    both sf0.01 and sf0.1 (pytest asserts the route; the gate checks
-    the routed plan's values against the independent oracle)."""
+    The rolling_auto member runs a 30-day (corpus-spanning) window so
+    its oracle clause is distinct from the 1-hour members; the router
+    probes the corpus (max key share ~1% < 10%) and picks the PREFIX
+    route at both sf0.01 and sf0.1 (pytest asserts the route, and that
+    a shaped hot-key input flips it to skew; the gate checks the
+    routed plan's values against the independent oracle)."""
     ev = load(spark, "events", sf_dir)
     clicks = ev.filter("event_type = 'click'").select(
         "event_id", "user_id", "ts", "value"
@@ -222,7 +223,6 @@ def q_rolling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rolling_skew",
     )
     rollauto = _shape(
-        rolling_aggregates_auto(clicks, window_us=_MONTH, dense_frame_rows=8),
-        "rolling_auto",
+        rolling_aggregates_auto(clicks, window_us=_MONTH), "rolling_auto"
     )
     return roll.unionByName(rollpx).unionByName(rollsk).unionByName(rollauto)

@@ -148,15 +148,16 @@ def test_streaming_ingest_matches_batch(spark, sf_dir, tmp_path):
 
 
 def test_rolling_auto_routes_prefix_on_gate_corpus(spark, sf_dir):
-    """The rolling_suite gate member must exercise a NON-default route:
-    with the corpus-spanning window and dense_frame_rows=8 the probe
-    estimates ⟨frame⟩ ≈ 14 rows ≥ 8 → prefix; with the production
-    default threshold (64) the same corpus stays on the sliding
-    window — both asserted so the member keeps meaning 'the router
-    routed', not 'the default fell through'."""
+    """The rolling_suite gate member must exercise the router for real:
+    on the gate corpus (max key share ~1% < 10%) the probe must pick
+    prefix — and a shaped hot-key input must flip it to skew, so the
+    assertion means 'the router routed', not 'one branch is dead'."""
+    import pyspark.sql.functions as F2
+
     from raft_spark.operators.temporal import rolling_route
 
     clicks = load(spark, "events", sf_dir).filter("event_type = 'click'")
     month = 30 * 86_400_000_000
-    assert rolling_route(clicks, window_us=month, dense_frame_rows=8) == "prefix"
-    assert rolling_route(clicks, window_us=month) == "window"
+    assert rolling_route(clicks, window_us=month) == "prefix"
+    hot = clicks.withColumn("user_id", F2.lit(0).cast("long"))
+    assert rolling_route(hot, window_us=month) == "skew"

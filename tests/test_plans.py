@@ -242,11 +242,12 @@ def test_rolling_suite_plan_pinned(spark, sf_dir):
     assert "CartesianProduct" not in rep.text
     assert "BroadcastNestedLoop" not in rep.text
     assert "Python" not in rep.text and "ArrowEval" not in rep.text
-    # measured r9: rolling (1 keyed window) + rolling_prefix (2 keyed
-    # window passes — cums + boundary carry, the linear-time price of
-    # replacing Spark's O(rows·frame) sliding RANGE frame) +
-    # rolling_skew (ghost union + 2 cell-keyed passes) + rolling_auto
-    # (routed to prefix on this corpus: 2 passes) + final union = 9
+    # measured r9 (after the dual-growing-frame rewrite: every member
+    # is ONE WindowExec — [ts−w, ts) = cum(≤ts−1) − cum(≤ts−w−1), both
+    # frames add-only): rolling / rolling_prefix / rolling_auto are
+    # scan + one keyed window exchange each, rolling_skew adds the
+    # ghost-union cell exchange; with cross-member scan reuse the suite
+    # plan carries 9 distinct exchanges
     assert rep.n_exchanges == 9
 
 

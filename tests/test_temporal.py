@@ -541,7 +541,11 @@ def test_rolling_prefix_boundaries_and_equality(spark):
 def test_rolling_auto_routes_all_strategies(spark):
     """rolling_route must pick each strategy on shaped inputs, and
     rolling_aggregates_auto's output must equal the plain operator on
-    every route (strategies choose plans, never answers)."""
+    every route (strategies choose plans, never answers). r9: the
+    sliding-window route is retired (the one-pass prefix form matches
+    its shuffle count and beat it in every swept cell) — non-skew
+    inputs route to prefix regardless of frame density; 'window'
+    remains only the empty-input degenerate."""
     from raft_spark.operators.temporal import (
         rolling_aggregates,
         rolling_aggregates_auto,
@@ -556,9 +560,11 @@ def test_rolling_auto_routes_all_strategies(spark):
     # dense frames: 10 keys, 50 s span, 40 s window -> ~200 rows/frame
     dense = _ev(spark, [(i, i % 10, i % 50, float(i % 5)) for i in range(2000)])
 
-    assert rolling_route(sparse, window_us=1_000_000) == "window"
+    assert rolling_route(sparse, window_us=1_000_000) == "prefix"
     assert rolling_route(hot, window_us=1_000_000) == "skew"
     assert rolling_route(dense, window_us=40_000_000, skew_share=0.5) == "prefix"
+    empty = sparse.filter("event_id < 0")
+    assert rolling_route(empty, window_us=1_000_000) == "window"
 
     for df, w_us, auto_kw in (
         (sparse, 1_000_000, {}),

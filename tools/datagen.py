@@ -26,6 +26,7 @@ def events_table(
     span_days: int = 30,
     span_us: int | None = None,
     with_value: bool = False,
+    payload_bytes: int = 0,
     checkpoint: bool = True,
 ) -> DataFrame:
     span = int(span_us) if span_us is not None else span_days * 86400 * 1_000_000
@@ -39,5 +40,12 @@ def events_table(
     ]
     if with_value:
         cols.append((F.col("id") % 97).cast("double").alias("value"))
+    if payload_bytes:
+        # deterministic per-row fixed-width string — the wide-row shape
+        # for sweeps where shuffle payload width is the moving axis
+        cols.append(
+            F.rpad(F.md5((F.col("id") + seed + 11).cast("string")),
+                   int(payload_bytes), "x").alias("payload")
+        )
     df = spark.range(n).select(*cols)
     return df.localCheckpoint(eager=True) if checkpoint else df

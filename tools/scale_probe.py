@@ -18,6 +18,7 @@ Prints one JSON line; run:  python tools/scale_probe.py [N] [d]
 
 from __future__ import annotations
 
+import os
 import json
 import sys
 import time
@@ -350,8 +351,11 @@ def main() -> None:
 
     dense = _vev(10_000_000, 1000, 1, 9)
     assert rolling_route(dense) == "prefix"
+    # r9: the router no longer has a sliding-window route (the one-pass
+    # prefix form matches its shuffle count and beats it at every
+    # swept density) — sparse shapes route to prefix too
     sparse_shape = _vev(1_000_000, 1000, 30, 10)
-    assert rolling_route(sparse_shape) == "window"
+    assert rolling_route(sparse_shape) == "prefix"
     t = time.perf_counter()
     prow = rolling_aggregates_prefix(dense) \
         .agg(F.sum("roll_n").alias("s"), F.count("*").alias("n")).first()
@@ -359,6 +363,23 @@ def main() -> None:
     assert prow["n"] == 10_000_000 and prow["s"] > 0
     del dense, sparse_shape
     gc.collect()
+
+    # prefix rolling one decade up (r9): 100M rows / 1000 keys / dense
+    # frames — the O(rows) claim must hold across a 10× scale-up (cell
+    # within ~10× of the 10M one), and the router must still probe its
+    # way to prefix on the big input. Opt-in (PROBE_ROLLING_100M=1):
+    # ~100-200 s and ~4 GB of checkpoint, too heavy for the default
+    # probe loop.
+    if os.environ.get("PROBE_ROLLING_100M") == "1":
+        big = _vev(100_000_000, 1000, 10, 11)  # 10-day span: ~417-row frames
+        assert rolling_route(big) == "prefix"
+        t = time.perf_counter()
+        brow = rolling_aggregates_prefix(big) \
+            .agg(F.sum("roll_n").alias("s"), F.count("*").alias("n")).first()
+        out["rolling_prefix_100m_dense_s"] = round(time.perf_counter() - t, 2)
+        assert brow["n"] == 100_000_000 and brow["s"] > 0
+        del big
+        gc.collect()
 
     # asof_join_auto router at 10M left rows (r8): three shaped inputs,
     # one per physical strategy — asof_route must pick broadcast for a

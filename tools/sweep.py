@@ -191,14 +191,23 @@ def main() -> None:
         rolling_aggregates_prefix,
     )
 
-    roll_grid = [4, 64, 1024]
+    # r9 adds a WIDE-row leg (256-byte payload column carried through
+    # both strategies): the prefix form's second shuffle re-ships every
+    # source column inside its _o struct, so payload width moves its
+    # cost while the sliding window's single shuffle pays it once — the
+    # axis that could silently shift the crossover the v8 narrow-row
+    # grid measured. The router threshold argument needs the crossover
+    # to stay an order of magnitude above dense_frame_rows=64 on wide
+    # rows too.
+    roll_grid = [(4, 0), (64, 0), (1024, 0), (4, 256), (64, 256), (1024, 256)]
     if quick:
         roll_grid = roll_grid[:1]
-    for frame in roll_grid:
+    for frame, payload in roll_grid:
         n_rows, keys, w_us = 1_000_000, 1_000, 3_600_000_000
         span_us = max((n_rows // keys) * w_us // frame, w_us)
         d = events_table(spark, n_rows, keys=keys, seed=0,
-                         span_us=span_us, with_value=True)
+                         span_us=span_us, with_value=True,
+                         payload_bytes=payload)
         for name, fn in (("rolling_window", rolling_aggregates),
                          ("rolling_prefix", rolling_aggregates_prefix)):
             best = None
@@ -208,7 +217,8 @@ def main() -> None:
                 t = time.perf_counter() - t0
                 best = t if best is None else min(best, t)
             cells.append({"op": name, "rows": n_rows, "keys": keys,
-                          "mean_frame": frame, "sec": round(best, 3)})
+                          "mean_frame": frame, "payload_b": payload,
+                          "sec": round(best, 3)})
             print(json.dumps(cells[-1]), flush=True)
         del d
         gc.collect()
