@@ -1053,3 +1053,135 @@ def dedup_state_ingest(
     all_sigs.write.mode("overwrite").parquet(state_path + "/sigs")
     clusters.write.mode("overwrite").parquet(state_path + "/clusters")
     return clusters
+
+
+def read_semantic_state(spark, state_path: str):
+    """(index, groups) of a persisted semantic-dedup state, or None if
+    never written. ``index`` is the :func:`semantic_index` frame
+    (cluster, cand_id, _qc, _nc); ``groups`` the current assignment
+    (id, cluster, group, keep)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        idx = read_semantic_index(spark, state_path + "/index")
+        groups = spark.read.parquet(state_path + "/groups")
+    except AnalysisException:
+        return None
+    return idx, groups.select("id", "cluster", "group", "keep")
+
+
+def semantic_state_ingest(
+    new_df: DataFrame,
+    assignments: DataFrame,
+    state_path: str,
+    tau: float = 0.92,
+    id_col: str = "id",
+    vec_col: str = "features",
+    scale: float = 1e6,
+) -> DataFrame:
+    """Incremental CROSS-SNAPSHOT semantic dedup — the embedding-level
+    sibling of :func:`dedup_state_ingest`: fold a NEW batch of vectors
+    into a persisted SemDeDup state (the :func:`semantic_index` layout
+    plus the current group assignment) and return the refreshed
+    full-corpus (id, cluster, group, keep) — identical to running
+    :func:`semantic_dedup` from scratch on old ∪ new under the same
+    assignment seam.
+
+    The equality is EXACT with no caveats (unlike the MinHash twin's
+    hot-bucket cap note): cluster assignment is the caller's seam and
+    must be a pure per-row function (the gate's axis-sign bucket; an
+    IVF quantizer frozen with the index), the cosine-≥-τ predicate is
+    the exact integer 10⁸S² ≥ τq²NaNb decision, and the old groups
+    enter the component solve as star edges id→group, which contract
+    every resolved component into a hub whose label IS the component
+    minimum — so labels match the from-scratch run byte-for-byte.
+
+    Per-delivery work is the DELTA: quantize + assign the new batch,
+    one within-cluster join of new rows against the persisted index
+    (the probe prunes to the new batch's clusters — the index is
+    partitioned by cluster on disk), per-candidate exact predicate,
+    CC over new edges ∪ star hubs. The per-pair predicate here is the
+    JVM decimal form (right for delivery-sized deltas); route a
+    corpus-sized backfill through :func:`semantic_dedup` itself, whose
+    Arrow-tile branch amortizes hot clusters. REPLAY-safe: ids already
+    in the state are anti-joined out.
+    """
+    from raft_spark.operators.solvers import connected_components_auto
+
+    spark = new_df.sparkSession
+    d = new_df.select(F.size(F.col(vec_col))).first()
+    if d is None:
+        d = 0
+    else:
+        d = d[0]
+    q = quantized_embeddings(new_df, id_col=id_col, vec_col=vec_col, scale=scale)
+    if d:
+        _guard_quantized(q, d)  # per-batch guard ⇒ every state row guarded
+    new_rows = q.join(
+        assignments.select(F.col(id_col).alias("id"), "cluster"), "id"
+    ).select(
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("id").cast("long").alias("cand_id"),
+        F.col("_q").alias("_qc"), F.col("_n2").alias("_nc"),
+    )
+    state = read_semantic_state(spark, state_path)
+    if state is not None:
+        old_index, old_groups = state
+        new_rows = new_rows.join(
+            old_index.select("cand_id"), "cand_id", "left_anti"
+        )
+        star = old_groups.filter(F.col("id") != F.col("group")).select(
+            F.col("id").alias("row"), F.col("group").alias("col")
+        )
+    else:
+        old_index, star = None, None
+    new_rows = new_rows.localCheckpoint(eager=True)
+    all_index = (
+        old_index.unionByName(new_rows) if old_index is not None else new_rows
+    ).localCheckpoint(eager=True)
+
+    tau_q = int(round(tau * 10_000))
+    a = new_rows.select(
+        "cluster", F.col("cand_id").alias("_a"),
+        F.col("_qc").alias("_qa"), F.col("_nc").alias("_na"),
+    )
+    b = all_index.select(
+        "cluster", F.col("cand_id").alias("_b"),
+        F.col("_qc").alias("_qb"), F.col("_nc").alias("_nb"),
+    )
+    s_expr = F.aggregate(
+        F.zip_with("_qa", "_qb", lambda x, y: x * y),
+        F.lit(0).cast("long"), lambda acc, v: acc + v,
+    )
+    dec = "decimal(38,0)"
+    sd = F.col("_s").cast(dec)
+    pred = (F.col("_s") > 0) & (
+        sd * sd * F.lit(100_000_000).cast(dec)
+        >= F.lit(tau_q * tau_q).cast(dec)
+        * F.col("_na").cast(dec) * F.col("_nb").cast(dec)
+    )
+    edges = (
+        a.join(b, "cluster")
+        .filter(F.col("_a") != F.col("_b"))
+        .withColumn("_s", s_expr)
+        .filter(pred)
+        .select(
+            F.least("_a", "_b").alias("row"), F.greatest("_a", "_b").alias("col")
+        )
+        .distinct()
+    )
+    coo = edges.unionByName(star) if star is not None else edges
+    labels = connected_components_auto(coo)
+    groups = (
+        all_index.select(F.col("cand_id").alias("id"), "cluster")
+        .join(labels.withColumnRenamed("node", "id"), "id", "left")
+        .select(
+            "id", "cluster",
+            F.coalesce(F.col("label"), F.col("id")).alias("group"),
+        )
+        .withColumn("keep", (F.col("id") == F.col("group")).cast("int"))
+        .localCheckpoint(eager=True)  # materialize before the overwrite
+    )
+    write_semantic_index(all_index, state_path + "/index")
+    groups.write.mode("overwrite").parquet(state_path + "/groups")
+    return groups

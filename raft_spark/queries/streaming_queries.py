@@ -524,6 +524,73 @@ def m_stream_semlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_stream_semingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental SEMANTIC dedup (streaming.incremental.
+    semantic_state_ingest_stream): the embeddings table arrives as two
+    micro-batches (even / odd vec_ids), each foreachBatch-ingested into
+    the persisted semantic state under the same deterministic axis-sign
+    bucket assignment the batch semantic_dedup gate row uses. Returns
+    (kind, value): semingest_rows = the refreshed group-table size
+    (data-valued — every corpus vector gets exactly one group row, so
+    DuckDB recomputes it as count(*) of embeddings) and semingest_eq =
+    the streamed two-delivery state ≡ the from-scratch batch
+    semantic_dedup of the full corpus row-for-row (the exact-equality
+    contract of cross-snapshot ingest; q_semantic_dedup's own gate row
+    value-oracles the from-scratch side, so this member composes to a
+    DuckDB-anchored check)."""
+    import shutil
+    import tempfile
+
+    from raft_spark.operators.dedup import semantic_dedup
+    from raft_spark.streaming.incremental import semantic_state_ingest_stream
+    from raft_spark.sources.tables import embeddings_matrix
+
+    def bucket_of(df: DataFrame):
+        b = None
+        for j in range(8):
+            bit = (F.col("features")[j] > 0).cast("long") * (2 ** j)
+            b = bit if b is None else b + bit
+        return df.select("id", b.alias("cluster"))
+
+    corpus = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="raft_spark_semingest_")
+    try:
+        # two parquet files -> two availableNow micro-batches
+        corpus.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(
+            tmp + "/in/f1.parquet"
+        )
+        corpus.filter(F.col("id") % 2 == 1).coalesce(1).write.parquet(
+            tmp + "/in/f2.parquet"
+        )
+        stream = (
+            spark.readStream.schema("id long, features array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/in/*/")
+        )
+        q = semantic_state_ingest_stream(
+            stream, tmp + "/state", checkpoint=tmp + "/ckpt",
+            assign_fn=bucket_of, tau=0.92,
+        )
+        q.awaitTermination()
+        got = spark.read.parquet(tmp + "/state/groups") \
+            .select("id", "cluster", "group", "keep") \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    batch = semantic_dedup(
+        corpus, tau=0.92, assignments=bucket_of(corpus)
+    ).localCheckpoint(eager=True)
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    n = got.count()
+    return spark.createDataFrame(
+        [("semingest_rows", float(n)),
+         ("semingest_eq", float(int(diff == 0 and n > 0)))],
+        "kind string, value double",
+    )
+
+
 def m_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of enrichment (temporal.asof_join_broadcast on a
     streaming fact side — stateless broadcast join + JVM array pick):

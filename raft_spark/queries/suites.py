@@ -1142,6 +1142,11 @@ FROM (
 UNION ALL
 SELECT 'semlookup_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 UNION ALL
+SELECT 'semingest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
+       (SELECT count(*) FROM embeddings)::DOUBLE
+UNION ALL
+SELECT 'semingest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
 SELECT 'asof_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, cnt::DOUBLE
 FROM (
     WITH al AS (
@@ -1207,8 +1212,10 @@ def q_stream_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged-window count from raw text — + spanflag_eq), semantic
     near-dup lookup (semlookup_rows re-derived in HUGEINT +
     semlookup_eq + the r7-promoted semindex_eq persistent-index
-    round-trip), and streaming as-of enrichment (asof_rows via
-    DuckDB's native ASOF JOIN + asof_eq)."""
+    round-trip), streaming incremental semantic-state ingest (r9:
+    semingest_rows data-valued + semingest_eq ≡ from-scratch batch
+    dedup), and streaming as-of enrichment (asof_rows via DuckDB's
+    native ASOF JOIN + asof_eq)."""
     nd = STRQ.m_stream_neardup_eq(spark, sf_dir).select(
         F.lit("neardup_eq").alias("op"),
         F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
@@ -1237,6 +1244,16 @@ def q_stream_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
         F.col("value").alias("v"),
     )
+    # r9: streaming incremental semantic-state ingest — two foreachBatch
+    # deliveries into the persisted index must equal the from-scratch
+    # batch semantic_dedup (semingest_rows data-valued: one group row
+    # per corpus vector, recomputed by DuckDB as count(*) of embeddings)
+    semi = STRQ.m_stream_semingest(spark, sf_dir).select(
+        F.col("kind").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+        F.col("value").alias("v"),
+    )
     # r6: streaming as-of enrichment — asof_rows is data-valued
     # (DuckDB recomputes the matched count with its NATIVE ASOF JOIN)
     # and asof_eq pins the streamed frame ≡ batch row-for-row
@@ -1248,7 +1265,7 @@ def q_stream_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         nd.unionByName(ing).unionByName(spf)
-        .unionByName(sem).unionByName(aso)
+        .unionByName(sem).unionByName(semi).unionByName(aso)
     )
 
 

@@ -572,3 +572,39 @@ def dedup_state_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def semantic_state_ingest_stream(
+    vec_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    assign_fn,
+    tau: float = 0.92,
+    id_col: str = "id",
+    vec_col: str = "features",
+    **ingest_kwargs,
+):
+    """Streaming twin of :func:`~raft_spark.operators.dedup.
+    semantic_state_ingest`: each micro-batch of embeddings is deduped
+    against the persisted semantic state and the state updated, via
+    foreachBatch. ``assign_fn(batch_df) -> (id, cluster)`` is the
+    cluster-assignment seam and must be a pure per-row function (an
+    axis-sign bucket expression, or an IVF quantizer frozen with the
+    index) — that purity is what makes continuous ingest equal the
+    from-scratch batch dedup. Replay-safe under at-least-once
+    foreachBatch recovery (already-present ids are anti-joined out).
+    Returns the started StreamingQuery."""
+    from raft_spark.operators.dedup import semantic_state_ingest
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        semantic_state_ingest(
+            batch_df, assign_fn(batch_df), state_path, tau=tau,
+            id_col=id_col, vec_col=vec_col, **ingest_kwargs,
+        )
+
+    return (
+        vec_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -161,3 +161,53 @@ def test_rolling_auto_routes_prefix_on_gate_corpus(spark, sf_dir):
     assert rolling_route(clicks, window_us=month) == "prefix"
     hot = clicks.withColumn("user_id", F2.lit(0).cast("long"))
     assert rolling_route(hot, window_us=month) == "skew"
+
+
+def _group_map(df):
+    return {
+        r["id"]: (r["cluster"], r["group"], r["keep"]) for r in df.collect()
+    }
+
+
+def _axis_bucket(df):
+    b = None
+    for j in range(8):
+        bit = (F.col("features")[j] > 0).cast("long") * (2 ** j)
+        b = bit if b is None else b + bit
+    return df.select("id", b.alias("cluster"))
+
+
+def test_semantic_incremental_equals_from_scratch(spark, sf_dir, tmp_path):
+    """semantic_state_ingest(b2, state(b1)) == semantic_dedup(b1 ∪ b2)
+    under the same pure assignment — EXACT, no caveats (no bucket cap
+    in the semantic path)."""
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    b1 = m.filter(F.col("id") % 2 == 0)
+    b2 = m.filter(F.col("id") % 2 == 1)
+    p = str(tmp_path / "sem")
+    D.semantic_state_ingest(b1, _axis_bucket(b1), p, tau=0.92)
+    inc = _group_map(D.semantic_state_ingest(b2, _axis_bucket(b2), p, tau=0.92))
+    want = _group_map(D.semantic_dedup(m, tau=0.92, assignments=_axis_bucket(m)))
+    assert inc == want and len(inc) == m.count()
+
+
+def test_semantic_incremental_replay_noop(spark, sf_dir, tmp_path):
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    b1 = m.filter(F.col("id") % 2 == 0)
+    b2 = m.filter(F.col("id") % 2 == 1)
+    p = str(tmp_path / "sem")
+    D.semantic_state_ingest(b1, _axis_bucket(b1), p)
+    first = _group_map(D.semantic_state_ingest(b2, _axis_bucket(b2), p))
+    replay = _group_map(D.semantic_state_ingest(b2, _axis_bucket(b2), p))
+    assert replay == first
+    # state index row count unchanged (one row per corpus vector)
+    from raft_spark.operators.dedup import read_semantic_state
+
+    idx, groups = read_semantic_state(spark, p)
+    assert idx.count() == m.count() and groups.count() == m.count()
