@@ -1050,7 +1050,14 @@ def dedup_state_ingest(
         pairs, all_sigs.select("doc_id"), id_col="doc_id"
     ).localCheckpoint(eager=True)  # materialize BEFORE overwriting the
     # state it was derived from (lineage through state_path/clusters)
-    all_sigs.write.mode("overwrite").parquet(state_path + "/sigs")
+    # signature state is APPEND-ONLY: each delivery adds its own rows
+    # (unique by the replay anti-join), so the state write is O(delta),
+    # not O(corpus). The cluster table IS rewritten per ingest — a new
+    # edge can relabel arbitrary old components — which is fine at
+    # gate/bench scale; at 100 TB keep (doc_id, cluster_id) only and
+    # apply a delta overlay (only components touched by new edges
+    # change), deriving sizes on read.
+    incoming.write.mode("append").parquet(state_path + "/sigs")
     clusters.write.mode("overwrite").parquet(state_path + "/clusters")
     return clusters
 
@@ -1182,6 +1189,12 @@ def semantic_state_ingest(
         .withColumn("keep", (F.col("id") == F.col("group")).cast("int"))
         .localCheckpoint(eager=True)  # materialize before the overwrite
     )
-    write_semantic_index(all_index, state_path + "/index")
+    # index state is APPEND-ONLY (one new file set per delivery, list
+    # directories intact — the same O(delta) discipline as
+    # dedup_state_ingest's signature table); groups are rewritten (new
+    # edges can relabel old components)
+    new_rows.write.mode("append").partitionBy("cluster").parquet(
+        state_path + "/index"
+    )
     groups.write.mode("overwrite").parquet(state_path + "/groups")
     return groups

@@ -370,6 +370,59 @@ def main() -> None:
     # way to prefix on the big input. Opt-in (PROBE_ROLLING_100M=1):
     # ~100-200 s and ~4 GB of checkpoint, too heavy for the default
     # probe loop.
+    # incremental cross-snapshot dedup at 1M docs (r9): bootstrap a
+    # 1M-doc state, then delta-ingest 50k new docs — the delta must
+    # cost a small fraction of the bootstrap (the whole point of
+    # persisted-state ingest; measured 78 s vs 13 s). Opt-in:
+    # PROBE_INC_DEDUP=1 (~90 s).
+    if os.environ.get("PROBE_INC_DEDUP") == "1":
+        import shutil
+        import tempfile
+
+        from raft_spark.operators.dedup import dedup_state_ingest
+
+        def _docs(n, id_off, seed):
+            # 100-word docs from a 5000-word vocab; ~1% near-dup pairs
+            # via id aliasing (i and i+1 share the generator @ i%97==0)
+            base = (
+                F.when((F.col("id") % 97 == 0) & (F.col("id") + 1 < n),
+                       F.col("id"))
+                .when(F.col("id") % 97 == 1, F.col("id") - 1)
+                .otherwise(F.col("id"))
+            )
+            ws = F.transform(
+                F.sequence(F.lit(0), F.lit(99)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.pmod((base + id_off) * 7919 + i * 104729 + seed,
+                           F.lit(5000)).cast("string"),
+                ),
+            )
+            return spark.range(n).select(
+                (F.col("id") + id_off).alias("doc_id"),
+                F.array_join(ws, " ").alias("text"),
+            ).localCheckpoint(eager=True)
+
+        corpus1m = _docs(1_000_000, 0, 0)
+        delta50k = _docs(50_000, 1_000_000, 3)
+        tmpd = tempfile.mkdtemp(prefix="raft_spark_incdedup_")
+        try:
+            t = time.perf_counter()
+            dedup_state_ingest(corpus1m, tmpd + "/s")
+            out["incdedup_bootstrap_1m_docs_s"] = round(
+                time.perf_counter() - t, 2
+            )
+            t = time.perf_counter()
+            res = dedup_state_ingest(delta50k, tmpd + "/s")
+            out["incdedup_delta_50k_into_1m_s"] = round(
+                time.perf_counter() - t, 2
+            )
+            assert res.count() == 1_050_000
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+        del corpus1m, delta50k
+        gc.collect()
+
     if os.environ.get("PROBE_ROLLING_100M") == "1":
         big = _vev(100_000_000, 1000, 10, 11)  # 10-day span: ~417-row frames
         assert rolling_route(big) == "prefix"
