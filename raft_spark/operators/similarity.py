@@ -1745,3 +1745,54 @@ def knn_ivf(
         scored, group_cols=["qid"], order_col="cosine", k=k,
         ascending=False, payload_cols=["nid"], strategy="agg",
     )
+
+
+def ivf_pq_index_add(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> int:
+    """Delta-ADD new vectors to a PERSISTED IVF-PQ index — the
+    reference's build/extend split (neighbors/ivf_pq.cuh: ``build``
+    trains the coarse quantizer + codebooks, ``extend`` only assigns
+    and encodes new vectors against the FROZEN model state): assign
+    each new vector to its nearest frozen centroid, PQ-encode its
+    residual against the frozen codebooks, and APPEND the codes into
+    the existing ``list_id=`` partition directories — O(delta) IO, the
+    sidecars and every previously-written file untouched.
+
+    Because centroids/codebooks are frozen, encoding is a pure per-row
+    function of the model state, so an index GROWN by deltas is
+    byte-identical (codes table) to one encoded from scratch under the
+    same model — queries see the same shortlists (pinned in pytest and
+    the ann_recall_suite ivf_pq_delta_eq member). Quantizer refresh
+    (new codebooks) is a full rebuild BY CONTRACT — codebook drift is
+    a model decision, not index maintenance. Replay-safe: ids already
+    present in the codes table are anti-joined out. Returns the number
+    of rows actually appended."""
+    import numpy as np
+
+    spark = new_df.sparkSession
+    idx = read_ivf_pq_index(spark, path)
+    C = np.asarray(idx["centroids"], dtype=float)
+    cn = _norm_table(new_df, id_col, vec_col).withColumnRenamed("_v", vec_col)
+    fresh = cn.join(
+        idx["codes"].select(F.col("id").alias("_id")), "_id", "left_anti"
+    )
+    assigned = ivf_assign(fresh, C, vec_col)
+    residuals = assigned.mapInPandas(
+        _residual_pass(C, vec_col),
+        "_id long, list_id int, residual array<double>",
+    ).localCheckpoint(eager=True)
+    codes = pq_encode(
+        residuals, idx["codebooks"], id_col="_id", vec_col="residual"
+    ).join(
+        residuals.select(F.col("_id").alias("id"), "list_id"), "id"
+    ).localCheckpoint(eager=True)
+    n = codes.count()
+    if n:
+        codes.write.mode("append").partitionBy("list_id").parquet(
+            f"{path}/codes"
+        )
+    return n

@@ -746,11 +746,50 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
         and np.array_equal(loaded["codebooks"], index["codebooks"])
     )
 
+    # r9 delta-extend member (the reference's build/extend split,
+    # neighbors/ivf_pq.cuh): build the index MODEL on the even half,
+    # persist, ivf_pq_index_add the odd half. The grown index must
+    # (a) hold exactly one code row per corpus id, (b) have left the
+    # original half's rows byte-identical (append-only), and (c) still
+    # answer queries at the recall floor probing all lists. The
+    # codes-level equality vs a frozen-model from-scratch encode is
+    # pinned in tests/test_pq_and_clusters.py.
+    half = m.filter(F.col("id") % 2 == 0)
+    idx_h = SIM.build_ivf_pq_index(half, n_lists=8, m_subspaces=16, n_codes=16)
+    idx_h["codes"] = idx_h["codes"].localCheckpoint(eager=True)
+    tmp2 = tempfile.mkdtemp(prefix="raft_spark_ivfpq_delta_")
+    try:
+        SIM.write_ivf_pq_index(idx_h, tmp2 + "/index")
+        n_added = SIM.ivf_pq_index_add(
+            m.filter(F.col("id") % 2 == 1), tmp2 + "/index"
+        )
+        grown = SIM.read_ivf_pq_index(spark, tmp2 + "/index")
+        gcodes = grown["codes"].localCheckpoint(eager=True)
+        n_corpus = m.count()
+        complete = (
+            gcodes.count() == n_corpus
+            and gcodes.select("id").distinct().count() == n_corpus
+            and n_added > 0
+        )
+        old_rows = gcodes.filter(F.col("id") % 2 == 0) \
+            .select("id", "codes", "list_id")
+        base_rows = idx_h["codes"].select("id", "codes", "list_id")
+        untouched = (
+            old_rows.exceptAll(base_rows).count() == 0
+            and base_rows.exceptAll(old_rows).count() == 0
+        )
+        grown["codes"] = gcodes
+        r_grown, _ = recall(8, grown)
+        delta_eq = int(complete and untouched and r_grown >= 0.5)
+    finally:
+        shutil.rmtree(tmp2, ignore_errors=True)
+
     rows = [
         ("ivf_pq", int(r_mid >= 0.5)),
         ("ivf_pq_probe_mono", int(r_full >= r_low)),
         ("ivf_pq_roundtrip", int(pairs_loaded == pairs_mid and len(pairs_mid) > 0)),
         ("ivf_pq_sidecar_eq", sidecar_eq),
+        ("ivf_pq_delta_eq", delta_eq),
     ]
     return spark.createDataFrame(rows, "method string, recall_ok int")
 

@@ -2151,6 +2151,8 @@ SELECT 'ivf_pq_roundtrip', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'ivf_pq_sidecar_eq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
+SELECT 'ivf_pq_delta_eq', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
 SELECT 'lsh', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'lsh_table_mono', 0::BIGINT, -1::BIGINT, 1.0
@@ -2175,7 +2177,10 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe monotonicity and the persistent-index round-trip
     (write_ivf_pq_index → read_ivf_pq_index returns the identical
     neighbor set); r9 adds the sidecar NUMERIC equality (centroids +
-    codebooks bit-identical after reload). The suite shares ONE corpus
+    codebooks bit-identical after reload) and the delta-extend member
+    (ivf_pq_index_add: the grown index is complete, append-untouched,
+    and answers at the recall floor — the reference's build/extend
+    split). The suite shares ONE corpus
     checkpoint, ONE exact brute scan, and ONE nn_descent build across
     all members (each member query still builds its own when run
     standalone)."""

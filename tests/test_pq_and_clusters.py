@@ -310,3 +310,53 @@ def test_semantic_pairs_exact_tie_accepted(spark):
         )
         # cos(0,1)=0.8 (tie: in), cos(1,2)=0.96 (in), cos(0,2)=0.6 (out)
         assert got == [(0, 1), (1, 2)], jt
+
+
+def test_ivf_pq_index_add_frozen_model_equality(spark, corpus, tmp_path):
+    """extend() discipline (neighbors/ivf_pq.cuh): the index GROWN by
+    delta-adds must hold exactly the codes a from-scratch encode of the
+    full corpus produces under the SAME frozen model state — encoding
+    is a pure per-row function of (centroids, codebooks). Also replay:
+    re-adding an already-present batch appends nothing."""
+    import numpy as np
+
+    from raft_spark.operators.similarity import (
+        _norm_table,
+        _residual_pass,
+        ivf_assign,
+        ivf_pq_index_add,
+        pq_encode,
+    )
+
+    b1 = corpus.filter(F.col("id") % 2 == 0)
+    b2 = corpus.filter(F.col("id") % 2 == 1)
+    idx = SIM.build_ivf_pq_index(b1, n_lists=4, kmeans_iters=2)
+    idx["codes"] = idx["codes"].localCheckpoint(eager=True)
+    p = str(tmp_path / "delta_index")
+    SIM.write_ivf_pq_index(idx, p)
+    n1 = ivf_pq_index_add(b2, p)
+    assert n1 == b2.count() and n1 > 0
+    # replay is a no-op
+    assert ivf_pq_index_add(b2, p) == 0
+
+    grown = SIM.read_ivf_pq_index(spark, p)
+    got = {
+        (r["id"], r["list_id"], tuple(r["codes"]))
+        for r in grown["codes"].collect()
+    }
+    # from-scratch encode of the FULL corpus under the same frozen model
+    C = np.asarray(idx["centroids"], dtype=float)
+    cn = _norm_table(corpus, "id", "features").withColumnRenamed("_v", "features")
+    res = ivf_assign(cn, C, "features").mapInPandas(
+        _residual_pass(C, "features"),
+        "_id long, list_id int, residual array<double>",
+    )
+    want_codes = pq_encode(res, idx["codebooks"], id_col="_id",
+                           vec_col="residual").join(
+        res.select(F.col("_id").alias("id"), "list_id"), "id"
+    )
+    want = {
+        (r["id"], r["list_id"], tuple(r["codes"]))
+        for r in want_codes.collect()
+    }
+    assert got == want and len(got) == corpus.count()
