@@ -1198,3 +1198,20 @@ def semantic_state_ingest(
     )
     groups.write.mode("overwrite").parquet(state_path + "/groups")
     return groups
+
+
+def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -> int:
+    """Compact the append-only signature state: every delta ingest adds
+    its own file set, so after many deliveries the state is thousands
+    of small parquet files — the classic small-file tax (footer reads +
+    task-per-file scheduling dominate the scan). Rewrites ``sigs``
+    coalesced to ``partitions`` files (default: the session's shuffle
+    parallelism), content-identical (the frame is eagerly materialized
+    before the overwrite). Run it on the maintenance cadence, not per
+    ingest. Returns the row count."""
+    sigs = spark.read.parquet(state_path + "/sigs")
+    n_parts = partitions or spark.sparkContext.defaultParallelism
+    compacted = sigs.repartition(n_parts).localCheckpoint(eager=True)
+    n = compacted.count()
+    compacted.write.mode("overwrite").parquet(state_path + "/sigs")
+    return n

@@ -1796,3 +1796,23 @@ def ivf_pq_index_add(
             f"{path}/codes"
         )
     return n
+
+
+def ivf_pq_index_compact(spark, path: str) -> int:
+    """Compact a delta-extended IVF-PQ index: each
+    :func:`ivf_pq_index_add` appends its own files into the ``list_id=``
+    partition directories, so a long-lived index accumulates one small
+    file per (delivery × list) — the small-file tax on every probe's
+    pruned scan. Rewrites the codes coalesced within each list
+    partition, content-identical (materialized before the overwrite);
+    sidecars untouched. Maintenance-cadence operation. Returns the row
+    count."""
+    codes = spark.read.parquet(f"{path}/codes").select(
+        "id", "codes", F.col("list_id").cast("int").alias("list_id")
+    )
+    compacted = codes.repartition("list_id").localCheckpoint(eager=True)
+    n = compacted.count()
+    compacted.write.mode("overwrite").partitionBy("list_id").parquet(
+        f"{path}/codes"
+    )
+    return n

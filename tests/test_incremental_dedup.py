@@ -211,3 +211,66 @@ def test_semantic_incremental_replay_noop(spark, sf_dir, tmp_path):
 
     idx, groups = read_semantic_state(spark, p)
     assert idx.count() == m.count() and groups.count() == m.count()
+
+
+def test_compact_dedup_state_preserves_content(spark, sf_dir, tmp_path):
+    """Compaction is a pure file-layout rewrite: content identical,
+    file count reduced after several delta appends."""
+    import glob
+
+    docs = load(spark, "documents", sf_dir)
+    p = str(tmp_path / "state")
+    for k in range(4):  # 4 deliveries -> 4 append file sets
+        D.dedup_state_ingest(docs.filter(F.col("doc_id") % 4 == k), p)
+    before = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(p + "/sigs").collect()
+    }
+    n_files_before = len(glob.glob(p + "/sigs/*.parquet"))
+
+    from raft_spark.operators.dedup import compact_dedup_state
+
+    n = compact_dedup_state(spark, p, partitions=2)
+    after = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(p + "/sigs").collect()
+    }
+    n_files_after = len(glob.glob(p + "/sigs/*.parquet"))
+    assert n == len(before) and after == before
+    assert n_files_after < n_files_before
+    # the compacted state still ingests correctly (replay no-op)
+    again = D.dedup_state_ingest(docs.filter(F.col("doc_id") % 4 == 0), p)
+    assert again.count() == docs.count()
+
+
+def test_ivf_pq_index_compact_preserves_codes(spark, sf_dir, tmp_path):
+    import glob
+
+    from raft_spark.operators import similarity as SIM
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    idx = SIM.build_ivf_pq_index(m.filter(F.col("id") % 3 == 0),
+                                 n_lists=4, kmeans_iters=2)
+    idx["codes"] = idx["codes"].localCheckpoint(eager=True)
+    p = str(tmp_path / "index")
+    SIM.write_ivf_pq_index(idx, p)
+    SIM.ivf_pq_index_add(m.filter(F.col("id") % 3 == 1), p)
+    SIM.ivf_pq_index_add(m.filter(F.col("id") % 3 == 2), p)
+    before = {
+        (r["id"], r["list_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(p + "/codes").collect()
+    }
+    files_before = len(glob.glob(p + "/codes/list_id=*/*.parquet"))
+    n = SIM.ivf_pq_index_compact(spark, p)
+    after = {
+        (r["id"], r["list_id"], tuple(r["codes"]))
+        for r in spark.read.parquet(p + "/codes").collect()
+    }
+    files_after = len(glob.glob(p + "/codes/list_id=*/*.parquet"))
+    assert n == len(before) and after == before == {
+        (r["id"], r["list_id"], tuple(r["codes"]))
+        for r in SIM.read_ivf_pq_index(spark, p)["codes"].collect()
+    }
+    assert files_after < files_before
