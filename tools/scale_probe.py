@@ -426,11 +426,18 @@ def main() -> None:
     if os.environ.get("PROBE_ROLLING_100M") == "1":
         big = _vev(100_000_000, 1000, 10, 11)  # 10-day span: ~417-row frames
         assert rolling_route(big) == "prefix"
-        t = time.perf_counter()
-        brow = rolling_aggregates_prefix(big) \
-            .agg(F.sum("roll_n").alias("s"), F.count("*").alias("n")).first()
-        out["rolling_prefix_100m_dense_s"] = round(time.perf_counter() - t, 2)
-        assert brow["n"] == 100_000_000 and brow["s"] > 0
+        # best-of-2: the first pass pays cold page-cache on the 100M
+        # checkpoint blocks (measured 17-62 s run-to-run on one host);
+        # the min is the plan-cost record, matching bench.py discipline
+        best = None
+        for _ in range(2):
+            t = time.perf_counter()
+            brow = rolling_aggregates_prefix(big) \
+                .agg(F.sum("roll_n").alias("s"), F.count("*").alias("n")).first()
+            dt = time.perf_counter() - t
+            best = dt if best is None else min(best, dt)
+            assert brow["n"] == 100_000_000 and brow["s"] > 0
+        out["rolling_prefix_100m_dense_s"] = round(best, 2)
         del big
         gc.collect()
 
