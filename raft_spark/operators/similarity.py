@@ -128,9 +128,56 @@ def cosine_pairs(
     ).filter(F.col("cosine") >= min_cosine)
 
 
+def _zsum(a, b, f):
+    """Σᵢ f(aᵢ, bᵢ) as one JVM higher-order expression (whole-stage
+    codegen; no Python in the loop)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), f), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _correlation_dist(a, b):
+    # 1 − Pearson corr, from five Σ-aggregates + n (single expression;
+    # Catalyst CSEs the repeated size()). Contract: non-constant vectors.
+    n = F.size(F.col(a)).cast("double")
+    sx = F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v)
+    sy = F.aggregate(F.col(b), F.lit(0.0), lambda acc, v: acc + v)
+    sxx = _zsum(a, a, lambda x, y: x * y)
+    syy = _zsum(b, b, lambda x, y: x * y)
+    sxy = _zsum(a, b, lambda x, y: x * y)
+    num = sxy - sx * sy / n
+    den = F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
+    return F.lit(1.0) - num / den
+
+
+def _jensenshannon(a, b):
+    # √(½·KL(x‖m) + ½·KL(y‖m)), m=(x+y)/2; 0·log0 terms drop (x=0 or
+    # y=0 contributes only the other side's term). Nonneg contract.
+    def _term(x, y):
+        m = (x + y) / F.lit(2.0)
+        return (
+            F.when(x > 0, x * F.log(x / m)).otherwise(F.lit(0.0))
+            + F.when(y > 0, y * F.log(y / m)).otherwise(F.lit(0.0))
+        )
+
+    return F.sqrt(F.greatest(F.lit(0.0), F.lit(0.5) * _zsum(a, b, _term)))
+
+
+def _minkowski(p: float):
+    pc = F.lit(float(p))
+    return lambda a, b: F.pow(
+        _zsum(a, b, lambda x, y: F.pow(F.abs(x - y), pc)), F.lit(1.0) / pc
+    )
+
+
 _METRICS = {
+    # similarities (descending = closer)
     "inner": lambda a, b: A.dot(a, b),
     "cosine": lambda a, b: A.cosine_similarity(a, b),
+    # distances (ascending = closer) — the reference's pairwise metric
+    # family (distance namespace, migrated to cuVS in this snapshot,
+    # README.md:126-148); scipy-standard formulas, each ONE JVM
+    # higher-order expression over the zipped arrays
     "sqeuclidean": lambda a, b: F.aggregate(
         F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, v: acc + v,
@@ -140,7 +187,67 @@ _METRICS = {
         F.zip_with(F.col(a), F.col(b), lambda x, y: F.abs(x - y)),
         F.lit(0.0), lambda acc, v: acc + v,
     ),
+    # Linf / Chebyshev: max |x−y|
+    "chebyshev": lambda a, b: F.array_max(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: F.abs(x - y))
+    ),
+    # Σ |x−y|/(|x|+|y|), 0/0 → 0
+    "canberra": lambda a, b: _zsum(
+        a, b,
+        lambda x, y: F.when(
+            F.abs(x) + F.abs(y) > 0, F.abs(x - y) / (F.abs(x) + F.abs(y))
+        ).otherwise(F.lit(0.0)),
+    ),
+    # Σ|x−y| / Σ|x+y|
+    "braycurtis": lambda a, b: _zsum(a, b, lambda x, y: F.abs(x - y))
+    / _zsum(a, b, lambda x, y: F.abs(x + y)),
+    # fraction of unequal coordinates
+    "hamming": lambda a, b: _zsum(
+        a, b, lambda x, y: F.when(x != y, F.lit(1.0)).otherwise(F.lit(0.0))
+    ) / F.size(F.col(a)).cast("double"),
+    # expanded Jaccard distance 1 − a·b/(‖a‖²+‖b‖²−a·b); on 0/1
+    # vectors this IS set-Jaccard
+    "jaccard": lambda a, b: F.lit(1.0)
+    - A.dot(a, b)
+    / (_zsum(a, a, lambda x, y: x * y) + _zsum(b, b, lambda x, y: x * y)
+       - A.dot(a, b)),
+    # √(1 − Σ√(x·y)) — nonneg contract; clamped at 0 for float noise
+    "hellinger": lambda a, b: F.sqrt(
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - _zsum(a, b, lambda x, y: F.sqrt(x * y)),
+        )
+    ),
+    # Σ_{x>0} x·ln(x/y) — contract: y>0 wherever x>0
+    "kl_divergence": lambda a, b: _zsum(
+        a, b,
+        lambda x, y: F.when(x > 0, x * F.log(x / y)).otherwise(F.lit(0.0)),
+    ),
+    "jensenshannon": _jensenshannon,
+    "correlation": _correlation_dist,
+    # binary-vector set metrics (x≠0 is membership): Russell–Rao
+    # (n − |x∩y|)/n, Dice 1 − 2|x∩y|/(|x|+|y|)
+    "russellrao": lambda a, b: (
+        F.size(F.col(a)).cast("double")
+        - _zsum(a, b, lambda x, y: F.when((x != 0) & (y != 0),
+                                          F.lit(1.0)).otherwise(F.lit(0.0)))
+    ) / F.size(F.col(a)).cast("double"),
+    "dice": lambda a, b: F.lit(1.0)
+    - F.lit(2.0)
+    * _zsum(a, b, lambda x, y: F.when((x != 0) & (y != 0),
+                                      F.lit(1.0)).otherwise(F.lit(0.0)))
+    / (
+        F.aggregate(F.col(a), F.lit(0.0),
+                    lambda acc, v: acc + F.when(v != 0, F.lit(1.0))
+                    .otherwise(F.lit(0.0)))
+        + F.aggregate(F.col(b), F.lit(0.0),
+                      lambda acc, v: acc + F.when(v != 0, F.lit(1.0))
+                      .otherwise(F.lit(0.0)))
+    ),
 }
+
+#: metrics where SMALLER means closer (knn/refine order ascending)
+DISTANCE_METRICS = frozenset(_METRICS) - {"inner", "cosine"}
 
 
 def pairwise_distances(
@@ -150,6 +257,7 @@ def pairwise_distances(
     id_col: str = "id",
     vec_col: str = "features",
     n_blocks: int = 16,
+    p: float | None = None,
 ) -> DataFrame:
     """All-pairs distance/similarity table → (a, b, dist) — the
     reference's pairwise-distance family (distance namespace; moved to
@@ -159,12 +267,22 @@ def pairwise_distances(
     product with bounded task memory — never a BroadcastNestedLoopJoin.
 
     With ``right=None`` computes the symmetric self-product (a < b).
-    Metrics: l2, sqeuclidean, l1, cosine, inner. O(n·m) work is
-    inherent — this is the exact-computation primitive; use the knn_*
-    tiers when a shortlist is enough.
+    Metrics: the full family — l2, sqeuclidean, l1, chebyshev,
+    canberra, braycurtis, hamming, jaccard, hellinger, kl_divergence,
+    jensenshannon, correlation, russellrao, dice, minkowski (pass
+    ``p``), cosine, inner. O(n·m) work is inherent — this is the
+    exact-computation primitive; use the knn_* tiers when a shortlist
+    is enough.
     """
-    if metric not in _METRICS:
-        raise ValueError(f"unknown metric {metric!r}; one of {sorted(_METRICS)}")
+    if metric == "minkowski":
+        if p is None:
+            raise ValueError("metric='minkowski' requires p")
+        mfn = _minkowski(p)
+    elif metric in _METRICS:
+        mfn = _METRICS[metric]
+    else:
+        raise ValueError(f"unknown metric {metric!r}; one of "
+                         f"{sorted(_METRICS) + ['minkowski']}")
     symmetric = right is None
     right = left if right is None else right
     cand = _blocked_cross(
@@ -173,11 +291,77 @@ def pairwise_distances(
         symmetric=symmetric, n_blocks=n_blocks,
     )
     if symmetric:
-        out_a, out_b = F.least("a", "b"), F.greatest("a", "b")
+        # canonicalize to a ≤ b AND swap the vectors with the ids, so
+        # asymmetric metrics (kl_divergence) always measure
+        # metric(v_min_id ‖ v_max_id) — id-deterministic, not
+        # block-orientation-dependent
+        swap = F.col("a") > F.col("b")
+        cand = cand.select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"),
+            F.when(swap, F.col("_vb")).otherwise(F.col("_va")).alias("_va"),
+            F.when(swap, F.col("_va")).otherwise(F.col("_vb")).alias("_vb"),
+        )
+    d = F.round(mfn("_va", "_vb"), 6)
+    return cand.select("a", "b", d.alias("dist"))
+
+
+def knn_refine(
+    candidates: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "id",
+    vec_col: str = "features",
+    p: float | None = None,
+) -> DataFrame:
+    """Exact re-rank of an ANN candidate shortlist → (qid, nid, dist,
+    rank): the reference family's ``refine`` step (neighbors migrated
+    to cuVS in this snapshot, README.md:126-148 — cuVS exposes
+    ``neighbors::refine(dataset, queries, candidates, k)`` with exactly
+    this contract). Feed it candidates from ANY index tier (IVF / PQ /
+    LSH / graph, typically k′ = 2–4× k) and it recomputes the TRUE
+    metric on the shortlist only, recovering most of the exact path's
+    recall at O(|candidates|·d) instead of O(Q·N·d).
+
+    Scale shape: two shuffle equi-joins (candidates⋈queries on qid,
+    ⋈corpus on nid) — never a cross product; the shortlist bounds the
+    joined volume, and select_k's partial-then-merge bounds the final
+    cut. Works under every metric in :data:`_METRICS` (plus
+    ``minkowski`` with ``p``); similarities rank descending, distances
+    ascending, ties broken by nid for a deterministic cut.
+    """
+    if metric == "minkowski":
+        if p is None:
+            raise ValueError("metric='minkowski' requires p")
+        mfn = _minkowski(p)
+    elif metric in _METRICS:
+        mfn = _METRICS[metric]
     else:
-        out_a, out_b = F.col("a"), F.col("b")
-    d = F.round(_METRICS[metric]("_va", "_vb"), 6)
-    return cand.select(out_a.alias("a"), out_b.alias("b"), d.alias("dist"))
+        raise ValueError(f"unknown metric {metric!r}; one of "
+                         f"{sorted(_METRICS) + ['minkowski']}")
+    if metric == "cosine":
+        qv = _norm_table(queries, id_col, vec_col).select(
+            F.col("_id").alias("qid"), F.col("_v").alias("_vq"))
+        cv = _norm_table(corpus, id_col, vec_col).select(
+            F.col("_id").alias("nid"), F.col("_v").alias("_vc"))
+        mfn = _METRICS["inner"]  # cosine of l2-normalized = dot
+    else:
+        qv = queries.select(F.col(id_col).alias("qid"),
+                            F.col(vec_col).alias("_vq"))
+        cv = corpus.select(F.col(id_col).alias("nid"),
+                           F.col(vec_col).alias("_vc"))
+    scored = (
+        candidates.select("qid", "nid").distinct()
+        .join(qv, "qid").join(cv, "nid")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(mfn("_vq", "_vc"), 6).alias("dist"))
+    )
+    return select_k(
+        scored, group_cols=["qid"], order_col="dist", k=k,
+        ascending=metric in DISTANCE_METRICS or metric == "minkowski",
+        payload_cols=["nid"],
+    )
 
 
 def eps_pairs_exact(

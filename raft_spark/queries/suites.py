@@ -466,12 +466,85 @@ def q_stats_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_quality_oracle() -> str:
+    # r9 pairwise-metric members: one row per adjacent (vec_id, vec_id+1)
+    # pair per metric, each re-derived here from scratch with DuckDB list
+    # lambdas over the SAME formula structure (identical float op order —
+    # the cross-engine round(…,6) discipline of the rest of the gate).
+    # Nonneg-contract metrics (hellinger/kl/js) run on the shared
+    # probability lift p = (v²+0.001)/Σ(v²+0.001); set metrics
+    # (hamming/russellrao/dice) on the v>0 binarization.
+    pw = """
+SELECT metric, value FROM (
+WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+prs AS (SELECT e1.id AS a, e1.v AS x, e2.v AS y
+        FROM e e1 JOIN e e2 ON e2.id = e1.id + 1),
+aug AS (SELECT a, x, y,
+        list_transform(x, v -> v*v + 0.001) AS ux,
+        list_transform(y, v -> v*v + 0.001) AS uy,
+        list_transform(x, v -> CASE WHEN v > 0 THEN 1.0 ELSE 0.0 END) AS bx,
+        list_transform(y, v -> CASE WHEN v > 0 THEN 1.0 ELSE 0.0 END) AS byv
+        FROM prs),
+nrm AS (SELECT a, x, y, bx, byv, ux, uy,
+        list_sum(ux) AS tx, list_sum(uy) AS ty FROM aug),
+pp AS (SELECT a, x, y, bx, byv,
+       list_transform(ux, v -> v / tx) AS px,
+       list_transform(uy, v -> v / ty) AS py FROM nrm)
+SELECT 'pw_chebyshev' AS metric,
+       round(list_max(list_transform(list_zip(x, y), z -> abs(z[1]-z[2]))), 6) AS value
+FROM pp
+UNION ALL
+SELECT 'pw_canberra', round(list_sum(list_transform(list_zip(x, y),
+  z -> CASE WHEN abs(z[1])+abs(z[2]) > 0
+       THEN abs(z[1]-z[2])/(abs(z[1])+abs(z[2])) ELSE 0.0 END)), 6) FROM pp
+UNION ALL
+SELECT 'pw_braycurtis', round(
+  list_sum(list_transform(list_zip(x, y), z -> abs(z[1]-z[2]))) /
+  list_sum(list_transform(list_zip(x, y), z -> abs(z[1]+z[2]))), 6) FROM pp
+UNION ALL
+SELECT 'pw_minkowski3', round(pow(list_sum(list_transform(list_zip(x, y),
+  z -> pow(abs(z[1]-z[2]), 3.0))), 1.0/3.0), 6) FROM pp
+UNION ALL
+SELECT 'pw_jaccard', round(1.0 -
+  list_sum(list_transform(list_zip(x, y), z -> z[1]*z[2])) /
+  (list_sum(list_transform(x, v -> v*v)) + list_sum(list_transform(y, v -> v*v))
+   - list_sum(list_transform(list_zip(x, y), z -> z[1]*z[2]))), 6) FROM pp
+UNION ALL
+SELECT 'pw_correlation', round(1.0 -
+  (list_sum(list_transform(list_zip(x, y), z -> z[1]*z[2]))
+     - list_sum(x)*list_sum(y)/len(x))
+  / sqrt((list_sum(list_transform(x, v -> v*v)) - list_sum(x)*list_sum(x)/len(x))
+       * (list_sum(list_transform(y, v -> v*v)) - list_sum(y)*list_sum(y)/len(y))),
+  6) FROM pp
+UNION ALL
+SELECT 'pw_hamming', round(list_sum(list_transform(list_zip(bx, byv),
+  z -> CASE WHEN z[1] <> z[2] THEN 1.0 ELSE 0.0 END)) / len(bx), 6) FROM pp
+UNION ALL
+SELECT 'pw_russellrao', round((len(bx) - list_sum(list_transform(list_zip(bx, byv),
+  z -> z[1]*z[2]))) / len(bx), 6) FROM pp
+UNION ALL
+SELECT 'pw_dice', round(1.0 - 2.0*list_sum(list_transform(list_zip(bx, byv),
+  z -> z[1]*z[2])) / (list_sum(bx) + list_sum(byv)), 6) FROM pp
+UNION ALL
+SELECT 'pw_hellinger', round(sqrt(greatest(0.0, 1.0 -
+  list_sum(list_transform(list_zip(px, py), z -> sqrt(z[1]*z[2]))))), 6) FROM pp
+UNION ALL
+SELECT 'pw_kl', round(list_sum(list_transform(list_zip(px, py),
+  z -> CASE WHEN z[1] > 0 THEN z[1]*ln(z[1]/z[2]) ELSE 0.0 END)), 6) FROM pp
+UNION ALL
+SELECT 'pw_js', round(sqrt(greatest(0.0, 0.5*list_sum(list_transform(list_zip(px, py),
+  z -> (CASE WHEN z[1] > 0 THEN z[1]*ln(z[1]/((z[1]+z[2])/2.0)) ELSE 0.0 END)
+     + (CASE WHEN z[2] > 0 THEN z[2]*ln(z[2]/((z[1]+z[2])/2.0)) ELSE 0.0 END))))),
+  6) FROM pp
+)
+"""
     return f"""
 SELECT 'silhouette' AS metric, silhouette AS value FROM {_sub('silhouette')}
 UNION ALL
 SELECT 'recall', recall FROM {_sub('neighborhood_recall')}
 UNION ALL
 SELECT 'trustworthiness', trustworthiness FROM {_sub('trustworthiness')}
+UNION ALL
+{pw}
 """
 
 
@@ -479,7 +552,21 @@ SELECT 'trustworthiness', trustworthiness FROM {_sub('trustworthiness')}
 def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """silhouette + neighborhood_recall + trustworthiness
     (stats/silhouette_score.cuh:20, neighborhood_recall.cuh:31,
-    trustworthiness_score.cuh:19) as (metric, value)."""
+    trustworthiness_score.cuh:19) as (metric, value).
+
+    r9 adds the full pairwise-metric family (the reference's distance
+    namespace, migrated to cuVS in this snapshot — README.md:126-148)
+    as VALUE-oracled members: one row per adjacent (id, id+1)
+    embedding pair per metric — chebyshev/canberra/braycurtis/
+    minkowski₃/jaccard/correlation on the raw vectors, hamming/
+    russellrao/dice on the v>0 binarization, hellinger/kl/js on the
+    shared probability lift (v²+10⁻³ normalized). ONE narrow
+    adjacent-id self-join feeds all 12 (single scan + unpivot — no
+    O(n²) pair product in the gate; the blocked all-pairs shape is
+    pairwise_distances' job and is pinned in
+    tests/test_pairwise_metrics.py against numpy)."""
+    from raft_spark.operators import similarity as SIM
+
     sil = STQ.q_silhouette(spark, sf_dir).select(
         F.lit("silhouette").alias("metric"), F.col("silhouette").alias("value")
     )
@@ -490,7 +577,51 @@ def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("trustworthiness").alias("metric"),
         F.col("trustworthiness").alias("value"),
     )
-    return sil.unionByName(rec).unionByName(tru)
+    em = embeddings_matrix(spark, sf_dir).select("id", "features")
+    prs = (
+        em.join(
+            em.select((F.col("id") - 1).alias("id"),
+                      F.col("features").alias("y")),
+            "id",
+        )
+        .select(F.col("features").alias("x"), "y")
+        .withColumns({
+            "ux": F.transform("x", lambda v: v * v + F.lit(0.001)),
+            "uy": F.transform("y", lambda v: v * v + F.lit(0.001)),
+            "bx": F.transform(
+                "x", lambda v: F.when(v > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            ),
+            "byv": F.transform(
+                "y", lambda v: F.when(v > 0, F.lit(1.0)).otherwise(F.lit(0.0))
+            ),
+        })
+        .withColumns({
+            "tx": F.aggregate("ux", F.lit(0.0), lambda acc, v: acc + v),
+            "ty": F.aggregate("uy", F.lit(0.0), lambda acc, v: acc + v),
+        })
+        .withColumns({
+            "px": F.transform("ux", lambda v: v / F.col("tx")),
+            "py": F.transform("uy", lambda v: v / F.col("ty")),
+        })
+    )
+    members = {
+        "pw_chebyshev": SIM._METRICS["chebyshev"]("x", "y"),
+        "pw_canberra": SIM._METRICS["canberra"]("x", "y"),
+        "pw_braycurtis": SIM._METRICS["braycurtis"]("x", "y"),
+        "pw_minkowski3": SIM._minkowski(3.0)("x", "y"),
+        "pw_jaccard": SIM._METRICS["jaccard"]("x", "y"),
+        "pw_correlation": SIM._METRICS["correlation"]("x", "y"),
+        "pw_hamming": SIM._METRICS["hamming"]("bx", "byv"),
+        "pw_russellrao": SIM._METRICS["russellrao"]("bx", "byv"),
+        "pw_dice": SIM._METRICS["dice"]("bx", "byv"),
+        "pw_hellinger": SIM._METRICS["hellinger"]("px", "py"),
+        "pw_kl": SIM._METRICS["kl_divergence"]("px", "py"),
+        "pw_js": SIM._METRICS["jensenshannon"]("px", "py"),
+    }
+    pw = prs.select(
+        *[F.round(expr, 6).alias(name) for name, expr in members.items()]
+    ).unpivot([], list(members), "metric", "value")
+    return sil.unionByName(rec).unionByName(tru).unionByName(pw)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,209 @@
+"""Full pairwise metric family vs independent numpy formulas, plus the
+exact-refine operator (the cuVS ``neighbors::refine`` contract:
+re-ranking the full candidate set under the exact metric must reproduce
+the brute-force ranking, and refining a lossy shortlist must never
+lower its recall)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators import similarity as SIM
+
+N, D = 12, 8
+
+
+def _np_metric(m, x, y, p=None):
+    if m == "l1":
+        return np.sum(np.abs(x - y))
+    if m == "l2":
+        return np.sqrt(np.sum((x - y) ** 2))
+    if m == "sqeuclidean":
+        return np.sum((x - y) ** 2)
+    if m == "chebyshev":
+        return np.max(np.abs(x - y))
+    if m == "canberra":
+        den = np.abs(x) + np.abs(y)
+        return np.sum(np.where(den > 0, np.abs(x - y) / np.where(den > 0, den, 1), 0))
+    if m == "braycurtis":
+        return np.sum(np.abs(x - y)) / np.sum(np.abs(x + y))
+    if m == "hamming":
+        return np.mean(x != y)
+    if m == "jaccard":
+        d = np.dot(x, y)
+        return 1 - d / (np.dot(x, x) + np.dot(y, y) - d)
+    if m == "hellinger":
+        return np.sqrt(max(0.0, 1 - np.sum(np.sqrt(x * y))))
+    if m == "kl_divergence":
+        return np.sum(np.where(x > 0, x * np.log(np.where(x > 0, x, 1) / y), 0))
+    if m == "jensenshannon":
+        mid = (x + y) / 2
+        t = np.where(x > 0, x * np.log(np.where(x > 0, x, 1) / mid), 0) + np.where(
+            y > 0, y * np.log(np.where(y > 0, y, 1) / mid), 0
+        )
+        return np.sqrt(max(0.0, 0.5 * np.sum(t)))
+    if m == "correlation":
+        xc, yc = x - x.mean(), y - y.mean()
+        return 1 - np.dot(xc, yc) / np.sqrt(np.dot(xc, xc) * np.dot(yc, yc))
+    if m == "minkowski":
+        return np.sum(np.abs(x - y) ** p) ** (1.0 / p)
+    if m == "russellrao":
+        n = len(x)
+        return (n - np.sum((x != 0) & (y != 0))) / n
+    if m == "dice":
+        ctt = np.sum((x != 0) & (y != 0))
+        return 1 - 2 * ctt / (np.sum(x != 0) + np.sum(y != 0))
+    if m == "cosine":
+        return np.dot(x, y) / np.sqrt(np.dot(x, x) * np.dot(y, y))
+    if m == "inner":
+        return np.dot(x, y)
+    raise KeyError(m)
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.default_rng(42)
+    # nonneg + bounded away from 0: one matrix satisfies every metric's
+    # contract (hellinger/js/kl need nonneg, kl needs y>0, correlation
+    # needs non-constant)
+    return np.abs(rng.normal(size=(N, D))) + 0.1
+
+
+@pytest.fixture(scope="module")
+def vdf(spark, vecs):
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in vecs[i]]) for i in range(N)],
+        "id long, features array<double>",
+    ).cache()
+    yield df
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def bvecs():
+    rng = np.random.default_rng(43)
+    b = (rng.random((N, D)) > 0.5).astype(float)
+    b[0] = 1.0  # no all-zero rows (dice/jaccard denominators)
+    return b
+
+
+@pytest.fixture(scope="module")
+def bdf(spark, bvecs):
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in bvecs[i]]) for i in range(N)],
+        "id long, features array<double>",
+    ).cache()
+    yield df
+    df.unpersist()
+
+
+ALL_METRICS = [
+    "l1", "l2", "sqeuclidean", "chebyshev", "canberra", "braycurtis",
+    "hamming", "jaccard", "hellinger", "kl_divergence", "jensenshannon",
+    "correlation", "cosine", "inner",
+]
+
+
+@pytest.mark.parametrize("metric", ALL_METRICS)
+def test_pairwise_matches_numpy(spark, vdf, vecs, metric):
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SIM.pairwise_distances(vdf, metric=metric).collect()}
+    assert len(got) == N * (N - 1) // 2
+    for (a, b), v in got.items():
+        exp = round(float(_np_metric(metric, vecs[a], vecs[b])), 6)
+        assert abs(v - exp) <= 2e-6, (metric, a, b, v, exp)
+
+
+def test_pairwise_minkowski(spark, vdf, vecs):
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SIM.pairwise_distances(vdf, metric="minkowski", p=3.0).collect()}
+    for (a, b), v in got.items():
+        exp = round(float(_np_metric("minkowski", vecs[a], vecs[b], p=3.0)), 6)
+        assert abs(v - exp) <= 2e-6
+
+
+@pytest.mark.parametrize("metric", ["russellrao", "dice"])
+def test_pairwise_binary_metrics(spark, bdf, bvecs, metric):
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SIM.pairwise_distances(bdf, metric=metric).collect()}
+    for (a, b), v in got.items():
+        exp = round(float(_np_metric(metric, bvecs[a], bvecs[b])), 6)
+        assert abs(v - exp) <= 2e-6
+
+
+def test_asymmetric_kl_is_id_oriented(spark, vdf, vecs):
+    """KL(a‖b) must be measured min-id → max-id regardless of which
+    block-join orientation produced the pair."""
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SIM.pairwise_distances(vdf, metric="kl_divergence").collect()}
+    for (a, b), v in got.items():
+        assert a < b
+        exp = round(float(_np_metric("kl_divergence", vecs[a], vecs[b])), 6)
+        assert abs(v - exp) <= 2e-6
+
+
+def test_unknown_metric_raises(spark, vdf):
+    with pytest.raises(ValueError, match="unknown metric"):
+        SIM.pairwise_distances(vdf, metric="nope")
+    with pytest.raises(ValueError, match="requires p"):
+        SIM.pairwise_distances(vdf, metric="minkowski")
+
+
+# ---------------------------------------------------------------------------
+# knn_refine — exact re-rank of a candidate shortlist
+# ---------------------------------------------------------------------------
+
+
+def test_refine_full_candidates_equals_brute(spark, vdf):
+    """Refining the COMPLETE candidate set under cosine is brute force."""
+    queries = vdf.filter(F.col("id") < 4)
+    exact = SIM.knn_brute(vdf, queries, k=3)
+    cands = queries.select(F.col("id").alias("qid")).crossJoin(
+        vdf.select(F.col("id").alias("nid"))
+    )
+    ref = SIM.knn_refine(cands, vdf, queries, k=3, metric="cosine")
+    e = {(r["qid"], r["nid"], r["rank"]) for r in exact.collect()}
+    g = {(r["qid"], r["nid"], r["rank"]) for r in ref.collect()}
+    assert e == g
+
+
+def test_refine_never_lowers_shortlist_recall(spark, vdf):
+    """Refine(top-3 of a 6-wide LSH-ish shortlist) ⊇-recall the raw
+    shortlist's head: the exact re-rank can only promote true
+    neighbors within the candidates."""
+    queries = vdf.filter(F.col("id") < 4)
+    exact = SIM.knn_brute(vdf, queries, k=3)
+    # lossy shortlist: l1-ranked 6-wide candidates (a DIFFERENT metric,
+    # so its head ordering is wrong for cosine)
+    short = SIM.knn_refine(
+        queries.select(F.col("id").alias("qid")).crossJoin(
+            vdf.select(F.col("id").alias("nid"))),
+        vdf, queries, k=6, metric="l1",
+    )
+    head = short.filter(F.col("rank") <= 3)
+    refined = SIM.knn_refine(short.select("qid", "nid"), vdf, queries,
+                             k=3, metric="cosine")
+    hits_head = head.join(exact, ["qid", "nid"], "left_semi").count()
+    hits_ref = refined.join(exact, ["qid", "nid"], "left_semi").count()
+    assert hits_ref >= hits_head
+    # refined output is k rows per query, ranked 1..k
+    per_q = refined.groupBy("qid").count().collect()
+    assert all(r["count"] == 3 for r in per_q)
+
+
+def test_refine_distance_metric_orders_ascending(spark, vdf, vecs):
+    queries = vdf.filter(F.col("id") == 0)
+    cands = queries.select(F.col("id").alias("qid")).crossJoin(
+        vdf.select(F.col("id").alias("nid"))
+    )
+    ref = SIM.knn_refine(cands, vdf, queries, k=5, metric="l2").collect()
+    dists = [r["dist"] for r in sorted(ref, key=lambda r: r["rank"])]
+    assert dists == sorted(dists)
+    # rank-1 is the true nearest non-self row under l2
+    d = np.sqrt(((vecs[1:] - vecs[0]) ** 2).sum(axis=1))
+    assert ref[0]["nid"] == int(np.argmin(d)) + 1 or dists[0] == round(
+        float(d.min()), 6
+    )
