@@ -1208,6 +1208,7 @@ def _assign_lists(
     n_probe: int = 1,
     list_col: str = "list_id",
     dist_col: str | None = None,
+    weights=None,
 ) -> DataFrame:
     """Attach the ``n_probe`` nearest-centroid list ids via one
     Arrow-batched numpy pass (mapInPandas).
@@ -1218,12 +1219,17 @@ def _assign_lists(
     literal expressions, capping n_lists at O(100) before Catalyst
     analysis blew up. Each batch computes all distances with one BLAS
     matmul. With n_probe > 1 the output has one row per (input, probe).
+
+    ``weights``: optional per-centroid penalty vector — selection
+    minimizes d²·wⱼ (the kmeans_balanced assignment) while ``dist_col``
+    still reports the TRUE geometric d².
     """
     import numpy as np
     import pandas as pd
 
     C = np.asarray(cents, dtype=float)
     cc = (C * C).sum(1)
+    W = None if weights is None else np.asarray(weights, dtype=float)
     in_cols = df.columns
     schema = df.schema.simpleString()[7:-1]  # strip struct<...>
     out_schema = f"{schema},{list_col} int"
@@ -1240,20 +1246,24 @@ def _assign_lists(
                 continue
             M = np.stack(pdf[vec_col].to_numpy()).astype(float)
             d2 = (M * M).sum(1)[:, None] - 2.0 * to_np(ap.asarray(M) @ cd) + cc[None, :]
+            # selection key: penalized on the balanced path, geometric
+            # otherwise (dist_col always reports true d²)
+            sel = d2 if W is None else np.maximum(d2, 0.0) * W[None, :]
             if dist_col is not None and n_probe == 1:
+                a = sel.argmin(1)
                 yield pdf.assign(**{
-                    list_col: d2.argmin(1).astype("int32"),
-                    dist_col: np.maximum(d2.min(1), 0.0),
+                    list_col: a.astype("int32"),
+                    dist_col: np.maximum(d2[np.arange(len(M)), a], 0.0),
                 })
                 continue
             if n_probe == 1:
-                yield pdf.assign(**{list_col: d2.argmin(1).astype("int32")})
+                yield pdf.assign(**{list_col: sel.argmin(1).astype("int32")})
             else:
                 p = min(n_probe, C.shape[0])
-                idx = np.argpartition(d2, p - 1, axis=1)[:, :p]
-                # order probes by actual distance for determinism
+                idx = np.argpartition(sel, p - 1, axis=1)[:, :p]
+                # order probes by selection key for determinism
                 row = np.arange(len(M))[:, None]
-                order = np.argsort(d2[row, idx], axis=1)
+                order = np.argsort(sel[row, idx], axis=1)
                 idx = idx[row, order]
                 rep = pdf.loc[pdf.index.repeat(p)].reset_index(drop=True)
                 cols = {list_col: idx.ravel().astype("int32")}
@@ -1274,6 +1284,9 @@ def kmeans_centroids(
     seed: int = 42,
     id_col: str = "id",
     vec_col: str = "features",
+    balance_power: float = 0.0,
+    return_weights: bool = False,
+    init_cents=None,
 ):
     """Lloyd iterations built from the engine's own primitives: assign =
     argmin via the Arrow-batched numpy pass (_assign_lists), update =
@@ -1282,29 +1295,50 @@ def kmeans_centroids(
     centroids; the driver never holds more than k×d floats.
 
     Init: k deterministic data points (ids hashed by seed).
+
+    ``balance_power`` > 0 turns this into SIZE-PENALIZED Lloyd (the
+    cluster::kmeans_balanced role the reference family's IVF builds
+    train with — balanced lists are what keep IVF probe work and
+    partition sizes even at 100 TB): assignment minimizes
+    d²(x,cⱼ)·wⱼ with wⱼ = clip((nⱼ/n̄)^power, ¼, 4) from the previous
+    iteration's counts, so oversized lists get progressively more
+    expensive to join and the centroids migrate into dense regions.
+    With ``return_weights`` the final (cents, w) pair is returned so
+    the SAME penalty can be applied at assignment time
+    (:func:`ivf_assign` ``weights=``) — training-time balance alone
+    under-delivers because plain argmin re-crowds the dense blob.
+
+    ``init_cents``: optional k×d warm-start centroids (skip the seeded
+    draw) — the cuVS build discipline of training the quantizer on a
+    sample and refining on the full corpus, and the hook hierarchical/
+    incremental trainers start from.
     """
     import numpy as np
 
-    # seeded init: the k rows with the smallest xxhash64(id, seed) — a
-    # deterministic uniform draw over WHATEVER id space the frame has
-    # (the previous hash-mod-n scheme assumed dense 0..n-1 ids and
-    # collected zero seeds on offset/sparse id spaces, crashing the
-    # first Lloyd pass). orderBy+limit compiles to TakeOrdered
-    # (per-partition top-k, no global sort shuffle).
-    cents = np.array(
-        [
-            r[vec_col]
-            for r in df.select(id_col, vec_col)
-            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
-            .limit(k)
-            .collect()
-        ]
-    )
+    if init_cents is not None:
+        cents = np.asarray(init_cents, dtype=float)
+    else:
+        # seeded init: the k rows with the smallest xxhash64(id, seed) —
+        # a deterministic uniform draw over WHATEVER id space the frame
+        # has (the previous hash-mod-n scheme assumed dense 0..n-1 ids
+        # and collected zero seeds on offset/sparse id spaces, crashing
+        # the first Lloyd pass). orderBy+limit compiles to TakeOrdered
+        # (per-partition top-k, no global sort shuffle).
+        cents = np.array(
+            [
+                r[vec_col]
+                for r in df.select(id_col, vec_col)
+                .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+                .limit(k)
+                .collect()
+            ]
+        )
     if len(cents) == 0:
         raise ValueError("kmeans_centroids: empty input (no rows to seed from)")
     import pandas as pd
 
     vecs = df.select(vec_col)
+    w = np.ones(len(cents)) if balance_power > 0 else None
     for _ in range(n_iters):
         # fused assign+update in ONE Arrow pass: each partition argmins
         # its batch against the closure centroids and emits k×d partial
@@ -1316,7 +1350,7 @@ def kmeans_centroids(
         cc = (C * C).sum(1)
         kk = C.shape[0]
 
-        def pp(batches, _C=C, _cc=cc, _kk=kk):
+        def pp(batches, _C=C, _cc=cc, _kk=kk, _w=w):
             from raft_spark.functions.xp import to_np, xp
 
             ap = xp()
@@ -1330,7 +1364,13 @@ def kmeans_centroids(
                 d2 = (M * M).sum(1)[:, None] - 2.0 * to_np(
                     ap.asarray(M) @ cd
                 ) + _cc[None, :]
-                a = d2.argmin(1)
+                # weighted argmin only on the balanced path (d2 can be
+                # ~−1e-12 from float cancellation; clamp before scaling
+                # so weights can't flip the sign ordering)
+                a = (
+                    d2.argmin(1) if _w is None
+                    else (np.maximum(d2, 0.0) * _w[None, :]).argmin(1)
+                )
                 onehot = np.zeros((len(M), _kk))
                 onehot[np.arange(len(M)), a] = 1.0
                 part = onehot.T @ M
@@ -1370,7 +1410,112 @@ def kmeans_centroids(
         nz = counts > 0
         new[nz] = acc[nz] / counts[nz, None]  # empty clusters keep theirs
         cents = new
+        if balance_power > 0:
+            avg = max(counts.mean(), 1.0)
+            # clip keeps the penalty from oscillating (an empty list
+            # would otherwise get weight 0 and swallow everything next
+            # iteration)
+            w = np.clip((np.maximum(counts, 1.0) / avg) ** balance_power,
+                        0.25, 4.0)
+    if return_weights:
+        return cents, (w if w is not None else np.ones(len(cents)))
     return cents
+
+
+def _driver_2means(M, seed=42, n_iters=10):
+    """Tiny in-memory 2-means on a bounded member sample (numpy).
+    Init: sample[0] and the point farthest from it — the deterministic
+    split axis of the oversized cluster."""
+    import numpy as np
+
+    c0 = M[0]
+    c1 = M[np.argmax(((M - c0) ** 2).sum(1))]
+    C = np.stack([c0, c1])
+    for _ in range(n_iters):
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(2)
+        a = d2.argmin(1)
+        for j in (0, 1):
+            if (a == j).any():
+                C[j] = M[a == j].mean(0)
+    return C
+
+
+def kmeans_balanced(
+    df: DataFrame,
+    k: int,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "features",
+    max_ratio: float = 2.0,
+    n_adjust: int = 4,
+    sample_rows: int = 20_000,
+    init_cents=None,
+):
+    """Size-balanced k-means → (assignments (id, cluster, sq_dist),
+    centroids k×d, balance_ratio = max/mean cluster size): the
+    cluster::kmeans_balanced role the reference family's IVF builds
+    fill (neighbors migrated to cuVS in this snapshot,
+    README.md:126-148 — cuVS trains IVF coarse quantizers with
+    balanced hierarchical k-means precisely because even list sizes
+    are what keep probe cost and shard skew bounded at scale).
+
+    Algorithm: plain Lloyd first, then up to ``n_adjust`` SPLIT rounds
+    — each round recounts Voronoi occupancy (one narrow distributed
+    pass) and, for every cluster still above ``max_ratio``·avg that
+    can claim a starving cluster's slot (< avg/2), replaces the pair's
+    two centers with a 2-means split of the hot cluster, trained on a
+    bounded hash-deterministic member sample (≤ ``sample_rows`` —
+    the pq_train collect discipline). A size-penalized weighted
+    Voronoi was measured first and REJECTED: the ≤16× penalty ratio is
+    dwarfed by the distance ratio of a tight far-separated hot blob,
+    and weight feedback oscillates (hot list swung 644→827→468 across
+    rounds); explicit splitting is monotone. The final assignment is
+    UNWEIGHTED, so the result is a true Voronoi partition of the final
+    centers — IVF probe math and recall reasoning stay geometric, and
+    ``sq_dist`` is the true squared distance.
+
+    Balance is bought with inertia BY DESIGN (a claimed starving
+    center abandons its few points to their next-nearest list) — the
+    contract is even list sizes, not minimum quantization error.
+    """
+    import numpy as np
+
+    cents = kmeans_centroids(
+        df, k, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col,
+        init_cents=init_cents,
+    )
+    C = np.asarray(cents, dtype=float).copy()
+    src = df.select(F.col(id_col).alias("id"), vec_col)
+    for _ in range(n_adjust):
+        assigned = _assign_lists(src, C, vec_col, list_col="cluster")
+        counts = np.zeros(len(C))
+        for r in assigned.groupBy("cluster").count().collect():
+            counts[r["cluster"]] = r["count"]
+        avg = max(counts.mean(), 1.0)
+        hot = [j for j in np.argsort(-counts) if counts[j] > max_ratio * avg]
+        cold = [j for j in np.argsort(counts)
+                if counts[j] < avg / 2 and j not in hot]
+        if not hot or not cold:
+            break
+        for j, r_ in zip(hot, cold):
+            sample = np.array([
+                row[vec_col]
+                for row in assigned.filter(F.col("cluster") == int(j))
+                .orderBy(F.xxhash64("id", F.lit(seed)), "id")
+                .limit(sample_rows).collect()
+            ])
+            if len(sample) < 2:
+                continue
+            C[[int(j), int(r_)]] = _driver_2means(sample, seed=seed)
+    out = _assign_lists(
+        src, C, vec_col, list_col="cluster", dist_col="sq_dist",
+    ).select("id", F.col("cluster").cast("long").alias("cluster"), "sq_dist")
+    sizes = out.groupBy("cluster").count().agg(
+        F.max("count").alias("mx"), F.avg("count").alias("av")
+    ).first()
+    ratio = float(sizes["mx"]) / max(float(sizes["av"]), 1.0)
+    return out, C, ratio
 
 
 def kmeans(
