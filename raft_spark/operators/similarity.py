@@ -1440,6 +1440,58 @@ def _driver_2means(M, seed=42, n_iters=10):
     return C
 
 
+def balanced_centroids(
+    df: DataFrame,
+    k: int,
+    n_iters: int = 8,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "features",
+    max_ratio: float = 2.0,
+    n_adjust: int = 4,
+    sample_rows: int = 20_000,
+    init_cents=None,
+):
+    """Centroid-only balanced k-means (the quantizer-training half of
+    :func:`kmeans_balanced` — what IVF builders consume, so they can
+    run their own assignment pass without a redundant one here).
+    Plain Lloyd, then ≤ ``n_adjust`` split rounds: each round recounts
+    Voronoi occupancy and every cluster above ``max_ratio``·avg claims
+    a starving slot (< avg/2); the pair's centers are replaced by a
+    2-means split of the hot cluster trained on a ≤ ``sample_rows``
+    hash-deterministic member sample."""
+    import numpy as np
+
+    cents = kmeans_centroids(
+        df, k, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col,
+        init_cents=init_cents,
+    )
+    C = np.asarray(cents, dtype=float).copy()
+    src = df.select(F.col(id_col).alias("id"), vec_col)
+    for _ in range(n_adjust):
+        assigned = _assign_lists(src, C, vec_col, list_col="cluster")
+        counts = np.zeros(len(C))
+        for r in assigned.groupBy("cluster").count().collect():
+            counts[r["cluster"]] = r["count"]
+        avg = max(counts.mean(), 1.0)
+        hot = [j for j in np.argsort(-counts) if counts[j] > max_ratio * avg]
+        cold = [j for j in np.argsort(counts)
+                if counts[j] < avg / 2 and j not in hot]
+        if not hot or not cold:
+            break
+        for j, r_ in zip(hot, cold):
+            sample = np.array([
+                row[vec_col]
+                for row in assigned.filter(F.col("cluster") == int(j))
+                .orderBy(F.xxhash64("id", F.lit(seed)), "id")
+                .limit(sample_rows).collect()
+            ])
+            if len(sample) < 2:
+                continue
+            C[[int(j), int(r_)]] = _driver_2means(sample, seed=seed)
+    return C
+
+
 def kmeans_balanced(
     df: DataFrame,
     k: int,
@@ -1481,33 +1533,12 @@ def kmeans_balanced(
     """
     import numpy as np
 
-    cents = kmeans_centroids(
+    C = balanced_centroids(
         df, k, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col,
+        max_ratio=max_ratio, n_adjust=n_adjust, sample_rows=sample_rows,
         init_cents=init_cents,
     )
-    C = np.asarray(cents, dtype=float).copy()
     src = df.select(F.col(id_col).alias("id"), vec_col)
-    for _ in range(n_adjust):
-        assigned = _assign_lists(src, C, vec_col, list_col="cluster")
-        counts = np.zeros(len(C))
-        for r in assigned.groupBy("cluster").count().collect():
-            counts[r["cluster"]] = r["count"]
-        avg = max(counts.mean(), 1.0)
-        hot = [j for j in np.argsort(-counts) if counts[j] > max_ratio * avg]
-        cold = [j for j in np.argsort(counts)
-                if counts[j] < avg / 2 and j not in hot]
-        if not hot or not cold:
-            break
-        for j, r_ in zip(hot, cold):
-            sample = np.array([
-                row[vec_col]
-                for row in assigned.filter(F.col("cluster") == int(j))
-                .orderBy(F.xxhash64("id", F.lit(seed)), "id")
-                .limit(sample_rows).collect()
-            ])
-            if len(sample) < 2:
-                continue
-            C[[int(j), int(r_)]] = _driver_2means(sample, seed=seed)
     out = _assign_lists(
         src, C, vec_col, list_col="cluster", dist_col="sq_dist",
     ).select("id", F.col("cluster").cast("long").alias("cluster"), "sq_dist")
@@ -1752,17 +1783,24 @@ def build_ivf_pq_index(
     kmeans_iters: int = 3,
     id_col: str = "id",
     vec_col: str = "features",
+    balanced: bool = False,
 ) -> dict:
     """Build the IVF-PQ index once → {codes: DataFrame(id, list_id,
     codes), centroids: n_lists×d, codebooks: m×n_codes×d/m}. The codes
     frame is the only corpus-sized artifact (m small ints per vector);
     persist with :func:`raft_spark.sources.sinks`-style writers via
-    ``write_ivf_pq_index`` and query many times."""
+    ``write_ivf_pq_index`` and query many times.
+
+    ``balanced=True`` trains the coarse quantizer with
+    :func:`balanced_centroids` (split rounds) — the reference family's
+    IVF discipline: even list sizes bound per-probe work and shard
+    skew when the corpus is hot-spotted."""
     import numpy as np
 
     cn = _norm_table(corpus, id_col, vec_col).withColumnRenamed("_v", vec_col)
-    cents = kmeans_centroids(cn, n_lists, n_iters=kmeans_iters,
-                             id_col="_id", vec_col=vec_col)
+    trainer = balanced_centroids if balanced else kmeans_centroids
+    cents = trainer(cn, n_lists, n_iters=kmeans_iters,
+                    id_col="_id", vec_col=vec_col)
     C = np.asarray(cents, dtype=float)
     assigned = ivf_assign(cn, C, vec_col)
     residuals = assigned.mapInPandas(
@@ -1947,11 +1985,15 @@ def knn_ivf(
     kmeans_iters: int = 3,
     id_col: str = "id",
     vec_col: str = "features",
+    balanced: bool = False,
 ) -> DataFrame:
     """IVF approximate top-k: corpus partitioned into n_lists Voronoi
     cells (k-means coarse quantizer); each query probes its n_probe
     nearest cells only — candidate volume drops to ~n_probe/n_lists of
     brute force. The standard scale path when LSH recall is too low.
+    ``balanced=True`` trains the quantizer with split-round
+    :func:`balanced_centroids` (even list sizes under hot-spotted
+    corpora — bounded probe cost at scale).
 
     Output matches knn_brute's schema (qid, nid, cosine, rank).
     """
@@ -1968,8 +2010,9 @@ def knn_ivf(
         .withColumnRenamed("_v", vec_col)
         .localCheckpoint(eager=True)
     )
-    cents = kmeans_centroids(norm_c, n_lists, n_iters=kmeans_iters,
-                             id_col="_id", vec_col=vec_col)
+    trainer = balanced_centroids if balanced else kmeans_centroids
+    cents = trainer(norm_c, n_lists, n_iters=kmeans_iters,
+                    id_col="_id", vec_col=vec_col)
     n_lists = len(cents)
     n_probe = min(n_probe, n_lists)
     c_assigned = ivf_assign(norm_c, cents, vec_col).select(

@@ -119,3 +119,62 @@ def test_weighted_assign_reports_true_distance(spark, skewed):
     for r in out:
         d2 = float(((src[r["id"]] - C[r["cluster"]]) ** 2).sum())
         assert abs(r["sq_dist"] - d2) < 1e-6
+
+
+@pytest.fixture(scope="module")
+def angular(spark):
+    """Unit-sphere hot-spot corpus (knn_ivf quantizes in normalized
+    space): 790 vectors in one tight cone + 7 spread cones of 30."""
+    rng = np.random.default_rng(17)
+
+    def cone(axis, n, jitter):
+        v = axis[None, :] + rng.normal(0, jitter, size=(n, 16))
+        return v / np.linalg.norm(v, axis=1, keepdims=True)
+
+    hot = np.zeros(16); hot[0] = 1.0
+    parts = [cone(hot, 790, 0.02)]
+    for j in range(7):
+        ax = np.zeros(16); ax[j + 1] = 1.0
+        parts.append(cone(ax, 30, 0.02))
+    X = np.vstack(parts)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, features array<double>",
+    ).cache()
+    yield df, X
+    df.unpersist()
+
+
+def test_balanced_ivf_evens_lists_and_keeps_recall(spark, angular):
+    df, X = angular
+    init = X[[0] + [790 + 30 * j for j in range(7)]]
+    plain_c = SIM.kmeans_centroids(df, k=K, n_iters=6, init_cents=init)
+    bal_c = SIM.balanced_centroids(df, k=K, n_iters=6, init_cents=init)
+
+    def ratio_of(cents):
+        a = SIM.ivf_assign(df.select("id", "features"), cents)
+        s = a.groupBy("list_id").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("av")).first()
+        return float(s["mx"]) / float(s["av"])
+
+    r_plain, r_bal = ratio_of(plain_c), ratio_of(bal_c)
+    assert r_plain > 3.0, f"fixture lost its skew ({r_plain})"
+    assert r_bal <= 0.6 * r_plain, (r_bal, r_plain)
+
+    # recall floor: the balanced index must still answer (hot queries
+    # land in split cells whose union is the old hot cell)
+    queries = df.filter(F.col("id") % 100 == 0)
+    exact = SIM.knn_brute(df, queries, k=5)
+    approx = SIM.knn_ivf(df, queries, k=5, n_lists=K, n_probe=3,
+                         kmeans_iters=6, balanced=True)
+    hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    recall = hits / (queries.count() * 5)
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_balanced_ivf_pq_index_builds(spark, angular):
+    df, _ = angular
+    idx = SIM.build_ivf_pq_index(df, n_lists=4, m_subspaces=4,
+                                 n_codes=8, balanced=True)
+    assert idx["centroids"].shape == (4, 16)
+    assert idx["codes"].count() == df.count()
