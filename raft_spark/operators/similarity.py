@@ -225,6 +225,15 @@ _METRICS = {
     ),
     "jensenshannon": _jensenshannon,
     "correlation": _correlation_dist,
+    # great-circle distance on the unit sphere over 2-element
+    # [lat, lon] radian vectors (scale by radius outside)
+    "haversine": lambda a, b: F.lit(2.0) * F.asin(F.sqrt(
+        F.pow(F.sin((F.element_at(F.col(a), 1)
+                     - F.element_at(F.col(b), 1)) / 2), 2)
+        + F.cos(F.element_at(F.col(a), 1)) * F.cos(F.element_at(F.col(b), 1))
+        * F.pow(F.sin((F.element_at(F.col(a), 2)
+                       - F.element_at(F.col(b), 2)) / 2), 2)
+    )),
     # binary-vector set metrics (x≠0 is membership): Russell–Rao
     # (n − |x∩y|)/n, Dice 1 − 2|x∩y|/(|x|+|y|)
     "russellrao": lambda a, b: (

@@ -2268,6 +2268,8 @@ FROM rk
 UNION ALL
 SELECT 'exact_cos', qid::BIGINT, nid::BIGINT, cosine FROM rk
 UNION ALL
+SELECT 'refine_top5', qid::BIGINT, nid::BIGINT, rank::DOUBLE FROM rk
+UNION ALL
 SELECT 'ivf', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'pq', 0::BIGINT, -1::BIGINT, 1.0
@@ -2342,6 +2344,27 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").cast("long").alias("b"),
         F.col("cosine").cast("double").alias("value"),
     )
+    # r9 refine member (cuVS neighbors::refine contract, VALUE-oracled):
+    # refining a candidate set that CONTAINS the exact top-5 (plus
+    # decoy ids qid+7/qid+13) must reproduce the exact top-5 ranking
+    # bit-for-bit — same rounding, same nid tie-break as the exact
+    # scan, so the oracle is simply rk rank≤5 again. Costs one tiny
+    # join over ≤7 candidates/query, reusing the shared exact scan.
+    queries_df = shared[1]
+    cands = (
+        exact.select("qid", "nid")
+        .unionByName(queries_df.select(
+            F.col("id").alias("qid"), (F.col("id") + 7).alias("nid")))
+        .unionByName(queries_df.select(
+            F.col("id").alias("qid"), (F.col("id") + 13).alias("nid")))
+    )
+    refined = SIM2.knn_refine(cands, shared[0], queries_df, k=5,
+                              metric="cosine").select(
+        F.lit("refine_top5").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("rank").cast("double").alias("value"),
+    )
     ivf = _flag(PQ.q_knn_ivf_recall(spark, sf_dir, shared=shared).select(
         F.lit("ivf").alias("method"), "recall_ok"
     ))
@@ -2355,7 +2378,7 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh = _flag(PQ.q_knn_lsh_checks(spark, sf_dir, shared=shared))
     graph = _flag(PQ.q_knn_graph_checks(spark, sf_dir, shared=shared, graph=g10))
     return (
-        ex_rank.unionByName(ex_cos)
+        ex_rank.unionByName(ex_cos).unionByName(refined)
         .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
     )

@@ -207,3 +207,24 @@ def test_refine_distance_metric_orders_ascending(spark, vdf, vecs):
     assert ref[0]["nid"] == int(np.argmin(d)) + 1 or dists[0] == round(
         float(d.min()), 6
     )
+
+
+def test_pairwise_haversine(spark):
+    """Great-circle distance on [lat, lon] radian pairs vs the numpy
+    haversine formula."""
+    rng = np.random.default_rng(5)
+    lat = rng.uniform(-np.pi / 2, np.pi / 2, 8)
+    lon = rng.uniform(-np.pi, np.pi, 8)
+    P = np.stack([lat, lon], axis=1)
+    df = spark.createDataFrame(
+        [(i, [float(lat[i]), float(lon[i])]) for i in range(8)],
+        "id long, features array<double>",
+    )
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SIM.pairwise_distances(df, metric="haversine").collect()}
+    assert len(got) == 28
+    for (a, b), v in got.items():
+        dphi, dlmb = lat[a] - lat[b], lon[a] - lon[b]
+        h = np.sin(dphi / 2) ** 2 + np.cos(lat[a]) * np.cos(lat[b]) * np.sin(dlmb / 2) ** 2
+        exp = round(float(2 * np.arcsin(np.sqrt(h))), 6)
+        assert abs(v - exp) <= 2e-6, (a, b, v, exp)
