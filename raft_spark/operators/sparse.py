@@ -381,3 +381,86 @@ def binarize_ovr(df: DataFrame, label_col: str, positive) -> DataFrame:
     return df.withColumn(
         "ovr", (F.col(label_col) == F.lit(positive)).cast("int")
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse pairwise distances (the reference's sparse distance family —
+# migrated to cuVS in this snapshot, README.md:126-148)
+# ---------------------------------------------------------------------------
+
+def sparse_pairwise(
+    coo: DataFrame,
+    metric: str = "cosine",
+    max_col_df: int | None = None,
+) -> DataFrame:
+    """Pairwise similarity/distance between sparse rows in long form →
+    (a, b, dist), a < b, over pairs sharing ≥1 column.
+
+    THE sparse-vectors-at-scale shape: instead of materializing dense
+    arrays, the product is an inverted-index self-join on ``col`` —
+    only co-occurring row pairs are ever generated, so cost is
+    Σ_col df(col)² (the true support of the result), not n². Rows with
+    no shared column are omitted: for cosine/inner/jaccard their value
+    is the 0 a sparse engine never stores; for sqeuclidean callers
+    needing absent pairs add ||a||²+||b||² from the norms frame.
+
+    ``max_col_df`` drops columns occurring in more rows than the cap
+    before the join — the stop-shingle discipline of the dedup family:
+    a degenerate hot column (a stopword term) contributes df² pairs and
+    ~0 information. Explicit opt-in, off by default (exactness first).
+
+    Metrics: inner, cosine, sqeuclidean (exact: non-shared coordinates
+    enter through the row norms), jaccard / dice / overlap (binary
+    occupancy — set metrics on the column-support sets).
+
+    Duplicate (row, col) entries must be pre-reduced
+    (:func:`max_duplicates`); this is asserted cheaply via groupBy
+    count upstream in tests, not here (a full-pass assert would double
+    the scan).
+    """
+    metrics = {"inner", "cosine", "sqeuclidean", "jaccard", "dice",
+               "overlap"}
+    if metric not in metrics:
+        raise ValueError(f"unknown sparse metric {metric!r}; "
+                         f"one of {sorted(metrics)}")
+    base = coo.select("row", "col", "value")
+    if max_col_df is not None:
+        keep = (base.groupBy("col").count()
+                .filter(F.col("count") <= max_col_df).select("col"))
+        base = base.join(keep, "col")
+    lhs = base.select(F.col("row").alias("a"), "col",
+                      F.col("value").alias("_va"))
+    rhs = base.select(F.col("row").alias("b"), "col",
+                      F.col("value").alias("_vb"))
+    pairs = (
+        lhs.join(rhs, "col")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.sum(F.col("_va") * F.col("_vb")).alias("_ip"),
+            F.count("*").alias("_shared"),
+        )
+    )
+    if metric == "inner":
+        return pairs.select("a", "b", F.round("_ip", 6).alias("dist"))
+    norms = base.groupBy("row").agg(
+        F.sum(F.col("value") * F.col("value")).alias("_nn"),
+        F.count("*").alias("_nz"),
+    )
+    na = norms.select(F.col("row").alias("a"), F.col("_nn").alias("_nna"),
+                      F.col("_nz").alias("_nza"))
+    nb = norms.select(F.col("row").alias("b"), F.col("_nn").alias("_nnb"),
+                      F.col("_nz").alias("_nzb"))
+    j = pairs.join(na, "a").join(nb, "b")
+    if metric == "cosine":
+        d = F.col("_ip") / F.sqrt(F.col("_nna") * F.col("_nnb"))
+    elif metric == "sqeuclidean":
+        d = F.col("_nna") + F.col("_nnb") - 2 * F.col("_ip")
+    elif metric == "jaccard":
+        d = F.col("_shared") / (F.col("_nza") + F.col("_nzb")
+                                - F.col("_shared"))
+    elif metric == "dice":
+        d = 2 * F.col("_shared") / (F.col("_nza") + F.col("_nzb"))
+    else:  # overlap
+        d = F.col("_shared") / F.least("_nza", "_nzb")
+    return j.select("a", "b", F.round(d, 6).alias("dist"))

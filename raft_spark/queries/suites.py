@@ -630,21 +630,69 @@ def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _coo_ops_oracle() -> str:
+    # r9 sparse-pairwise members: cosine + binary-jaccard between the
+    # row-vectors of the deduped row≤200 COO slice, re-derived here as
+    # plain SQL joins (the inverted-index join IS SQL — that's the
+    # point of the long-form representation)
+    sp = """
+SELECT op, row, col, value FROM (
+WITH coo_li AS (
+    SELECT l_orderkey AS row, l_partkey AS col, l_quantity AS value FROM lineitem
+),
+sliced AS (
+    SELECT row, col, max(value) AS value FROM coo_li
+    WHERE row <= 200 GROUP BY row, col
+),
+prs AS (
+    SELECT x.row AS a, y.row AS b, sum(x.value * y.value) AS ip,
+           count(*) AS shared
+    FROM sliced x JOIN sliced y ON x.col = y.col AND x.row < y.row
+    GROUP BY 1, 2
+),
+nr AS (SELECT row, sum(value * value) AS nn, count(*) AS nz
+       FROM sliced GROUP BY row)
+SELECT 'spcos' AS op, a AS row, b AS col,
+       round(ip / sqrt(na.nn * nb.nn), 6) AS value
+FROM prs JOIN nr na ON na.row = a JOIN nr nb ON nb.row = b
+UNION ALL
+SELECT 'spjac', a, b,
+       round(shared::DOUBLE / (na.nz + nb.nz - shared), 6)
+FROM prs JOIN nr na ON na.row = a JOIN nr nb ON nb.row = b
+)
+"""
     return f"""
 SELECT 'dedup' AS op, row, col, value FROM {_sub('coo_dedup_max')}
 UNION ALL
 SELECT 'dedup_n', row, col, n_dup::DOUBLE FROM {_sub('coo_dedup_max')}
 UNION ALL
 SELECT 'filter', row, col, value FROM {_sub('coo_filter_slice')}
+UNION ALL
+{sp}
 """
 
 
 @query("coo_ops", oracle=_coo_ops_oracle())
 def q_coo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """coo dedup-max (sparse/op/reduce.cuh:39,62) + remove_scalar/row
-    slice (op/filter.cuh:38, slice.cuh:30) as (op, row, col, value)."""
+    slice (op/filter.cuh:38, slice.cuh:30) as (op, row, col, value).
+
+    r9 adds sparse-pairwise members (the reference's sparse distance
+    family, migrated to cuVS in this snapshot): cosine + binary
+    jaccard between the row≤200 slice's sparse row-vectors via
+    sparse.sparse_pairwise's inverted-index self-join — only
+    co-occurring pairs are generated (cost Σ df(col)², never n²)."""
+    from raft_spark.operators import sparse as SP2
+
     d = SPQ.q_coo_dedup_max(spark, sf_dir).localCheckpoint(eager=True)
     f = SPQ.q_coo_filter_slice(spark, sf_dir)
+    sliced = d.filter(F.col("row") <= 200).select("row", "col", "value") \
+        .localCheckpoint(eager=True)
+    spc = SP2.sparse_pairwise(sliced, metric="cosine").select(
+        F.lit("spcos").alias("op"), F.col("a").alias("row"),
+        F.col("b").alias("col"), F.col("dist").alias("value"))
+    spj = SP2.sparse_pairwise(sliced, metric="jaccard").select(
+        F.lit("spjac").alias("op"), F.col("a").alias("row"),
+        F.col("b").alias("col"), F.col("dist").alias("value"))
     return (
         d.select(F.lit("dedup").alias("op"), "row", "col", "value")
         .unionByName(
@@ -652,6 +700,7 @@ def q_coo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_dup").cast("double").alias("value"))
         )
         .unionByName(f.select(F.lit("filter").alias("op"), "row", "col", "value"))
+        .unionByName(spc).unionByName(spj)
     )
 
 

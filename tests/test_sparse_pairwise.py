@@ -1,0 +1,84 @@
+"""sparse_pairwise vs a dense numpy twin: the inverted-index join must
+reproduce dense metric values exactly on the shared-support pairs, and
+only emit pairs that share at least one column."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators import sparse as SP
+
+N, D = 20, 12
+
+
+@pytest.fixture(scope="module")
+def sp(spark):
+    rng = np.random.default_rng(3)
+    M = rng.normal(size=(N, D))
+    M[rng.random((N, D)) < 0.6] = 0.0  # ~60% sparse
+    M[0, :] = 0.0
+    M[0, 0] = 1.0  # a 1-nnz row exercises the norm joins
+    rows = [
+        (i, j, float(M[i, j]))
+        for i in range(N) for j in range(D) if M[i, j] != 0.0
+    ]
+    df = spark.createDataFrame(rows, "row long, col long, value double").cache()
+    yield df, M
+    df.unpersist()
+
+
+def _dense(m, x, y):
+    if m == "inner":
+        return float(np.dot(x, y))
+    if m == "cosine":
+        return float(np.dot(x, y) / np.sqrt(np.dot(x, x) * np.dot(y, y)))
+    if m == "sqeuclidean":
+        return float(np.sum((x - y) ** 2))
+    sx, sy = set(np.flatnonzero(x)), set(np.flatnonzero(y))
+    inter = len(sx & sy)
+    if m == "jaccard":
+        return inter / len(sx | sy)
+    if m == "dice":
+        return 2 * inter / (len(sx) + len(sy))
+    if m == "overlap":
+        return inter / min(len(sx), len(sy))
+    raise KeyError(m)
+
+
+@pytest.mark.parametrize(
+    "metric", ["inner", "cosine", "sqeuclidean", "jaccard", "dice", "overlap"]
+)
+def test_sparse_pairwise_matches_dense(spark, sp, metric):
+    df, M = sp
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SP.sparse_pairwise(df, metric=metric).collect()}
+    support = {
+        (a, b)
+        for a in range(N) for b in range(a + 1, N)
+        if np.any((M[a] != 0) & (M[b] != 0))
+    }
+    assert set(got) == support  # exactly the shared-support pairs
+    for (a, b), v in got.items():
+        exp = round(_dense(metric, M[a], M[b]), 6)
+        assert abs(v - exp) <= 2e-6, (metric, a, b, v, exp)
+
+
+def test_sparse_pairwise_max_col_df(spark, sp):
+    df, M = sp
+    # cap at df=3: hot columns leave the join; surviving pairs keep
+    # EXACT inner products over the remaining columns
+    hot = {j for j in range(D) if int(np.sum(M[:, j] != 0)) > 3}
+    Mc = M.copy(); Mc[:, list(hot)] = 0.0
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SP.sparse_pairwise(df, metric="inner", max_col_df=3).collect()}
+    for (a, b), v in got.items():
+        assert abs(v - round(float(np.dot(Mc[a], Mc[b])), 6)) <= 2e-6
+
+
+def test_sparse_pairwise_unknown_metric(spark, sp):
+    df, _ = sp
+    with pytest.raises(ValueError, match="unknown sparse metric"):
+        SP.sparse_pairwise(df, metric="nope")

@@ -474,6 +474,42 @@ def main() -> None:
         del al, ar
         gc.collect()
 
+    # r9 ANN additions (opt-in, PROBE_ANN_R9=1): exact shortlist refine
+    # at 1M corpus (cost ∝ candidate count + one corpus scan for the
+    # nid join — NOT Q·N), and balanced vs plain quantizer training at
+    # k=64 (the split rounds add ≤ n_adjust count-passes + bounded
+    # sample collects on top of Lloyd).
+    if os.environ.get("PROBE_ANN_R9") == "1":
+        from raft_spark.operators.similarity import (
+            balanced_centroids, ivf_assign, kmeans_centroids, knn_refine,
+        )
+
+        corpus = dense_table(spark, 1_000_000, 64).localCheckpoint(eager=True)
+        queries = corpus.filter(F.col("id") % 10_000 == 0)  # 100 queries
+        cands = queries.select(F.col("id").alias("qid")).crossJoin(
+            spark.range(64).select((F.col("id") * 13_777 + 7).alias("nid"))
+        )
+        t = time.perf_counter()
+        nref = knn_refine(cands, corpus, queries, k=10,
+                          metric="cosine").count()
+        out["refine_1m_100q_64cand_s"] = round(time.perf_counter() - t, 2)
+        assert nref == 100 * 10
+
+        for nm, trainer in (("kmeans_plain", kmeans_centroids),
+                            ("kmeans_balanced", balanced_centroids)):
+            t = time.perf_counter()
+            cents = trainer(corpus, 64, n_iters=3)
+            stats = (
+                ivf_assign(corpus, cents).groupBy("list_id").count()
+                .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+                .first()
+            )
+            out[f"{nm}_1m_k64_s"] = round(time.perf_counter() - t, 2)
+            out[f"{nm}_1m_k64_ratio"] = round(
+                float(stats["mx"]) / float(stats["av"]), 2)
+        del corpus, queries, cands
+        gc.collect()
+
     print(json.dumps(out))
 
 
