@@ -314,6 +314,38 @@ def pairwise_distances(
     return cand.select("a", "b", d.alias("dist"))
 
 
+def knn_metric(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "features",
+    n_blocks: int = 16,
+    p: float | None = None,
+) -> DataFrame:
+    """Exact top-k under ANY metric of the pairwise family → (qid,
+    nid, dist, rank): the metric-general face of knn_brute (whose
+    numpy/BLAS fast path is cosine-specialized). Rectangular blocked
+    product (bounded task memory, no BroadcastNestedLoopJoin) +
+    bounded two-phase select_k; distances rank ascending, similarities
+    descending, nid tie-break. O(Q·N·d) — exact by construction; pair
+    with an index tier + :func:`knn_refine` when a shortlist is
+    enough.
+    """
+    d = pairwise_distances(
+        queries, corpus, metric=metric, id_col=id_col, vec_col=vec_col,
+        n_blocks=n_blocks, p=p,
+    ).filter(F.col("a") != F.col("b")).select(
+        F.col("a").alias("qid"), F.col("b").alias("nid"), "dist"
+    )
+    return select_k(
+        d, group_cols=["qid"], order_col="dist", k=k,
+        ascending=not (metric in ("inner", "cosine")),
+        payload_cols=["nid"],
+    )
+
+
 def knn_refine(
     candidates: DataFrame,
     corpus: DataFrame,

@@ -228,3 +228,31 @@ def test_pairwise_haversine(spark):
         h = np.sin(dphi / 2) ** 2 + np.cos(lat[a]) * np.cos(lat[b]) * np.sin(dlmb / 2) ** 2
         exp = round(float(2 * np.arcsin(np.sqrt(h))), 6)
         assert abs(v - exp) <= 2e-6, (a, b, v, exp)
+
+
+def test_knn_metric_l2_matches_numpy(spark, vdf, vecs):
+    """knn_metric under l2: per-query ranking equals the numpy
+    distance sort (ascending, self excluded)."""
+    queries = vdf.filter(F.col("id") < 3)
+    got = SIM.knn_metric(vdf, queries, k=4, metric="l2").collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["nid"], r["dist"]))
+    for q, rows in by_q.items():
+        rows.sort()
+        d = np.sqrt(((vecs - vecs[q]) ** 2).sum(axis=1))
+        order = [int(i) for i in np.argsort(d, kind="stable") if i != q][:4]
+        assert [nid for _, nid, _ in rows] == order
+        dists = [dd for _, _, dd in rows]
+        assert dists == sorted(dists)
+
+
+def test_knn_metric_cosine_matches_brute(spark, vdf):
+    """knn_metric(metric='cosine') reproduces knn_brute's neighbor sets
+    (same rounding, same tie-break)."""
+    queries = vdf.filter(F.col("id") < 3)
+    a = {(r["qid"], r["nid"], r["rank"])
+         for r in SIM.knn_metric(vdf, queries, k=3, metric="cosine").collect()}
+    b = {(r["qid"], r["nid"], r["rank"])
+         for r in SIM.knn_brute(vdf, queries, k=3).collect()}
+    assert a == b
