@@ -2160,6 +2160,77 @@ def knn_ivf(
     )
 
 
+def knn_ivf_metric(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "l2",
+    n_lists: int = 8,
+    n_probe: int = 2,
+    kmeans_iters: int = 3,
+    balanced: bool = False,
+    id_col: str = "id",
+    vec_col: str = "features",
+    p: float | None = None,
+) -> DataFrame:
+    """IVF approximate top-k under ANY metric of the pairwise family →
+    (qid, nid, dist, rank): the metric-general IVF (the reference
+    family's ivf_flat supports L2/IP — this generalizes to the whole
+    :data:`_METRICS` table; :func:`knn_ivf` remains the
+    cosine-specialized fast path with its closure-BLAS scoring).
+
+    Composition of the engine's own pieces: an L2 coarse quantizer in
+    the RAW vector space (``balanced=True`` → split-round
+    :func:`balanced_centroids`), probe assignment via the Arrow argmin
+    pass for both sides (queries get ``n_probe`` rows), candidates by
+    a (list_id) equi-join, scoring by the metric's single JVM
+    expression, and the bounded two-phase select_k. Fully distributed
+    — no driver collect of either side, O(1) driver state at any query
+    count. With ``n_probe = n_lists`` the output EQUALS
+    :func:`knn_metric` (same rounding, same nid tie-break) — the
+    full-probe≡exact property the cosine path pins.
+
+    Caveat: the L2 quantizer bounds candidate volume for any metric,
+    but the recall argument (near points share Voronoi cells) is
+    strongest for L2-like metrics; for set metrics on binary vectors
+    prefer the LSH tiers.
+    """
+    if metric == "minkowski":
+        if p is None:
+            raise ValueError("metric='minkowski' requires p")
+        mfn = _minkowski(p)
+    elif metric in _METRICS:
+        mfn = _METRICS[metric]
+    else:
+        raise ValueError(f"unknown metric {metric!r}; one of "
+                         f"{sorted(_METRICS) + ['minkowski']}")
+    src = corpus.select(F.col(id_col).alias("nid"),
+                        F.col(vec_col).alias("_vc")) \
+        .localCheckpoint(eager=True)
+    trainer = balanced_centroids if balanced else kmeans_centroids
+    cents = trainer(src, n_lists, n_iters=kmeans_iters,
+                    id_col="nid", vec_col="_vc")
+    n_probe = min(n_probe, len(cents))
+    c_assigned = _assign_lists(src, cents, "_vc")
+    q_assigned = _assign_lists(
+        queries.select(F.col(id_col).alias("qid"),
+                       F.col(vec_col).alias("_vq")),
+        cents, "_vq", n_probe=n_probe,
+    )
+    # each corpus row sits in exactly ONE list, so the probe join
+    # cannot duplicate a (qid, nid) pair — no distinct needed
+    scored = (
+        q_assigned.join(c_assigned, "list_id")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid", F.round(mfn("_vq", "_vc"), 6).alias("dist"))
+    )
+    return select_k(
+        scored, group_cols=["qid"], order_col="dist", k=k,
+        ascending=metric not in ("inner", "cosine"),
+        payload_cols=["nid"],
+    )
+
+
 def ivf_pq_index_add(
     new_df: DataFrame,
     path: str,

@@ -256,3 +256,56 @@ def test_knn_metric_cosine_matches_brute(spark, vdf):
     b = {(r["qid"], r["nid"], r["rank"])
          for r in SIM.knn_brute(vdf, queries, k=3).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# knn_ivf_metric — metric-general IVF
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bigger(spark):
+    rng = np.random.default_rng(9)
+    X = rng.normal(size=(300, 12))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(300)],
+        "id long, features array<double>",
+    ).cache()
+    yield df
+    df.unpersist()
+
+
+def test_ivf_metric_full_probe_equals_exact(spark, bigger):
+    """n_probe = n_lists ⇒ identical to knn_metric (rounding and
+    tie-break included)."""
+    queries = bigger.filter(F.col("id") % 60 == 0)
+    a = {(r["qid"], r["nid"], r["rank"]) for r in SIM.knn_ivf_metric(
+        bigger, queries, k=4, metric="l1", n_lists=4, n_probe=4,
+        kmeans_iters=2).collect()}
+    b = {(r["qid"], r["nid"], r["rank"]) for r in SIM.knn_metric(
+        bigger, queries, k=4, metric="l1").collect()}
+    assert a == b
+
+
+def test_ivf_metric_l2_recall_floor(spark, bigger):
+    queries = bigger.filter(F.col("id") % 30 == 0)
+    exact = SIM.knn_metric(bigger, queries, k=5, metric="l2")
+    approx = SIM.knn_ivf_metric(bigger, queries, k=5, metric="l2",
+                                n_lists=4, n_probe=2, kmeans_iters=3)
+    hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
+    recall = hits / (queries.count() * 5)
+    assert recall >= 0.6, f"recall {recall}"
+
+
+def test_ivf_metric_balanced_path_runs(spark, bigger):
+    queries = bigger.filter(F.col("id") % 100 == 0)
+    out = SIM.knn_ivf_metric(bigger, queries, k=3, metric="chebyshev",
+                             n_lists=4, n_probe=4, kmeans_iters=2,
+                             balanced=True)
+    rows = out.collect()
+    assert {r["qid"] for r in rows} == {0, 100, 200}
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["qid"], []).append(r["dist"])
+    for q, ds in per_q.items():
+        assert len(ds) == 3 and sorted(ds) == ds
