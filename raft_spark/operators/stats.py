@@ -175,14 +175,24 @@ def dispersion(df: DataFrame, label: str = "label", features: str = "features") 
 
 
 def silhouette_score(
-    df: DataFrame, id_col: str = "id", label: str = "label", features: str = "features"
+    df: DataFrame, id_col: str = "id", label: str = "label",
+    features: str = "features", metric: str = "l2",
 ) -> DataFrame:
-    """Mean silhouette coefficient, Euclidean (stats/silhouette_score.cuh:20).
+    """Mean silhouette coefficient (stats/silhouette_score.cuh:20 — the
+    reference version is metric-templated; ``metric`` accepts any
+    DISTANCE from the pairwise family, default Euclidean with the
+    identical expression tree the gate has always hashed).
 
     O(n²) crossJoin — the caller samples first at scale (the
     reference's batched variant chunks the same computation,
     silhouette_score.cuh:74).
     """
+    from raft_spark.operators.similarity import _METRICS, DISTANCE_METRICS
+
+    if metric not in DISTANCE_METRICS:
+        raise ValueError(
+            f"silhouette needs a distance, not {metric!r}: "
+            f"one of {sorted(DISTANCE_METRICS)}")
     a = df.select(
         F.col(id_col).alias("i"), F.col(label).alias("li"), F.col(features).alias("fi")
     )
@@ -190,13 +200,7 @@ def silhouette_score(
         F.col(id_col).alias("j"), F.col(label).alias("lj"), F.col(features).alias("fj")
     )
     pairs = a.join(b, F.col("i") != F.col("j"))
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with("fi", "fj", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-    )
+    dist = _METRICS[metric]("fi", "fj")
     # mean distance from point i to every cluster lj
     to_cluster = pairs.groupBy("i", "li", "lj").agg(F.avg(dist).alias("d"))
     own = to_cluster.filter(F.col("li") == F.col("lj")).select("i", F.col("d").alias("a"))

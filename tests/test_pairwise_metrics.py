@@ -309,3 +309,42 @@ def test_ivf_metric_balanced_path_runs(spark, bigger):
         per_q.setdefault(r["qid"], []).append(r["dist"])
     for q, ds in per_q.items():
         assert len(ds) == 3 and sorted(ds) == ds
+
+
+def test_silhouette_metric_param(spark):
+    """Metric-templated silhouette (the reference template arg): l1
+    scores differ from l2 but both match a numpy re-derivation."""
+    rng = np.random.default_rng(21)
+    X = np.vstack([rng.normal(0, 0.3, (10, 4)),
+                   rng.normal(4, 0.3, (10, 4))])
+    lab = [0] * 10 + [1] * 10
+    df = spark.createDataFrame(
+        [(i, lab[i], [float(v) for v in X[i]]) for i in range(20)],
+        "id long, label int, features array<double>",
+    )
+    from raft_spark.operators.stats import silhouette_score
+
+    def np_sil(metricf):
+        import itertools
+        D = np.zeros((20, 20))
+        for i, j in itertools.product(range(20), range(20)):
+            if i != j:
+                D[i, j] = metricf(X[i], X[j])
+        s = []
+        for i in range(20):
+            own = [j for j in range(20) if j != i and lab[j] == lab[i]]
+            oth = [j for j in range(20) if lab[j] != lab[i]]
+            a = D[i, own].mean(); bb = D[i, oth].mean()
+            s.append((bb - a) / max(a, bb))
+        return float(np.mean(s))
+
+    got_l2 = silhouette_score(df).first()["silhouette"]
+    got_l1 = silhouette_score(df, metric="l1").first()["silhouette"]
+    exp_l2 = np_sil(lambda x, y: np.sqrt(((x - y) ** 2).sum()))
+    exp_l1 = np_sil(lambda x, y: np.abs(x - y).sum())
+    assert abs(got_l2 - exp_l2) < 1e-6
+    assert abs(got_l1 - exp_l1) < 1e-6
+    assert abs(got_l1 - got_l2) > 1e-3  # genuinely different metric
+
+    with pytest.raises(ValueError, match="needs a distance"):
+        silhouette_score(df, metric="cosine")
