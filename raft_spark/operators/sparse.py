@@ -392,6 +392,7 @@ def sparse_pairwise(
     coo: DataFrame,
     metric: str = "cosine",
     max_col_df: int | None = None,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Pairwise similarity/distance between sparse rows in long form →
     (a, b, dist), a < b, over pairs sharing ≥1 column.
@@ -408,6 +409,13 @@ def sparse_pairwise(
     before the join — the stop-shingle discipline of the dedup family:
     a degenerate hot column (a stopword term) contributes df² pairs and
     ~0 information. Explicit opt-in, off by default (exactness first).
+
+    ``threshold`` bounds the OUTPUT (the result-shuffle write, the
+    dominant cost when the support is large): similarity metrics keep
+    dist ≥ threshold, distances (sqeuclidean) keep dist ≤ threshold.
+    The pair generation itself is still Σ df(col)² — thresholds can't
+    prune an inverted-index join below its support; cap hot columns
+    for that.
 
     Metrics: inner, cosine, sqeuclidean (exact: non-shared coordinates
     enter through the row norms), jaccard / dice / overlap (binary
@@ -441,8 +449,15 @@ def sparse_pairwise(
             F.count("*").alias("_shared"),
         )
     )
+    def _cut(out: DataFrame) -> DataFrame:
+        if threshold is None:
+            return out
+        if metric == "sqeuclidean":  # distance: keep the close pairs
+            return out.filter(F.col("dist") <= threshold)
+        return out.filter(F.col("dist") >= threshold)
+
     if metric == "inner":
-        return pairs.select("a", "b", F.round("_ip", 6).alias("dist"))
+        return _cut(pairs.select("a", "b", F.round("_ip", 6).alias("dist")))
     norms = base.groupBy("row").agg(
         F.sum(F.col("value") * F.col("value")).alias("_nn"),
         F.count("*").alias("_nz"),
@@ -463,4 +478,4 @@ def sparse_pairwise(
         d = 2 * F.col("_shared") / (F.col("_nza") + F.col("_nzb"))
     else:  # overlap
         d = F.col("_shared") / F.least("_nza", "_nzb")
-    return j.select("a", "b", F.round(d, 6).alias("dist"))
+    return _cut(j.select("a", "b", F.round(d, 6).alias("dist")))

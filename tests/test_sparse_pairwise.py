@@ -82,3 +82,19 @@ def test_sparse_pairwise_unknown_metric(spark, sp):
     df, _ = sp
     with pytest.raises(ValueError, match="unknown sparse metric"):
         SP.sparse_pairwise(df, metric="nope")
+
+
+def test_sparse_pairwise_threshold(spark, sp):
+    df, M = sp
+    full = {(r["a"], r["b"]): r["dist"]
+            for r in SP.sparse_pairwise(df, metric="cosine").collect()}
+    cut = {(r["a"], r["b"]): r["dist"]
+           for r in SP.sparse_pairwise(df, metric="cosine",
+                                       threshold=0.2).collect()}
+    assert cut == {k: v for k, v in full.items() if v >= 0.2}
+    dfull = {(r["a"], r["b"]): r["dist"]
+             for r in SP.sparse_pairwise(df, metric="sqeuclidean").collect()}
+    dcut = {(r["a"], r["b"]): r["dist"]
+            for r in SP.sparse_pairwise(df, metric="sqeuclidean",
+                                        threshold=5.0).collect()}
+    assert dcut == {k: v for k, v in dfull.items() if v <= 5.0}

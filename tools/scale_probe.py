@@ -510,6 +510,31 @@ def main() -> None:
         del corpus, queries, cands
         gc.collect()
 
+    # r9 sparse pairwise (opt-in, PROBE_SPARSE_R9=1): 1M nnz over 100k
+    # rows × 100k cols (mean df 10 → support ≈ Σ C(df,2) ≈ 4.5M pairs).
+    # The claim under test: cost tracks the SUPPORT (df² per column),
+    # not n² = 10¹⁰.
+    if os.environ.get("PROBE_SPARSE_R9") == "1":
+        from raft_spark.operators.sparse import max_duplicates, sparse_pairwise
+
+        coo = max_duplicates(
+            spark.range(1_000_000).select(
+                (F.col("id") % 100_000).alias("row"),
+                F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("col"),
+                (uniform(F.col("id"), seed=3) + F.lit(0.1)).alias("value"),
+            )
+        ).select("row", "col", "value").localCheckpoint(eager=True)
+        t = time.perf_counter()
+        npairs = sparse_pairwise(coo, metric="cosine").count()
+        out["sparse_pairwise_1m_nnz_s"] = round(time.perf_counter() - t, 2)
+        out["sparse_pairwise_1m_nnz_pairs"] = int(npairs)
+        t = time.perf_counter()
+        nthr = sparse_pairwise(coo, metric="cosine", threshold=0.9).count()
+        out["sparse_pairwise_1m_nnz_thr_s"] = round(time.perf_counter() - t, 2)
+        assert nthr <= npairs
+        del coo
+        gc.collect()
+
     print(json.dumps(out))
 
 
