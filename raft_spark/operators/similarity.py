@@ -505,13 +505,13 @@ def dbscan(
     from raft_spark.operators.solvers import connected_components_auto
 
     if pairs is None:
-        if metric not in ("l1", "l2", "sqeuclidean"):
+        if metric not in DISTANCE_METRICS:
             # cosine/inner are SIMILARITIES: dist <= eps would keep the
             # LEAST similar pairs — silently inverted neighborhoods
             raise ValueError(
                 f"dbscan: metric {metric!r} is a similarity, not a "
-                "distance; use l1/l2/sqeuclidean, or precompute `pairs` "
-                "with your own threshold direction"
+                f"distance; use one of {sorted(DISTANCE_METRICS)}, or "
+                "precompute `pairs` with your own threshold direction"
             )
         pairs = pairwise_distances(
             df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
@@ -589,13 +589,13 @@ def _slink_tree(
     from raft_spark.operators.solvers import mst_edges_auto
 
     if pairs is None:
-        if metric not in ("l1", "l2", "sqeuclidean"):
+        if metric not in DISTANCE_METRICS:
             # cosine/inner are SIMILARITIES: a min-spanning tree over
             # them would link the LEAST similar pairs first
             raise ValueError(
                 f"single_linkage: metric {metric!r} is a similarity, not "
-                "a distance; use l1/l2/sqeuclidean, or precompute "
-                "weighted `pairs` with your own distance"
+                f"a distance; use one of {sorted(DISTANCE_METRICS)}, or "
+                "precompute weighted `pairs` with your own distance"
             )
         pairs = pairwise_distances(
             df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks

@@ -348,3 +348,33 @@ def test_silhouette_metric_param(spark):
 
     with pytest.raises(ValueError, match="needs a distance"):
         silhouette_score(df, metric="cosine")
+
+
+def test_dbscan_chebyshev(spark, vdf, vecs):
+    """DBSCAN under any distance of the family: chebyshev neighborhoods
+    equal a naive numpy re-derivation of the pair set."""
+    from raft_spark.operators.similarity import dbscan
+
+    out = dbscan(vdf, eps=0.8, min_pts=2, metric="chebyshev").collect()
+    got = {r["id"]: r["cluster"] for r in out}
+    # naive: chebyshev eps-graph, connected components over core edges
+    n = len(vecs)
+    adj = {
+        (a, b)
+        for a in range(n) for b in range(a + 1, n)
+        if np.max(np.abs(vecs[a] - vecs[b])) <= 0.8 + 1e-9
+    }
+    deg = {i: 0 for i in range(n)}
+    for a, b in adj:
+        deg[a] += 1; deg[b] += 1
+    core = {i for i in range(n) if deg[i] >= 1}  # min_pts=2 → ≥1 neighbor
+    # noise points (no core adjacency) must be -1 in the engine output
+    for i in range(n):
+        if i not in core and not any(
+            (min(i, j), max(i, j)) in adj and j in core for j in range(n)
+        ):
+            assert got[i] == -1, (i, got[i])
+    # any two cores joined by an edge share a cluster
+    for a, b in adj:
+        if a in core and b in core:
+            assert got[a] == got[b]
