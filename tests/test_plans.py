@@ -281,3 +281,49 @@ def test_dedup_clusters_composed_plan(spark, sf_dir):
     # output; composed shape = docs scan + labels join + sizes agg +
     # final join: 6 distinct exchanges measured at pin time
     assert rep.n_exchanges <= 7
+
+
+def test_sparse_pairwise_plan_no_cartesian(spark, sf_dir):
+    """sparse_pairwise is an inverted-index EQUI-join: a
+    CartesianProduct or BroadcastNestedLoopJoin here would mean the
+    col-key join degenerated into the n² product it exists to avoid."""
+    from raft_spark.operators.sparse import sparse_pairwise
+    from raft_spark.sources.tables import load
+
+    coo = load(spark, "lineitem", sf_dir).select(
+        F.col("l_orderkey").alias("row"),
+        F.col("l_partkey").alias("col"),
+        F.col("l_quantity").cast("double").alias("value"),
+    ).groupBy("row", "col").agg(F.max("value").alias("value"))
+    rep = audit_plan(sparse_pairwise(coo, metric="cosine"))
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoop" not in rep.text
+    assert "Python" not in rep.text and "ArrowEval" not in rep.text
+
+
+def test_knn_metric_plan_blocked_product(spark, sf_dir):
+    """knn_metric rides the blocked equi-join product (bounded task
+    memory) + the jvm select_k: no nested-loop join, no Python."""
+    from raft_spark.operators.similarity import knn_metric
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    q = m.filter(F.col("id") % 100 == 0)
+    rep = audit_plan(knn_metric(m, q, k=5, metric="canberra"))
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoop" not in rep.text
+    assert "Python" not in rep.text and "ArrowEval" not in rep.text
+
+
+def test_knn_refine_plan_two_equijoins(spark, sf_dir):
+    """refine = candidates ⋈ queries ⋈ corpus, all equi-joins; the
+    shortlist bounds the joined volume."""
+    from raft_spark.operators.similarity import knn_brute, knn_refine
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    q = m.filter(F.col("id") % 100 == 0)
+    cand = knn_brute(m, q, k=8).select("qid", "nid")
+    rep = audit_plan(knn_refine(cand, m, q, k=5, metric="l2"))
+    assert "CartesianProduct" not in rep.text
+    assert "BroadcastNestedLoop" not in rep.text
