@@ -57,6 +57,7 @@ def _blocked_cross(
     right: DataFrame,
     symmetric: bool,
     n_blocks: int = 16,
+    grouped: bool = False,
 ) -> DataFrame:
     """The blocked cross-product scaffold shared by every exact
     pairwise operator: each side gets a deterministic block id
@@ -69,6 +70,12 @@ def _blocked_cross(
     ordering + within-block id ordering; a pair whose blocks are
     unordered surfaces with ids swapped, so consumers should emit
     least/greatest if they need the canonical orientation).
+
+    ``grouped``: both sides carry a ``_g`` column and the product is
+    taken WITHIN groups (``_g`` joins alongside the block id) — the
+    per-stratum pairwise (per-language near-dup, per-tenant
+    similarity): cost Σ_g n_g², never (Σ n_g)², and a hot group still
+    spreads over the block grid instead of one task.
     """
     spark = left.sparkSession
     lb = left.withColumn(
@@ -83,7 +90,9 @@ def _blocked_cross(
     )
     if symmetric:
         blocks = blocks.filter(F.col("_ba") <= F.col("_bb"))
-    cand = lb.join(F.broadcast(blocks), "_ba").join(rb, "_bb")
+    cand = lb.join(F.broadcast(blocks), "_ba").join(
+        rb, ["_bb", "_g"] if grouped else "_bb"
+    )
     if symmetric:
         cand = cand.filter(
             (F.col("_ba") < F.col("_bb"))
@@ -267,6 +276,7 @@ def pairwise_distances(
     vec_col: str = "features",
     n_blocks: int = 16,
     p: float | None = None,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """All-pairs distance/similarity table → (a, b, dist) — the
     reference's pairwise-distance family (distance namespace; moved to
@@ -282,6 +292,13 @@ def pairwise_distances(
     ``p``), cosine, inner. O(n·m) work is inherent — this is the
     exact-computation primitive; use the knn_* tiers when a shortlist
     is enough.
+
+    ``group_cols`` restricts pairs to rows agreeing on those columns
+    (per-language near-dup, per-tenant similarity) and prepends them
+    to the output → (group_cols…, a, b, dist). Work drops from
+    (Σ n_g)² to Σ n_g², and the group key joins ALONGSIDE the block
+    id, so a hot group still spreads over the block grid instead of
+    one task.
     """
     if metric == "minkowski":
         if p is None:
@@ -294,10 +311,18 @@ def pairwise_distances(
                          f"{sorted(_METRICS) + ['minkowski']}")
     symmetric = right is None
     right = left if right is None else right
+    grouped = bool(group_cols)
+    gexpr = F.struct(*group_cols) if grouped else None
+
+    def _side(df, id_alias, vec_alias):
+        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias)]
+        if grouped:
+            cols.append(gexpr.alias("_g"))
+        return df.select(*cols)
+
     cand = _blocked_cross(
-        left.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va")),
-        right.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb")),
-        symmetric=symmetric, n_blocks=n_blocks,
+        _side(left, "a", "_va"), _side(right, "b", "_vb"),
+        symmetric=symmetric, n_blocks=n_blocks, grouped=grouped,
     )
     if symmetric:
         # canonicalize to a ≤ b AND swap the vectors with the ids, so
@@ -305,12 +330,19 @@ def pairwise_distances(
         # metric(v_min_id ‖ v_max_id) — id-deterministic, not
         # block-orientation-dependent
         swap = F.col("a") > F.col("b")
+        keep = ["_g"] if grouped else []
         cand = cand.select(
+            *keep,
             F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"),
             F.when(swap, F.col("_vb")).otherwise(F.col("_va")).alias("_va"),
             F.when(swap, F.col("_va")).otherwise(F.col("_vb")).alias("_vb"),
         )
     d = F.round(mfn("_va", "_vb"), 6)
+    if grouped:
+        return cand.select(
+            *[F.col("_g")[c].alias(c) for c in group_cols],
+            "a", "b", d.alias("dist"),
+        )
     return cand.select("a", "b", d.alias("dist"))
 
 

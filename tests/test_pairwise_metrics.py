@@ -378,3 +378,23 @@ def test_dbscan_chebyshev(spark, vdf, vecs):
     for a, b in adj:
         if a in core and b in core:
             assert got[a] == got[b]
+
+
+def test_pairwise_group_cols(spark, vecs):
+    """group_cols: only within-group pairs, values identical to the
+    ungrouped computation restricted to the group."""
+    lab = [i % 3 for i in range(N)]
+    df = spark.createDataFrame(
+        [(i, lab[i], [float(v) for v in vecs[i]]) for i in range(N)],
+        "id long, lang int, features array<double>",
+    )
+    got = SIM.pairwise_distances(df, metric="l2",
+                                 group_cols=["lang"]).collect()
+    pairs = {(r["a"], r["b"]): (r["lang"], r["dist"]) for r in got}
+    expected = {(a, b) for a in range(N) for b in range(a + 1, N)
+                if lab[a] == lab[b]}
+    assert set(pairs) == expected
+    for (a, b), (g, v) in pairs.items():
+        assert g == lab[a] == lab[b]
+        exp = round(float(np.sqrt(((vecs[a] - vecs[b]) ** 2).sum())), 6)
+        assert abs(v - exp) <= 2e-6
