@@ -479,3 +479,115 @@ def sparse_pairwise(
     else:  # overlap
         d = F.col("_shared") / F.least("_nza", "_nzb")
     return _cut(j.select("a", "b", F.round(d, 6).alias("dist")))
+
+
+def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
+    """Persist a sparse corpus as an inverted index for delta lookup:
+    ``<path>/postings`` holds (col, row, value) partitioned by
+    ``_shard = pmod(xxhash64(col), n_shards)`` (raw ``col`` as the
+    partition key would mint one directory per distinct column —
+    millions; a shard keeps directory count fixed while still letting
+    a probe batch PRUNE to the shards its columns hash into), and
+    ``<path>/norms`` holds the (row, _nn, _nz) sidecar so lookups never
+    rescan the corpus for norms. The write is one narrow pass each.
+
+    The batch/streaming delta twin of :func:`sparse_pairwise` — the
+    persisted-state ingest discipline of the dedup family
+    (band_table / write_semantic_index).
+    """
+    coo.select(
+        "col", "row", "value",
+        F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
+    ).write.mode("overwrite").partitionBy("_shard").parquet(f"{path}/postings")
+    coo.groupBy("row").agg(
+        F.sum(F.col("value") * F.col("value")).alias("_nn"),
+        F.count("*").alias("_nz"),
+    ).write.mode("overwrite").parquet(f"{path}/norms")
+
+
+def postings_add(new_coo: DataFrame, path: str, n_shards: int = 64) -> None:
+    """APPEND a delta corpus into a persisted postings index — O(delta)
+    IO into the shard partitions plus a norms append (the ivf_pq_
+    index_add discipline: never rewrite the corpus per delivery).
+    Contract: delta row ids are new (replay with the same ids would
+    double-count norms — dedupe upstream, as incremental dedup does)."""
+    new_coo.select(
+        "col", "row", "value",
+        F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
+    ).write.mode("append").partitionBy("_shard").parquet(f"{path}/postings")
+    new_coo.groupBy("row").agg(
+        F.sum(F.col("value") * F.col("value")).alias("_nn"),
+        F.count("*").alias("_nz"),
+    ).write.mode("append").parquet(f"{path}/norms")
+
+
+def sparse_lookup(
+    new_coo: DataFrame,
+    spark,
+    path: str,
+    metric: str = "cosine",
+    threshold: float | None = None,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Score a NEW batch of sparse rows against a persisted postings
+    index → (a = batch row, b = corpus row, dist) without rescanning
+    the corpus: the batch's distinct columns hash to a shard list
+    (small driver collect — ≤ ``n_shards`` longs) and the postings
+    scan prunes to those partitions, so IO is proportional to the
+    TOUCHED slice of the index, not the corpus. Same metrics and
+    semantics as :func:`sparse_pairwise` (rectangular: batch × corpus;
+    batch and corpus row-id spaces are disjoint by contract).
+    """
+    metrics = {"inner", "cosine", "sqeuclidean", "jaccard", "dice",
+               "overlap"}
+    if metric not in metrics:
+        raise ValueError(f"unknown sparse metric {metric!r}; "
+                         f"one of {sorted(metrics)}")
+    batch = new_coo.select("row", "col", "value")
+    shards = [
+        r["_shard"] for r in batch.select(
+            F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard")
+        ).distinct().collect()
+    ]
+    postings = (
+        spark.read.parquet(f"{path}/postings")
+        .filter(F.col("_shard").isin(shards))  # partition pruning
+        .select(F.col("row").alias("b"), "col", F.col("value").alias("_vb"))
+    )
+    lhs = batch.select(F.col("row").alias("a"), "col",
+                       F.col("value").alias("_va"))
+    pairs = lhs.join(postings, "col").groupBy("a", "b").agg(
+        F.sum(F.col("_va") * F.col("_vb")).alias("_ip"),
+        F.count("*").alias("_shared"),
+    )
+
+    def _cut(out: DataFrame) -> DataFrame:
+        if threshold is None:
+            return out
+        if metric == "sqeuclidean":
+            return out.filter(F.col("dist") <= threshold)
+        return out.filter(F.col("dist") >= threshold)
+
+    if metric == "inner":
+        return _cut(pairs.select("a", "b", F.round("_ip", 6).alias("dist")))
+    bn = batch.groupBy("row").agg(
+        F.sum(F.col("value") * F.col("value")).alias("_nna"),
+        F.count("*").alias("_nza"),
+    ).select(F.col("row").alias("a"), "_nna", "_nza")
+    cn = spark.read.parquet(f"{path}/norms").select(
+        F.col("row").alias("b"), F.col("_nn").alias("_nnb"),
+        F.col("_nz").alias("_nzb"),
+    )
+    j = pairs.join(bn, "a").join(cn, "b")
+    if metric == "cosine":
+        d = F.col("_ip") / F.sqrt(F.col("_nna") * F.col("_nnb"))
+    elif metric == "sqeuclidean":
+        d = F.col("_nna") + F.col("_nnb") - 2 * F.col("_ip")
+    elif metric == "jaccard":
+        d = F.col("_shared") / (F.col("_nza") + F.col("_nzb")
+                                - F.col("_shared"))
+    elif metric == "dice":
+        d = 2 * F.col("_shared") / (F.col("_nza") + F.col("_nzb"))
+    else:  # overlap
+        d = F.col("_shared") / F.least("_nza", "_nzb")
+    return _cut(j.select("a", "b", F.round(d, 6).alias("dist")))

@@ -98,3 +98,70 @@ def test_sparse_pairwise_threshold(spark, sp):
             for r in SP.sparse_pairwise(df, metric="sqeuclidean",
                                         threshold=5.0).collect()}
     assert dcut == {k: v for k, v in dfull.items() if v <= 5.0}
+
+
+# ---------------------------------------------------------------------------
+# persisted postings index + delta lookup
+# ---------------------------------------------------------------------------
+
+
+def test_postings_roundtrip_lookup(spark, sp, tmp_path):
+    """sparse_lookup(batch, postings(corpus)) == rectangular metric
+    values recomputed densely, for cosine and jaccard."""
+    df, M = sp
+    corpus = df.filter(F.col("row") < 15)
+    batch = df.filter(F.col("row") >= 15).withColumn(
+        "row", F.col("row") + 100)  # disjoint id space
+    path = str(tmp_path / "idx")
+    SP.write_postings(corpus, path, n_shards=8)
+    for metric in ("cosine", "jaccard"):
+        got = {(r["a"], r["b"]): r["dist"]
+               for r in SP.sparse_lookup(batch, spark, path,
+                                         metric=metric, n_shards=8).collect()}
+        for (a, b), v in got.items():
+            x, y = M[a - 100], M[b]
+            if metric == "cosine":
+                exp = float(np.dot(x, y) /
+                            np.sqrt(np.dot(x, x) * np.dot(y, y)))
+            else:
+                sx, sy = set(np.flatnonzero(x)), set(np.flatnonzero(y))
+                exp = len(sx & sy) / len(sx | sy)
+            assert abs(v - round(exp, 6)) <= 2e-6, (metric, a, b)
+        # support = exactly the sharing pairs
+        support = {
+            (a + 100, b) for a in range(15, 20) for b in range(15)
+            if np.any((M[a] != 0) & (M[b] != 0))
+        }
+        assert set(got) == support
+
+
+def test_postings_add_extends_lookup(spark, sp, tmp_path):
+    """postings_add: the delta's rows join the corpus for subsequent
+    lookups (append-only, no rewrite)."""
+    df, M = sp
+    corpus = df.filter(F.col("row") < 10)
+    delta = df.filter((F.col("row") >= 10) & (F.col("row") < 15))
+    batch = df.filter(F.col("row") >= 15).withColumn(
+        "row", F.col("row") + 100)
+    path = str(tmp_path / "idx2")
+    SP.write_postings(corpus, path, n_shards=8)
+    before = {(r["a"], r["b"]) for r in
+              SP.sparse_lookup(batch, spark, path, n_shards=8).collect()}
+    SP.postings_add(delta, path, n_shards=8)
+    after = {(r["a"], r["b"]) for r in
+             SP.sparse_lookup(batch, spark, path, n_shards=8).collect()}
+    assert before <= after
+    assert any(b >= 10 for _, b in after)  # delta rows now reachable
+
+
+def test_postings_lookup_prunes_shards(spark, sp, tmp_path):
+    """The lookup plan must carry a _shard partition filter (IO bound
+    to the touched slice of the index)."""
+    from raft_spark.plans import audit_plan
+
+    df, _ = sp
+    path = str(tmp_path / "idx3")
+    SP.write_postings(df, path, n_shards=8)
+    batch = df.filter(F.col("row") == 0).withColumn("row", F.lit(999))
+    rep = audit_plan(SP.sparse_lookup(batch, spark, path, n_shards=8))
+    assert "_shard" in rep.text
