@@ -267,6 +267,27 @@ _METRICS = {
 #: metrics where SMALLER means closer (knn/refine order ascending)
 DISTANCE_METRICS = frozenset(_METRICS) - {"inner", "cosine"}
 
+#: true symmetric distances — what neighborhood/linkage algorithms may
+#: use: kl_divergence is ASYMMETRIC (dbscan edges would flip with id
+#: assignment), correlation degenerates on near-constant vectors
+#: (den→0 gives rounding-noise-signed huge values)
+SYMMETRIC_DISTANCES = DISTANCE_METRICS - {"kl_divergence", "correlation"}
+
+
+def _resolve_metric(metric: str, p: float | None = None):
+    """Shared metric resolution → (column fn, ascending): the ONE
+    place the name→expression table and the similarity-vs-distance
+    ordering decision live (previously copy-pasted at three call
+    sites, each phrasing `ascending` differently)."""
+    if metric == "minkowski":
+        if p is None:
+            raise ValueError("metric='minkowski' requires p")
+        return _minkowski(p), True
+    if metric not in _METRICS:
+        raise ValueError(f"unknown metric {metric!r}; one of "
+                         f"{sorted(_METRICS) + ['minkowski']}")
+    return _METRICS[metric], metric not in ("inner", "cosine")
+
 
 def pairwise_distances(
     left: DataFrame,
@@ -300,15 +321,7 @@ def pairwise_distances(
     id, so a hot group still spreads over the block grid instead of
     one task.
     """
-    if metric == "minkowski":
-        if p is None:
-            raise ValueError("metric='minkowski' requires p")
-        mfn = _minkowski(p)
-    elif metric in _METRICS:
-        mfn = _METRICS[metric]
-    else:
-        raise ValueError(f"unknown metric {metric!r}; one of "
-                         f"{sorted(_METRICS) + ['minkowski']}")
+    mfn, _ = _resolve_metric(metric, p)
     symmetric = right is None
     right = left if right is None else right
     grouped = bool(group_cols)
@@ -365,6 +378,7 @@ def knn_metric(
     with an index tier + :func:`knn_refine` when a shortlist is
     enough.
     """
+    _, ascending = _resolve_metric(metric, p)
     d = pairwise_distances(
         queries, corpus, metric=metric, id_col=id_col, vec_col=vec_col,
         n_blocks=n_blocks, p=p,
@@ -373,8 +387,7 @@ def knn_metric(
     )
     return select_k(
         d, group_cols=["qid"], order_col="dist", k=k,
-        ascending=not (metric in ("inner", "cosine")),
-        payload_cols=["nid"],
+        ascending=ascending, payload_cols=["nid"],
     )
 
 
@@ -404,15 +417,7 @@ def knn_refine(
     ``minkowski`` with ``p``); similarities rank descending, distances
     ascending, ties broken by nid for a deterministic cut.
     """
-    if metric == "minkowski":
-        if p is None:
-            raise ValueError("metric='minkowski' requires p")
-        mfn = _minkowski(p)
-    elif metric in _METRICS:
-        mfn = _METRICS[metric]
-    else:
-        raise ValueError(f"unknown metric {metric!r}; one of "
-                         f"{sorted(_METRICS) + ['minkowski']}")
+    mfn, ascending = _resolve_metric(metric, p)
     if metric == "cosine":
         qv = _norm_table(queries, id_col, vec_col).select(
             F.col("_id").alias("qid"), F.col("_v").alias("_vq"))
@@ -432,8 +437,7 @@ def knn_refine(
     )
     return select_k(
         scored, group_cols=["qid"], order_col="dist", k=k,
-        ascending=metric in DISTANCE_METRICS or metric == "minkowski",
-        payload_cols=["nid"],
+        ascending=ascending, payload_cols=["nid"],
     )
 
 
@@ -519,6 +523,7 @@ def dbscan(
     vec_col: str = "features",
     n_blocks: int = 16,
     pairs: DataFrame | None = None,
+    p: float | None = None,
 ) -> DataFrame:
     """DBSCAN from the engine's own primitives → (id, cluster, kind)
     with kind ∈ {core, border, noise} and cluster = −1 for noise.
@@ -537,16 +542,20 @@ def dbscan(
     from raft_spark.operators.solvers import connected_components_auto
 
     if pairs is None:
-        if metric not in DISTANCE_METRICS:
-            # cosine/inner are SIMILARITIES: dist <= eps would keep the
-            # LEAST similar pairs — silently inverted neighborhoods
+        if metric != "minkowski" and metric not in SYMMETRIC_DISTANCES:
+            # cosine/inner are SIMILARITIES (dist <= eps would keep the
+            # LEAST similar pairs); kl_divergence is ASYMMETRIC (edges
+            # would depend on id order); correlation degenerates on
+            # near-constant vectors — none define a usable ε-graph
             raise ValueError(
-                f"dbscan: metric {metric!r} is a similarity, not a "
-                f"distance; use one of {sorted(DISTANCE_METRICS)}, or "
+                f"dbscan: metric {metric!r} is not a symmetric "
+                f"distance; use one of "
+                f"{sorted(SYMMETRIC_DISTANCES) + ['minkowski']}, or "
                 "precompute `pairs` with your own threshold direction"
             )
         pairs = pairwise_distances(
-            df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+            df, metric=metric, id_col=id_col, vec_col=vec_col,
+            n_blocks=n_blocks, p=p,
         ).filter(F.col("dist") <= eps).select("a", "b")
     # canonicalize + dedupe caller-supplied pairs: LSH band joins emit
     # a candidate once PER MATCHING BAND and callers may emit both
@@ -621,13 +630,14 @@ def _slink_tree(
     from raft_spark.operators.solvers import mst_edges_auto
 
     if pairs is None:
-        if metric not in DISTANCE_METRICS:
-            # cosine/inner are SIMILARITIES: a min-spanning tree over
-            # them would link the LEAST similar pairs first
+        if metric not in SYMMETRIC_DISTANCES:
+            # cosine/inner are SIMILARITIES (an MST over them would
+            # link the LEAST similar pairs first); kl is asymmetric,
+            # correlation degenerate on near-constant vectors
             raise ValueError(
-                f"single_linkage: metric {metric!r} is a similarity, not "
-                f"a distance; use one of {sorted(DISTANCE_METRICS)}, or "
-                "precompute weighted `pairs` with your own distance"
+                f"single_linkage: metric {metric!r} is not a symmetric "
+                f"distance; use one of {sorted(SYMMETRIC_DISTANCES)}, "
+                "or precompute weighted `pairs` with your own distance"
             )
         pairs = pairwise_distances(
             df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
@@ -1542,7 +1552,11 @@ def balanced_centroids(
     C = np.asarray(cents, dtype=float).copy()
     src = df.select(F.col(id_col).alias("id"), vec_col)
     for _ in range(n_adjust):
-        assigned = _assign_lists(src, C, vec_col, list_col="cluster")
+        # checkpoint: the count AND every hot-cluster member sample
+        # read this frame — without it each sample collect re-runs the
+        # full-corpus Arrow assignment pass (h+1 scans per round)
+        assigned = _assign_lists(src, C, vec_col, list_col="cluster") \
+            .localCheckpoint(eager=True)
         counts = np.zeros(len(C))
         for r in assigned.groupBy("cluster").count().collect():
             counts[r["cluster"]] = r["count"]
@@ -1604,17 +1618,18 @@ def kmeans_balanced(
     center abandons its few points to their next-nearest list) — the
     contract is even list sizes, not minimum quantization error.
     """
-    import numpy as np
-
     C = balanced_centroids(
         df, k, n_iters=n_iters, seed=seed, id_col=id_col, vec_col=vec_col,
         max_ratio=max_ratio, n_adjust=n_adjust, sample_rows=sample_rows,
         init_cents=init_cents,
     )
     src = df.select(F.col(id_col).alias("id"), vec_col)
+    # checkpoint: the ratio agg below AND the caller's consumption both
+    # read this frame — the most expensive pass must run once
     out = _assign_lists(
         src, C, vec_col, list_col="cluster", dist_col="sq_dist",
-    ).select("id", F.col("cluster").cast("long").alias("cluster"), "sq_dist")
+    ).select("id", F.col("cluster").cast("long").alias("cluster"),
+             "sq_dist").localCheckpoint(eager=True)
     sizes = out.groupBy("cluster").count().agg(
         F.max("count").alias("mx"), F.avg("count").alias("av")
     ).first()
@@ -1651,9 +1666,14 @@ def kmeans(
     return out, C, float(inertia)
 
 
-def ivf_assign(df: DataFrame, cents, vec_col: str = "features") -> DataFrame:
-    """Attach the nearest-centroid list id (one Arrow-batched pass)."""
-    return _assign_lists(df, cents, vec_col, n_probe=1, list_col="list_id")
+def ivf_assign(df: DataFrame, cents, vec_col: str = "features",
+               weights=None) -> DataFrame:
+    """Attach the nearest-centroid list id (one Arrow-batched pass).
+    ``weights``: optional per-centroid penalty (selection minimizes
+    d²·wⱼ) — the assignment-time half of the kmeans_balanced
+    contract."""
+    return _assign_lists(df, cents, vec_col, n_probe=1, list_col="list_id",
+                         weights=weights)
 
 
 def pq_train(
@@ -2227,15 +2247,7 @@ def knn_ivf_metric(
     strongest for L2-like metrics; for set metrics on binary vectors
     prefer the LSH tiers.
     """
-    if metric == "minkowski":
-        if p is None:
-            raise ValueError("metric='minkowski' requires p")
-        mfn = _minkowski(p)
-    elif metric in _METRICS:
-        mfn = _METRICS[metric]
-    else:
-        raise ValueError(f"unknown metric {metric!r}; one of "
-                         f"{sorted(_METRICS) + ['minkowski']}")
+    mfn, ascending = _resolve_metric(metric, p)
     src = corpus.select(F.col(id_col).alias("nid"),
                         F.col(vec_col).alias("_vc")) \
         .localCheckpoint(eager=True)
@@ -2258,8 +2270,7 @@ def knn_ivf_metric(
     )
     return select_k(
         scored, group_cols=["qid"], order_col="dist", k=k,
-        ascending=metric not in ("inner", "cosine"),
-        payload_cols=["nid"],
+        ascending=ascending, payload_cols=["nid"],
     )
 
 

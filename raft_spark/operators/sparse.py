@@ -388,6 +388,52 @@ def binarize_ovr(df: DataFrame, label_col: str, positive) -> DataFrame:
 # migrated to cuVS in this snapshot, README.md:126-148)
 # ---------------------------------------------------------------------------
 
+#: bigger = closer; everything else in _SPARSE_METRICS is a distance
+_SPARSE_SIMILARITIES = frozenset({"inner", "cosine", "overlap"})
+_SPARSE_METRICS = _SPARSE_SIMILARITIES | {"sqeuclidean", "jaccard", "dice"}
+
+
+def _sparse_finish(
+    pairs: DataFrame,
+    norms_a: DataFrame,
+    norms_b: DataFrame,
+    metric: str,
+    threshold: float | None,
+) -> DataFrame:
+    """Shared tail of sparse_pairwise / sparse_lookup: metric value
+    from (_ip, _shared) + the two norm frames, rounding, and the
+    threshold cut — ONE formula table so the self-join and the
+    persisted-index lookup can never disagree on a metric."""
+
+    def _cut(out: DataFrame) -> DataFrame:
+        if threshold is None:
+            return out
+        if metric in _SPARSE_SIMILARITIES:
+            return out.filter(F.col("dist") >= threshold)
+        return out.filter(F.col("dist") <= threshold)  # distances
+
+    if metric == "inner":
+        return _cut(pairs.select("a", "b", F.round("_ip", 6).alias("dist")))
+    na = norms_a.select(F.col("row").alias("a"), F.col("_nn").alias("_nna"),
+                        F.col("_nz").alias("_nza"))
+    nb = norms_b.select(F.col("row").alias("b"), F.col("_nn").alias("_nnb"),
+                        F.col("_nz").alias("_nzb"))
+    j = pairs.join(na, "a").join(nb, "b")
+    if metric == "cosine":
+        d = F.col("_ip") / F.sqrt(F.col("_nna") * F.col("_nnb"))
+    elif metric == "sqeuclidean":
+        d = F.col("_nna") + F.col("_nnb") - 2 * F.col("_ip")
+    elif metric == "jaccard":  # distance: 1 − |∩|/|∪|
+        d = F.lit(1.0) - F.col("_shared") / (
+            F.col("_nza") + F.col("_nzb") - F.col("_shared"))
+    elif metric == "dice":  # distance: 1 − 2|∩|/(|a|+|b|)
+        d = F.lit(1.0) - 2 * F.col("_shared") / (
+            F.col("_nza") + F.col("_nzb"))
+    else:  # overlap similarity
+        d = F.col("_shared") / F.least("_nza", "_nzb")
+    return _cut(j.select("a", "b", F.round(d, 6).alias("dist")))
+
+
 def sparse_pairwise(
     coo: DataFrame,
     metric: str = "cosine",
@@ -412,25 +458,26 @@ def sparse_pairwise(
 
     ``threshold`` bounds the OUTPUT (the result-shuffle write, the
     dominant cost when the support is large): similarity metrics keep
-    dist ≥ threshold, distances (sqeuclidean) keep dist ≤ threshold.
-    The pair generation itself is still Σ df(col)² — thresholds can't
-    prune an inverted-index join below its support; cap hot columns
-    for that.
+    dist ≥ threshold, distances keep dist ≤ threshold. The pair
+    generation itself is still Σ df(col)² — thresholds can't prune an
+    inverted-index join below its support; cap hot columns for that.
 
-    Metrics: inner, cosine, sqeuclidean (exact: non-shared coordinates
-    enter through the row norms), jaccard / dice / overlap (binary
-    occupancy — set metrics on the column-support sets).
+    Metrics — CONVENTIONS MATCH the dense ``similarity._METRICS``
+    table: inner / cosine / overlap are SIMILARITIES (bigger =
+    closer); sqeuclidean (exact: non-shared coordinates enter through
+    the row norms) and jaccard / dice (DISTANCES, 1 − the set
+    similarity over the column-support sets) are distances — so a
+    caller moving a corpus between the dense and sparse paths under
+    the same metric name gets the same orientation.
 
     Duplicate (row, col) entries must be pre-reduced
     (:func:`max_duplicates`); this is asserted cheaply via groupBy
     count upstream in tests, not here (a full-pass assert would double
     the scan).
     """
-    metrics = {"inner", "cosine", "sqeuclidean", "jaccard", "dice",
-               "overlap"}
-    if metric not in metrics:
+    if metric not in _SPARSE_METRICS:
         raise ValueError(f"unknown sparse metric {metric!r}; "
-                         f"one of {sorted(metrics)}")
+                         f"one of {sorted(_SPARSE_METRICS)}")
     base = coo.select("row", "col", "value")
     if max_col_df is not None:
         keep = (base.groupBy("col").count()
@@ -449,36 +496,11 @@ def sparse_pairwise(
             F.count("*").alias("_shared"),
         )
     )
-    def _cut(out: DataFrame) -> DataFrame:
-        if threshold is None:
-            return out
-        if metric == "sqeuclidean":  # distance: keep the close pairs
-            return out.filter(F.col("dist") <= threshold)
-        return out.filter(F.col("dist") >= threshold)
-
-    if metric == "inner":
-        return _cut(pairs.select("a", "b", F.round("_ip", 6).alias("dist")))
     norms = base.groupBy("row").agg(
         F.sum(F.col("value") * F.col("value")).alias("_nn"),
         F.count("*").alias("_nz"),
     )
-    na = norms.select(F.col("row").alias("a"), F.col("_nn").alias("_nna"),
-                      F.col("_nz").alias("_nza"))
-    nb = norms.select(F.col("row").alias("b"), F.col("_nn").alias("_nnb"),
-                      F.col("_nz").alias("_nzb"))
-    j = pairs.join(na, "a").join(nb, "b")
-    if metric == "cosine":
-        d = F.col("_ip") / F.sqrt(F.col("_nna") * F.col("_nnb"))
-    elif metric == "sqeuclidean":
-        d = F.col("_nna") + F.col("_nnb") - 2 * F.col("_ip")
-    elif metric == "jaccard":
-        d = F.col("_shared") / (F.col("_nza") + F.col("_nzb")
-                                - F.col("_shared"))
-    elif metric == "dice":
-        d = 2 * F.col("_shared") / (F.col("_nza") + F.col("_nzb"))
-    else:  # overlap
-        d = F.col("_shared") / F.least("_nza", "_nzb")
-    return _cut(j.select("a", "b", F.round(d, 6).alias("dist")))
+    return _sparse_finish(pairs, norms, norms, metric, threshold)
 
 
 def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
@@ -503,14 +525,29 @@ def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
         F.sum(F.col("value") * F.col("value")).alias("_nn"),
         F.count("*").alias("_nz"),
     ).write.mode("overwrite").parquet(f"{path}/norms")
+    # persist the shard modulus WITH the index: a reader hashing with a
+    # different n_shards would silently exclude every posting stored
+    # under a shard id outside its range — the modulus is part of the
+    # index format, not a tuning knob of the call
+    coo.sparkSession.createDataFrame(
+        [(int(n_shards),)], "n_shards int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
-def postings_add(new_coo: DataFrame, path: str, n_shards: int = 64) -> None:
+def _postings_n_shards(spark, path: str) -> int:
+    return int(spark.read.parquet(f"{path}/meta").first()["n_shards"])
+
+
+def postings_add(new_coo: DataFrame, path: str) -> None:
     """APPEND a delta corpus into a persisted postings index — O(delta)
     IO into the shard partitions plus a norms append (the ivf_pq_
-    index_add discipline: never rewrite the corpus per delivery).
+    index_add discipline: never rewrite the corpus per delivery). The
+    shard modulus comes from the index's own meta sidecar (a caller-
+    supplied value that disagreed with the build would scatter the
+    delta into unreachable shards).
     Contract: delta row ids are new (replay with the same ids would
     double-count norms — dedupe upstream, as incremental dedup does)."""
+    n_shards = _postings_n_shards(new_coo.sparkSession, path)
     new_coo.select(
         "col", "row", "value",
         F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
@@ -527,22 +564,22 @@ def sparse_lookup(
     path: str,
     metric: str = "cosine",
     threshold: float | None = None,
-    n_shards: int = 64,
 ) -> DataFrame:
     """Score a NEW batch of sparse rows against a persisted postings
     index → (a = batch row, b = corpus row, dist) without rescanning
     the corpus: the batch's distinct columns hash to a shard list
-    (small driver collect — ≤ ``n_shards`` longs) and the postings
-    scan prunes to those partitions, so IO is proportional to the
-    TOUCHED slice of the index, not the corpus. Same metrics and
-    semantics as :func:`sparse_pairwise` (rectangular: batch × corpus;
-    batch and corpus row-id spaces are disjoint by contract).
+    (small driver collect — bounded by the index's shard count) and
+    the postings scan prunes to those partitions, so IO is
+    proportional to the TOUCHED slice of the index, not the corpus.
+    The shard modulus is read from the index's meta sidecar (see
+    :func:`write_postings`). Same metrics, conventions and semantics
+    as :func:`sparse_pairwise` (rectangular: batch × corpus; batch and
+    corpus row-id spaces are disjoint by contract).
     """
-    metrics = {"inner", "cosine", "sqeuclidean", "jaccard", "dice",
-               "overlap"}
-    if metric not in metrics:
+    if metric not in _SPARSE_METRICS:
         raise ValueError(f"unknown sparse metric {metric!r}; "
-                         f"one of {sorted(metrics)}")
+                         f"one of {sorted(_SPARSE_METRICS)}")
+    n_shards = _postings_n_shards(spark, path)
     batch = new_coo.select("row", "col", "value")
     shards = [
         r["_shard"] for r in batch.select(
@@ -560,34 +597,9 @@ def sparse_lookup(
         F.sum(F.col("_va") * F.col("_vb")).alias("_ip"),
         F.count("*").alias("_shared"),
     )
-
-    def _cut(out: DataFrame) -> DataFrame:
-        if threshold is None:
-            return out
-        if metric == "sqeuclidean":
-            return out.filter(F.col("dist") <= threshold)
-        return out.filter(F.col("dist") >= threshold)
-
-    if metric == "inner":
-        return _cut(pairs.select("a", "b", F.round("_ip", 6).alias("dist")))
-    bn = batch.groupBy("row").agg(
-        F.sum(F.col("value") * F.col("value")).alias("_nna"),
-        F.count("*").alias("_nza"),
-    ).select(F.col("row").alias("a"), "_nna", "_nza")
-    cn = spark.read.parquet(f"{path}/norms").select(
-        F.col("row").alias("b"), F.col("_nn").alias("_nnb"),
-        F.col("_nz").alias("_nzb"),
+    batch_norms = batch.groupBy("row").agg(
+        F.sum(F.col("value") * F.col("value")).alias("_nn"),
+        F.count("*").alias("_nz"),
     )
-    j = pairs.join(bn, "a").join(cn, "b")
-    if metric == "cosine":
-        d = F.col("_ip") / F.sqrt(F.col("_nna") * F.col("_nnb"))
-    elif metric == "sqeuclidean":
-        d = F.col("_nna") + F.col("_nnb") - 2 * F.col("_ip")
-    elif metric == "jaccard":
-        d = F.col("_shared") / (F.col("_nza") + F.col("_nzb")
-                                - F.col("_shared"))
-    elif metric == "dice":
-        d = 2 * F.col("_shared") / (F.col("_nza") + F.col("_nzb"))
-    else:  # overlap
-        d = F.col("_shared") / F.least("_nza", "_nzb")
-    return _cut(j.select("a", "b", F.round(d, 6).alias("dist")))
+    corpus_norms = spark.read.parquet(f"{path}/norms")
+    return _sparse_finish(pairs, batch_norms, corpus_norms, metric, threshold)

@@ -187,12 +187,12 @@ def silhouette_score(
     reference's batched variant chunks the same computation,
     silhouette_score.cuh:74).
     """
-    from raft_spark.operators.similarity import _METRICS, DISTANCE_METRICS
+    from raft_spark.operators.similarity import _METRICS, SYMMETRIC_DISTANCES
 
-    if metric not in DISTANCE_METRICS:
+    if metric not in SYMMETRIC_DISTANCES:
         raise ValueError(
-            f"silhouette needs a distance, not {metric!r}: "
-            f"one of {sorted(DISTANCE_METRICS)}")
+            f"silhouette needs a symmetric distance, not {metric!r}: "
+            f"one of {sorted(SYMMETRIC_DISTANCES)}")
     a = df.select(
         F.col(id_col).alias("i"), F.col(label).alias("li"), F.col(features).alias("fi")
     )

@@ -656,7 +656,7 @@ SELECT 'spcos' AS op, a AS row, b AS col,
 FROM prs JOIN nr na ON na.row = a JOIN nr nb ON nb.row = b
 UNION ALL
 SELECT 'spjac', a, b,
-       round(shared::DOUBLE / (na.nz + nb.nz - shared), 6)
+       round(1.0 - shared::DOUBLE / (na.nz + nb.nz - shared), 6)
 FROM prs JOIN nr na ON na.row = a JOIN nr nb ON nb.row = b
 )
 """

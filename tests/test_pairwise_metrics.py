@@ -346,7 +346,7 @@ def test_silhouette_metric_param(spark):
     assert abs(got_l1 - exp_l1) < 1e-6
     assert abs(got_l1 - got_l2) > 1e-3  # genuinely different metric
 
-    with pytest.raises(ValueError, match="needs a distance"):
+    with pytest.raises(ValueError, match="needs a symmetric distance"):
         silhouette_score(df, metric="cosine")
 
 

@@ -178,8 +178,14 @@ def test_dbscan_rejects_similarity_metrics(spark):
     df = spark.createDataFrame(
         [(0, [0.0, 1.0]), (1, [1.0, 0.0])], "id long, features array<double>"
     )
-    with _pt.raises(ValueError, match="similarity, not a distance"):
+    with _pt.raises(ValueError, match="not a symmetric distance"):
         dbscan(df, eps=0.9, metric="cosine")
+    # asymmetric / degenerate distances are rejected too (r9): kl edges
+    # would flip with id order, correlation blows up on near-constant rows
+    with _pt.raises(ValueError, match="not a symmetric distance"):
+        dbscan(df, eps=0.9, metric="kl_divergence")
+    with _pt.raises(ValueError, match="not a symmetric distance"):
+        dbscan(df, eps=0.9, metric="correlation")
 
 
 def _planted_semdup(spark, rng, n_clusters=6, dup_groups=4):

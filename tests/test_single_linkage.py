@@ -154,7 +154,7 @@ def test_argument_validation(spark, blob_data):
         SIM.single_linkage(df)
     with pytest.raises(ValueError, match="exactly one"):
         SIM.single_linkage(df, n_clusters=2, distance_threshold=1.0)
-    with pytest.raises(ValueError, match="similarity"):
+    with pytest.raises(ValueError, match="not a symmetric distance"):
         SIM.single_linkage(df, n_clusters=2, metric="cosine")
     # unreachable k: pairs graph with two components cannot make 1 cut
     # below its component count

@@ -39,10 +39,10 @@ def _dense(m, x, y):
         return float(np.sum((x - y) ** 2))
     sx, sy = set(np.flatnonzero(x)), set(np.flatnonzero(y))
     inter = len(sx & sy)
-    if m == "jaccard":
-        return inter / len(sx | sy)
-    if m == "dice":
-        return 2 * inter / (len(sx) + len(sy))
+    if m == "jaccard":  # distance, matching the dense _METRICS convention
+        return 1 - inter / len(sx | sy)
+    if m == "dice":  # distance
+        return 1 - 2 * inter / (len(sx) + len(sy))
     if m == "overlap":
         return inter / min(len(sx), len(sy))
     raise KeyError(m)
@@ -117,7 +117,7 @@ def test_postings_roundtrip_lookup(spark, sp, tmp_path):
     for metric in ("cosine", "jaccard"):
         got = {(r["a"], r["b"]): r["dist"]
                for r in SP.sparse_lookup(batch, spark, path,
-                                         metric=metric, n_shards=8).collect()}
+                                         metric=metric).collect()}
         for (a, b), v in got.items():
             x, y = M[a - 100], M[b]
             if metric == "cosine":
@@ -125,7 +125,7 @@ def test_postings_roundtrip_lookup(spark, sp, tmp_path):
                             np.sqrt(np.dot(x, x) * np.dot(y, y)))
             else:
                 sx, sy = set(np.flatnonzero(x)), set(np.flatnonzero(y))
-                exp = len(sx & sy) / len(sx | sy)
+                exp = 1 - len(sx & sy) / len(sx | sy)
             assert abs(v - round(exp, 6)) <= 2e-6, (metric, a, b)
         # support = exactly the sharing pairs
         support = {
@@ -146,10 +146,10 @@ def test_postings_add_extends_lookup(spark, sp, tmp_path):
     path = str(tmp_path / "idx2")
     SP.write_postings(corpus, path, n_shards=8)
     before = {(r["a"], r["b"]) for r in
-              SP.sparse_lookup(batch, spark, path, n_shards=8).collect()}
-    SP.postings_add(delta, path, n_shards=8)
+              SP.sparse_lookup(batch, spark, path).collect()}
+    SP.postings_add(delta, path)
     after = {(r["a"], r["b"]) for r in
-             SP.sparse_lookup(batch, spark, path, n_shards=8).collect()}
+             SP.sparse_lookup(batch, spark, path).collect()}
     assert before <= after
     assert any(b >= 10 for _, b in after)  # delta rows now reachable
 
@@ -163,5 +163,5 @@ def test_postings_lookup_prunes_shards(spark, sp, tmp_path):
     path = str(tmp_path / "idx3")
     SP.write_postings(df, path, n_shards=8)
     batch = df.filter(F.col("row") == 0).withColumn("row", F.lit(999))
-    rep = audit_plan(SP.sparse_lookup(batch, spark, path, n_shards=8))
+    rep = audit_plan(SP.sparse_lookup(batch, spark, path))
     assert "_shard" in rep.text
