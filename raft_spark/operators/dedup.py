@@ -925,17 +925,58 @@ def _explode_bands(sigs: DataFrame, num_perms: int, band_rows: int) -> DataFrame
     ).select("doc_id", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig"))
 
 
-def read_dedup_state(spark, state_path: str) -> tuple[DataFrame, DataFrame] | None:
-    """(signatures, clusters) of a persisted dedup state, or None if the
-    state has never been written."""
+N_BAND_BUCKETS = 32  # directory buckets of the persisted corpus band table
+
+
+def _try_parquet(spark, path: str) -> DataFrame | None:
     from pyspark.errors import AnalysisException
 
     try:
-        sigs = spark.read.parquet(state_path + "/sigs")
-        clusters = spark.read.parquet(state_path + "/clusters")
+        return spark.read.parquet(path)
     except AnalysisException:
         return None
-    return sigs.select("doc_id", "sig"), clusters
+
+
+def _band_bucket(band_col, bsig_col):
+    """Stable directory bucket of an LSH bucket key — the corpus band
+    table is persisted ``partitionBy(_pb)`` so a delta probe prunes its
+    scan to the ≤N_BAND_BUCKETS directories its own buckets hash into
+    (the bounded `_pb IN (...)` filter is a partition filter, pushed to
+    the file listing, not a row filter)."""
+    return F.pmod(F.xxhash64(band_col, bsig_col), F.lit(N_BAND_BUCKETS)).cast("int")
+
+
+def _resolve_cluster_overlay(overlay: DataFrame) -> DataFrame:
+    """Append-only cluster overlay (doc_id, cluster_id) → the current
+    full-corpus cluster table (doc_id, cluster_id, cluster_size,
+    is_canonical).
+
+    Latest-wins needs no epoch column: a label is its component's MIN
+    doc_id and components only ever merge, so a doc's label STRICTLY
+    DECREASES across its overlay rows — the current assignment is
+    simply min(cluster_id) per doc. Sizes are derived on read (one agg
+    over the resolved narrow table) instead of being stored, which is
+    what lets the ingest write O(delta) rows."""
+    latest = overlay.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+    sizes = latest.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return latest.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
+    )
+
+
+def read_dedup_state(spark, state_path: str) -> tuple[DataFrame, DataFrame] | None:
+    """(signatures, resolved clusters) of a persisted dedup state, or
+    None if the state has never been written. ``clusters`` is the
+    overlay resolved to the current full table — same schema
+    :func:`dedup_clusters` returns."""
+    sigs = _try_parquet(spark, state_path + "/sigs")
+    overlay = _try_parquet(spark, state_path + "/clusters")
+    if sigs is None or overlay is None:
+        return None
+    return sigs.select("doc_id", "sig"), _resolve_cluster_overlay(overlay)
 
 
 def dedup_state_ingest(
@@ -947,6 +988,7 @@ def dedup_state_ingest(
     num_perms: int = NUM_PERMS,
     band_rows: int = BAND_ROWS,
     max_bucket_docs: int = MAX_BUCKET_DOCS,
+    return_full: bool = True,
 ) -> DataFrame:
     """Cross-snapshot incremental dedup: fold a NEW batch of documents
     into a persisted corpus dedup state and return the refreshed
@@ -954,87 +996,143 @@ def dedup_state_ingest(
     is_canonical) — how a 100 TB corpus actually ingests (nobody
     re-clusters the world per delivery).
 
-    State layout under ``state_path``: ``sigs`` (doc_id, sig — the
-    snapshot-stable MinHash signatures, :func:`minhash_signature_stable`)
-    and ``clusters`` (the current assignment). Per ingest the DELTA work
-    is: signatures for the new batch only; an LSH band join of the new
-    bands against the corpus bands; est-Jaccard on the candidate pairs;
-    then connected components over (new candidate edges ∪ the old
-    assignment's star edges doc→cluster_id). The star edges CONTRACT
-    every previously-resolved component into one hub, so the solver
-    never re-walks old×old pairs — and because cluster_id is itself the
-    component's min doc_id, the contracted graph yields byte-identical
-    labels to the from-scratch run.
+    State layout under ``state_path`` — ALL four stores are
+    append-only, so every delivery writes O(delta) rows/files:
+
+    - ``sigs``      (doc_id, sig): snapshot-stable MinHash signatures
+      (:func:`minhash_signature_stable`), one row per corpus doc.
+    - ``bands``     (band, bsig, doc_id) partitioned by
+      ``_pb = xxhash64(band,bsig) % N_BAND_BUCKETS``: the corpus band
+      table, persisted once instead of re-exploded from ``sigs`` per
+      delivery. The delta probe reads only the ``_pb`` directories its
+      own buckets hash into (bounded IN-list partition filter) and
+      row-groups are sorted by (band, bsig) for min/max pruning.
+    - ``occ``       (band, bsig, n) partitioned by ``_pb``: ADDITIVE
+      per-delivery bucket-occupancy counts. Union occupancy of a
+      delta-touched bucket = Σ persisted n + the delta's own count —
+      the hot-bucket cap is decided WITHOUT re-aggregating the corpus
+      band table (the r9 design's last corpus-sized shuffle).
+    - ``clusters``  (doc_id, cluster_id): DELTA-OVERLAY cluster store.
+      Each delivery appends rows only for (a) its new docs and (b) old
+      docs whose component was relabeled by a new edge. Labels are
+      component minima and components only merge, so a doc's label
+      strictly decreases across rows — resolution is min(cluster_id)
+      per doc (:func:`_resolve_cluster_overlay`), sizes derived on
+      read.
+
+    Per-delivery work is the DELTA: signatures + bands for the new
+    batch only; occupancy = delta counts + a pruned additive lookup;
+    candidate edges from an LSH band join of the new bands against the
+    pruned corpus bands; est-Jaccard on candidates; connected
+    components over (new edges ∪ star edges of TOUCHED components
+    only — the old assignment contracts each touched component into
+    its hub, so the solver never re-walks old×old pairs and never even
+    sees untouched components). Byte-identical labels to from-scratch
+    because cluster_id is the component min in both paths.
 
     EQUALITY contract (gate-checked): ingest(batch₂, state(batch₁)) ==
     from-scratch dedup of batch₁ ∪ batch₂, because (a) signatures are
     content-derived (identical across snapshots), (b) the hot-bucket
-    cap is decided on the UNION's occupancy (old bands + new bands —
-    exactly what from-scratch sees), and (c) old×old candidate edges
-    are a subset of the already-contracted state whenever no bucket
-    crosses the cap between snapshots. Monotone-merge caveat: if new
-    docs push a bucket OVER the cap, from-scratch would retroactively
-    drop that bucket's old pairs; incremental keeps the committed
-    merges (dedup never un-merges) and only stops producing new pairs
-    from it — the operationally-correct behavior, and byte-equal
-    whenever no bucket straddles the cap across the split (true on the
-    gate corpus; asserted in tests).
+    cap is decided on the UNION's occupancy (persisted additive counts
+    + delta counts = exactly what from-scratch aggregates), and (c)
+    old×old candidate edges are a subset of the already-contracted
+    state whenever no bucket crosses the cap between snapshots.
+    Monotone-merge caveat: if new docs push a bucket OVER the cap,
+    from-scratch would retroactively drop that bucket's old pairs;
+    incremental keeps the committed merges (dedup never un-merges) and
+    only stops producing new pairs from it — the operationally-correct
+    behavior, and byte-equal whenever no bucket straddles the cap
+    across the split (true on the gate corpus; asserted in tests).
 
     REPLAY-safe: doc_ids already present in the state are anti-joined
     out first, so at-least-once redelivery (the foreachBatch recovery
     contract) is a no-op — pinned in tests/test_incremental_dedup.py.
 
-    Scale notes (100 TB): the corpus-side band table is a projection of
-    the persisted signature table (4 rows/doc); at real scale persist
-    it bucketed by (band, bsig-hash) so the per-delivery probe join
-    co-locates without a corpus shuffle, and maintain the (band, bsig)
-    occupancy counts additively instead of re-aggregating. The CC step
-    is the size-probed :func:`~raft_spark.operators.solvers.
-    connected_components_auto` over delta edges + contracted hubs only.
+    ``return_full=False`` returns only this delivery's overlay rows
+    (doc_id, cluster_id) — the O(delta) answer a production ingest
+    consumes; the full-table resolve (one narrow O(corpus) agg, read
+    path only) is for callers that want the refreshed corpus view.
+    Remaining O(corpus)-per-delivery terms are narrow-scan only: the
+    replay anti-join against ``sigs`` ids and the est-Jaccard signature
+    lookup join — no corpus-wide explode, aggregate, or rewrite
+    survives in the ingest path.
     """
     spark = new_docs.sparkSession
     sig = minhash_signature_stable(text_col, num_perms)
     incoming = new_docs.select(
         F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
     )
-    state = read_dedup_state(spark, state_path)
-    if state is not None:
-        old_sigs, old_clusters = state
+    old_sigs = _try_parquet(spark, state_path + "/sigs")
+    overlay = _try_parquet(spark, state_path + "/clusters")
+    if old_sigs is not None:
+        old_sigs = old_sigs.select("doc_id", "sig")
         incoming = incoming.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
-        star = old_clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
-            F.col("doc_id").alias("a"), F.col("cluster_id").alias("b")
-        )
-    else:
-        old_sigs = None
-        star = None
     incoming = incoming.localCheckpoint(eager=True)
-    all_sigs = (
-        old_sigs.unionByName(incoming) if old_sigs is not None else incoming
+
+    if incoming.isEmpty():  # pure replay (or an empty batch) — no state change
+        if return_full and overlay is not None:
+            return _resolve_cluster_overlay(overlay).localCheckpoint(eager=True)
+        if return_full:
+            return spark.createDataFrame(
+                [], "doc_id long, cluster_id long, cluster_size long, is_canonical int"
+            )
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+
+    nb = (
+        _explode_bands(incoming, num_perms, band_rows)
+        .withColumn("_pb", _band_bucket(F.col("band"), F.col("bsig")))
+        .localCheckpoint(eager=True)  # delta-sized; probed four ways below
+    )
+    nb_counts = nb.groupBy("_pb", "band", "bsig").agg(
+        F.count("*").alias("_n_new")
     ).localCheckpoint(eager=True)
 
-    nb = _explode_bands(incoming, num_perms, band_rows)
-    ab = _explode_bands(all_sigs, num_perms, band_rows)
-    # hot-bucket cap on the UNION occupancy — the from-scratch decision
-    keep = (
-        ab.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") <= max_bucket_docs).drop("_n")
-    )
+    # hot-bucket cap on the UNION occupancy — the from-scratch decision,
+    # reproduced ADDITIVELY: persisted per-delivery counts (pruned to the
+    # delta's directory buckets, then to its exact bucket keys) + the
+    # delta's own counts. No corpus-wide aggregation.
+    old_occ = _try_parquet(spark, state_path + "/occ")
+    if old_occ is not None:
+        pbs = sorted(r["_pb"] for r in nb_counts.select("_pb").distinct().collect())
+        old_for_delta = (
+            old_occ.where(F.col("_pb").isin(pbs))  # partition filter, ≤32 values
+            .join(nb_counts.select("band", "bsig"), ["band", "bsig"], "left_semi")
+            .groupBy("band", "bsig")
+            .agg(F.sum("n").alias("_n_old"))
+        )
+        occ_union = nb_counts.join(old_for_delta, ["band", "bsig"], "left").select(
+            "band", "bsig",
+            (F.col("_n_new") + F.coalesce(F.col("_n_old"), F.lit(0))).alias("_n"),
+        )
+    else:
+        pbs = None
+        occ_union = nb_counts.select("band", "bsig", F.col("_n_new").alias("_n"))
+    keep = occ_union.filter(F.col("_n") <= max_bucket_docs).select("band", "bsig")
+
+    # candidate probe: delta bands × (pruned corpus bands ∪ delta bands),
+    # both sides restricted to kept buckets; the bucket key is the join
+    # key so one semi-join per side enforces the cap on both endpoints
+    corpus_bands = nb.select("band", "bsig", "doc_id")
+    old_bands = _try_parquet(spark, state_path + "/bands")
+    if old_bands is not None:
+        corpus_bands = corpus_bands.unionByName(
+            old_bands.where(F.col("_pb").isin(pbs)).select("band", "bsig", "doc_id")
+        )
+    nbk = nb.join(keep, ["band", "bsig"], "left_semi")
+    cbk = corpus_bands.join(keep, ["band", "bsig"], "left_semi")
     cand = (
-        nb.join(keep, ["band", "bsig"], "left_semi")
-        .select(F.col("doc_id").alias("_x"), "band", "bsig")
-        .join(
-            ab.join(keep, ["band", "bsig"], "left_semi")
-            .select(F.col("doc_id").alias("_y"), "band", "bsig"),
-            ["band", "bsig"],
-        )
+        nbk.select(F.col("doc_id").alias("_x"), "band", "bsig")
+        .join(cbk.select(F.col("doc_id").alias("_y"), "band", "bsig"),
+              ["band", "bsig"])
         .filter(F.col("_x") != F.col("_y"))
-        .select(
-            F.least("_x", "_y").alias("a"), F.greatest("_x", "_y").alias("b")
-        )
+        .select(F.least("_x", "_y").alias("a"), F.greatest("_x", "_y").alias("b"))
         .distinct()
     )
-    sa = all_sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("_sa"))
-    sb = all_sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("_sb"))
+    sig_lookup = (
+        old_sigs.unionByName(incoming) if old_sigs is not None else incoming
+    )
+    sa = sig_lookup.select(F.col("doc_id").alias("a"), F.col("sig").alias("_sa"))
+    sb = sig_lookup.select(F.col("doc_id").alias("b"), F.col("sig").alias("_sb"))
     est = F.aggregate(
         F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -1044,37 +1142,116 @@ def dedup_state_ingest(
         cand.join(sa, "a").join(sb, "b")
         .filter(est >= F.lit(threshold))
         .select("a", "b")
+        .localCheckpoint(eager=True)  # delta-sized; reused 3× below
     )
-    pairs = edges.unionByName(star) if star is not None else edges
-    clusters = dedup_clusters(
-        pairs, all_sigs.select("doc_id"), id_col="doc_id"
-    ).localCheckpoint(eager=True)  # materialize BEFORE overwriting the
-    # state it was derived from (lineage through state_path/clusters)
-    # signature state is APPEND-ONLY: each delivery adds its own rows
-    # (unique by the replay anti-join), so the state write is O(delta),
-    # not O(corpus). The cluster table IS rewritten per ingest — a new
-    # edge can relabel arbitrary old components — which is fine at
-    # gate/bench scale; at 100 TB keep (doc_id, cluster_id) only and
-    # apply a delta overlay (only components touched by new edges
-    # change), deriving sizes on read.
+
+    if overlay is not None:
+        # components TOUCHED by a new edge: the current labels of the
+        # edges' old endpoints (new→old edges are the only way in —
+        # cand's _x side is always a new doc). Their members' star
+        # edges contract each touched component into its hub; untouched
+        # components never enter the solve and never get rewritten.
+        new_ids = incoming.select("doc_id")
+        ends = (
+            edges.select(F.col("a").alias("doc_id"))
+            .unionByName(edges.select(F.col("b").alias("doc_id")))
+            .distinct()
+            .join(new_ids, "doc_id", "left_anti")
+        )
+        touched = (
+            overlay.join(ends, "doc_id", "left_semi")
+            .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
+            .select("cluster_id").distinct()
+        )
+        # overlay rows carrying a TOUCHED label are exactly the touched
+        # components' current members: labels strictly decrease, so a
+        # stale label can never equal any component's live label (the
+        # doc that IS that label has itself been relabeled below it)
+        members = (
+            overlay.join(touched, "cluster_id", "left_semi")
+            .select("doc_id", "cluster_id")
+            .localCheckpoint(eager=True)
+        )
+        star = members.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            F.col("doc_id").alias("a"), F.col("cluster_id").alias("b")
+        )
+        pairs = edges.unionByName(star)
+    else:
+        members = None
+        pairs = edges
+
+    from raft_spark.operators.solvers import connected_components_auto
+
+    labels = connected_components_auto(
+        pairs.select(F.col("a").alias("row"), F.col("b").alias("col"))
+    ).withColumnRenamed("node", "doc_id")
+
+    new_rows = (
+        incoming.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select("doc_id", F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"))
+    )
+    if members is not None:
+        relabeled = (
+            members.withColumnRenamed("cluster_id", "_old")
+            .join(labels, "doc_id")
+            .filter(F.col("label") != F.col("_old"))
+            .select("doc_id", F.col("label").alias("cluster_id"))
+        )
+        delta_overlay = new_rows.unionByName(relabeled)
+    else:
+        delta_overlay = new_rows
+    delta_overlay = delta_overlay.localCheckpoint(eager=True)
+
     incoming.write.mode("append").parquet(state_path + "/sigs")
-    clusters.write.mode("overwrite").parquet(state_path + "/clusters")
-    return clusters
+    (
+        nb.select("_pb", "band", "bsig", "doc_id")
+        .repartition("_pb").sortWithinPartitions("band", "bsig")
+        .write.partitionBy("_pb").mode("append").parquet(state_path + "/bands")
+    )
+    nb_counts.select("_pb", "band", "bsig", F.col("_n_new").alias("n")) \
+        .write.partitionBy("_pb").mode("append").parquet(state_path + "/occ")
+    delta_overlay.write.mode("append").parquet(state_path + "/clusters")
+    if not return_full:
+        return delta_overlay
+    # resolve from a FRESH post-append scan (a new file listing sees the
+    # rows just written); checkpointed so the caller's frame survives
+    # state compaction or deletion underneath it
+    return _resolve_cluster_overlay(
+        spark.read.parquet(state_path + "/clusters")
+    ).localCheckpoint(eager=True)
 
 
 def read_semantic_state(spark, state_path: str):
-    """(index, groups) of a persisted semantic-dedup state, or None if
-    never written. ``index`` is the :func:`semantic_index` frame
+    """(index, resolved groups) of a persisted semantic-dedup state, or
+    None if never written. ``index`` is the :func:`semantic_index` frame
     (cluster, cand_id, _qc, _nc); ``groups`` the current assignment
-    (id, cluster, group, keep)."""
+    (id, cluster, group, keep) resolved from the append-only overlay."""
     from pyspark.errors import AnalysisException
 
     try:
         idx = read_semantic_index(spark, state_path + "/index")
-        groups = spark.read.parquet(state_path + "/groups")
     except AnalysisException:
         return None
-    return idx, groups.select("id", "cluster", "group", "keep")
+    overlay = _try_parquet(spark, state_path + "/groups")
+    if overlay is None:
+        return None
+    return idx, _resolve_group_overlay(overlay)
+
+
+def _resolve_group_overlay(overlay: DataFrame) -> DataFrame:
+    """Append-only group overlay (id, cluster, group) → the current
+    (id, cluster, group, keep). Group labels are component minima and
+    components only merge, so min(group) per id is latest-wins — same
+    argument as :func:`_resolve_cluster_overlay`; ``cluster`` is the
+    caller's pure per-row seam, constant across a given id's rows."""
+    latest = overlay.groupBy("id").agg(
+        F.min("cluster").alias("cluster"), F.min("group").alias("group")
+    )
+    return latest.select(
+        "id", "cluster", "group",
+        (F.col("id") == F.col("group")).cast("int").alias("keep"),
+    )
 
 
 def semantic_state_ingest(
@@ -1085,11 +1262,12 @@ def semantic_state_ingest(
     id_col: str = "id",
     vec_col: str = "features",
     scale: float = 1e6,
+    return_full: bool = True,
 ) -> DataFrame:
     """Incremental CROSS-SNAPSHOT semantic dedup — the embedding-level
     sibling of :func:`dedup_state_ingest`: fold a NEW batch of vectors
     into a persisted SemDeDup state (the :func:`semantic_index` layout
-    plus the current group assignment) and return the refreshed
+    plus a delta-overlay group store) and return the refreshed
     full-corpus (id, cluster, group, keep) — identical to running
     :func:`semantic_dedup` from scratch on old ∪ new under the same
     assignment seam.
@@ -1099,19 +1277,21 @@ def semantic_state_ingest(
     must be a pure per-row function (the gate's axis-sign bucket; an
     IVF quantizer frozen with the index), the cosine-≥-τ predicate is
     the exact integer 10⁸S² ≥ τq²NaNb decision, and the old groups
-    enter the component solve as star edges id→group, which contract
-    every resolved component into a hub whose label IS the component
-    minimum — so labels match the from-scratch run byte-for-byte.
+    enter the component solve as star edges id→group restricted to the
+    components a new edge actually touches — contraction hubs whose
+    label IS the component minimum — so labels match the from-scratch
+    run byte-for-byte while untouched components are never read into
+    the solve or rewritten.
 
-    Per-delivery work is the DELTA: quantize + assign the new batch,
-    one within-cluster join of new rows against the persisted index
-    (the probe prunes to the new batch's clusters — the index is
-    partitioned by cluster on disk), per-candidate exact predicate,
-    CC over new edges ∪ star hubs. The per-pair predicate here is the
-    JVM decimal form (right for delivery-sized deltas); route a
-    corpus-sized backfill through :func:`semantic_dedup` itself, whose
-    Arrow-tile branch amortizes hot clusters. REPLAY-safe: ids already
-    in the state are anti-joined out.
+    State is append-only in BOTH stores: ``index`` adds one file set
+    per delivery (partitioned by cluster — the probe prunes to the new
+    batch's clusters), ``groups`` adds rows only for the delivery's new
+    ids and for old ids whose component was relabeled; resolution is
+    min(group) per id (labels strictly decrease — see
+    :func:`_resolve_group_overlay`). ``return_full=False`` returns just
+    this delivery's overlay rows (id, cluster, group) — the O(delta)
+    production answer. REPLAY-safe: ids already in the state are
+    anti-joined out.
     """
     from raft_spark.operators.solvers import connected_components_auto
 
@@ -1131,28 +1311,37 @@ def semantic_state_ingest(
         F.col("id").cast("long").alias("cand_id"),
         F.col("_q").alias("_qc"), F.col("_n2").alias("_nc"),
     )
-    state = read_semantic_state(spark, state_path)
-    if state is not None:
-        old_index, old_groups = state
+    from pyspark.errors import AnalysisException
+
+    try:
+        old_index = read_semantic_index(spark, state_path + "/index")
+    except AnalysisException:
+        old_index = None
+    overlay = _try_parquet(spark, state_path + "/groups")
+    if old_index is not None:
         new_rows = new_rows.join(
             old_index.select("cand_id"), "cand_id", "left_anti"
         )
-        star = old_groups.filter(F.col("id") != F.col("group")).select(
-            F.col("id").alias("row"), F.col("group").alias("col")
-        )
-    else:
-        old_index, star = None, None
     new_rows = new_rows.localCheckpoint(eager=True)
-    all_index = (
-        old_index.unionByName(new_rows) if old_index is not None else new_rows
-    ).localCheckpoint(eager=True)
+
+    if new_rows.isEmpty():  # pure replay (or an empty batch) — no state change
+        if return_full and overlay is not None:
+            return _resolve_group_overlay(overlay).localCheckpoint(eager=True)
+        if return_full:
+            return spark.createDataFrame(
+                [], "id long, cluster long, group long, keep int"
+            )
+        return spark.createDataFrame([], "id long, cluster long, group long")
 
     tau_q = int(round(tau * 10_000))
     a = new_rows.select(
         "cluster", F.col("cand_id").alias("_a"),
         F.col("_qc").alias("_qa"), F.col("_nc").alias("_na"),
     )
-    b = all_index.select(
+    corpus = (
+        old_index.unionByName(new_rows) if old_index is not None else new_rows
+    )
+    b = corpus.select(
         "cluster", F.col("cand_id").alias("_b"),
         F.col("_qc").alias("_qb"), F.col("_nc").alias("_nb"),
     )
@@ -1176,42 +1365,113 @@ def semantic_state_ingest(
             F.least("_a", "_b").alias("row"), F.greatest("_a", "_b").alias("col")
         )
         .distinct()
+        .localCheckpoint(eager=True)  # delta-sized; reused 3× below
     )
-    coo = edges.unionByName(star) if star is not None else edges
-    labels = connected_components_auto(coo)
-    groups = (
-        all_index.select(F.col("cand_id").alias("id"), "cluster")
-        .join(labels.withColumnRenamed("node", "id"), "id", "left")
+
+    if overlay is not None:
+        new_ids = new_rows.select(F.col("cand_id").alias("id"))
+        ends = (
+            edges.select(F.col("row").alias("id"))
+            .unionByName(edges.select(F.col("col").alias("id")))
+            .distinct()
+            .join(new_ids, "id", "left_anti")
+        )
+        touched = (
+            overlay.join(ends, "id", "left_semi")
+            .groupBy("id").agg(F.min("group").alias("group"))
+            .select("group").distinct()
+        )
+        members = (
+            overlay.join(touched, "group", "left_semi")
+            .select("id", "cluster", "group")
+            .localCheckpoint(eager=True)
+        )
+        star = members.filter(F.col("id") != F.col("group")).select(
+            F.col("id").alias("row"), F.col("group").alias("col")
+        )
+        coo = edges.unionByName(star)
+    else:
+        members = None
+        coo = edges
+    labels = connected_components_auto(coo).withColumnRenamed("node", "id")
+
+    fresh = (
+        new_rows.select(F.col("cand_id").alias("id"), "cluster")
+        .join(labels, "id", "left")
         .select(
             "id", "cluster",
             F.coalesce(F.col("label"), F.col("id")).alias("group"),
         )
-        .withColumn("keep", (F.col("id") == F.col("group")).cast("int"))
-        .localCheckpoint(eager=True)  # materialize before the overwrite
     )
+    if members is not None:
+        relabeled = (
+            members.withColumnRenamed("group", "_old")
+            .join(labels, "id")
+            .filter(F.col("label") != F.col("_old"))
+            .select("id", "cluster", F.col("label").alias("group"))
+        )
+        delta_overlay = fresh.unionByName(relabeled)
+    else:
+        delta_overlay = fresh
+    delta_overlay = delta_overlay.localCheckpoint(eager=True)
+
     # index state is APPEND-ONLY (one new file set per delivery, list
-    # directories intact — the same O(delta) discipline as
-    # dedup_state_ingest's signature table); groups are rewritten (new
-    # edges can relabel old components)
+    # directories intact); groups are APPEND-ONLY too — only this
+    # delivery's new ids and relabeled old ids are written
     new_rows.write.mode("append").partitionBy("cluster").parquet(
         state_path + "/index"
     )
-    groups.write.mode("overwrite").parquet(state_path + "/groups")
-    return groups
+    delta_overlay.write.mode("append").parquet(state_path + "/groups")
+    if not return_full:
+        return delta_overlay
+    return _resolve_group_overlay(
+        spark.read.parquet(state_path + "/groups")
+    ).localCheckpoint(eager=True)
 
 
 def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -> int:
-    """Compact the append-only signature state: every delta ingest adds
-    its own file set, so after many deliveries the state is thousands
-    of small parquet files — the classic small-file tax (footer reads +
-    task-per-file scheduling dominate the scan). Rewrites ``sigs``
-    coalesced to ``partitions`` files (default: the session's shuffle
-    parallelism), content-identical (the frame is eagerly materialized
-    before the overwrite). Run it on the maintenance cadence, not per
-    ingest. Returns the row count."""
-    sigs = spark.read.parquet(state_path + "/sigs")
+    """Compact the append-only dedup state: every delta ingest adds its
+    own file set to all four stores, so after many deliveries the state
+    is thousands of small parquet files — the classic small-file tax
+    (footer reads + task-per-file scheduling dominate the scan).
+    Content-preserving rewrites, run on the maintenance cadence, not
+    per ingest:
+
+    - ``sigs``: coalesced to ``partitions`` files (default: session
+      parallelism), rows unchanged.
+    - ``bands``: re-written partitionBy(_pb), rows unchanged, one
+      sorted file set per directory bucket.
+    - ``occ``: per-delivery additive counts ROLLED UP to one row per
+      (band, bsig) — sums unchanged, so every later cap decision is
+      identical.
+    - ``clusters``: overlay RESOLVED to one row per doc at its current
+      label — min(cluster_id) per doc is unchanged, so every later
+      resolution and touched-membership probe is identical.
+
+    Returns the signature row count."""
     n_parts = partitions or spark.sparkContext.defaultParallelism
+
+    sigs = spark.read.parquet(state_path + "/sigs")
     compacted = sigs.repartition(n_parts).localCheckpoint(eager=True)
     n = compacted.count()
     compacted.write.mode("overwrite").parquet(state_path + "/sigs")
+
+    bands = _try_parquet(spark, state_path + "/bands")
+    if bands is not None:
+        b = (
+            bands.select("_pb", "band", "bsig", "doc_id")
+            .repartition("_pb").sortWithinPartitions("band", "bsig")
+            .localCheckpoint(eager=True)
+        )
+        b.write.partitionBy("_pb").mode("overwrite").parquet(state_path + "/bands")
+    occ = _try_parquet(spark, state_path + "/occ")
+    if occ is not None:
+        o = occ.groupBy("_pb", "band", "bsig").agg(F.sum("n").alias("n")) \
+            .localCheckpoint(eager=True)
+        o.write.partitionBy("_pb").mode("overwrite").parquet(state_path + "/occ")
+    overlay = _try_parquet(spark, state_path + "/clusters")
+    if overlay is not None:
+        c = overlay.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id")) \
+            .repartition(n_parts).localCheckpoint(eager=True)
+        c.write.mode("overwrite").parquet(state_path + "/clusters")
     return n

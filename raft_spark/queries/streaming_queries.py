@@ -573,7 +573,9 @@ def m_stream_semingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             assign_fn=bucket_of, tau=0.92,
         )
         q.awaitTermination()
-        got = spark.read.parquet(tmp + "/state/groups") \
+        from raft_spark.operators.dedup import read_semantic_state
+
+        got = read_semantic_state(spark, tmp + "/state")[1] \
             .select("id", "cluster", "group", "keep") \
             .localCheckpoint(eager=True)
     finally:

@@ -140,10 +140,7 @@ def test_streaming_ingest_matches_batch(spark, sf_dir, tmp_path):
 
     p_batch = str(tmp_path / "batch_state")
     want = _cluster_map(D.dedup_state_ingest(docs, p_batch))
-    got = _cluster_map(
-        spark.read.parquet(p_stream + "/clusters")
-        .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
-    )
+    got = _cluster_map(D.read_dedup_state(spark, p_stream)[1])
     assert got == want
 
 
@@ -274,3 +271,39 @@ def test_ivf_pq_index_compact_preserves_codes(spark, sf_dir, tmp_path):
         for r in SIM.read_ivf_pq_index(spark, p)["codes"].collect()
     }
     assert files_after < files_before
+
+
+def test_second_delivery_writes_o_delta(spark, sf_dir, tmp_path):
+    """The r10 state layout's contract: a delta ingest APPENDS O(delta)
+    rows to every store — the clusters overlay grows by (new docs +
+    relabeled old docs), never a corpus rewrite; bands/occ grow by the
+    delta's band footprint; sigs by the delta row count."""
+    docs = load(spark, "documents", sf_dir)
+    p = str(tmp_path / "state")
+    D.dedup_state_ingest(docs, p)
+
+    def rows(sub):
+        return spark.read.parquet(p + sub).count()
+
+    base = {s: rows(s) for s in ("/sigs", "/bands", "/occ", "/clusters")}
+    # 8 brand-new docs with corpus-disjoint vocab => no dup edges,
+    # so the overlay append is EXACTLY the 8 new rows
+    delta = spark.range(8).select(
+        (F.col("id") + 10_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[F.concat(F.lit(f"zzqxv{j}w"), F.col("id").cast("string"))
+              for j in range(30)],
+        ).alias("text"),
+    )
+    out = D.dedup_state_ingest(delta, p)
+    assert out.count() == docs.count() + 8
+    n_bands = D.NUM_PERMS // D.BAND_ROWS
+    assert rows("/sigs") == base["/sigs"] + 8
+    assert rows("/bands") == base["/bands"] + 8 * n_bands
+    assert base["/occ"] < rows("/occ") <= base["/occ"] + 8 * n_bands
+    assert rows("/clusters") == base["/clusters"] + 8
+    # and a pure replay appends NOTHING anywhere
+    D.dedup_state_ingest(delta, p)
+    assert rows("/clusters") == base["/clusters"] + 8
+    assert rows("/bands") == base["/bands"] + 8 * n_bands
