@@ -319,8 +319,19 @@ def pairwise_distances(
     to the output → (group_cols…, a, b, dist). Work drops from
     (Σ n_g)² to Σ n_g², and the group key joins ALONGSIDE the block
     id, so a hot group still spreads over the block grid instead of
-    one task.
+    one task. Group names may not collide with the output columns
+    ('a', 'b', 'dist' — rejected). NULL-group semantics: the group key
+    joins as a struct, and struct equality is null-safe, so rows whose
+    group columns are all NULL pair with each other (NULL is one group,
+    not excluded) — filter them upstream if NULL means 'ungrouped'.
     """
+    if group_cols:
+        bad = sorted(set(group_cols) & {"a", "b", "dist"})
+        if bad:
+            raise ValueError(
+                f"group_cols {bad} collide with the output columns "
+                "(a, b, dist); alias them before calling"
+            )
     mfn, _ = _resolve_metric(metric, p)
     symmetric = right is None
     right = left if right is None else right
@@ -624,23 +635,27 @@ def _slink_tree(
     id_col: str,
     vec_col: str,
     n_blocks: int,
+    p: float | None = None,
 ) -> DataFrame:
     """Weighted MST (row, col, value) of the pairwise distance graph —
     the single-linkage dendrogram's edge set (Gower–Ross)."""
     from raft_spark.operators.solvers import mst_edges_auto
 
     if pairs is None:
-        if metric not in SYMMETRIC_DISTANCES:
+        if metric != "minkowski" and metric not in SYMMETRIC_DISTANCES:
             # cosine/inner are SIMILARITIES (an MST over them would
             # link the LEAST similar pairs first); kl is asymmetric,
-            # correlation degenerate on near-constant vectors
+            # correlation degenerate on near-constant vectors —
+            # same metric surface as dbscan (minkowski allowed, p threads)
             raise ValueError(
                 f"single_linkage: metric {metric!r} is not a symmetric "
-                f"distance; use one of {sorted(SYMMETRIC_DISTANCES)}, "
+                f"distance; use one of "
+                f"{sorted(SYMMETRIC_DISTANCES) + ['minkowski']}, "
                 "or precompute weighted `pairs` with your own distance"
             )
         pairs = pairwise_distances(
-            df, metric=metric, id_col=id_col, vec_col=vec_col, n_blocks=n_blocks
+            df, metric=metric, id_col=id_col, vec_col=vec_col,
+            n_blocks=n_blocks, p=p,
         )
     if "dist" not in pairs.columns:
         raise ValueError(
@@ -672,6 +687,7 @@ def single_linkage(
     vec_col: str = "features",
     n_blocks: int = 16,
     pairs: DataFrame | None = None,
+    p: float | None = None,
 ) -> DataFrame:
     """Single-linkage agglomerative (hierarchical) clustering →
     (id, cluster) flat labels, cluster = the smallest member id.
@@ -730,7 +746,7 @@ def single_linkage(
         )
         labels = connected_components_auto(kept)
     else:
-        tree = _slink_tree(df, pairs, metric, id_col, vec_col, n_blocks)
+        tree = _slink_tree(df, pairs, metric, id_col, vec_col, n_blocks, p=p)
         tree = tree.localCheckpoint(eager=True)  # count + rank + CC consumers
         n_nodes = ids.count()
         base = n_nodes - tree.count()  # forest components before any cut
@@ -765,6 +781,7 @@ def single_linkage_dendrogram(
     vec_col: str = "features",
     n_blocks: int = 16,
     pairs: DataFrame | None = None,
+    p: float | None = None,
 ) -> DataFrame:
     """The single-linkage merge sequence → (merge_order, row, col,
     height): MST edges globally ranked by (height, row, col). Merge i
@@ -774,7 +791,7 @@ def single_linkage_dendrogram(
     frame, O(V) state; the distributed artifact is the edge list)."""
     from raft_spark.operators.reductions import global_rank
 
-    tree = _slink_tree(df, pairs, metric, id_col, vec_col, n_blocks)
+    tree = _slink_tree(df, pairs, metric, id_col, vec_col, n_blocks, p=p)
     return global_rank(
         tree,
         [F.col("value"), F.col("row"), F.col("col")],
@@ -1552,30 +1569,37 @@ def balanced_centroids(
     C = np.asarray(cents, dtype=float).copy()
     src = df.select(F.col(id_col).alias("id"), vec_col)
     for _ in range(n_adjust):
-        # checkpoint: the count AND every hot-cluster member sample
-        # read this frame — without it each sample collect re-runs the
-        # full-corpus Arrow assignment pass (h+1 scans per round)
-        assigned = _assign_lists(src, C, vec_col, list_col="cluster") \
-            .localCheckpoint(eager=True)
-        counts = np.zeros(len(C))
-        for r in assigned.groupBy("cluster").count().collect():
-            counts[r["cluster"]] = r["count"]
-        avg = max(counts.mean(), 1.0)
-        hot = [j for j in np.argsort(-counts) if counts[j] > max_ratio * avg]
-        cold = [j for j in np.argsort(counts)
-                if counts[j] < avg / 2 and j not in hot]
-        if not hot or not cold:
-            break
-        for j, r_ in zip(hot, cold):
-            sample = np.array([
-                row[vec_col]
-                for row in assigned.filter(F.col("cluster") == int(j))
-                .orderBy(F.xxhash64("id", F.lit(seed)), "id")
-                .limit(sample_rows).collect()
-            ])
-            if len(sample) < 2:
-                continue
-            C[[int(j), int(r_)]] = _driver_2means(sample, seed=seed)
+        # cache: the count AND every hot-cluster member sample read this
+        # frame — without it each sample collect re-runs the full-corpus
+        # Arrow assignment pass (h+1 scans per round). persist (not
+        # localCheckpoint) so the round's blocks are FREED in the
+        # finally below — each round's plan is fresh from src + the
+        # driver-side C array, so there's no lineage growth to cut, and
+        # a per-round checkpoint would pile one corpus-sized block set
+        # per round per call onto executor storage
+        assigned = _assign_lists(src, C, vec_col, list_col="cluster").persist()
+        try:
+            counts = np.zeros(len(C))
+            for r in assigned.groupBy("cluster").count().collect():
+                counts[r["cluster"]] = r["count"]
+            avg = max(counts.mean(), 1.0)
+            hot = [j for j in np.argsort(-counts) if counts[j] > max_ratio * avg]
+            cold = [j for j in np.argsort(counts)
+                    if counts[j] < avg / 2 and j not in hot]
+            if not hot or not cold:
+                break
+            for j, r_ in zip(hot, cold):
+                sample = np.array([
+                    row[vec_col]
+                    for row in assigned.filter(F.col("cluster") == int(j))
+                    .orderBy(F.xxhash64("id", F.lit(seed)), "id")
+                    .limit(sample_rows).collect()
+                ])
+                if len(sample) < 2:
+                    continue
+                C[[int(j), int(r_)]] = _driver_2means(sample, seed=seed)
+        finally:
+            assigned.unpersist()
     return C
 
 

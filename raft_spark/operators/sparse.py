@@ -404,6 +404,18 @@ def _sparse_finish(
     from (_ip, _shared) + the two norm frames, rounding, and the
     threshold cut — ONE formula table so the self-join and the
     persisted-index lookup can never disagree on a metric."""
+    if threshold is not None and metric == "sqeuclidean":
+        # the inverted-index join only generates CO-OCCURRING pairs, but
+        # a zero-overlap pair has a finite sqeuclidean distance
+        # (||a||²+||b||²) that can satisfy the cut — so 'all pairs with
+        # dist ≤ t' is NOT what this operator can deliver. Reject rather
+        # than silently under-return; callers wanting the co-occurring
+        # subset thresholded can filter the unthresholded output.
+        raise ValueError(
+            "threshold with metric='sqeuclidean' would silently omit "
+            "zero-overlap pairs whose true distance (||a||^2+||b||^2) "
+            "satisfies the cut; filter the unthresholded output instead"
+        )
 
     def _cut(out: DataFrame) -> DataFrame:
         if threshold is None:
@@ -461,6 +473,11 @@ def sparse_pairwise(
     dist ≥ threshold, distances keep dist ≤ threshold. The pair
     generation itself is still Σ df(col)² — thresholds can't prune an
     inverted-index join below its support; cap hot columns for that.
+    REJECTED for ``sqeuclidean``: zero-overlap pairs (never generated
+    here) have finite distance ||a||²+||b||² that can satisfy the cut,
+    so 'all pairs with dist ≤ t' would silently under-return — filter
+    the unthresholded output if the co-occurring subset is what you
+    want.
 
     Metrics — CONVENTIONS MATCH the dense ``similarity._METRICS``
     table: inner / cosine / overlap are SIMILARITIES (bigger =
@@ -545,14 +562,25 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
     shard modulus comes from the index's own meta sidecar (a caller-
     supplied value that disagreed with the build would scatter the
     delta into unreachable shards).
-    Contract: delta row ids are new (replay with the same ids would
-    double-count norms — dedupe upstream, as incremental dedup does)."""
-    n_shards = _postings_n_shards(new_coo.sparkSession, path)
-    new_coo.select(
+    REPLAY-safe (the ivf_pq_index_add discipline): delta row ids
+    already present in the index are anti-joined out against the norms
+    sidecar (one row per corpus row — the cheap id registry), so
+    at-least-once redelivery can never double-count _ip/_shared or
+    duplicate norm rows."""
+    spark = new_coo.sparkSession
+    n_shards = _postings_n_shards(spark, path)
+    delta = (
+        new_coo.select("row", "col", "value")
+        .join(spark.read.parquet(f"{path}/norms").select("row"),
+              "row", "left_anti")
+        .localCheckpoint(eager=True)  # materialize BEFORE appending to
+        # the norms store the anti-join reads
+    )
+    delta.select(
         "col", "row", "value",
         F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
     ).write.mode("append").partitionBy("_shard").parquet(f"{path}/postings")
-    new_coo.groupBy("row").agg(
+    delta.groupBy("row").agg(
         F.sum(F.col("value") * F.col("value")).alias("_nn"),
         F.count("*").alias("_nz"),
     ).write.mode("append").parquet(f"{path}/norms")

@@ -640,7 +640,6 @@ def rolling_route(
     by: str = "user_id",
     ts_col: str = "ts",
     window_us: int = 3_600_000_000,
-    dense_frame_rows: int = 64,
     skew_share: float = 0.10,
     probe_rows: int = 1_000_000,
 ) -> str:
@@ -660,8 +659,9 @@ def rolling_route(
     frames {4, 64, 1024} × payload {narrow, 256 B}) measures prefix at
     or below the sliding window in EVERY cell, so the sliding route is
     retired from the router (it remains a callable fixed strategy and
-    gate member). ``dense_frame_rows`` is kept for signature
-    compatibility and no longer consulted."""
+    gate member), and the ``dense_frame_rows`` knob that drove that
+    choice was removed with it (r10 — a documented-but-ignored tuning
+    parameter is a trap for the next caller)."""
     n = df.count()
     if n == 0:
         return "window"
@@ -687,7 +687,6 @@ def rolling_aggregates_auto(
     value_col: str = "value",
     window_us: int = 3_600_000_000,
     quantize: float = 1e6,
-    dense_frame_rows: int = 64,
     skew_share: float = 0.10,
     probe_rows: int = 1_000_000,
     n_parts: int | None = None,
@@ -701,8 +700,7 @@ def rolling_aggregates_auto(
     by calling :func:`rolling_aggregates` explicitly)."""
     strategy = rolling_route(
         df, by=by, ts_col=ts_col, window_us=window_us,
-        dense_frame_rows=dense_frame_rows, skew_share=skew_share,
-        probe_rows=probe_rows,
+        skew_share=skew_share, probe_rows=probe_rows,
     )
     kw = dict(by=by, ts_col=ts_col, value_col=value_col,
               window_us=window_us, quantize=quantize)

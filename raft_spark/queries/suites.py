@@ -535,6 +535,14 @@ SELECT 'pw_js', round(sqrt(greatest(0.0, 0.5*list_sum(list_transform(list_zip(px
   z -> (CASE WHEN z[1] > 0 THEN z[1]*ln(z[1]/((z[1]+z[2])/2.0)) ELSE 0.0 END)
      + (CASE WHEN z[2] > 0 THEN z[2]*ln(z[2]/((z[1]+z[2])/2.0)) ELSE 0.0 END))))),
   6) FROM pp
+UNION ALL
+SELECT 'pw_minkowski15', round(pow(list_sum(list_transform(list_zip(x, y),
+  z -> pow(abs(z[1]-z[2]), 1.5))), 1.0/1.5), 6) FROM pp
+UNION ALL
+SELECT 'pw_haversine', round(2.0*asin(sqrt(
+  pow(sin((atan(x[1]) - atan(y[1]))/2.0), 2)
+  + cos(atan(x[1]))*cos(atan(y[1]))
+    * pow(sin((2.0*atan(x[2]) - 2.0*atan(y[2]))/2.0), 2))), 6) FROM pp
 )
 """
     return f"""
@@ -557,11 +565,13 @@ def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     r9 adds the full pairwise-metric family (the reference's distance
     namespace, migrated to cuVS in this snapshot — README.md:126-148)
     as VALUE-oracled members: one row per adjacent (id, id+1)
-    embedding pair per metric — chebyshev/canberra/braycurtis/
+    embedding pair per metric (r10 completes the family with
+    minkowski p=1.5 and haversine over atan-projected lat/lon) —
+    chebyshev/canberra/braycurtis/
     minkowski₃/jaccard/correlation on the raw vectors, hamming/
     russellrao/dice on the v>0 binarization, hellinger/kl/js on the
     shared probability lift (v²+10⁻³ normalized). ONE narrow
-    adjacent-id self-join feeds all 12 (single scan + unpivot — no
+    adjacent-id self-join feeds all 14 (single scan + unpivot — no
     O(n²) pair product in the gate; the blocked all-pairs shape is
     pairwise_distances' job and is pinned in
     tests/test_pairwise_metrics.py against numpy)."""
@@ -602,6 +612,12 @@ def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumns({
             "px": F.transform("ux", lambda v: v / F.col("tx")),
             "py": F.transform("uy", lambda v: v / F.col("ty")),
+            # haversine needs [lat, lon] radians: atan maps any real
+            # into (-pi/2, pi/2) for lat, 2*atan into (-pi, pi) for lon
+            "hx": F.array(F.atan(F.col("x")[0]),
+                          F.lit(2.0) * F.atan(F.col("x")[1])),
+            "hy": F.array(F.atan(F.col("y")[0]),
+                          F.lit(2.0) * F.atan(F.col("y")[1])),
         })
     )
     members = {
@@ -617,6 +633,8 @@ def q_embedding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pw_hellinger": SIM._METRICS["hellinger"]("px", "py"),
         "pw_kl": SIM._METRICS["kl_divergence"]("px", "py"),
         "pw_js": SIM._METRICS["jensenshannon"]("px", "py"),
+        "pw_minkowski15": SIM._minkowski(1.5)("x", "y"),
+        "pw_haversine": SIM._METRICS["haversine"]("hx", "hy"),
     }
     pw = prs.select(
         *[F.round(expr, 6).alias(name) for name, expr in members.items()]
@@ -658,6 +676,15 @@ UNION ALL
 SELECT 'spjac', a, b,
        round(1.0 - shared::DOUBLE / (na.nz + nb.nz - shared), 6)
 FROM prs JOIN nr na ON na.row = a JOIN nr nb ON nb.row = b
+UNION ALL
+SELECT 'splook', xb.a, xb.b, round(xb.ip / sqrt(na.nn * nb.nn), 6)
+FROM (SELECT x.row AS a, y.row AS b, sum(x.value * y.value) AS ip
+      FROM sliced x JOIN sliced y
+        ON x.col = y.col AND x.row > 150 AND y.row <= 150
+      GROUP BY 1, 2) xb
+JOIN nr na ON na.row = xb.a JOIN nr nb ON nb.row = xb.b
+UNION ALL
+SELECT 'splook_replay_ok', 0::BIGINT, -1::BIGINT, 1.0
 )
 """
     return f"""
@@ -680,7 +707,13 @@ def q_coo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     family, migrated to cuVS in this snapshot): cosine + binary
     jaccard between the row≤200 slice's sparse row-vectors via
     sparse.sparse_pairwise's inverted-index self-join — only
-    co-occurring pairs are generated (cost Σ df(col)², never n²)."""
+    co-occurring pairs are generated (cost Σ df(col)², never n²).
+
+    r10 gates the PERSISTED postings index (sparse.write_postings /
+    postings_add / sparse_lookup): build from rows≤100, O(delta)
+    delta-extend with 100<row≤150, replay the same delta (must be a
+    no-op — the anti-join replay guard), then value-oracle the row>150
+    batch lookup against DuckDB's rectangular re-derivation."""
     from raft_spark.operators import sparse as SP2
 
     d = SPQ.q_coo_dedup_max(spark, sf_dir).localCheckpoint(eager=True)
@@ -693,6 +726,43 @@ def q_coo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     spj = SP2.sparse_pairwise(sliced, metric="jaccard").select(
         F.lit("spjac").alias("op"), F.col("a").alias("row"),
         F.col("b").alias("col"), F.col("dist").alias("value"))
+    # r10: the persisted postings index as gate members — build from
+    # rows<=100, DELTA-extend with 100<row<=150 (exercising the O(delta)
+    # append), re-add the same delta (replay must be a norms-level
+    # no-op), then score the row>150 batch against the index; the
+    # lookup values are DuckDB-oracled as the rectangular twin of spcos
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp(prefix="raft_spark_postings_")
+    try:
+        SP2.write_postings(sliced.filter(F.col("row") <= 100),
+                           tmp + "/idx", n_shards=16)
+        SP2.postings_add(
+            sliced.filter((F.col("row") > 100) & (F.col("row") <= 150)),
+            tmp + "/idx",
+        )
+        n_norms = spark.read.parquet(tmp + "/idx/norms").count()
+        SP2.postings_add(  # replay of an already-ingested delta
+            sliced.filter((F.col("row") > 100) & (F.col("row") <= 150)),
+            tmp + "/idx",
+        )
+        replay_ok = float(
+            spark.read.parquet(tmp + "/idx/norms").count() == n_norms
+        )
+        look = SP2.sparse_lookup(
+            sliced.filter(F.col("row") > 150), spark, tmp + "/idx",
+            metric="cosine",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    spl = look.select(
+        F.lit("splook").alias("op"), F.col("a").alias("row"),
+        F.col("b").alias("col"), F.col("dist").alias("value"))
+    sprf = spark.createDataFrame(
+        [("splook_replay_ok", 0, -1, replay_ok)],
+        "op string, row long, col long, value double",
+    )
     return (
         d.select(F.lit("dedup").alias("op"), "row", "col", "value")
         .unionByName(
@@ -701,6 +771,7 @@ def q_coo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(f.select(F.lit("filter").alias("op"), "row", "col", "value"))
         .unionByName(spc).unionByName(spj)
+        .unionByName(spl).unionByName(sprf)
     )
 
 
@@ -2027,6 +2098,8 @@ UNION ALL
 SELECT 'cms_within_eps', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'jsonl_roundtrip_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'kmeans_balanced_ok', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -2293,9 +2366,25 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jsonl_roundtrip_ok", F.col("v"),
     )
 
+    # ---- balanced k-means (r10, promoted from pytest): the split-round
+    # balancer must deliver its own contract — max/mean list size within
+    # max_ratio (2.0) — with every corpus vector assigned (flag) ----
+    from raft_spark.operators.similarity import kmeans_balanced
+
+    bal, _bc, bal_ratio = kmeans_balanced(
+        m.select("id", "features"), k=8, n_iters=4, n_adjust=2
+    )
+    kb = scalar(
+        spark.createDataFrame(
+            [(float(int(bal_ratio <= 2.0 and bal.count() == m.count())),)],
+            "v double",
+        ),
+        "kmeans_balanced_ok", F.col("v"),
+    )
+
     out = k_assign
     for p in [k_count, k_sum, r1, r2, r3, s1, s2, s3, s4,
-              ptot, pnd, pwb, plb, h1, c1, c2, d1, d2, d3, d4, d5, j1]:
+              ptot, pnd, pwb, plb, h1, c1, c2, d1, d2, d3, d4, d5, j1, kb]:
         out = out.unionByName(p)
     return out
 
@@ -2342,6 +2431,28 @@ UNION ALL
 SELECT 'graph', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'graph_round_mono', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT method, a, b, value FROM (
+WITH q1 AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+l1s AS (
+    SELECT q1.vec_id AS qid, c.vec_id AS nid,
+           round(list_sum(list_transform(
+               list_zip(q1.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+               z -> abs(z[1]-z[2]))), 6) AS d
+    FROM q1 JOIN embeddings c ON c.vec_id <> q1.vec_id
+),
+l1r AS (
+    SELECT qid, nid, d,
+           row_number() OVER (PARTITION BY qid ORDER BY d ASC, nid ASC) AS rank
+    FROM l1s
+)
+SELECT 'metric_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
+       rank::DOUBLE AS value FROM l1r WHERE rank <= 5
+UNION ALL
+SELECT 'metric_dist', qid::BIGINT, nid::BIGINT, d FROM l1r WHERE rank <= 5
+)
+UNION ALL
+SELECT 'ivf_metric', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -2414,6 +2525,33 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").cast("long").alias("b"),
         F.col("rank").cast("double").alias("value"),
     )
+    # r10: the any-metric exact tier (knn_metric) as a VALUE member —
+    # full (qid, nid, rank, dist) of the exact L1 top-5 against DuckDB's
+    # independent list-lambda ranking — and the any-metric IVF tier
+    # (knn_ivf_metric) as a recall-floor flag scored against it
+    ex_l1 = SIM2.knn_metric(shared[0], shared[1], k=5, metric="l1") \
+        .localCheckpoint(eager=True)
+    met_rank = ex_l1.select(
+        F.lit("metric_rank").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("rank").cast("double").alias("value"),
+    )
+    met_dist = ex_l1.select(
+        F.lit("metric_dist").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("dist").cast("double").alias("value"),
+    )
+    ivm = SIM2.knn_ivf_metric(
+        shared[0], shared[1], k=5, metric="l1",
+        n_lists=8, n_probe=3, kmeans_iters=2,
+    )
+    ivm_hits = ivm.join(ex_l1, ["qid", "nid"], "left_semi").count()
+    ivf_metric = spark.createDataFrame(
+        [("ivf_metric", 0, -1, float(int(ivm_hits / (shared[2] * 5.0) >= 0.5)))],
+        "method string, a long, b long, value double",
+    )
     ivf = _flag(PQ.q_knn_ivf_recall(spark, sf_dir, shared=shared).select(
         F.lit("ivf").alias("method"), "recall_ok"
     ))
@@ -2428,6 +2566,7 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = _flag(PQ.q_knn_graph_checks(spark, sf_dir, shared=shared, graph=g10))
     return (
         ex_rank.unionByName(ex_cos).unionByName(refined)
+        .unionByName(met_rank).unionByName(met_dist).unionByName(ivf_metric)
         .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
     )

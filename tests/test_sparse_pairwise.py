@@ -92,12 +92,19 @@ def test_sparse_pairwise_threshold(spark, sp):
            for r in SP.sparse_pairwise(df, metric="cosine",
                                        threshold=0.2).collect()}
     assert cut == {k: v for k, v in full.items() if v >= 0.2}
+    # distance metrics keep dist <= threshold (jaccard — a true distance
+    # whose zero-overlap pairs really are the never-stored 1.0)
     dfull = {(r["a"], r["b"]): r["dist"]
-             for r in SP.sparse_pairwise(df, metric="sqeuclidean").collect()}
+             for r in SP.sparse_pairwise(df, metric="jaccard").collect()}
     dcut = {(r["a"], r["b"]): r["dist"]
-            for r in SP.sparse_pairwise(df, metric="sqeuclidean",
-                                        threshold=5.0).collect()}
-    assert dcut == {k: v for k, v in dfull.items() if v <= 5.0}
+            for r in SP.sparse_pairwise(df, metric="jaccard",
+                                        threshold=0.9).collect()}
+    assert dcut == {k: v for k, v in dfull.items() if v <= 0.9}
+    # sqeuclidean + threshold is REJECTED (r10): non-co-occurring pairs
+    # have finite distance ||a||^2+||b||^2 that can satisfy the cut, so
+    # the operator cannot deliver 'all pairs with dist <= t'
+    with pytest.raises(ValueError, match="sqeuclidean"):
+        SP.sparse_pairwise(df, metric="sqeuclidean", threshold=5.0)
 
 
 # ---------------------------------------------------------------------------
@@ -165,3 +172,92 @@ def test_postings_lookup_prunes_shards(spark, sp, tmp_path):
     batch = df.filter(F.col("row") == 0).withColumn("row", F.lit(999))
     rep = audit_plan(SP.sparse_lookup(batch, spark, path))
     assert "_shard" in rep.text
+
+
+def test_postings_add_replay_noop(spark, sp, tmp_path):
+    """r10: re-adding an already-ingested delta must change NOTHING —
+    the anti-join replay guard against the norms sidecar (the
+    ivf_pq_index_add discipline)."""
+    df, M = sp
+    corpus = df.filter(F.col("row") < 10)
+    delta = df.filter((F.col("row") >= 10) & (F.col("row") < 15))
+    batch = df.filter(F.col("row") >= 15).withColumn(
+        "row", F.col("row") + 100)
+    path = str(tmp_path / "idxr")
+    SP.write_postings(corpus, path, n_shards=8)
+    SP.postings_add(delta, path)
+    first = {(r["a"], r["b"]): r["dist"] for r in
+             SP.sparse_lookup(batch, spark, path).collect()}
+    n_norms = spark.read.parquet(path + "/norms").count()
+    n_postings = spark.read.parquet(path + "/postings").count()
+    SP.postings_add(delta, path)  # full replay
+    SP.postings_add(df.filter(F.col("row") < 13), path)  # partial overlap
+    assert spark.read.parquet(path + "/norms").count() == n_norms
+    assert spark.read.parquet(path + "/postings").count() == n_postings
+    again = {(r["a"], r["b"]): r["dist"] for r in
+             SP.sparse_lookup(batch, spark, path).collect()}
+    assert again == first
+
+
+def test_postings_lookup_full_metric_set(spark, sp, tmp_path):
+    """r10: every sparse metric is lookup-servable from the persisted
+    index with values equal to the dense recomputation (sqeuclidean
+    unthresholded — the threshold combination is rejected)."""
+    df, M = sp
+    corpus = df.filter(F.col("row") < 15)
+    batch = df.filter(F.col("row") >= 15).withColumn(
+        "row", F.col("row") + 100)
+    path = str(tmp_path / "idxm")
+    SP.write_postings(corpus, path, n_shards=8)
+
+    def dense(metric, x, y):
+        ip = float(np.dot(x, y))
+        nx, ny = float(np.dot(x, x)), float(np.dot(y, y))
+        sx, sy = set(np.flatnonzero(x)), set(np.flatnonzero(y))
+        sh = len(sx & sy)
+        if metric == "inner":
+            return ip
+        if metric == "cosine":
+            return ip / np.sqrt(nx * ny)
+        if metric == "sqeuclidean":
+            return nx + ny - 2 * ip
+        if metric == "jaccard":
+            return 1 - sh / (len(sx) + len(sy) - sh)
+        if metric == "dice":
+            return 1 - 2 * sh / (len(sx) + len(sy))
+        return sh / min(len(sx), len(sy))  # overlap
+
+    for metric in sorted(SP._SPARSE_METRICS):
+        got = {(r["a"], r["b"]): r["dist"]
+               for r in SP.sparse_lookup(batch, spark, path,
+                                         metric=metric).collect()}
+        assert got, metric
+        for (a, b), v in got.items():
+            exp = dense(metric, M[a - 100], M[b])
+            assert abs(v - round(exp, 6)) <= 2e-6, (metric, a, b)
+    with pytest.raises(ValueError, match="sqeuclidean"):
+        SP.sparse_lookup(batch, spark, path, metric="sqeuclidean",
+                         threshold=5.0)
+
+
+def test_single_linkage_minkowski_p(spark):
+    """r10 (ADVICE): single_linkage accepts metric='minkowski' with p —
+    the same metric surface as dbscan over the shared pair generator."""
+    from raft_spark.operators import similarity as SIM
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    X = np.vstack([rng.normal(0, 0.05, (6, 4)),
+                   rng.normal(5, 0.05, (6, 4))])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, features array<double>",
+    )
+    out = SIM.single_linkage(df, n_clusters=2, metric="minkowski", p=1.5)
+    labs = {r["id"]: r["cluster"] for r in out.collect()}
+    assert len(set(labs.values())) == 2
+    assert len({labs[i] for i in range(6)}) == 1
+    assert len({labs[i] for i in range(6, 12)}) == 1
+    with pytest.raises(ValueError, match="minkowski"):
+        SIM.single_linkage(df, n_clusters=2, metric="minkowski")  # no p

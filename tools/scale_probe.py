@@ -403,25 +403,39 @@ def main() -> None:
                 F.array_join(ws, " ").alias("text"),
             ).localCheckpoint(eager=True)
 
-        corpus1m = _docs(1_000_000, 0, 0)
-        delta50k = _docs(50_000, 1_000_000, 3)
-        tmpd = tempfile.mkdtemp(prefix="raft_spark_incdedup_")
-        try:
-            t = time.perf_counter()
-            dedup_state_ingest(corpus1m, tmpd + "/s")
-            out["incdedup_bootstrap_1m_docs_s"] = round(
-                time.perf_counter() - t, 2
-            )
-            t = time.perf_counter()
-            res = dedup_state_ingest(delta50k, tmpd + "/s")
-            out["incdedup_delta_50k_into_1m_s"] = round(
-                time.perf_counter() - t, 2
-            )
-            assert res.count() == 1_050_000
-        finally:
-            shutil.rmtree(tmpd, ignore_errors=True)
-        del corpus1m, delta50k
-        gc.collect()
+        # r10: TWO corpus sizes — the O(delta) state claim is 'the same
+        # 50k delta costs the same against a 1M corpus and a 2M corpus'
+        # (return_full=False measures the ingest path alone; the full-
+        # table resolve is a read-side O(corpus) agg the production
+        # consumer doesn't pay per delivery)
+        for scale in (1, 2):
+            n_corpus = scale * 1_000_000
+            corpus = _docs(n_corpus, 0, 0)
+            delta = _docs(50_000, n_corpus, 3)
+            tmpd = tempfile.mkdtemp(prefix="raft_spark_incdedup_")
+            try:
+                t = time.perf_counter()
+                dedup_state_ingest(corpus, tmpd + "/s")
+                out[f"incdedup_bootstrap_{scale}m_docs_s"] = round(
+                    time.perf_counter() - t, 2
+                )
+                t = time.perf_counter()
+                dedup_state_ingest(delta, tmpd + "/s", return_full=False)
+                out[f"incdedup_delta_50k_into_{scale}m_s"] = round(
+                    time.perf_counter() - t, 2
+                )
+                t = time.perf_counter()
+                from raft_spark.operators.dedup import read_dedup_state
+
+                n_res = read_dedup_state(spark, tmpd + "/s")[1].count()
+                out[f"incdedup_resolve_{scale}m_s"] = round(
+                    time.perf_counter() - t, 2
+                )
+                assert n_res == n_corpus + 50_000
+            finally:
+                shutil.rmtree(tmpd, ignore_errors=True)
+            del corpus, delta
+            gc.collect()
 
     if os.environ.get("PROBE_ROLLING_100M") == "1":
         big = _vev(100_000_000, 1000, 10, 11)  # 10-day span: ~417-row frames
@@ -533,6 +547,51 @@ def main() -> None:
         out["sparse_pairwise_1m_nnz_thr_s"] = round(time.perf_counter() - t, 2)
         assert nthr <= npairs
         del coo
+        gc.collect()
+
+    # r10 postings index at 10M nnz (opt-in, PROBE_POSTINGS_R10=1): the
+    # lookup claim under test — batch cost tracks the batch's TOUCHED
+    # slice (its columns' postings), not the index size; the delta
+    # append is O(delta) IO.
+    if os.environ.get("PROBE_POSTINGS_R10") == "1":
+        import shutil
+        import tempfile
+
+        from raft_spark.operators.sparse import (
+            max_duplicates, postings_add, sparse_lookup, write_postings,
+        )
+
+        def _coo(n_nnz, n_rows, id_off, seed):
+            return max_duplicates(
+                spark.range(n_nnz).select(
+                    (F.col("id") % n_rows + id_off).alias("row"),
+                    F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("col"),
+                    (uniform(F.col("id"), seed=seed) + F.lit(0.1))
+                    .alias("value"),
+                )
+            ).select("row", "col", "value").localCheckpoint(eager=True)
+
+        big = _coo(10_000_000, 1_000_000, 0, 5)       # mean df 10
+        delta = _coo(500_000, 50_000, 1_000_000, 6)   # 5% delta
+        batch = _coo(100_000, 10_000, 2_000_000, 7)   # 1% probe batch
+        tmpd = tempfile.mkdtemp(prefix="raft_spark_postings_")
+        try:
+            t = time.perf_counter()
+            write_postings(big, tmpd + "/idx")
+            out["postings_build_10m_nnz_s"] = round(time.perf_counter() - t, 2)
+            t = time.perf_counter()
+            postings_add(delta, tmpd + "/idx")
+            out["postings_add_500k_nnz_s"] = round(time.perf_counter() - t, 2)
+            t = time.perf_counter()
+            nlk = sparse_lookup(batch, spark, tmpd + "/idx",
+                                metric="cosine", threshold=0.5).count()
+            out["postings_lookup_100k_nnz_s"] = round(
+                time.perf_counter() - t, 2
+            )
+            out["postings_lookup_100k_nnz_pairs"] = int(nlk)
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+        del big, delta, batch
         gc.collect()
 
     print(json.dumps(out))

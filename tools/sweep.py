@@ -184,8 +184,9 @@ def main() -> None:
     # re-aggregates the whole frame whenever the lower bound moves),
     # the prefix form O(rows) with one extra shuffle. The grid fixes
     # 1M rows / 1000 keys / 1-hour window and varies the time span so
-    # the mean frame hits ~{4, 64, 1024} rows — bracketing the
-    # router's dense_frame_rows=64 threshold.
+    # the mean frame hits ~{4, 64, 1024} rows — bracketing the former
+    # router density threshold (64 rows; knob removed in r10 after the
+    # r9 grid showed prefix at-or-below sliding in every cell).
     from raft_spark.operators.temporal import (
         rolling_aggregates,
         rolling_aggregates_prefix,
@@ -196,9 +197,9 @@ def main() -> None:
     # source column inside its _o struct, so payload width moves its
     # cost while the sliding window's single shuffle pays it once — the
     # axis that could silently shift the crossover the v8 narrow-row
-    # grid measured. The router threshold argument needs the crossover
-    # to stay an order of magnitude above dense_frame_rows=64 on wide
-    # rows too.
+    # grid measured. Retiring the sliding route (and its density knob)
+    # required the crossover to stay away on wide rows too — this grid
+    # is the evidence.
     roll_grid = [(4, 0), (64, 0), (1024, 0), (4, 256), (64, 256), (1024, 256)]
     if quick:
         roll_grid = roll_grid[:1]
