@@ -1068,8 +1068,10 @@ def dedup_state_ingest(
         old_sigs = old_sigs.select("doc_id", "sig")
         incoming = incoming.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
     incoming = incoming.localCheckpoint(eager=True)
+    n_delta = incoming.count()  # cached count, reused by the write branch
 
-    if incoming.isEmpty():  # pure replay (or an empty batch) — no state change
+    if old_sigs is not None and n_delta == 0:
+        # pure replay (or an empty batch) — no state change
         if return_full and overlay is not None:
             return _resolve_cluster_overlay(overlay).localCheckpoint(eager=True)
         if return_full:
@@ -1205,12 +1207,20 @@ def dedup_state_ingest(
 
     incoming.write.mode("append").parquet(state_path + "/sigs")
     (
-        nb.select("_pb", "band", "bsig", "doc_id")
-        .repartition("_pb").sortWithinPartitions("band", "bsig")
+        # delivery-sized deltas don't need a shuffle to lay out 32
+        # directory buckets: one task writes one sorted file per bucket.
+        # Above the cutoff, hash-spread the write across tasks.
+        (nb.coalesce(1).sortWithinPartitions("_pb", "band", "bsig")
+         if n_delta < 1_000_000 else
+         nb.repartition("_pb").sortWithinPartitions("band", "bsig"))
+        .select("_pb", "band", "bsig", "doc_id")
         .write.partitionBy("_pb").mode("append").parquet(state_path + "/bands")
     )
-    nb_counts.select("_pb", "band", "bsig", F.col("_n_new").alias("n")) \
-        .write.partitionBy("_pb").mode("append").parquet(state_path + "/occ")
+    occ_rows = nb_counts.select("_pb", "band", "bsig",
+                                F.col("_n_new").alias("n"))
+    if n_delta < 1_000_000:
+        occ_rows = occ_rows.coalesce(1)  # same small-delta discipline
+    occ_rows.write.partitionBy("_pb").mode("append").parquet(state_path + "/occ")
     delta_overlay.write.mode("append").parquet(state_path + "/clusters")
     if not return_full:
         return delta_overlay
@@ -1338,9 +1348,20 @@ def semantic_state_ingest(
         "cluster", F.col("cand_id").alias("_a"),
         F.col("_qc").alias("_qa"), F.col("_nc").alias("_na"),
     )
-    corpus = (
-        old_index.unionByName(new_rows) if old_index is not None else new_rows
-    )
+    if old_index is not None:
+        # prune the probe to the delta's clusters: the index is
+        # partitioned by cluster on disk, so the bounded IN-list is a
+        # PARTITION filter — IO tracks the batch's touched lists, not
+        # the index size (the sparse_lookup shard discipline). The
+        # cluster count is the caller's quantizer size (bounded).
+        touched_clusters = sorted(
+            r["cluster"] for r in new_rows.select("cluster").distinct().collect()
+        )
+        corpus = old_index.where(
+            F.col("cluster").isin(touched_clusters)
+        ).unionByName(new_rows)
+    else:
+        corpus = new_rows
     b = corpus.select(
         "cluster", F.col("cand_id").alias("_b"),
         F.col("_qc").alias("_qb"), F.col("_nc").alias("_nb"),

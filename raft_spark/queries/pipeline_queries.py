@@ -247,7 +247,8 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
     tmp = tempfile.mkdtemp(prefix="raft_spark_deltadedup_")
     try:
-        D.dedup_state_ingest(b1, tmp + "/state")
+        # the bootstrap's full-table resolve would be discarded — skip it
+        D.dedup_state_ingest(b1, tmp + "/state", return_full=False)
         out = D.dedup_state_ingest(b2, tmp + "/state")
         # out is eagerly checkpointed by the operator, so removing the
         # state directory underneath it is safe

@@ -561,6 +561,10 @@ def dedup_state_ingest_stream(
     from raft_spark.operators.dedup import dedup_state_ingest
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        # the stream's product IS the state update; skip the full-table
+        # resolve (an O(corpus) read-side agg) the discarded return
+        # would otherwise pay per micro-batch
+        ingest_kwargs.setdefault("return_full", False)
         dedup_state_ingest(
             batch_df, state_path, text_col=text_col, id_col=id_col,
             **ingest_kwargs,
@@ -597,6 +601,7 @@ def semantic_state_ingest_stream(
     from raft_spark.operators.dedup import semantic_state_ingest
 
     def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_kwargs.setdefault("return_full", False)  # see dedup twin
         semantic_state_ingest(
             batch_df, assign_fn(batch_df), state_path, tau=tau,
             id_col=id_col, vec_col=vec_col, **ingest_kwargs,
