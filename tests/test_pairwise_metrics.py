@@ -398,3 +398,23 @@ def test_pairwise_group_cols(spark, vecs):
         assert g == lab[a] == lab[b]
         exp = round(float(np.sqrt(((vecs[a] - vecs[b]) ** 2).sum())), 6)
         assert abs(v - exp) <= 2e-6
+
+
+def test_pairwise_group_cols_reserved_names_and_nulls(spark, vecs):
+    """r10 (ADVICE): group names colliding with the output columns are
+    rejected; NULL group keys form ONE group (struct equality is
+    null-safe), documented rather than silently dropped."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, None if i < 4 else i % 2, [float(v) for v in vecs[i]])
+         for i in range(8)],
+        "id long, b int, features array<double>",
+    )
+    with pytest.raises(ValueError, match="group_cols"):
+        SIM.pairwise_distances(df, metric="l2", group_cols=["b"])
+    got = SIM.pairwise_distances(
+        df.withColumnRenamed("b", "grp"), metric="l2", group_cols=["grp"]
+    ).collect()
+    null_pairs = {(r["a"], r["b"]) for r in got if r["grp"] is None}
+    assert null_pairs == {(a, b) for a in range(4) for b in range(a + 1, 4)}
