@@ -833,6 +833,21 @@ def _partial_topk(s, nids, qid_vals, k):
     return out_q, out_n, out_c
 
 
+def _apply_id_filter(df, col, filter_ids, filter_mode):
+    """Shared allow/deny id-mask seam of the filtered-search paths
+    (cuVS filtering::bitset_filter semantics). filter_ids: a one-column
+    frame of corpus ids; allow = left_semi, deny = left_anti."""
+    if filter_ids is None:
+        return df
+    if filter_mode not in ("allow", "deny"):
+        raise ValueError(
+            f"filter_mode {filter_mode!r} (one of 'allow', 'deny')")
+    ids = filter_ids.select(
+        F.col(filter_ids.columns[0]).cast("long").alias(col))
+    how = "left_semi" if filter_mode == "allow" else "left_anti"
+    return df.join(ids, col, how)
+
+
 def knn_brute(
     corpus: DataFrame,
     queries: DataFrame,
@@ -841,6 +856,8 @@ def knn_brute(
     vec_col: str = "features",
     strategy: str = "auto",
     max_collect_queries: int = 20_000,
+    filter_ids: DataFrame | None = None,
+    filter_mode: str = "allow",
 ) -> DataFrame:
     """Exact cosine top-k neighbors per query (self-matches excluded)
     → (qid, nid, cosine, rank).
@@ -863,10 +880,22 @@ def knn_brute(
     gracefully to the expr path instead of OOMing the driver on the
     collect. The chosen path is recorded on the result as
     ``_knn_strategy`` (for tests/plan audits).
+
+    ``filter_ids`` (one id column) restricts the NEIGHBOR side before
+    scoring — the reference family's filtered search (cuVS
+    ``filtering::bitset_filter``: deletions/tenancy masks applied
+    during list traversal). ``filter_mode="allow"`` keeps only listed
+    ids (semi-join), ``"deny"`` removes them (anti-join) — either way
+    the top-k is exact over the surviving corpus, and Catalyst pushes
+    the join below the scan so filtered candidates are never scored.
+    The other ANN tiers compose the same way (pre-join their corpus);
+    :func:`knn_ivf_pq` additionally threads the filter into its ADC
+    scan for index-side filtering without a rebuild.
     """
     c = _norm_table(corpus, id_col, vec_col).select(
         F.col("_id").alias("nid"), F.col("_v").alias("_vc")
     )
+    c = _apply_id_filter(c, "nid", filter_ids, filter_mode)
     q = _norm_table(queries, id_col, vec_col).select(
         F.col("_id").alias("qid"), F.col("_v").alias("_vq")
     )
@@ -1661,6 +1690,108 @@ def kmeans_balanced(
     return out, C, ratio
 
 
+def _weighted_kmeanspp(C, w, k, seed=42):
+    """Driver-side weighted k-means++ over a BOUNDED candidate set (the
+    k-means|| reduction step): pick k of the |C| candidates, first ∝
+    weight, then ∝ weight·d²(candidate, chosen). Seeded — deterministic
+    across runs and partitionings."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    w = np.asarray(w, dtype=float)
+    w = np.where(w > 0, w, 1.0)
+    picked = [int(rng.choice(len(C), p=w / w.sum()))]
+    d2 = ((C - C[picked[0]]) ** 2).sum(1)
+    while len(picked) < k:
+        p = w * d2
+        if p.sum() <= 0:  # all candidates coincide with chosen centers
+            rest = [i for i in range(len(C)) if i not in picked]
+            picked.extend(rest[: k - len(picked)])
+            break
+        picked.append(int(rng.choice(len(C), p=p / p.sum())))
+        d2 = np.minimum(d2, ((C - C[picked[-1]]) ** 2).sum(1))
+    return C[picked[:k]]
+
+
+def kmeans_parallel_init(
+    df: DataFrame,
+    k: int,
+    l: int | None = None,
+    rounds: int = 5,
+    seed: int = 42,
+    id_col: str = "id",
+    vec_col: str = "features",
+):
+    """k-means|| initialization (Bahmani et al., VLDB 2012 — the
+    scalable form of the KMeansPlusPlus init the reference's
+    cluster::kmeans exposes; cluster/kmeans.cuh init options) → k×d
+    numpy centroids to feed ``init_cents``.
+
+    Instead of k sequential corpus passes (classic k-means++ — useless
+    distributed), each of ``rounds`` passes OVERSAMPLES ~``l``
+    candidates independently with probability min(1, l·d²/φ) where d²
+    is the distance to the current candidate set and φ = Σd² — one
+    Arrow argmin pass + one filtered collect per round, candidates
+    bounded by rounds·4l (deterministic hash-ordered cap). The bounded
+    candidate set is then weighted by its Voronoi populations (one
+    more assign pass) and reduced to k centers with seeded weighted
+    k-means++ ON THE DRIVER — O(rounds·l·d) driver state, never the
+    corpus. All randomness is seeded (per-row xxhash64 draws, seeded
+    generator in the reduction), so the init is deterministic across
+    runs AND partitionings.
+    """
+    import numpy as np
+
+    l = l or 2 * k
+    first = (
+        df.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col), F.lit(seed)), F.col(id_col))
+        .limit(1).collect()
+    )
+    if not first:
+        raise ValueError("kmeans_parallel_init: empty input")
+    C = np.array([first[0][vec_col]], dtype=float)
+    src = df.select(F.col(id_col).alias("_kid"), vec_col)
+    big = 1_000_000_007
+    for r in range(rounds):
+        assigned = _assign_lists(src, C, vec_col, dist_col="_d2")
+        tot = assigned.agg(F.sum("_d2")).first()[0]
+        if not tot or tot <= 0:
+            break  # every row coincides with a candidate already
+        u = (
+            F.pmod(F.xxhash64(F.col("_kid"), F.lit(seed), F.lit(r)),
+                   F.lit(big)).cast("double") / F.lit(float(big))
+        )
+        picked = (
+            assigned.filter(u < F.col("_d2") * F.lit(float(l) / float(tot)))
+            .orderBy(F.xxhash64(F.col("_kid"), F.lit(seed), F.lit(r + 7)),
+                     F.col("_kid"))
+            .limit(4 * l)  # deterministic bound on the driver collect
+            .select(vec_col).collect()
+        )
+        if picked:
+            C = np.vstack(
+                [C, np.array([row[vec_col] for row in picked], dtype=float)]
+            )
+    if len(C) < k:
+        # degenerate corpus (fewer distinct regions than k): top up with
+        # seeded distinct rows, the default init's draw
+        extra = (
+            df.select(vec_col)
+            .orderBy(F.xxhash64(F.col(id_col), F.lit(seed + 1)), F.col(id_col))
+            .limit(k).collect()
+        )
+        C = np.vstack([C, np.array([r2[vec_col] for r2 in extra],
+                                   dtype=float)])[: max(k, len(C))]
+    counts = np.zeros(len(C))
+    for row in (
+        _assign_lists(src, C, vec_col, list_col="_c")
+        .groupBy("_c").count().collect()
+    ):
+        counts[row["_c"]] = row["count"]
+    return _weighted_kmeanspp(C, counts, k, seed=seed)
+
+
 def kmeans(
     df: DataFrame,
     k: int,
@@ -1668,6 +1799,7 @@ def kmeans(
     seed: int = 42,
     id_col: str = "id",
     vec_col: str = "features",
+    init: str = "hash",
 ):
     """Public k-means API over the engine's Lloyd loop → (assignments
     DataFrame (id, cluster, sq_dist), centroids ndarray k×d, inertia).
@@ -1675,12 +1807,24 @@ def kmeans(
     cluster::kmeans semantics (balanced driver/executor split): assign
     = one Arrow-batched BLAS argmin pass (centroids in the closure,
     plan O(1) in k), update = posexplode + map-side-combined groupBy
-    (shuffle k·d rows). Driver state k×d. Deterministic seeded init.
+    (shuffle k·d rows). Driver state k×d. Deterministic seeded init:
+    ``init="hash"`` draws k seeded rows; ``init="kmeans||"`` runs the
+    scalable k-means++ oversampling (:func:`kmeans_parallel_init` —
+    the reference kmeans' KMeansPlusPlus option, distributed).
     """
     import numpy as np
 
+    if init == "kmeans||":
+        init_cents = kmeans_parallel_init(df, k, seed=seed,
+                                          id_col=id_col, vec_col=vec_col)
+    elif init == "hash":
+        init_cents = None
+    else:
+        raise ValueError(f"kmeans: unknown init {init!r} "
+                         "(one of 'hash', 'kmeans||')")
     cents = kmeans_centroids(df, k, n_iters=n_iters, seed=seed,
-                             id_col=id_col, vec_col=vec_col)
+                             id_col=id_col, vec_col=vec_col,
+                             init_cents=init_cents)
     C = np.asarray(cents, dtype=float)
     out = _assign_lists(
         df.select(F.col(id_col).alias("id"), vec_col), C, vec_col,
@@ -2003,6 +2147,8 @@ def knn_ivf_pq(
     id_col: str = "id",
     vec_col: str = "features",
     index: dict | None = None,
+    filter_ids: DataFrame | None = None,
+    filter_mode: str = "allow",
 ) -> DataFrame:
     """IVF-PQ: the reference's flagship ANN index (neighbors/ivf_pq.cuh
     semantics) — coarse k-means lists bound the candidate volume
@@ -2017,6 +2163,13 @@ def knn_ivf_pq(
     centroids (n_lists·d) + codebooks (m·n_codes·d/m) — KBs–MBs,
     independent of corpus size. Pass ``index`` (from
     build_ivf_pq_index / read_ivf_pq_index) to skip the build.
+
+    ``filter_ids``/``filter_mode``: filtered search over the SAME
+    index, no rebuild (cuVS filtering::bitset_filter on ivf_pq::search)
+    — the mask joins the codes scan before the ADC pass, so filtered
+    vectors are never scored, and the refine stage sees only surviving
+    candidates. Top-k is exact over the surviving corpus within the
+    probed lists (the usual IVF recall contract).
     """
     import numpy as np
     import pandas as pd
@@ -2034,7 +2187,7 @@ def knn_ivf_pq(
 
     B = np.asarray(index["codebooks"], dtype=float)
     m, _, dsub = B.shape
-    codes = index["codes"]
+    codes = _apply_id_filter(index["codes"], "id", filter_ids, filter_mode)
 
     q_rows = _collect_queries(qn)  # Q≪N contract
     qids = np.array([r["_id"] for r in q_rows])

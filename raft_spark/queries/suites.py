@@ -2100,6 +2100,8 @@ UNION ALL
 SELECT 'jsonl_roundtrip_ok', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'kmeans_balanced_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'kmeans_pp_ok', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -2382,9 +2384,32 @@ def q_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kmeans_balanced_ok", F.col("v"),
     )
 
+    # ---- k-means|| init (r10): the scalable k-means++ oversampling is
+    # deterministic (seeded hash draws + seeded driver reduction, so two
+    # runs agree byte-for-byte) and must not LOSE to the plain hash init
+    # on the gate corpus (parity band — its win case is seed-collision
+    # pathology, pinned on shaped blobs in pytest) ----
+    import numpy as np
+    from raft_spark.operators.similarity import kmeans, kmeans_parallel_init
+
+    _ppa = kmeans_parallel_init(m.select("id", "features"), 8, seed=3)
+    _ppb = kmeans_parallel_init(m.select("id", "features"), 8, seed=3)
+    _, _, ipp = kmeans(m.select("id", "features"), 8, n_iters=2,
+                       init="kmeans||")
+    _, _, ih = kmeans(m.select("id", "features"), 8, n_iters=2, init="hash")
+    kpp = scalar(
+        spark.createDataFrame(
+            [(float(int(np.array_equal(_ppa, _ppb) and _ppa.shape[0] == 8
+                        and ipp <= ih * 1.05)),)],
+            "v double",
+        ),
+        "kmeans_pp_ok", F.col("v"),
+    )
+
     out = k_assign
     for p in [k_count, k_sum, r1, r2, r3, s1, s2, s3, s4,
-              ptot, pnd, pwb, plb, h1, c1, c2, d1, d2, d3, d4, d5, j1, kb]:
+              ptot, pnd, pwb, plb, h1, c1, c2, d1, d2, d3, d4, d5, j1, kb,
+              kpp]:
         out = out.unionByName(p)
     return out
 
@@ -2453,6 +2478,27 @@ SELECT 'metric_dist', qid::BIGINT, nid::BIGINT, d FROM l1r WHERE rank <= 5
 )
 UNION ALL
 SELECT 'ivf_metric', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT method, a, b, value FROM (
+WITH q2 AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+fsc AS (
+    SELECT q2.vec_id AS qid, c.vec_id AS nid,
+           round(list_cosine_similarity(q2.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cosine
+    FROM q2 JOIN embeddings c
+      ON c.vec_id <> q2.vec_id AND c.vec_id % 2 = 0
+),
+fr AS (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid ASC) AS rank
+    FROM fsc
+)
+SELECT 'filtered_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
+       rank::DOUBLE AS value FROM fr WHERE rank <= 5
+)
+UNION ALL
+SELECT 'ivf_pq_filtered', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -2552,6 +2598,29 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         [("ivf_metric", 0, -1, float(int(ivm_hits / (shared[2] * 5.0) >= 0.5)))],
         "method string, a long, b long, value double",
     )
+    # r10: filtered search (cuVS filtering::bitset_filter semantics) —
+    # the exact filtered ranking as a VALUE member, and the same mask
+    # pushed into the IVF-PQ ADC scan as a recall-floor flag
+    allow = shared[0].select("id").filter(F.col("id") % 2 == 0)
+    fex = SIM2.knn_brute(shared[0], shared[1], k=5, filter_ids=allow) \
+        .localCheckpoint(eager=True)
+    f_rank = fex.select(
+        F.lit("filtered_rank").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("rank").cast("double").alias("value"),
+    )
+    fpq = SIM2.knn_ivf_pq(
+        shared[0], shared[1], k=5, n_lists=8, n_probe=3, kmeans_iters=2,
+        filter_ids=allow,
+    ).localCheckpoint(eager=True)
+    mask_ok = fpq.filter(F.col("nid") % 2 == 1).count() == 0
+    f_hits = fpq.join(fex, ["qid", "nid"], "left_semi").count()
+    f_flag = spark.createDataFrame(
+        [("ivf_pq_filtered", 0, -1,
+          float(int(mask_ok and f_hits / (shared[2] * 5.0) >= 0.5)))],
+        "method string, a long, b long, value double",
+    )
     ivf = _flag(PQ.q_knn_ivf_recall(spark, sf_dir, shared=shared).select(
         F.lit("ivf").alias("method"), "recall_ok"
     ))
@@ -2567,6 +2636,7 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ex_rank.unionByName(ex_cos).unionByName(refined)
         .unionByName(met_rank).unionByName(met_dist).unionByName(ivf_metric)
+        .unionByName(f_rank).unionByName(f_flag)
         .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
     )

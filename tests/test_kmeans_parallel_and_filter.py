@@ -1,0 +1,101 @@
+"""r10 additions: k-means|| initialization (Bahmani et al., VLDB'12 —
+the scalable KMeansPlusPlus init of the reference's cluster::kmeans)
+and filtered ANN search (cuVS filtering::bitset_filter semantics on
+knn_brute / knn_ivf_pq)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from raft_spark.operators import similarity as SIM
+
+
+K = 8
+
+
+@pytest.fixture(scope="module")
+def blobs(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(0, 50.0, (K, 16))
+    X = np.vstack([c + rng.normal(0, 0.5, (40, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(len(X))],
+        "id long, features array<double>",
+    ).cache()
+    df.count()
+    yield df, centers
+    df.unpersist()
+
+
+def test_kmeans_parallel_init_covers_blobs(spark, blobs):
+    """On K well-separated blobs the oversampled init must place one
+    center in EVERY blob — the failure mode of the plain seeded draw
+    (two seeds in one blob) that k-means++ exists to fix."""
+    df, centers = blobs
+    C = SIM.kmeans_parallel_init(df, K, seed=1)
+    assert C.shape == (K, 16)
+    owner = {int(((centers - c) ** 2).sum(1).argmin()) for c in C}
+    assert owner == set(range(K))
+
+
+def test_kmeans_parallel_init_deterministic(spark, blobs):
+    df, _ = blobs
+    a = SIM.kmeans_parallel_init(df, K, seed=5)
+    b = SIM.kmeans_parallel_init(df, K, seed=5)
+    assert np.array_equal(a, b)
+    # and partitioning-independent (same rows, different layout)
+    c = SIM.kmeans_parallel_init(df.repartition(7), K, seed=5)
+    assert np.array_equal(a, c)
+
+
+def test_kmeans_init_option(spark, blobs):
+    """kmeans(init='kmeans||') must not lose to the hash init on blob
+    data (it should find all blobs; hash may double-seed one)."""
+    df, _ = blobs
+    _, _, inertia_pp = SIM.kmeans(df, K, n_iters=3, init="kmeans||")
+    _, _, inertia_hash = SIM.kmeans(df, K, n_iters=3, init="hash")
+    assert inertia_pp <= inertia_hash * 1.02
+    with pytest.raises(ValueError, match="unknown init"):
+        SIM.kmeans(df, K, init="bogus")
+
+
+def test_knn_brute_filtered_allow_deny(spark, blobs):
+    """Filtered exact search == exact search over the pre-filtered
+    corpus; deny is the complement mask."""
+    df, _ = blobs
+    qs = df.filter(F.col("id") < 3)
+    allow = df.select("id").filter(F.col("id") % 2 == 0)
+
+    def rank_map(out):
+        return {(r["qid"], r["nid"]): r["rank"] for r in out.collect()}
+
+    got = rank_map(SIM.knn_brute(df, qs, k=5, filter_ids=allow))
+    want = rank_map(SIM.knn_brute(df.filter(F.col("id") % 2 == 0), qs, k=5))
+    assert got == want and all(n % 2 == 0 for _, n in got)
+    deny = rank_map(SIM.knn_brute(df, qs, k=5, filter_ids=allow,
+                                  filter_mode="deny"))
+    wantd = rank_map(SIM.knn_brute(df.filter(F.col("id") % 2 == 1), qs, k=5))
+    assert deny == wantd and all(n % 2 == 1 for _, n in deny)
+    with pytest.raises(ValueError, match="filter_mode"):
+        SIM.knn_brute(df, qs, k=5, filter_ids=allow, filter_mode="nope")
+
+
+def test_knn_ivf_pq_filtered(spark, blobs):
+    """Filtered IVF-PQ over an already-built index: every neighbor
+    satisfies the mask, and at full probe the refined neighbor set
+    equals the exact filtered search (the filter loses nothing the
+    probes didn't already lose)."""
+    df, _ = blobs
+    qs = df.filter(F.col("id") < 3)
+    allow = df.select("id").filter(F.col("id") % 2 == 0)
+    idx = SIM.build_ivf_pq_index(df, n_lists=4, kmeans_iters=2)
+    got = SIM.knn_ivf_pq(df, qs, k=5, n_probe=4, refine_factor=8,
+                         index=idx, filter_ids=allow)
+    pairs = {(r["qid"], r["nid"]) for r in got.collect()}
+    assert pairs and all(n % 2 == 0 for _, n in pairs)
+    exact = {(r["qid"], r["nid"]) for r in
+             SIM.knn_brute(df, qs, k=5, filter_ids=allow).collect()}
+    assert pairs == exact
