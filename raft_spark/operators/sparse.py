@@ -586,12 +586,36 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
     ).write.mode("append").parquet(f"{path}/norms")
 
 
+def compact_postings(spark, path: str) -> int:
+    """Compact a delta-extended postings index: every
+    :func:`postings_add` appends one file set per shard directory, so
+    after many deliveries each shard is a pile of small files (the same
+    small-file tax compact_dedup_state documents). Rewrites postings
+    one sorted file set per shard and norms coalesced — content
+    identical (eagerly materialized before each overwrite), the shard
+    modulus sidecar untouched. Returns the postings row count."""
+    postings = spark.read.parquet(f"{path}/postings")
+    compacted = (
+        postings.select("_shard", "col", "row", "value")
+        .repartition("_shard").sortWithinPartitions("col", "row")
+        .localCheckpoint(eager=True)
+    )
+    n = compacted.count()
+    compacted.write.mode("overwrite").partitionBy("_shard").parquet(
+        f"{path}/postings"
+    )
+    norms = spark.read.parquet(f"{path}/norms")         .coalesce(max(1, spark.sparkContext.defaultParallelism // 8))         .localCheckpoint(eager=True)
+    norms.write.mode("overwrite").parquet(f"{path}/norms")
+    return n
+
+
 def sparse_lookup(
     new_coo: DataFrame,
     spark,
     path: str,
     metric: str = "cosine",
     threshold: float | None = None,
+    max_col_df: int | None = None,
 ) -> DataFrame:
     """Score a NEW batch of sparse rows against a persisted postings
     index → (a = batch row, b = corpus row, dist) without rescanning
@@ -603,6 +627,14 @@ def sparse_lookup(
     :func:`write_postings`). Same metrics, conventions and semantics
     as :func:`sparse_pairwise` (rectangular: batch × corpus; batch and
     corpus row-id spaces are disjoint by contract).
+
+    ``max_col_df`` applies the stop-column discipline AT LOOKUP TIME:
+    the document frequency of each touched column is counted over the
+    PRUNED postings slice (+ the batch's own contribution) and columns
+    above the cap leave the join — same exactness caveat as
+    sparse_pairwise (surviving pairs keep exact values over the
+    remaining columns). Cost: one extra agg over the already-pruned
+    slice, never the whole index.
     """
     if metric not in _SPARSE_METRICS:
         raise ValueError(f"unknown sparse metric {metric!r}; "
@@ -621,6 +653,17 @@ def sparse_lookup(
     )
     lhs = batch.select(F.col("row").alias("a"), "col",
                        F.col("value").alias("_va"))
+    if max_col_df is not None:
+        df_counts = (
+            postings.groupBy("col").agg(F.count("*").alias("_dfp"))
+            .join(batch.groupBy("col").agg(F.count("*").alias("_dfb")),
+                  "col", "full")
+            .select("col", (F.coalesce("_dfp", F.lit(0))
+                            + F.coalesce("_dfb", F.lit(0))).alias("_df"))
+        )
+        ok_cols = df_counts.filter(F.col("_df") <= max_col_df).select("col")
+        lhs = lhs.join(ok_cols, "col", "left_semi")
+        postings = postings.join(ok_cols, "col", "left_semi")
     pairs = lhs.join(postings, "col").groupBy("a", "b").agg(
         F.sum(F.col("_va") * F.col("_vb")).alias("_ip"),
         F.count("*").alias("_shared"),

@@ -613,3 +613,29 @@ def semantic_state_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def postings_add_stream(
+    coo_stream: DataFrame,
+    index_path: str,
+    checkpoint: str,
+):
+    """Streaming twin of :func:`~raft_spark.operators.sparse.
+    postings_add`: each arriving micro-batch of long-form sparse rows
+    (row, col, value) is appended into the persisted postings index via
+    foreachBatch — the sparse-corpus rendering of the persisted-state
+    ingest family (dedup_state_ingest_stream / ivf-pq extend).
+    Replay-safe under at-least-once recovery: postings_add anti-joins
+    already-indexed row ids against the norms sidecar, so a re-run
+    micro-batch appends nothing. Returns the started StreamingQuery."""
+    from raft_spark.operators.sparse import postings_add
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        postings_add(batch_df.select("row", "col", "value"), index_path)
+
+    return (
+        coo_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

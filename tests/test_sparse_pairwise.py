@@ -261,3 +261,89 @@ def test_single_linkage_minkowski_p(spark):
     assert len({labs[i] for i in range(6, 12)}) == 1
     with pytest.raises(ValueError, match="minkowski"):
         SIM.single_linkage(df, n_clusters=2, metric="minkowski")  # no p
+
+
+def test_sparse_lookup_max_col_df(spark, sp, tmp_path):
+    """r10: the stop-column cap at lookup time — df counted over the
+    pruned postings slice + the batch's own contribution; surviving
+    pairs keep exact values over the remaining columns."""
+    df, M = sp
+    corpus = df.filter(F.col("row") < 15)
+    batch = df.filter(F.col("row") >= 15).withColumn(
+        "row", F.col("row") + 100)
+    path = str(tmp_path / "idxc")
+    SP.write_postings(corpus, path, n_shards=8)
+    cap = 6
+    # union df per column (corpus rows < 15 plus batch rows)
+    nz = [(j, int(np.sum(M[:15, j] != 0) + np.sum(M[15:, j] != 0)))
+          for j in range(D)]
+    hot = {j for j, c in nz if c > cap}
+    Mc = M.copy(); Mc[:, list(hot)] = 0.0
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SP.sparse_lookup(batch, spark, path, metric="inner",
+                                     max_col_df=cap).collect()}
+    assert got  # cap leaves some pairs on this fixture
+    for (a, b), v in got.items():
+        exp = round(float(np.dot(Mc[a - 100], Mc[b])), 6)
+        assert abs(v - exp) <= 2e-6, (a, b)
+
+
+def test_compact_postings_preserves_content(spark, sp, tmp_path):
+    """Compaction is a pure file-layout rewrite: lookup results and row
+    contents identical, shard file count reduced after several delta
+    appends."""
+    import glob
+
+    df, M = sp
+    path = str(tmp_path / "idxk")
+    SP.write_postings(df.filter(F.col("row") < 8), path, n_shards=4)
+    for lo, hi in ((8, 12), (12, 16)):
+        SP.postings_add(
+            df.filter((F.col("row") >= lo) & (F.col("row") < hi)), path)
+    batch = df.filter(F.col("row") >= 16).withColumn("row", F.col("row") + 100)
+    before = {(r["a"], r["b"]): r["dist"]
+              for r in SP.sparse_lookup(batch, spark, path).collect()}
+    files_before = len(glob.glob(path + "/postings/_shard=*/*.parquet"))
+    n = SP.compact_postings(spark, path)
+    files_after = len(glob.glob(path + "/postings/_shard=*/*.parquet"))
+    after = {(r["a"], r["b"]): r["dist"]
+             for r in SP.sparse_lookup(batch, spark, path).collect()}
+    assert after == before and n == spark.read.parquet(
+        path + "/postings").count()
+    assert files_after < files_before
+    # post-compaction delta append still works + replay still no-op
+    SP.postings_add(df.filter(F.col("row") < 8), path)
+    assert {(r["a"], r["b"]): r["dist"]
+            for r in SP.sparse_lookup(batch, spark, path).collect()} == before
+
+
+def test_postings_add_stream_matches_batch(spark, sp, tmp_path):
+    """Two micro-batches through the foreachBatch twin == one batch
+    build + add over the same rows."""
+    from raft_spark.streaming.incremental import postings_add_stream
+
+    df, M = sp
+    corpus = df.filter(F.col("row") < 8)
+    path = str(tmp_path / "idxs")
+    SP.write_postings(corpus, path, n_shards=4)
+    d = tmp_path / "in"
+    df.filter((F.col("row") >= 8) & (F.col("row") < 12)).coalesce(1) \
+        .write.parquet(str(d / "f1.parquet"))
+    df.filter((F.col("row") >= 12) & (F.col("row") < 16)).coalesce(1) \
+        .write.parquet(str(d / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("row long, col long, value double")
+        .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*/")
+    )
+    q = postings_add_stream(stream, path, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+
+    p2 = str(tmp_path / "idxb")
+    SP.write_postings(corpus, p2, n_shards=4)
+    SP.postings_add(df.filter((F.col("row") >= 8) & (F.col("row") < 16)), p2)
+    batch = df.filter(F.col("row") >= 16).withColumn("row", F.col("row") + 100)
+    got = {(r["a"], r["b"]): r["dist"]
+           for r in SP.sparse_lookup(batch, spark, path).collect()}
+    want = {(r["a"], r["b"]): r["dist"]
+            for r in SP.sparse_lookup(batch, spark, p2).collect()}
+    assert got == want and got
