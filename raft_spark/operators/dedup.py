@@ -1496,3 +1496,197 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
             .repartition(n_parts).localCheckpoint(eager=True)
         c.write.mode("overwrite").parquet(state_path + "/clusters")
     return n
+
+
+def read_span_state(spark, state_path: str) -> DataFrame | None:
+    """Resolved full-corpus span-duplication table of a persisted span
+    state (same schema as :func:`duplicated_spans`), or None if the
+    state has never been written."""
+    tokens = _try_parquet(spark, state_path + "/tokens")
+    meta = _try_parquet(spark, state_path + "/meta")
+    if tokens is None or meta is None:
+        return None
+    n = int(meta.first()["n"])
+    flags = _try_parquet(spark, state_path + "/flags")
+    return _resolve_span_state(tokens, flags, n)
+
+
+def _resolve_span_state(tokens: DataFrame, flags: DataFrame | None, n: int) -> DataFrame:
+    """(doc_id, n_tokens) ⟕ coverage of the flagged windows → the
+    :func:`duplicated_spans` output. Flag rows are unique per
+    (doc, start) by construction (a window is flagged exactly once —
+    either with its own delivery or when its hash later crosses
+    min_count; counts only grow, so a hash crosses at most once); the
+    distinct below guards resolution anyway since it is read-side."""
+    if flags is not None:
+        cov = (
+            flags.select(
+                "doc_id",
+                F.explode(
+                    F.sequence(F.col("start"), F.col("start") + n - 1)
+                ).alias("_p"),
+            )
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("dup_tokens"))
+        )
+    else:
+        cov = None
+    out = tokens.groupBy("doc_id").agg(F.max("n_tokens").alias("n_tokens"))
+    if cov is not None:
+        out = out.join(cov, "doc_id", "left")
+    else:
+        out = out.withColumn("dup_tokens", F.lit(None).cast("long"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    ).withColumn(
+        "dup_frac_ppm",
+        F.floor(
+            F.col("dup_tokens") * 1_000_000
+            / F.greatest(F.col("n_tokens"), F.lit(1))
+        ).cast("long"),
+    )
+
+
+def span_state_ingest(
+    new_docs: DataFrame,
+    state_path: str,
+    n: int = 8,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    return_full: bool = True,
+) -> DataFrame:
+    """Cross-snapshot incremental SPAN-LEVEL (substring) dedup — the
+    fourth member of the persisted-state ingest family (exact /
+    MinHash / semantic / spans): fold a NEW batch of documents into a
+    persisted span state and return the refreshed full-corpus
+    (doc_id, n_tokens, dup_tokens, dup_frac_ppm) — EXACTLY equal to
+    :func:`duplicated_spans` run from scratch on old ∪ new (token
+    windows are content-derived and the ≥ min_count decision is made
+    on ADDITIVE global counts, so the equality has no caveats).
+
+    State layout under ``state_path`` — all stores append-only, every
+    delivery writes O(delta) rows:
+
+    - ``tokens``  (doc_id, n_tokens): one row per corpus doc (the
+      replay-guard registry).
+    - ``spans``   (h, doc_id, start) partitioned by
+      ``_ph = xxhash64(h) % N_BAND_BUCKETS``: the corpus window-hash
+      table — needed to retro-flag OLD windows when a new delivery
+      pushes their hash over min_count.
+    - ``hcounts`` (h, c): ADDITIVE per-delivery occurrence counts;
+      global count(h) = Σ — the exact quantity from-scratch aggregates.
+    - ``flags``   (doc_id, start): windows known duplicated, appended
+      when first decided (a hash's count only grows, so each window is
+      flagged at most once; coverage is derived on read).
+
+    Per-delivery work: window hashes of the new batch only (O(delta
+    tokens)); a lookup join of the delta's distinct hashes against the
+    persisted counts; flags for (a) delta windows whose global count
+    ≥ min_count and (b) OLD windows whose hash CROSSED min_count this
+    delivery (a pruned semi-join of the spans store against the
+    crossed-hash set — output is O(matches)). The corpus-side stores
+    are scanned narrow but never rewritten; on a real cluster persist
+    ``hcounts``/``spans`` as tables bucketed by h so the per-delivery
+    probe joins co-locate without shuffling the corpus side (the same
+    note as the dedup_state_ingest band table). REPLAY-safe: doc ids
+    already in ``tokens`` are anti-joined out.
+
+    ``n``/``min_count`` are part of the state format (persisted in
+    ``meta``; a mismatched ingest raises — windows of different widths
+    share no hash space and would silently never match).
+    """
+    spark = new_docs.sparkSession
+    meta = _try_parquet(spark, state_path + "/meta")
+    if meta is not None:
+        row = meta.first()
+        if int(row["n"]) != n or int(row["min_count"]) != min_count:
+            raise ValueError(
+                f"span_state_ingest: state at {state_path} was built with "
+                f"n={row['n']}, min_count={row['min_count']} — got n={n}, "
+                f"min_count={min_count}"
+            )
+    old_tokens = _try_parquet(spark, state_path + "/tokens")
+
+    toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
+    incoming = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).alias("n_tokens"),
+        F.col(text_col).alias("_text"),
+    )
+    if old_tokens is not None:
+        incoming = incoming.join(
+            old_tokens.select("doc_id"), "doc_id", "left_anti"
+        )
+    incoming = incoming.localCheckpoint(eager=True)
+    if old_tokens is not None and incoming.isEmpty():  # pure replay
+        if return_full:
+            return read_span_state(spark, state_path).localCheckpoint(
+                eager=True
+            )
+        return spark.createDataFrame([], "doc_id long, start long")
+
+    sh = span_hash_table(
+        incoming, n=n, text_col="_text", id_col="doc_id"
+    ).localCheckpoint(eager=True)  # delta-sized; probed three ways below
+    delta_counts = sh.groupBy("h").agg(F.count("*").alias("_cd"))
+    old_counts = _try_parquet(spark, state_path + "/hcounts")
+    if old_counts is not None:
+        old_for = (
+            old_counts.join(delta_counts.select("h"), "h", "left_semi")
+            .groupBy("h").agg(F.sum("c").alias("_co"))
+        )
+        tot = delta_counts.join(old_for, "h", "left").select(
+            "h", "_cd", F.coalesce("_co", F.lit(0)).alias("_co")
+        )
+    else:
+        tot = delta_counts.withColumn("_co", F.lit(0))
+    dup_h = tot.filter(F.col("_cd") + F.col("_co") >= min_count) \
+        .localCheckpoint(eager=True)
+    # (a) delta windows whose hash is globally duplicated
+    new_flags = sh.join(dup_h.select("h"), "h", "left_semi") \
+        .select("doc_id", "start")
+    # (b) OLD windows whose hash crossed min_count with THIS delivery —
+    # they were below the bar before, so they have never been flagged
+    old_spans = _try_parquet(spark, state_path + "/spans")
+    if old_spans is not None:
+        crossed = dup_h.filter(F.col("_co") < min_count).select("h")
+        retro = old_spans.join(crossed, "h", "left_semi") \
+            .select("doc_id", "start")
+        delta_flags = new_flags.unionByName(retro)
+    else:
+        delta_flags = new_flags
+    delta_flags = delta_flags.localCheckpoint(eager=True)
+
+    if meta is None:
+        spark.createDataFrame(
+            [(int(n), int(min_count))], "n int, min_count int"
+        ).coalesce(1).write.mode("overwrite").parquet(state_path + "/meta")
+    incoming.select("doc_id", "n_tokens").write.mode("append").parquet(
+        state_path + "/tokens"
+    )
+    small = incoming.count() < 1_000_000
+    spans_out = sh.select(
+        F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
+        "h", "doc_id", "start",
+    )
+    spans_out = (
+        spans_out.coalesce(max(1, spark.sparkContext.defaultParallelism // 8))
+        .sortWithinPartitions("_ph", "h")
+        if small else
+        spans_out.repartition("_ph").sortWithinPartitions("h")
+    )
+    spans_out.write.partitionBy("_ph").mode("append").parquet(
+        state_path + "/spans"
+    )
+    counts_out = delta_counts.select("h", F.col("_cd").alias("c"))
+    if small:
+        counts_out = counts_out.coalesce(1)
+    counts_out.write.mode("append").parquet(state_path + "/hcounts")
+    delta_flags.write.mode("append").parquet(state_path + "/flags")
+    if not return_full:
+        return delta_flags
+    return read_span_state(spark, state_path).localCheckpoint(eager=True)

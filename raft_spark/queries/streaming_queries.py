@@ -593,6 +593,56 @@ def m_stream_semingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def m_stream_spaningest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental SPAN-level dedup state ingest
+    (streaming.incremental.span_state_ingest_stream): the documents
+    table arrives as two micro-batches (even / odd doc_ids), each
+    foreachBatch-ingested into the persisted span state (additive
+    window-hash counts + append-only flag overlay, with retro-flagging
+    of old windows a delivery pushes over min_count). Returns (kind,
+    value): spaningest_rows = the resolved table size (data-valued —
+    every corpus doc gets exactly one row, DuckDB recomputes it as
+    count(*) of documents) and spaningest_eq = the streamed state ≡
+    the from-scratch batch duplicated_spans of the full corpus
+    row-for-row (q_duplicated_spans' own gate row value-oracles the
+    batch side, so this member composes to a DuckDB-anchored check)."""
+    import shutil
+    import tempfile
+
+    from raft_spark.operators.dedup import duplicated_spans, read_span_state
+    from raft_spark.sources.tables import load
+    from raft_spark.streaming.incremental import span_state_ingest_stream
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text") \
+        .localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="raft_spark_spaningest_")
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+            tmp + "/in/f1.parquet")
+        docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+            tmp + "/in/f2.parquet")
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/in/*/")
+        )
+        q = span_state_ingest_stream(
+            stream, tmp + "/state", checkpoint=tmp + "/ckpt")
+        q.awaitTermination()
+        got = read_span_state(spark, tmp + "/state") \
+            .localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    batch = duplicated_spans(docs).localCheckpoint(eager=True)
+    diff = got.exceptAll(batch).count() + batch.exceptAll(got).count()
+    n = got.count()
+    return spark.createDataFrame(
+        [("spaningest_rows", float(n)),
+         ("spaningest_eq", float(int(diff == 0 and n > 0)))],
+        "kind string, value double",
+    )
+
+
 def m_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming as-of enrichment (temporal.asof_join_broadcast on a
     streaming fact side — stateless broadcast join + JVM array pick):

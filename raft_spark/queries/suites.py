@@ -1398,6 +1398,11 @@ SELECT 'semingest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
 UNION ALL
 SELECT 'semingest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 UNION ALL
+SELECT 'spaningest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
+       (SELECT count(*) FROM documents)::DOUBLE
+UNION ALL
+SELECT 'spaningest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
 SELECT 'asof_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, cnt::DOUBLE
 FROM (
     WITH al AS (
@@ -1514,9 +1519,21 @@ def q_stream_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
         F.col("value").alias("v"),
     )
+    # r10: streaming incremental SPAN-state ingest — two foreachBatch
+    # deliveries into the persisted span state must equal from-scratch
+    # duplicated_spans (spaningest_rows data-valued: one row per corpus
+    # doc, recomputed by DuckDB as count(*) of documents; the batch
+    # side's values are oracled by the duplicated_spans gate row)
+    spi = STRQ.m_stream_spaningest(spark, sf_dir).select(
+        F.col("kind").alias("op"),
+        F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
+        F.lit(0).cast("long").alias("a"), F.lit(0).cast("long").alias("b"),
+        F.col("value").alias("v"),
+    )
     return (
         nd.unionByName(ing).unionByName(spf)
         .unionByName(sem).unionByName(semi).unionByName(aso)
+        .unionByName(spi)
     )
 
 

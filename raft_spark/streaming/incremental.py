@@ -639,3 +639,34 @@ def postings_add_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def span_state_ingest_stream(
+    doc_stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **ingest_kwargs,
+):
+    """Streaming twin of :func:`~raft_spark.operators.dedup.
+    span_state_ingest`: each arriving micro-batch of documents folds
+    its token-window hashes into the persisted span state via
+    foreachBatch (the substring-dedup rendering of the ingest family).
+    Replay-safe under at-least-once recovery (doc ids already in the
+    state are anti-joined out). Returns the started StreamingQuery."""
+    from raft_spark.operators.dedup import span_state_ingest
+
+    def _ingest(batch_df: DataFrame, _batch_id: int) -> None:
+        ingest_kwargs.setdefault("return_full", False)
+        span_state_ingest(
+            batch_df, state_path, text_col=text_col, id_col=id_col,
+            **ingest_kwargs,
+        )
+
+    return (
+        doc_stream.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

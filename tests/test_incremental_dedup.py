@@ -307,3 +307,91 @@ def test_second_delivery_writes_o_delta(spark, sf_dir, tmp_path):
     D.dedup_state_ingest(delta, p)
     assert rows("/clusters") == base["/clusters"] + 8
     assert rows("/bands") == base["/bands"] + 8 * n_bands
+
+
+def _span_map(df):
+    return {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac_ppm"])
+        for r in df.collect()
+    }
+
+
+def test_span_state_ingest_equals_from_scratch(spark, sf_dir, tmp_path):
+    """span_state_ingest(b2, state(b1)) == duplicated_spans(b1 ∪ b2) —
+    EXACT (window hashes are content-derived, the >= min_count decision
+    is made on additive global counts; includes retro-flagging of OLD
+    windows a new delivery pushes over the bar)."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text") \
+        .localCheckpoint(eager=True)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "span")
+    D.span_state_ingest(b1, p)
+    inc = _span_map(D.span_state_ingest(b2, p))
+    want = _span_map(D.duplicated_spans(docs))
+    assert inc == want and len(inc) == docs.count()
+    # the corpus must actually contain duplicated spans for this to bite
+    assert any(d > 0 for (_, d, _) in inc.values())
+    # and the split must exercise the retro path: some doc in b1 gains
+    # dup coverage only through b2 (checked against b1-only state)
+    only_b1 = _span_map(D.duplicated_spans(b1))
+    grew = [k for k in only_b1
+            if k in want and want[k][1] > only_b1[k][1]]
+    assert grew, "even/odd split produced no cross-snapshot span dup"
+
+
+def test_span_state_replay_and_odelta(spark, sf_dir, tmp_path):
+    """Replay is a no-op at every store; a unique-doc delta appends
+    exactly its own rows."""
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    p = str(tmp_path / "span")
+    D.span_state_ingest(docs, p)
+
+    def rows(sub):
+        return spark.read.parquet(p + sub).count()
+
+    base = {s: rows(s) for s in ("/tokens", "/spans", "/hcounts", "/flags")}
+    first = _span_map(D.read_span_state(spark, p))
+    replay = _span_map(D.span_state_ingest(docs.limit(50), p))
+    assert replay == first
+    assert {s: rows(s) for s in base} == base
+    # 4 new docs: two sharing one 8-token span (within-delta dup), two
+    # with corpus-disjoint vocab
+    mk = lambda words: " ".join(words)
+    shared = mk([f"qqz{j}" for j in range(8)])
+    delta = spark.createDataFrame(
+        [(9_000_001, shared + " aq1 bq2"),
+         (9_000_002, "cq3 " + shared),
+         (9_000_003, mk([f"rrx{j}" for j in range(10)])),
+         (9_000_004, mk([f"ssy{j}" for j in range(10)]))],
+        "doc_id long, text string",
+    )
+    out = _span_map(D.span_state_ingest(delta, p))
+    assert rows("/tokens") == base["/tokens"] + 4
+    assert out[9_000_001][1] == 8 and out[9_000_002][1] == 8
+    assert out[9_000_003][1] == 0 and out[9_000_004][1] == 0
+    # old docs untouched by the unique delta
+    assert all(out[k] == first[k] for k in first)
+    with pytest.raises(ValueError, match="was built with"):
+        D.span_state_ingest(delta, p, n=4)
+
+
+def test_span_state_stream_matches_batch(spark, sf_dir, tmp_path):
+    from raft_spark.streaming.incremental import span_state_ingest_stream
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    d = tmp_path / "in"
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
+        str(d / "f1.parquet"))
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
+        str(d / "f2.parquet"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*/")
+    )
+    p = str(tmp_path / "sstate")
+    q = span_state_ingest_stream(stream, p, checkpoint=str(tmp_path / "ck"))
+    q.awaitTermination()
+    got = _span_map(D.read_span_state(spark, p))
+    want = _span_map(D.duplicated_spans(docs))
+    assert got == want
