@@ -2520,3 +2520,56 @@ def ivf_pq_index_compact(spark, path: str) -> int:
         f"{path}/codes"
     )
     return n
+
+
+def write_knn_graph(graph: DataFrame, path: str) -> None:
+    """Persist a prebuilt kNN graph (the nn_descent_graph output — the
+    build-once / serve-many artifact of the graph-ANN tier, the
+    reference family's CAGRA serialize role): (id, nid[, cosine, rank])
+    parquet partitioned by ``_pid = pmod(xxhash64(id), 64)`` so a
+    query-time frontier join prunes its scan to the directories the
+    frontier's node ids hash into. Reload with :func:`read_knn_graph`."""
+    cols = [c for c in ("id", "nid", "cosine", "rank") if c in graph.columns]
+    graph.select(
+        *cols, F.pmod(F.xxhash64("id"), F.lit(64)).alias("_pid")
+    ).write.mode("overwrite").partitionBy("_pid").parquet(path)
+
+
+def read_knn_graph(spark, path: str) -> DataFrame:
+    """Reload a persisted kNN graph for :func:`knn_graph_search` —
+    column types recast so the walk's joins match the build-time frame
+    exactly (partition-column inference returns int)."""
+    g = spark.read.parquet(path)
+    cols = [F.col("id").cast("long").alias("id"),
+            F.col("nid").cast("long").alias("nid")]
+    for c in ("cosine", "rank"):
+        if c in g.columns:
+            cols.append(F.col(c))
+    return g.select(*cols)
+
+
+def knn_merge_parts(
+    parts: list[DataFrame],
+    k: int = 5,
+    ascending: bool = False,
+    order_col: str = "cosine",
+) -> DataFrame:
+    """Merge per-shard top-k results into the global top-k per query —
+    the reference's ``knn_merge_parts`` (brute_force.cuh: each index
+    shard answers locally, a k-way merge keeps the best k overall).
+    Spark rendering: union the shard results (each already k rows per
+    query — the union is O(shards·Q·k), never corpus-sized) and re-cut
+    with the bounded two-phase select_k under the same
+    (order_col, nid) total order every tier uses. Inputs must share
+    the (qid, nid, order_col) schema; rank is recomputed."""
+    from raft_spark.operators.selectk import select_k
+
+    if not parts:
+        raise ValueError("knn_merge_parts: no parts")
+    u = parts[0].select("qid", "nid", order_col)
+    for p in parts[1:]:
+        u = u.unionByName(p.select("qid", "nid", order_col))
+    return select_k(
+        u, group_cols=["qid"], order_col=order_col, k=k,
+        ascending=ascending, payload_cols=["nid"],
+    )

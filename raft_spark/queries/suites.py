@@ -2516,6 +2516,10 @@ SELECT 'filtered_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
 )
 UNION ALL
 SELECT 'ivf_pq_filtered', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'graph_index_eq', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'merge_parts_eq', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -2650,12 +2654,50 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = _flag(PQ.q_ivf_pq_checks(spark, sf_dir, shared=shared))
     lsh = _flag(PQ.q_knn_lsh_checks(spark, sf_dir, shared=shared))
     graph = _flag(PQ.q_knn_graph_checks(spark, sf_dir, shared=shared, graph=g10))
+    # r10: persisted graph index round-trip (CAGRA serialize role) —
+    # the beam walk over the reloaded graph must answer identically to
+    # the in-memory build (reuses the suite's shared g10; the
+    # semindex_eq/sidecar_eq promotion pattern)
+    import shutil
+    import tempfile
+
+    tmpg = tempfile.mkdtemp(prefix="raft_spark_knngraph_")
+    try:
+        SIM2.write_knn_graph(g10, tmpg + "/g")
+        back = SIM2.read_knn_graph(spark, tmpg + "/g")
+        mem = SIM2.knn_graph_search(
+            shared[0], shared[1], graph=g10, k=5).localCheckpoint(eager=True)
+        disk = SIM2.knn_graph_search(
+            shared[0], shared[1], graph=back.select("id", "nid"), k=5,
+        ).localCheckpoint(eager=True)
+        gdiff = mem.exceptAll(disk).count() + disk.exceptAll(mem).count()
+        g_eq = spark.createDataFrame(
+            [("graph_index_eq", 0, -1, float(int(gdiff == 0 and mem.count() > 0)))],
+            "method string, a long, b long, value double",
+        )
+    finally:
+        shutil.rmtree(tmpg, ignore_errors=True)
+    # r10: knn_merge_parts — three shard-local exact top-5 merged must
+    # equal the suite's shared global exact scan (the brute_force
+    # shard-merge contract), checked row-for-row incl. rank
+    parts = [
+        SIM2.knn_brute(shared[0].filter(F.col("id") % 3 == j), shared[1], k=5)
+        for j in range(3)
+    ]
+    merged = SIM2.knn_merge_parts(parts, k=5)         .select("qid", "nid", "rank").localCheckpoint(eager=True)
+    ex_rn = exact.select("qid", "nid", "rank")
+    mdiff = merged.exceptAll(ex_rn).count() + ex_rn.exceptAll(merged).count()
+    m_eq = spark.createDataFrame(
+        [("merge_parts_eq", 0, -1, float(int(mdiff == 0)))],
+        "method string, a long, b long, value double",
+    )
     return (
         ex_rank.unionByName(ex_cos).unionByName(refined)
         .unionByName(met_rank).unionByName(met_dist).unionByName(ivf_metric)
         .unionByName(f_rank).unionByName(f_flag)
         .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
+        .unionByName(g_eq).unionByName(m_eq)
     )
 
 

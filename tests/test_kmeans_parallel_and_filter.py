@@ -99,3 +99,49 @@ def test_knn_ivf_pq_filtered(spark, blobs):
     exact = {(r["qid"], r["nid"]) for r in
              SIM.knn_brute(df, qs, k=5, filter_ids=allow).collect()}
     assert pairs == exact
+
+
+def test_knn_graph_roundtrip_search(spark, blobs, tmp_path):
+    """r10: persisted kNN graph (the CAGRA serialize role) — the beam
+    walk over the reloaded graph answers identically to the in-memory
+    build."""
+    df, _ = blobs
+    qs = df.filter(F.col("id") < 4)
+    g = SIM.nn_descent_graph(df, k=6).localCheckpoint(eager=True)
+    path = str(tmp_path / "graph")
+    SIM.write_knn_graph(g, path)
+    back = SIM.read_knn_graph(spark, path)
+    mem = {(r["qid"], r["nid"], r["rank"]) for r in
+           SIM.knn_graph_search(df, qs, graph=g.select("id", "nid"),
+                                k=5).collect()}
+    disk = {(r["qid"], r["nid"], r["rank"]) for r in
+            SIM.knn_graph_search(df, qs, graph=back.select("id", "nid"),
+                                 k=5).collect()}
+    assert mem == disk and mem
+
+
+def test_knn_merge_parts_equals_global(spark, blobs):
+    """r10: shard-local top-k merged == top-k over the whole corpus
+    (the reference's knn_merge_parts contract), for a similarity and a
+    distance ordering."""
+    df, _ = blobs
+    qs = df.filter(F.col("id") < 4)
+    shards = [df.filter(F.col("id") % 3 == j) for j in range(3)]
+    parts = [SIM.knn_brute(sh, qs, k=5) for sh in shards]
+    merged = {(r["qid"], r["nid"], r["rank"]) for r in
+              SIM.knn_merge_parts(parts, k=5).collect()}
+    want = {(r["qid"], r["nid"], r["rank"]) for r in
+            SIM.knn_brute(df, qs, k=5).collect()}
+    assert merged == want
+    # distance ordering (L1 via knn_metric), ascending merge
+    partsd = [SIM.knn_metric(sh, qs, k=5, metric="l1") for sh in shards]
+    mergedd = {(r["qid"], r["nid"], r["rank"]) for r in
+               SIM.knn_merge_parts(partsd, k=5, ascending=True,
+                                   order_col="dist").collect()}
+    wantd = {(r["qid"], r["nid"], r["rank"]) for r in
+             SIM.knn_metric(df, qs, k=5, metric="l1").collect()}
+    assert mergedd == wantd
+    import pytest
+
+    with pytest.raises(ValueError, match="no parts"):
+        SIM.knn_merge_parts([], k=5)
