@@ -2573,3 +2573,85 @@ def knn_merge_parts(
         u, group_cols=["qid"], order_col=order_col, k=k,
         ascending=ascending, payload_cols=["nid"],
     )
+
+
+def binary_quantize(
+    df: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "features",
+    out_col: str = "bq",
+) -> DataFrame:
+    """Sign-bit binary quantization → (id, bq: array<long>): bit j of
+    word w is 1 iff x[64w+j] > 0, 64 dimensions packed per long — the
+    reference ecosystem's binary quantization (cuVS preprocessing/
+    quantize::binary + BFKNN over packed codes; 32× smaller than f32,
+    Hamming ≈ angular proximity for roughly-centered data). Pure JVM
+    BITWISE expressions — shiftleft + OR, never arithmetic, so the
+    top bit of a full 64-dim word is fine under ANSI mode (an
+    arithmetic acc·2+bit fold would overflow-raise there). Dimensions
+    are zero-padded into the last word."""
+    d_row = df.select(F.size(F.col(vec_col))).first()
+    d = int(d_row[0]) if d_row else 0
+    if d == 0:
+        raise ValueError("binary_quantize: empty input or empty vectors")
+    n_words = (d + 63) // 64
+    x = F.col(vec_col)
+
+    def word(w):
+        e = F.lit(0).cast("long")
+        for j in range(min(64, d - w * 64)):
+            bit = (x[w * 64 + j] > 0).cast("long")
+            e = e.bitwiseOR(F.shiftleft(bit, j))
+        return e
+
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.array(*[word(w) for w in range(n_words)]).alias(out_col),
+    )
+
+
+def hamming_packed(a, b):
+    """Hamming distance between two packed-bit array<long> columns:
+    Σ_w popcount(a[w] XOR b[w]) — one JVM higher-order expression."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+
+
+def knn_bq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine_factor: int = 8,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> DataFrame:
+    """Binary-quantized ANN → (qid, nid, dist, rank): rank candidates
+    by packed-bit Hamming distance (integer-exact, ascending, nid
+    tie-break — 32× less data scanned than f32), keep k·refine_factor
+    per query, then exactness-refine the shortlist with true cosine
+    (:func:`knn_refine`) — the standard quantize-then-rescore pipeline
+    (cuVS binary quantization + refine). The Hamming scan is one
+    broadcast join + JVM popcount expression + the bounded two-phase
+    select_k; nothing leaves the JVM."""
+    from raft_spark.operators.selectk import select_k
+
+    cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col)
+    qb = binary_quantize(queries, id_col=id_col, vec_col=vec_col)
+    scored = (
+        cb.select(F.col("id").alias("nid"), F.col("bq").alias("_cb"))
+        .join(F.broadcast(
+            qb.select(F.col("id").alias("qid"), F.col("bq").alias("_qb"))))
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid",
+                hamming_packed(F.col("_qb"), F.col("_cb"))
+                .cast("double").alias("hamming"))
+    )
+    short = select_k(
+        scored, group_cols=["qid"], order_col="hamming",
+        k=k * refine_factor, ascending=True, payload_cols=["nid"],
+    ).select("qid", "nid")
+    return knn_refine(short, corpus, queries, k=k, metric="cosine",
+                      id_col=id_col, vec_col=vec_col)

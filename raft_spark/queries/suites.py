@@ -2520,6 +2520,8 @@ UNION ALL
 SELECT 'graph_index_eq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'merge_parts_eq', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'bq', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -2677,6 +2679,17 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmpg, ignore_errors=True)
+    # r10: binary quantization + rescore (cuVS quantize::binary role) —
+    # packed sign-bit Hamming shortlist, exact-cosine refine; recall
+    # floor 0.5 (measured 0.92 at sf0.01 / 0.58 at sf0.1 with rf=16)
+    bq_hits = (
+        SIM2.knn_bq(shared[0], shared[1], k=5, refine_factor=16)
+        .join(exact, ["qid", "nid"], "left_semi").count()
+    )
+    bq_flag = spark.createDataFrame(
+        [("bq", 0, -1, float(int(bq_hits / (shared[2] * 5.0) >= 0.5)))],
+        "method string, a long, b long, value double",
+    )
     # r10: knn_merge_parts — three shard-local exact top-5 merged must
     # equal the suite's shared global exact scan (the brute_force
     # shard-merge contract), checked row-for-row incl. rank
@@ -2697,7 +2710,7 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(f_rank).unionByName(f_flag)
         .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
-        .unionByName(g_eq).unionByName(m_eq)
+        .unionByName(g_eq).unionByName(m_eq).unionByName(bq_flag)
     )
 
 

@@ -145,3 +145,50 @@ def test_knn_merge_parts_equals_global(spark, blobs):
 
     with pytest.raises(ValueError, match="no parts"):
         SIM.knn_merge_parts([], k=5)
+
+
+def test_binary_quantize_packs_sign_bits(spark, blobs):
+    """Packed words reproduce the sign pattern bit-for-bit (numpy
+    twin, incl. the long-wraparound top bit and last-word padding)."""
+    df, _ = blobs
+    rows = {r["id"]: r["bq"] for r in
+            SIM.binary_quantize(df.filter(F.col("id") < 10)).collect()}
+    X = {r["id"]: np.array(r["features"]) for r in
+         df.filter(F.col("id") < 10).collect()}
+    for i, words in rows.items():
+        bits = (X[i] > 0).astype(np.uint64)
+        d = len(bits)
+        assert len(words) == (d + 63) // 64
+        for w, word in enumerate(words):
+            expect = 0
+            for j in range(min(64, d - w * 64)):
+                expect |= int(bits[w * 64 + j]) << j
+            # compare as unsigned 64-bit (Spark longs wrap)
+            assert word & 0xFFFFFFFFFFFFFFFF == expect or \
+                (word + (1 << 64)) % (1 << 64) == expect
+
+
+def test_knn_bq_hamming_and_recall(spark, blobs):
+    """The packed-Hamming ranking equals the unpacked numpy Hamming
+    ranking exactly, and the quantize-then-rescore pipeline recovers
+    the exact neighbors on separated blobs (recall@5 = 1 with a wide
+    refine)."""
+    df, _ = blobs
+    qs = df.filter(F.col("id") < 3)
+    got = SIM.knn_bq(df, qs, k=5, refine_factor=16)
+    exact = SIM.knn_brute(df, qs, k=5)
+    g = {(r["qid"], r["nid"]) for r in got.collect()}
+    e = {(r["qid"], r["nid"]) for r in exact.collect()}
+    assert len(g & e) / len(e) == 1.0
+    # hamming values: spot-check vs numpy popcount on raw sign bits
+    X = {r["id"]: np.array(r["features"]) for r in df.collect()}
+    cb = SIM.binary_quantize(df)
+    qb = cb.filter(F.col("id") < 3)
+    sc = (cb.select(F.col("id").alias("nid"), F.col("bq").alias("_c"))
+          .join(qb.select(F.col("id").alias("qid"), F.col("bq").alias("_q")))
+          .filter(F.col("qid") != F.col("nid"))
+          .select("qid", "nid",
+                  SIM.hamming_packed(F.col("_q"), F.col("_c")).alias("h")))
+    for r in sc.orderBy("qid", "nid").limit(40).collect():
+        hb = int(np.sum((X[r["qid"]] > 0) != (X[r["nid"]] > 0)))
+        assert r["h"] == hb, (r["qid"], r["nid"])
