@@ -549,6 +549,65 @@ def main() -> None:
         del coo
         gc.collect()
 
+    # r10 incremental span-state ingest (opt-in, PROBE_SPAN_INGEST=1):
+    # bootstrap a 200k-doc span state (100-token docs -> ~18.6M window
+    # hashes), then delta-ingest 10k new docs — the delta must cost a
+    # small fraction of the bootstrap (the flag overlay + additive
+    # counts never rewrite corpus state).
+    if os.environ.get("PROBE_SPAN_INGEST") == "1":
+        import shutil
+        import tempfile
+
+        from raft_spark.operators.dedup import span_state_ingest
+
+        def _sdocs(n_docs, id_off, seed):
+            # ~2% of docs share a 32-token run with their neighbor
+            base = (
+                F.when((F.col("id") % 53 == 0) & (F.col("id") + 1 < n_docs),
+                       F.col("id"))
+                .when(F.col("id") % 53 == 1, F.col("id") - 1)
+                .otherwise(F.col("id"))
+            )
+            ws = F.transform(
+                F.sequence(F.lit(0), F.lit(99)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    F.when(i < 32,
+                           F.pmod(base * 6007 + i * 31, F.lit(40_000)))
+                    .otherwise(
+                        F.pmod((F.col("id") + id_off) * 7919
+                               + i * 104729 + seed, F.lit(40_000))
+                    ).cast("string"),
+                ),
+            )
+            return spark.range(n_docs).select(
+                (F.col("id") + id_off).alias("doc_id"),
+                F.array_join(ws, " ").alias("text"),
+            ).localCheckpoint(eager=True)
+
+        corpus = _sdocs(200_000, 0, 0)
+        delta = _sdocs(10_000, 200_000, 3)
+        tmpd = tempfile.mkdtemp(prefix="raft_spark_spaningest_")
+        try:
+            t = time.perf_counter()
+            span_state_ingest(corpus, tmpd + "/s", return_full=False)
+            out["spaningest_bootstrap_200k_docs_s"] = round(
+                time.perf_counter() - t, 2
+            )
+            t = time.perf_counter()
+            span_state_ingest(delta, tmpd + "/s", return_full=False)
+            out["spaningest_delta_10k_s"] = round(time.perf_counter() - t, 2)
+            from raft_spark.operators.dedup import read_span_state
+
+            t = time.perf_counter()
+            n_res = read_span_state(spark, tmpd + "/s").count()
+            out["spaningest_resolve_s"] = round(time.perf_counter() - t, 2)
+            assert n_res == 210_000
+        finally:
+            shutil.rmtree(tmpd, ignore_errors=True)
+        del corpus, delta
+        gc.collect()
+
     # r10 postings index at 10M nnz (opt-in, PROBE_POSTINGS_R10=1): the
     # lookup claim under test — batch cost tracks the batch's TOUCHED
     # slice (its columns' postings), not the index size; the delta
