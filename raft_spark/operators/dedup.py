@@ -946,6 +946,115 @@ def _band_bucket(band_col, bsig_col):
     return F.pmod(F.xxhash64(band_col, bsig_col), F.lit(N_BAND_BUCKETS)).cast("int")
 
 
+def _doc_bucket(doc_col):
+    """Stable directory bucket of a doc id — the corpus signature store
+    is persisted ``partitionBy(_pd)`` so the two per-delivery id probes
+    (replay anti-join, est-Jaccard signature lookup) prune their scans
+    to the ≤N_BAND_BUCKETS directories the probe ids hash into instead
+    of reading the corpus signature table end-to-end."""
+    return F.pmod(F.xxhash64(doc_col.cast("long")), F.lit(N_BAND_BUCKETS)).cast("int")
+
+
+def _guard_state_meta(spark, state_path: str, op: str, params: dict) -> bool:
+    """Format-parameter guard shared by the persisted-state ingests: a
+    state's layout parameters (signature width, banding, quantization
+    scale, …) are part of the FORMAT, not tuning knobs of a call — an
+    ingest under different parameters silently mixes incompatible
+    signatures (zip_with over different-length arrays null-pads, the
+    match predicates go false, and the state under-merges with no
+    error). Returns True if a ``meta`` sidecar existed (after raising
+    on any mismatch); False if the state has never recorded one."""
+    meta = _try_parquet(spark, state_path + "/meta")
+    if meta is None:
+        return False
+    row = meta.first()
+    got = {k: row[k] for k in params if k in row.asDict()}
+    missing = [k for k in params if k not in got]
+    if missing:
+        raise ValueError(
+            f"{op}: state at {state_path} has a meta sidecar without "
+            f"field(s) {missing} — not a {op} state"
+        )
+    bad = {
+        k: (got[k], v) for k, v in params.items()
+        if (abs(float(got[k]) - float(v)) > 1e-12
+            if isinstance(v, float) else int(got[k]) != int(v))
+    }
+    if bad:
+        detail = ", ".join(
+            f"{k}: state={s!r} call={c!r}" for k, (s, c) in sorted(bad.items())
+        )
+        raise ValueError(
+            f"{op}: state at {state_path} was built with different format "
+            f"parameters ({detail}) — re-ingesting under mismatched "
+            f"parameters would silently under-merge; rebuild the state or "
+            f"pass the original parameters"
+        )
+    return True
+
+
+def _write_state_meta(spark, state_path: str, params: dict) -> None:
+    fields = ", ".join(
+        f"{k} {'double' if isinstance(v, float) else 'int'}"
+        for k, v in params.items()
+    )
+    spark.createDataFrame([tuple(params.values())], fields) \
+        .coalesce(1).write.mode("overwrite").parquet(state_path + "/meta")
+
+
+def _migrate_dedup_state(spark, state_path: str, num_perms: int,
+                         band_rows: int) -> None:
+    """One-time in-place upgrade of a pre-r11 MinHash dedup state to
+    the current layout: bucket ``sigs`` by ``_pd`` (so the per-delivery
+    id probes partition-prune) and backfill the ``bands``/``occ``
+    stores from the persisted signatures when they predate r10 (an
+    ingest that read such a state as delta-only would silently miss
+    every old-vs-new duplicate pair). O(corpus) once, then every later
+    delivery is back to O(delta). ``num_perms`` is validated against
+    the stored signature width before any rewrite."""
+    sigs = _try_parquet(spark, state_path + "/sigs")
+    if sigs is None:
+        return
+    need_pd = "_pd" not in sigs.columns
+    need_bands = _try_parquet(spark, state_path + "/bands") is None
+    need_occ = _try_parquet(spark, state_path + "/occ") is None
+    if not (need_pd or need_bands or need_occ):
+        return
+    row = sigs.select(F.size("sig")).first()
+    if row is not None and int(row[0]) != num_perms:
+        raise ValueError(
+            f"dedup_state_ingest: state at {state_path} holds signatures "
+            f"of width {int(row[0])} — got num_perms={num_perms}"
+        )
+    s = sigs.select("doc_id", "sig")
+    if need_pd:
+        ck = (
+            s.withColumn("_pd", _doc_bucket(F.col("doc_id")))
+            .repartition("_pd").localCheckpoint(eager=True)
+        )
+        ck.write.partitionBy("_pd").mode("overwrite").parquet(
+            state_path + "/sigs"
+        )
+        s = ck.select("doc_id", "sig")
+    if need_bands or need_occ:
+        b = (
+            _explode_bands(s, num_perms, band_rows)
+            .withColumn("_pb", _band_bucket(F.col("band"), F.col("bsig")))
+            .repartition("_pb").sortWithinPartitions("band", "bsig")
+            .localCheckpoint(eager=True)
+        )
+        if need_bands:
+            b.select("_pb", "band", "bsig", "doc_id").write.partitionBy(
+                "_pb"
+            ).mode("overwrite").parquet(state_path + "/bands")
+        if need_occ:
+            b.groupBy("_pb", "band", "bsig").agg(
+                F.count("*").alias("n")
+            ).write.partitionBy("_pb").mode("overwrite").parquet(
+                state_path + "/occ"
+            )
+
+
 def _resolve_cluster_overlay(overlay: DataFrame) -> DataFrame:
     """Append-only cluster overlay (doc_id, cluster_id) → the current
     full-corpus cluster table (doc_id, cluster_id, cluster_size,
@@ -999,8 +1108,20 @@ def dedup_state_ingest(
     State layout under ``state_path`` — ALL four stores are
     append-only, so every delivery writes O(delta) rows/files:
 
-    - ``sigs``      (doc_id, sig): snapshot-stable MinHash signatures
-      (:func:`minhash_signature_stable`), one row per corpus doc.
+    - ``meta``      (num_perms, band_rows, max_bucket_docs): the state
+      FORMAT parameters, written once and enforced on every later
+      ingest (a mismatched ``num_perms`` would null-pad the zip_with
+      est-Jaccard and silently under-merge — the guard raises instead).
+    - ``sigs``      (doc_id, sig) partitioned by
+      ``_pd = xxhash64(doc_id) % N_BAND_BUCKETS``: snapshot-stable
+      MinHash signatures (:func:`minhash_signature_stable`), one row
+      per corpus doc. Both per-delivery id probes — the replay
+      anti-join and the est-Jaccard signature lookup — prune their
+      scans to the ``_pd`` directories the probe ids hash into
+      (bounded IN-list partition filters), so neither reads the corpus
+      signature table end-to-end. Pre-r11 states (unbucketed sigs,
+      missing bands/occ) are migrated in place once on the next ingest
+      (:func:`_migrate_dedup_state`).
     - ``bands``     (band, bsig, doc_id) partitioned by
       ``_pb = xxhash64(band,bsig) % N_BAND_BUCKETS``: the corpus band
       table, persisted once instead of re-exploded from ``sigs`` per
@@ -1052,12 +1173,28 @@ def dedup_state_ingest(
     (doc_id, cluster_id) — the O(delta) answer a production ingest
     consumes; the full-table resolve (one narrow O(corpus) agg, read
     path only) is for callers that want the refreshed corpus view.
-    Remaining O(corpus)-per-delivery terms are narrow-scan only: the
-    replay anti-join against ``sigs`` ids and the est-Jaccard signature
-    lookup join — no corpus-wide explode, aggregate, or rewrite
-    survives in the ingest path.
+    Every per-delivery term is partition-pruned or delta-sized — no
+    corpus-wide scan, explode, aggregate, or rewrite survives in the
+    ingest path.
+
+    CRASH-ATOMICITY (honest contract): the four store appends are NOT
+    one transaction. A failure between the ``sigs`` append (the replay
+    guard registry, written first) and the bands/occ/clusters appends
+    leaves a delivery whose redelivery anti-joins out as already-seen
+    — its band/occupancy/cluster rows are permanently dropped. On a
+    real cluster, park the state on a transactional table format or
+    wrap each delivery in a manifest commit (write all stores under a
+    delivery id, publish the id last, readers ignore unpublished
+    deliveries); in this repo the foreachBatch twin's at-least-once
+    replay safety assumes the delivery's writes completed as a unit.
     """
     spark = new_docs.sparkSession
+    had_meta = _guard_state_meta(
+        spark, state_path, "dedup_state_ingest",
+        {"num_perms": num_perms, "band_rows": band_rows,
+         "max_bucket_docs": max_bucket_docs},
+    )
+    _migrate_dedup_state(spark, state_path, num_perms, band_rows)
     sig = minhash_signature_stable(text_col, num_perms)
     incoming = new_docs.select(
         F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
@@ -1065,8 +1202,18 @@ def dedup_state_ingest(
     old_sigs = _try_parquet(spark, state_path + "/sigs")
     overlay = _try_parquet(spark, state_path + "/clusters")
     if old_sigs is not None:
-        old_sigs = old_sigs.select("doc_id", "sig")
-        incoming = incoming.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
+        # replay anti-join pruned to the delta ids' _pd directories
+        # (≤N_BAND_BUCKETS values; an id already in the state lives in
+        # the same bucket, so the pruned anti-join is exact)
+        pds = sorted({
+            r[0] for r in incoming.select(
+                _doc_bucket(F.col("doc_id")).alias("_pd")
+            ).distinct().collect()
+        })
+        incoming = incoming.join(
+            old_sigs.where(F.col("_pd").isin(pds)).select("doc_id"),
+            "doc_id", "left_anti",
+        )
     incoming = incoming.localCheckpoint(eager=True)
     n_delta = incoming.count()  # cached count, reused by the write branch
 
@@ -1129,10 +1276,27 @@ def dedup_state_ingest(
         .filter(F.col("_x") != F.col("_y"))
         .select(F.least("_x", "_y").alias("a"), F.greatest("_x", "_y").alias("b"))
         .distinct()
+        .localCheckpoint(eager=True)  # delta-bounded (hot-bucket cap);
+        # materialized so the sig lookup below can prune to its ids
     )
-    sig_lookup = (
-        old_sigs.unionByName(incoming) if old_sigs is not None else incoming
-    )
+    if old_sigs is not None:
+        # est-Jaccard signature lookup pruned to the candidate ids' _pd
+        # directories — the candidate set is delta-bounded, so the
+        # IN-list stays ≤N_BAND_BUCKETS and the corpus signature table
+        # is never scanned end-to-end
+        cpds = sorted({
+            r[0] for r in cand.select(
+                F.explode(F.array(
+                    _doc_bucket(F.col("a")), _doc_bucket(F.col("b"))
+                )).alias("_pd")
+            ).distinct().collect()
+        })
+        sig_lookup = (
+            old_sigs.where(F.col("_pd").isin(cpds)).select("doc_id", "sig")
+            if cpds else old_sigs.limit(0).select("doc_id", "sig")
+        ).unionByName(incoming)
+    else:
+        sig_lookup = incoming
     sa = sig_lookup.select(F.col("doc_id").alias("a"), F.col("sig").alias("_sa"))
     sb = sig_lookup.select(F.col("doc_id").alias("b"), F.col("sig").alias("_sb"))
     est = F.aggregate(
@@ -1205,7 +1369,16 @@ def dedup_state_ingest(
         delta_overlay = new_rows
     delta_overlay = delta_overlay.localCheckpoint(eager=True)
 
-    incoming.write.mode("append").parquet(state_path + "/sigs")
+    if not had_meta:
+        _write_state_meta(spark, state_path, {
+            "num_perms": int(num_perms), "band_rows": int(band_rows),
+            "max_bucket_docs": int(max_bucket_docs),
+        })
+    sig_rows = incoming.withColumn("_pd", _doc_bucket(F.col("doc_id")))
+    (
+        sig_rows.coalesce(1).sortWithinPartitions("_pd")
+        if n_delta < 1_000_000 else sig_rows.repartition("_pd")
+    ).write.partitionBy("_pd").mode("append").parquet(state_path + "/sigs")
     (
         # delivery-sized deltas don't need a shuffle to lay out 32
         # directory buckets: one task writes one sorted file per bucket.
@@ -1294,18 +1467,34 @@ def semantic_state_ingest(
     the solve or rewritten.
 
     State is append-only in BOTH stores: ``index`` adds one file set
-    per delivery (partitioned by cluster — the probe prunes to the new
-    batch's clusters), ``groups`` adds rows only for the delivery's new
-    ids and for old ids whose component was relabeled; resolution is
-    min(group) per id (labels strictly decrease — see
-    :func:`_resolve_group_overlay`). ``return_full=False`` returns just
-    this delivery's overlay rows (id, cluster, group) — the O(delta)
-    production answer. REPLAY-safe: ids already in the state are
-    anti-joined out.
+    per delivery (partitioned by cluster — the probe AND the replay
+    anti-join prune to the new batch's clusters: the assignment seam is
+    a pure per-row function, so a replayed id always lands in the same
+    cluster partition it was first written to), ``groups`` adds rows
+    only for the delivery's new ids and for old ids whose component was
+    relabeled; resolution is min(group) per id (labels strictly
+    decrease — see :func:`_resolve_group_overlay`). ``return_full=
+    False`` returns just this delivery's overlay rows (id, cluster,
+    group) — the O(delta) production answer. REPLAY-safe: ids already
+    in the state are anti-joined out. ``tau``/``scale`` are FORMAT
+    parameters (persisted in ``meta``; a mismatched ingest raises —
+    quantized vectors under a different scale share no dot-product
+    space, and a drifted τ would change which committed merges the
+    equality contract rests on).
+
+    CRASH-ATOMICITY: same honest contract as
+    :func:`dedup_state_ingest` — the index append (the replay-guard
+    registry) and the groups append are not one transaction; a failure
+    between them drops the delivery's group rows on redelivery. Use a
+    transactional table format or a delivery-manifest commit at scale.
     """
     from raft_spark.operators.solvers import connected_components_auto
 
     spark = new_df.sparkSession
+    had_meta = _guard_state_meta(
+        spark, state_path, "semantic_state_ingest",
+        {"tau": float(tau), "scale": float(scale)},
+    )
     d = new_df.select(F.size(F.col(vec_col))).first()
     if d is None:
         d = 0
@@ -1328,9 +1517,20 @@ def semantic_state_ingest(
     except AnalysisException:
         old_index = None
     overlay = _try_parquet(spark, state_path + "/groups")
+    touched_clusters: list = []
     if old_index is not None:
+        # the delta's clusters, collected BEFORE the replay anti-join
+        # (a replayed id sits in the same cluster — pure per-row seam),
+        # prune BOTH the id-registry anti-join and the candidate probe
+        # to the index's touched cluster partitions
+        touched_clusters = sorted(
+            r["cluster"]
+            for r in new_rows.select("cluster").distinct().collect()
+        )
         new_rows = new_rows.join(
-            old_index.select("cand_id"), "cand_id", "left_anti"
+            old_index.where(F.col("cluster").isin(touched_clusters))
+            .select("cand_id"),
+            "cand_id", "left_anti",
         )
     new_rows = new_rows.localCheckpoint(eager=True)
 
@@ -1349,14 +1549,11 @@ def semantic_state_ingest(
         F.col("_qc").alias("_qa"), F.col("_nc").alias("_na"),
     )
     if old_index is not None:
-        # prune the probe to the delta's clusters: the index is
+        # probe pruned to the delta's clusters: the index is
         # partitioned by cluster on disk, so the bounded IN-list is a
         # PARTITION filter — IO tracks the batch's touched lists, not
         # the index size (the sparse_lookup shard discipline). The
         # cluster count is the caller's quantizer size (bounded).
-        touched_clusters = sorted(
-            r["cluster"] for r in new_rows.select("cluster").distinct().collect()
-        )
         corpus = old_index.where(
             F.col("cluster").isin(touched_clusters)
         ).unionByName(new_rows)
@@ -1439,6 +1636,9 @@ def semantic_state_ingest(
     # index state is APPEND-ONLY (one new file set per delivery, list
     # directories intact); groups are APPEND-ONLY too — only this
     # delivery's new ids and relabeled old ids are written
+    if not had_meta:
+        _write_state_meta(spark, state_path,
+                          {"tau": float(tau), "scale": float(scale)})
     new_rows.write.mode("append").partitionBy("cluster").parquet(
         state_path + "/index"
     )
@@ -1458,8 +1658,9 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
     Content-preserving rewrites, run on the maintenance cadence, not
     per ingest:
 
-    - ``sigs``: coalesced to ``partitions`` files (default: session
-      parallelism), rows unchanged.
+    - ``sigs``: re-written partitionBy(_pd), one file set per directory
+      bucket, rows unchanged (a pre-r11 unbucketed store gains its
+      ``_pd`` layout here).
     - ``bands``: re-written partitionBy(_pb), rows unchanged, one
       sorted file set per directory bucket.
     - ``occ``: per-delivery additive counts ROLLED UP to one row per
@@ -1473,9 +1674,16 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
     n_parts = partitions or spark.sparkContext.defaultParallelism
 
     sigs = spark.read.parquet(state_path + "/sigs")
-    compacted = sigs.repartition(n_parts).localCheckpoint(eager=True)
+    if "_pd" not in sigs.columns:  # pre-r11 state: bucket while compacting
+        sigs = sigs.withColumn("_pd", _doc_bucket(F.col("doc_id")))
+    compacted = (
+        sigs.select("doc_id", "sig", "_pd")
+        .repartition("_pd").localCheckpoint(eager=True)
+    )
     n = compacted.count()
-    compacted.write.mode("overwrite").parquet(state_path + "/sigs")
+    compacted.write.partitionBy("_pd").mode("overwrite").parquet(
+        state_path + "/sigs"
+    )
 
     bands = _try_parquet(spark, state_path + "/bands")
     if bands is not None:
@@ -1550,6 +1758,23 @@ def _resolve_span_state(tokens: DataFrame, flags: DataFrame | None, n: int) -> D
     )
 
 
+def _migrate_span_state(spark, state_path: str) -> None:
+    """One-time in-place upgrade of a pre-r11 span state: bucket the
+    ``hcounts`` store by ``_ph`` so the per-delivery count lookup
+    partition-prunes (a flat store cannot take partitioned appends, so
+    the rewrite happens before the first post-upgrade delivery)."""
+    hc = _try_parquet(spark, state_path + "/hcounts")
+    if hc is None or "_ph" in hc.columns:
+        return
+    ck = hc.select(
+        F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
+        "h", "c",
+    ).repartition("_ph").sortWithinPartitions("h").localCheckpoint(eager=True)
+    ck.write.partitionBy("_ph").mode("overwrite").parquet(
+        state_path + "/hcounts"
+    )
+
+
 def span_state_ingest(
     new_docs: DataFrame,
     state_path: str,
@@ -1577,8 +1802,10 @@ def span_state_ingest(
       ``_ph = xxhash64(h) % N_BAND_BUCKETS``: the corpus window-hash
       table — needed to retro-flag OLD windows when a new delivery
       pushes their hash over min_count.
-    - ``hcounts`` (h, c): ADDITIVE per-delivery occurrence counts;
-      global count(h) = Σ — the exact quantity from-scratch aggregates.
+    - ``hcounts`` (h, c) partitioned by ``_ph``: ADDITIVE per-delivery
+      occurrence counts; global count(h) = Σ — the exact quantity
+      from-scratch aggregates. (A pre-r11 unpartitioned store is
+      migrated in place once on the next ingest.)
     - ``flags``   (doc_id, start): windows known duplicated, appended
       when first decided (a hash's count only grows, so each window is
       flagged at most once; coverage is derived on read).
@@ -1587,28 +1814,33 @@ def span_state_ingest(
     tokens)); a lookup join of the delta's distinct hashes against the
     persisted counts; flags for (a) delta windows whose global count
     ≥ min_count and (b) OLD windows whose hash CROSSED min_count this
-    delivery (a pruned semi-join of the spans store against the
-    crossed-hash set — output is O(matches)). The corpus-side stores
-    are scanned narrow but never rewritten; on a real cluster persist
-    ``hcounts``/``spans`` as tables bucketed by h so the per-delivery
-    probe joins co-locate without shuffling the corpus side (the same
-    note as the dedup_state_ingest band table). REPLAY-safe: doc ids
-    already in ``tokens`` are anti-joined out.
+    delivery (a semi-join of the spans store against the crossed-hash
+    set — output is O(matches)). BOTH corpus-side probes use the
+    stores' own ``_ph`` layout: the delta's window hashes map to
+    ≤N_BAND_BUCKETS ``_ph`` values, and that bounded IN-list is a
+    PARTITION filter on the ``hcounts`` count lookup and on the
+    ``spans`` retro-flag probe (crossed hashes are a subset of the
+    delta's hashes, so the same list covers both) — per-delivery IO
+    tracks the delta's buckets, never the corpus store size.
+    REPLAY-safe: doc ids already in ``tokens`` are anti-joined out.
 
     ``n``/``min_count`` are part of the state format (persisted in
     ``meta``; a mismatched ingest raises — windows of different widths
     share no hash space and would silently never match).
+
+    CRASH-ATOMICITY: same honest contract as
+    :func:`dedup_state_ingest` — the ``tokens`` registry append and the
+    spans/hcounts/flags appends are not one transaction; a failure
+    between them makes redelivery a silent no-op for the dropped rows.
+    Use a transactional table format or a delivery-manifest commit at
+    scale.
     """
     spark = new_docs.sparkSession
-    meta = _try_parquet(spark, state_path + "/meta")
-    if meta is not None:
-        row = meta.first()
-        if int(row["n"]) != n or int(row["min_count"]) != min_count:
-            raise ValueError(
-                f"span_state_ingest: state at {state_path} was built with "
-                f"n={row['n']}, min_count={row['min_count']} — got n={n}, "
-                f"min_count={min_count}"
-            )
+    had_meta = _guard_state_meta(
+        spark, state_path, "span_state_ingest",
+        {"n": int(n), "min_count": int(min_count)},
+    )
+    _migrate_span_state(spark, state_path)
     old_tokens = _try_parquet(spark, state_path + "/tokens")
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
@@ -1633,8 +1865,19 @@ def span_state_ingest(
         incoming, n=n, text_col="_text", id_col="doc_id"
     ).localCheckpoint(eager=True)  # delta-sized; probed three ways below
     delta_counts = sh.groupBy("h").agg(F.count("*").alias("_cd"))
+    # the delta's hash buckets (≤N_BAND_BUCKETS values) — the partition
+    # filter for BOTH corpus-side probes below; crossed hashes are a
+    # subset of the delta's hashes, so one list covers the retro probe
+    phs = sorted({
+        r[0] for r in sh.select(
+            F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS))
+            .cast("int").alias("_ph")
+        ).distinct().collect()
+    })
     old_counts = _try_parquet(spark, state_path + "/hcounts")
     if old_counts is not None:
+        if "_ph" in old_counts.columns:  # pre-r11 stores lack the layout
+            old_counts = old_counts.where(F.col("_ph").isin(phs))
         old_for = (
             old_counts.join(delta_counts.select("h"), "h", "left_semi")
             .groupBy("h").agg(F.sum("c").alias("_co"))
@@ -1654,17 +1897,19 @@ def span_state_ingest(
     old_spans = _try_parquet(spark, state_path + "/spans")
     if old_spans is not None:
         crossed = dup_h.filter(F.col("_co") < min_count).select("h")
-        retro = old_spans.join(crossed, "h", "left_semi") \
+        retro = (
+            old_spans.where(F.col("_ph").isin(phs))  # partition filter
+            .join(crossed, "h", "left_semi")
             .select("doc_id", "start")
+        )
         delta_flags = new_flags.unionByName(retro)
     else:
         delta_flags = new_flags
     delta_flags = delta_flags.localCheckpoint(eager=True)
 
-    if meta is None:
-        spark.createDataFrame(
-            [(int(n), int(min_count))], "n int, min_count int"
-        ).coalesce(1).write.mode("overwrite").parquet(state_path + "/meta")
+    if not had_meta:
+        _write_state_meta(spark, state_path,
+                          {"n": int(n), "min_count": int(min_count)})
     incoming.select("doc_id", "n_tokens").write.mode("append").parquet(
         state_path + "/tokens"
     )
@@ -1682,10 +1927,17 @@ def span_state_ingest(
     spans_out.write.partitionBy("_ph").mode("append").parquet(
         state_path + "/spans"
     )
-    counts_out = delta_counts.select("h", F.col("_cd").alias("c"))
-    if small:
-        counts_out = counts_out.coalesce(1)
-    counts_out.write.mode("append").parquet(state_path + "/hcounts")
+    counts_out = delta_counts.select(
+        F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
+        "h", F.col("_cd").alias("c"),
+    )
+    counts_out = (
+        counts_out.coalesce(1).sortWithinPartitions("_ph", "h")
+        if small else counts_out.repartition("_ph").sortWithinPartitions("h")
+    )
+    counts_out.write.partitionBy("_ph").mode("append").parquet(
+        state_path + "/hcounts"
+    )
     delta_flags.write.mode("append").parquet(state_path + "/flags")
     if not return_full:
         return delta_flags

@@ -223,7 +223,7 @@ def test_compact_dedup_state_preserves_content(spark, sf_dir, tmp_path):
         (r["doc_id"], tuple(r["sig"]))
         for r in spark.read.parquet(p + "/sigs").collect()
     }
-    n_files_before = len(glob.glob(p + "/sigs/*.parquet"))
+    n_files_before = len(glob.glob(p + "/sigs/_pd=*/*.parquet"))
 
     from raft_spark.operators.dedup import compact_dedup_state
 
@@ -232,7 +232,7 @@ def test_compact_dedup_state_preserves_content(spark, sf_dir, tmp_path):
         (r["doc_id"], tuple(r["sig"]))
         for r in spark.read.parquet(p + "/sigs").collect()
     }
-    n_files_after = len(glob.glob(p + "/sigs/*.parquet"))
+    n_files_after = len(glob.glob(p + "/sigs/_pd=*/*.parquet"))
     assert n == len(before) and after == before
     assert n_files_after < n_files_before
     # the compacted state still ingests correctly (replay no-op)
@@ -395,3 +395,104 @@ def test_span_state_stream_matches_batch(spark, sf_dir, tmp_path):
     got = _span_map(D.read_span_state(spark, p))
     want = _span_map(D.duplicated_spans(docs))
     assert got == want
+
+
+def test_dedup_state_meta_guard_raises_on_mismatch(spark, sf_dir, tmp_path):
+    """r11: num_perms/band_rows/max_bucket_docs are FORMAT parameters —
+    a re-ingest under different values must raise (a mismatched
+    num_perms would null-pad the zip_with est-Jaccard and silently
+    under-merge), and a matching re-ingest must still work."""
+    docs = load(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    p = str(tmp_path / "state")
+    D.dedup_state_ingest(b1, p)
+    with pytest.raises(ValueError, match="format parameters"):
+        D.dedup_state_ingest(docs, p, num_perms=8)
+    with pytest.raises(ValueError, match="format parameters"):
+        D.dedup_state_ingest(docs, p, band_rows=2)
+    with pytest.raises(ValueError, match="format parameters"):
+        D.dedup_state_ingest(docs, p, max_bucket_docs=9)
+    # matching params: the second delivery still lands
+    out = _cluster_map(
+        D.dedup_state_ingest(docs.filter(F.col("doc_id") % 2 == 1), p)
+    )
+    assert len(out) == docs.count()
+
+
+def test_semantic_state_meta_guard_raises_on_mismatch(spark, sf_dir, tmp_path):
+    """r11: tau/scale are FORMAT parameters of the semantic state."""
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    b1 = m.filter(F.col("id") % 2 == 0)
+    p = str(tmp_path / "sem")
+    D.semantic_state_ingest(b1, _axis_bucket(b1), p)
+    with pytest.raises(ValueError, match="format parameters"):
+        D.semantic_state_ingest(m, _axis_bucket(m), p, tau=0.8)
+    with pytest.raises(ValueError, match="format parameters"):
+        D.semantic_state_ingest(m, _axis_bucket(m), p, scale=1e5)
+    out = D.semantic_state_ingest(
+        m.filter(F.col("id") % 2 == 1),
+        _axis_bucket(m.filter(F.col("id") % 2 == 1)), p,
+    )
+    assert out.count() == m.count()
+
+
+def test_pre_r11_dedup_state_migrates_in_place(spark, sf_dir, tmp_path):
+    """A legacy state (unbucketed sigs; bands/occ/meta absent — the
+    pre-r10 layout the r10 verdict flagged as a silent mis-ingest) must
+    be upgraded once on the next ingest, after which the delta-vs-
+    from-scratch equality holds as if the state were current."""
+    import shutil
+
+    docs = load(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "state")
+    D.dedup_state_ingest(b1, p)
+    # degrade to the legacy layout: flat sigs, no bands/occ/meta
+    legacy = spark.read.parquet(p + "/sigs").select("doc_id", "sig") \
+        .localCheckpoint(eager=True)
+    for sub in ("/sigs", "/bands", "/occ", "/meta"):
+        shutil.rmtree(p + sub)
+    legacy.write.parquet(p + "/sigs")
+
+    inc = _cluster_map(D.dedup_state_ingest(b2, p))
+    scratch = _cluster_map(
+        D.dedup_state_ingest(docs, str(tmp_path / "scratch"))
+    )
+    assert inc == scratch
+    # the migration rebucketed sigs and backfilled bands/occ/meta
+    assert spark.read.parquet(p + "/bands").count() > 0
+    assert spark.read.parquet(p + "/occ").count() > 0
+    assert "_pd" in spark.read.parquet(p + "/sigs").columns
+    # and a WRONG num_perms against the legacy store raises (validated
+    # from the stored signature width, not just meta)
+    legacy2 = spark.read.parquet(p + "/sigs").select("doc_id", "sig") \
+        .localCheckpoint(eager=True)
+    p2 = str(tmp_path / "legacy2")
+    legacy2.write.parquet(p2 + "/sigs")
+    with pytest.raises(ValueError, match="signatures"):
+        D.dedup_state_ingest(b2, p2, num_perms=8)
+
+
+def test_pre_r11_span_hcounts_migrates_in_place(spark, sf_dir, tmp_path):
+    """A legacy span state (flat hcounts) is rebucketed by _ph once on
+    the next ingest; the from-scratch equality still holds."""
+    import shutil
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    p = str(tmp_path / "span")
+    D.span_state_ingest(b1, p)
+    flat = spark.read.parquet(p + "/hcounts").select("h", "c") \
+        .localCheckpoint(eager=True)
+    shutil.rmtree(p + "/hcounts")
+    flat.write.parquet(p + "/hcounts")
+
+    got = _span_map(D.span_state_ingest(b2, p))
+    want = _span_map(D.duplicated_spans(docs))
+    assert got == want
+    assert "_ph" in spark.read.parquet(p + "/hcounts").columns

@@ -402,3 +402,57 @@ def test_bands_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
 
     m = _re.search(r"PartitionFilters: \[(.*?)\]", rep.text)
     assert m and "_pb" in m.group(1)
+
+
+def test_sigs_probe_scan_is_partition_pruned(spark, sf_dir, tmp_path):
+    """r11 incremental-dedup state: the two per-delivery id probes
+    (replay anti-join, est-Jaccard lookup) read the sigs store under a
+    bounded _pd IN-list PARTITION filter — without it every delivery
+    scans the corpus signature table end-to-end."""
+    from raft_spark.operators import dedup as D
+    from raft_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_dir)
+    p = str(tmp_path / "state")
+    D.dedup_state_ingest(docs.filter(F.col("doc_id") % 2 == 0), p)
+    delta_ids = [r[0] for r in docs.filter(F.col("doc_id") % 2 == 1)
+                 .limit(20).select("doc_id").collect()]
+    pds = sorted({
+        r[0] for r in spark.createDataFrame(
+            [(i,) for i in delta_ids], "doc_id long"
+        ).select(D._doc_bucket(F.col("doc_id")).alias("_pd"))
+        .distinct().collect()
+    })
+    pruned = spark.read.parquet(p + "/sigs").where(F.col("_pd").isin(pds))
+    rep = audit_plan(pruned)
+    import re as _re
+
+    m = _re.search(r"PartitionFilters: \[(.*?)\]", rep.text)
+    assert m and "_pd" in m.group(1)
+
+
+def test_span_probe_scans_are_partition_pruned(spark, sf_dir, tmp_path):
+    """r11 span-state ingest: the hcounts count lookup AND the spans
+    retro-flag probe read their stores under the delta's bounded _ph
+    IN-list — the partitioning the stores were built with."""
+    from raft_spark.operators import dedup as D
+    from raft_spark.sources.tables import load
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    p = str(tmp_path / "span")
+    D.span_state_ingest(docs.filter(F.col("doc_id") % 2 == 0), p)
+    delta = docs.filter(F.col("doc_id") % 2 == 1).limit(20)
+    sh = D.span_hash_table(delta, n=8, text_col="text", id_col="doc_id")
+    phs = sorted({
+        r[0] for r in sh.select(
+            F.pmod(F.xxhash64("h"), F.lit(D.N_BAND_BUCKETS))
+            .cast("int").alias("_ph")
+        ).distinct().collect()
+    })
+    import re as _re
+
+    for store in ("/hcounts", "/spans"):
+        pruned = spark.read.parquet(p + store).where(F.col("_ph").isin(phs))
+        rep = audit_plan(pruned)
+        m = _re.search(r"PartitionFilters: \[(.*?)\]", rep.text)
+        assert m and "_ph" in m.group(1), store
