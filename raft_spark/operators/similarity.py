@@ -1754,9 +1754,13 @@ def kmeans_parallel_init(
     src = df.select(F.col(id_col).alias("_kid"), vec_col)
     big = 1_000_000_007
     for r in range(rounds):
-        assigned = _assign_lists(src, C, vec_col, dist_col="_d2")
+        # persisted across the two actions below (φ aggregation + the
+        # sampling collect) so each round pays ONE corpus Arrow-argmin
+        # pass, not two — the balanced_centroids discipline
+        assigned = _assign_lists(src, C, vec_col, dist_col="_d2").persist()
         tot = assigned.agg(F.sum("_d2")).first()[0]
         if not tot or tot <= 0:
+            assigned.unpersist()
             break  # every row coincides with a candidate already
         u = (
             F.pmod(F.xxhash64(F.col("_kid"), F.lit(seed), F.lit(r)),
@@ -1769,6 +1773,7 @@ def kmeans_parallel_init(
             .limit(4 * l)  # deterministic bound on the driver collect
             .select(vec_col).collect()
         )
+        assigned.unpersist()
         if picked:
             C = np.vstack(
                 [C, np.array([row[vec_col] for row in picked], dtype=float)]
@@ -2575,11 +2580,29 @@ def knn_merge_parts(
     )
 
 
+def _validated_dim(df: DataFrame, vec_col: str, op: str) -> int:
+    """Uniform vector dimensionality of a frame, or raise — one narrow
+    min/max(size) aggregation (column-pruned scan)."""
+    row = df.agg(
+        F.min(F.size(F.col(vec_col))), F.max(F.size(F.col(vec_col)))
+    ).first()
+    d = int(row[0]) if row is not None and row[0] is not None else 0
+    if d == 0:
+        raise ValueError(f"{op}: empty input or empty vectors")
+    if int(row[1]) != d:
+        raise ValueError(
+            f"{op}: ragged vector lengths (min {d}, max {int(row[1])}) — "
+            f"packed-word Hamming requires uniform dimensionality"
+        )
+    return d
+
+
 def binary_quantize(
     df: DataFrame,
     id_col: str = "id",
     vec_col: str = "features",
     out_col: str = "bq",
+    _d: int | None = None,
 ) -> DataFrame:
     """Sign-bit binary quantization → (id, bq: array<long>): bit j of
     word w is 1 iff x[64w+j] > 0, 64 dimensions packed per long — the
@@ -2589,11 +2612,15 @@ def binary_quantize(
     BITWISE expressions — shiftleft + OR, never arithmetic, so the
     top bit of a full 64-dim word is fine under ANSI mode (an
     arithmetic acc·2+bit fold would overflow-raise there). Dimensions
-    are zero-padded into the last word."""
-    d_row = df.select(F.size(F.col(vec_col))).first()
-    d = int(d_row[0]) if d_row else 0
-    if d == 0:
-        raise ValueError("binary_quantize: empty input or empty vectors")
+    are zero-padded into the last word.
+
+    UNIFORM-DIMS contract, validated: one narrow min/max(size) pass
+    asserts every vector has the same length (a ragged corpus would
+    otherwise yield NULL packed words → NULL Hamming distances with no
+    error — zip_with null-pads instead of raising). ``_d`` lets a
+    caller that already validated (knn_bq) skip the extra pass."""
+    d = _d if _d is not None else _validated_dim(df, vec_col,
+                                                 "binary_quantize")
     n_words = (d + 63) // 64
     x = F.col(vec_col)
 
@@ -2635,11 +2662,20 @@ def knn_bq(
     (:func:`knn_refine`) — the standard quantize-then-rescore pipeline
     (cuVS binary quantization + refine). The Hamming scan is one
     broadcast join + JVM popcount expression + the bounded two-phase
-    select_k; nothing leaves the JVM."""
+    select_k; nothing leaves the JVM. Corpus and query dimensionality
+    are validated equal (a mismatch would silently null-pad the packed
+    zip_with instead of erroring)."""
     from raft_spark.operators.selectk import select_k
 
-    cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col)
-    qb = binary_quantize(queries, id_col=id_col, vec_col=vec_col)
+    dc = _validated_dim(corpus, vec_col, "knn_bq")
+    dq = _validated_dim(queries, vec_col, "knn_bq")
+    if dc != dq:
+        raise ValueError(
+            f"knn_bq: corpus dimensionality {dc} != query "
+            f"dimensionality {dq}"
+        )
+    cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=dc)
+    qb = binary_quantize(queries, id_col=id_col, vec_col=vec_col, _d=dq)
     scored = (
         cb.select(F.col("id").alias("nid"), F.col("bq").alias("_cb"))
         .join(F.broadcast(

@@ -566,7 +566,18 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
     already present in the index are anti-joined out against the norms
     sidecar (one row per corpus row — the cheap id registry), so
     at-least-once redelivery can never double-count _ip/_shared or
-    duplicate norm rows."""
+    duplicate norm rows.
+
+    CRASH-ATOMICITY (honest contract): the postings append and the
+    norms append are NOT one transaction. Postings land first, so a
+    failure between the two writes leaves rows whose redelivery is NOT
+    anti-joined out (the registry never saw them) — the retry would
+    re-append their postings and double-count _ip/_shared. The replay
+    guard protects against redelivery of COMPLETED deliveries only. On
+    a real cluster, park the index on a transactional table format or
+    commit each delivery under a manifest (write both stores tagged
+    with a delivery id, publish the id last, readers skip unpublished
+    ids)."""
     spark = new_coo.sparkSession
     n_shards = _postings_n_shards(spark, path)
     delta = (
@@ -631,10 +642,15 @@ def sparse_lookup(
     ``max_col_df`` applies the stop-column discipline AT LOOKUP TIME:
     the document frequency of each touched column is counted over the
     PRUNED postings slice (+ the batch's own contribution) and columns
-    above the cap leave the join — same exactness caveat as
-    sparse_pairwise (surviving pairs keep exact values over the
-    remaining columns). Cost: one extra agg over the already-pruned
-    slice, never the whole index.
+    above the cap leave the join — and BOTH norm sides are adjusted to
+    the capped column set, so surviving pairs keep exact metric values
+    over the remaining columns (the sparse_pairwise(max_col_df)
+    semantics): batch norms are recomputed from the col-filtered batch,
+    and corpus norms subtract the capped columns' contributions, which
+    is exact because every posting of a column lives in that column's
+    hash shard and every capped column's shard is inside the pruned
+    slice. Cost: two extra aggs over the already-pruned slice, never
+    the whole index.
     """
     if metric not in _SPARSE_METRICS:
         raise ValueError(f"unknown sparse metric {metric!r}; "
@@ -653,6 +669,7 @@ def sparse_lookup(
     )
     lhs = batch.select(F.col("row").alias("a"), "col",
                        F.col("value").alias("_va"))
+    corpus_norms = spark.read.parquet(f"{path}/norms")
     if max_col_df is not None:
         df_counts = (
             postings.groupBy("col").agg(F.count("*").alias("_dfp"))
@@ -660,17 +677,42 @@ def sparse_lookup(
                   "col", "full")
             .select("col", (F.coalesce("_dfp", F.lit(0))
                             + F.coalesce("_dfb", F.lit(0))).alias("_df"))
+            .localCheckpoint(eager=True)  # feeds 3 branches below
         )
         ok_cols = df_counts.filter(F.col("_df") <= max_col_df).select("col")
+        capped_cols = df_counts.filter(F.col("_df") > max_col_df) \
+            .select("col")
+        # corpus norms over the SURVIVING columns: subtract each touched
+        # row's capped-column contributions — exact over the pruned
+        # slice, because all postings of a capped column live in its
+        # (touched) shard
+        cut = (
+            postings.join(capped_cols, "col", "left_semi")
+            .groupBy(F.col("b").alias("row")).agg(
+                F.sum(F.col("_vb") * F.col("_vb")).alias("_nn_cut"),
+                F.count("*").alias("_nz_cut"),
+            )
+        )
+        corpus_norms = (
+            corpus_norms.join(cut, "row", "left")
+            .select(
+                "row",
+                (F.col("_nn") - F.coalesce("_nn_cut", F.lit(0.0)))
+                .alias("_nn"),
+                (F.col("_nz") - F.coalesce("_nz_cut", F.lit(0)))
+                .alias("_nz"),
+            )
+        )
         lhs = lhs.join(ok_cols, "col", "left_semi")
         postings = postings.join(ok_cols, "col", "left_semi")
     pairs = lhs.join(postings, "col").groupBy("a", "b").agg(
         F.sum(F.col("_va") * F.col("_vb")).alias("_ip"),
         F.count("*").alias("_shared"),
     )
-    batch_norms = batch.groupBy("row").agg(
-        F.sum(F.col("value") * F.col("value")).alias("_nn"),
+    # batch norms from the col-filtered batch (== the raw batch when no
+    # cap is set), so the norm side agrees with the join side
+    batch_norms = lhs.groupBy(F.col("a").alias("row")).agg(
+        F.sum(F.col("_va") * F.col("_va")).alias("_nn"),
         F.count("*").alias("_nz"),
     )
-    corpus_norms = spark.read.parquet(f"{path}/norms")
     return _sparse_finish(pairs, batch_norms, corpus_norms, metric, threshold)

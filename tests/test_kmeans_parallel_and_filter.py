@@ -192,3 +192,23 @@ def test_knn_bq_hamming_and_recall(spark, blobs):
     for r in sc.orderBy("qid", "nid").limit(40).collect():
         hb = int(np.sum((X[r["qid"]] > 0) != (X[r["nid"]] > 0)))
         assert r["h"] == hb, (r["qid"], r["nid"])
+
+
+def test_binary_quantize_rejects_ragged_and_dim_mismatch(spark, blobs):
+    """r11 (ADVICE fix): ragged vector lengths or a corpus/query
+    dimensionality mismatch must raise — not silently null-pad the
+    packed zip_with into NULL Hamming distances."""
+    ragged = spark.createDataFrame(
+        [(0, [1.0, -1.0, 2.0]), (1, [1.0, -1.0])],
+        "id long, features array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        SIM.binary_quantize(ragged)
+    with pytest.raises(ValueError, match="empty"):
+        SIM.binary_quantize(ragged.limit(0))
+    corpus, _ = blobs
+    queries2 = corpus.select(
+        "id", F.slice("features", 1, 3).alias("features")
+    ).limit(4)
+    with pytest.raises(ValueError, match="dimensionality"):
+        SIM.knn_bq(corpus, queries2, k=2)

@@ -286,6 +286,18 @@ def test_sparse_lookup_max_col_df(spark, sp, tmp_path):
     for (a, b), v in got.items():
         exp = round(float(np.dot(Mc[a - 100], Mc[b])), 6)
         assert abs(v - exp) <= 2e-6, (a, b)
+    # r11 (ADVICE fix): NORM-based metrics must use norms over the
+    # SURVIVING columns — batch norms recomputed from the col-filtered
+    # batch, corpus norms with the capped columns' contributions
+    # subtracted — so values equal the dense twin over the capped matrix
+    for metric in ("cosine", "sqeuclidean", "jaccard"):
+        gm = {(r["a"], r["b"]): r["dist"]
+              for r in SP.sparse_lookup(batch, spark, path, metric=metric,
+                                        max_col_df=cap).collect()}
+        assert gm, metric
+        for (a, b), v in gm.items():
+            exp = round(_dense(metric, Mc[a - 100], Mc[b]), 6)
+            assert abs(v - exp) <= 2e-6, (metric, a, b)
 
 
 def test_compact_postings_preserves_content(spark, sp, tmp_path):
