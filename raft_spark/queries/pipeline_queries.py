@@ -223,6 +223,8 @@ cs AS (SELECT cluster_id, count(*) AS n FROM base GROUP BY 1)
 SELECT base.doc_id, base.cluster_id, cs.n::BIGINT AS cluster_size,
        (CASE WHEN base.doc_id = base.cluster_id THEN 1 ELSE 0 END)::INTEGER AS is_canonical
 FROM base JOIN cs USING (cluster_id)
+UNION ALL
+SELECT -1::BIGINT, -1::BIGINT, 1::BIGINT, 1::INTEGER
 """
 
 
@@ -238,7 +240,16 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (md5 term ids, recursive-CTE components) — the equality contract a
     100 TB ingest pipeline rests on. Replay safety (re-ingesting a
     delivered batch is a no-op) is pinned in
-    tests/test_incremental_dedup.py."""
+    tests/test_incremental_dedup.py.
+
+    r11 gates the COMPACTION leg inside the same row:
+    compact_dedup_state runs between the two deliveries, so the main
+    oracle equality also certifies that compaction preserved every
+    state decision (delivery 2 ingests into a compacted state); a
+    sentinel member row (doc_id = cluster_id = -1) additionally pins
+    that the post-compaction resolve of the bootstrap state equals the
+    pre-compaction resolve row-for-row, carried in cluster_size (1 =
+    equal) against the oracle's literal 1."""
     import shutil
     import tempfile
 
@@ -247,14 +258,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = docs.filter(F.col("doc_id") % 2 == 1)
     tmp = tempfile.mkdtemp(prefix="raft_spark_deltadedup_")
     try:
-        # the bootstrap's full-table resolve would be discarded — skip it
-        D.dedup_state_ingest(b1, tmp + "/state", return_full=False)
+        r1 = D.dedup_state_ingest(b1, tmp + "/state")
+        D.compact_dedup_state(spark, tmp + "/state")
+        r1c = D.read_dedup_state(spark, tmp + "/state")[1] \
+            .localCheckpoint(eager=True)
+        compact_eq = (
+            r1.exceptAll(r1c).count() + r1c.exceptAll(r1).count() == 0
+            and r1.count() > 0
+        )
         out = D.dedup_state_ingest(b2, tmp + "/state")
         # out is eagerly checkpointed by the operator, so removing the
         # state directory underneath it is safe
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return out
+    flag = spark.createDataFrame(
+        [(-1, -1, 1 if compact_eq else 0, 1)],
+        "doc_id long, cluster_id long, cluster_size long, is_canonical int",
+    )
+    return out.unionByName(flag)
 
 
 @query(
@@ -780,8 +801,23 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
             and base_rows.exceptAll(old_rows).count() == 0
         )
         grown["codes"] = gcodes
-        r_grown, _ = recall(8, grown)
+        r_grown, pairs_grown = recall(8, grown)
         delta_eq = int(complete and untouched and r_grown >= 0.5)
+        # r11 compaction member: ivf_pq_index_compact is a pure
+        # file-layout rewrite — the compacted codes must be
+        # content-identical to the delta-grown index AND answer the
+        # same queries (ingest → compact → lookup equality)
+        SIM.ivf_pq_index_compact(spark, tmp2 + "/index")
+        comp = SIM.read_ivf_pq_index(spark, tmp2 + "/index")
+        ccodes = comp["codes"].localCheckpoint(eager=True)
+        csel = ccodes.select("id", "codes", "list_id")
+        gsel = gcodes.select("id", "codes", "list_id")
+        cdiff = csel.exceptAll(gsel).count() + gsel.exceptAll(csel).count()
+        comp["codes"] = ccodes
+        _, pairs_comp = recall(8, comp)
+        compact_eq = int(
+            cdiff == 0 and pairs_comp == pairs_grown and len(pairs_grown) > 0
+        )
     finally:
         shutil.rmtree(tmp2, ignore_errors=True)
 
@@ -791,6 +827,7 @@ def q_ivf_pq_checks(spark: SparkSession, sf_dir: str, shared=None) -> DataFrame:
         ("ivf_pq_roundtrip", int(pairs_loaded == pairs_mid and len(pairs_mid) > 0)),
         ("ivf_pq_sidecar_eq", sidecar_eq),
         ("ivf_pq_delta_eq", delta_eq),
+        ("ivf_pq_compact_eq", compact_eq),
     ]
     return spark.createDataFrame(rows, "method string, recall_ok int")
 

@@ -685,6 +685,8 @@ FROM (SELECT x.row AS a, y.row AS b, sum(x.value * y.value) AS ip
 JOIN nr na ON na.row = xb.a JOIN nr nb ON nb.row = xb.b
 UNION ALL
 SELECT 'splook_replay_ok', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT 'splook_compact_ok', 0::BIGINT, -1::BIGINT, 1.0
 )
 """
     return f"""
@@ -754,13 +756,27 @@ def q_coo_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             sliced.filter(F.col("row") > 150), spark, tmp + "/idx",
             metric="cosine",
         ).localCheckpoint(eager=True)
+        # r11 compaction member: compact_postings is a pure file-layout
+        # rewrite — the SAME batch lookup against the compacted index
+        # must answer row-for-row identically (ingest → compact →
+        # lookup equality, the splook_replay_ok pattern)
+        SP2.compact_postings(spark, tmp + "/idx")
+        look2 = SP2.sparse_lookup(
+            sliced.filter(F.col("row") > 150), spark, tmp + "/idx",
+            metric="cosine",
+        ).localCheckpoint(eager=True)
+        compact_ok = float(
+            look.exceptAll(look2).count() + look2.exceptAll(look).count()
+            == 0 and look.count() > 0
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     spl = look.select(
         F.lit("splook").alias("op"), F.col("a").alias("row"),
         F.col("b").alias("col"), F.col("dist").alias("value"))
     sprf = spark.createDataFrame(
-        [("splook_replay_ok", 0, -1, replay_ok)],
+        [("splook_replay_ok", 0, -1, replay_ok),
+         ("splook_compact_ok", 0, -1, compact_ok)],
         "op string, row long, col long, value double",
     )
     return (
@@ -2466,6 +2482,8 @@ SELECT 'ivf_pq_sidecar_eq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'ivf_pq_delta_eq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
+SELECT 'ivf_pq_compact_eq', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
 SELECT 'lsh', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'lsh_table_mono', 0::BIGINT, -1::BIGINT, 1.0
@@ -2522,6 +2540,33 @@ UNION ALL
 SELECT 'merge_parts_eq', 0::BIGINT, -1::BIGINT, 1.0
 UNION ALL
 SELECT 'bq', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT method, a, b, value FROM (
+WITH q3 AS (SELECT * FROM embeddings WHERE vec_id % 50 = 0),
+bqs AS (
+    SELECT q3.vec_id AS qid, c.vec_id AS nid,
+           len(list_filter(
+               list_zip(q3.embedding::DOUBLE[], c.embedding::DOUBLE[]),
+               z -> (z[1] > 0) <> (z[2] > 0))) AS hd,
+           round(list_cosine_similarity(q3.embedding::DOUBLE[],
+                                        c.embedding::DOUBLE[]), 6) AS cosine
+    FROM q3 JOIN embeddings c ON c.vec_id <> q3.vec_id
+),
+bsh AS (
+    SELECT qid, nid, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY hd ASC, nid ASC) AS hr
+    FROM bqs
+),
+brr AS (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid ASC) AS rank
+    FROM bsh WHERE hr <= 80
+)
+SELECT 'bq_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
+       rank::DOUBLE AS value FROM brr WHERE rank <= 5
+)
 """
 
 
@@ -2682,13 +2727,24 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r10: binary quantization + rescore (cuVS quantize::binary role) —
     # packed sign-bit Hamming shortlist, exact-cosine refine; recall
     # floor 0.5 (measured 0.92 at sf0.01 / 0.58 at sf0.1 with rf=16)
-    bq_hits = (
-        SIM2.knn_bq(shared[0], shared[1], k=5, refine_factor=16)
-        .join(exact, ["qid", "nid"], "left_semi").count()
-    )
+    bq_out = SIM2.knn_bq(shared[0], shared[1], k=5, refine_factor=16) \
+        .localCheckpoint(eager=True)  # feeds the recall flag AND bq_rank
+    bq_hits = bq_out.join(exact, ["qid", "nid"], "left_semi").count()
     bq_flag = spark.createDataFrame(
         [("bq", 0, -1, float(int(bq_hits / (shared[2] * 5.0) >= 0.5)))],
         "method string, a long, b long, value double",
+    )
+    # r11: the ENTIRE BQ pipeline is deterministic (integer Hamming
+    # shortlist with nid tie-break, rounded exact-cosine rescore), so
+    # its full (qid, nid, rank) output rides as a VALUE member — DuckDB
+    # re-derives the sign-disagreement Hamming (== packed-XOR popcount:
+    # padding bits are zero on both sides), the top-k·rf shortlist, and
+    # the rescored ranking independently
+    bq_rank = bq_out.select(
+        F.lit("bq_rank").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("rank").cast("double").alias("value"),
     )
     # r10: knn_merge_parts — three shard-local exact top-5 merged must
     # equal the suite's shared global exact scan (the brute_force
@@ -2711,6 +2767,7 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
         .unionByName(g_eq).unionByName(m_eq).unionByName(bq_flag)
+        .unionByName(bq_rank)
     )
 
 

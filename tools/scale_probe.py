@@ -585,28 +585,37 @@ def main() -> None:
                 F.array_join(ws, " ").alias("text"),
             ).localCheckpoint(eager=True)
 
-        corpus = _sdocs(200_000, 0, 0)
-        delta = _sdocs(10_000, 200_000, 3)
-        tmpd = tempfile.mkdtemp(prefix="raft_spark_spaningest_")
-        try:
-            t = time.perf_counter()
-            span_state_ingest(corpus, tmpd + "/s", return_full=False)
-            out["spaningest_bootstrap_200k_docs_s"] = round(
-                time.perf_counter() - t, 2
-            )
-            t = time.perf_counter()
-            span_state_ingest(delta, tmpd + "/s", return_full=False)
-            out["spaningest_delta_10k_s"] = round(time.perf_counter() - t, 2)
-            from raft_spark.operators.dedup import read_span_state
+        # r11: TWO corpus sizes — after the _ph partition-pruned probe
+        # fix, the same 10k delta must cost the same against a 200k and
+        # a 400k corpus (the PROBE_INC_DEDUP flat-delta-cost pattern)
+        for scale in (1, 2):
+            n_docs = scale * 200_000
+            corpus = _sdocs(n_docs, 0, 0)
+            delta = _sdocs(10_000, n_docs, 3)
+            tmpd = tempfile.mkdtemp(prefix="raft_spark_spaningest_")
+            try:
+                t = time.perf_counter()
+                span_state_ingest(corpus, tmpd + "/s", return_full=False)
+                out[f"spaningest_bootstrap_{scale}x200k_docs_s"] = round(
+                    time.perf_counter() - t, 2
+                )
+                t = time.perf_counter()
+                span_state_ingest(delta, tmpd + "/s", return_full=False)
+                out[f"spaningest_delta_10k_into_{scale}x200k_s"] = round(
+                    time.perf_counter() - t, 2
+                )
+                from raft_spark.operators.dedup import read_span_state
 
-            t = time.perf_counter()
-            n_res = read_span_state(spark, tmpd + "/s").count()
-            out["spaningest_resolve_s"] = round(time.perf_counter() - t, 2)
-            assert n_res == 210_000
-        finally:
-            shutil.rmtree(tmpd, ignore_errors=True)
-        del corpus, delta
-        gc.collect()
+                t = time.perf_counter()
+                n_res = read_span_state(spark, tmpd + "/s").count()
+                out[f"spaningest_resolve_{scale}x200k_s"] = round(
+                    time.perf_counter() - t, 2
+                )
+                assert n_res == n_docs + 10_000
+            finally:
+                shutil.rmtree(tmpd, ignore_errors=True)
+            del corpus, delta
+            gc.collect()
 
     # r10 postings index at 10M nnz (opt-in, PROBE_POSTINGS_R10=1): the
     # lookup claim under test — batch cost tracks the batch's TOUCHED
@@ -651,6 +660,28 @@ def main() -> None:
         finally:
             shutil.rmtree(tmpd, ignore_errors=True)
         del big, delta, batch
+        gc.collect()
+
+    # r11 binary quantization at 1M rows (opt-in, PROBE_BQ=1): the
+    # packed-Hamming shortlist scan vs the f32 brute scan over the SAME
+    # 1M x 64 corpus and 100 queries — the 32x-smaller-scan claim,
+    # measured instead of asserted (the quantize cost is inside the
+    # knn_bq number; both paths end in the bounded two-phase select_k).
+    if os.environ.get("PROBE_BQ") == "1":
+        from raft_spark.operators.similarity import knn_bq, knn_brute as _kb
+
+        bq_corpus = dense_table(spark, 1_000_000, 64) \
+            .localCheckpoint(eager=True)
+        bq_queries = bq_corpus.filter(F.col("id") < 100) \
+            .localCheckpoint(eager=True)
+        t = time.perf_counter()
+        nbq = knn_bq(bq_corpus, bq_queries, k=5, refine_factor=8).count()
+        out["knn_bq_1m_100q_s"] = round(time.perf_counter() - t, 2)
+        t = time.perf_counter()
+        nbr = _kb(bq_corpus, bq_queries, k=5).count()
+        out["knn_brute_1m_100q_s"] = round(time.perf_counter() - t, 2)
+        assert nbq == 500 and nbr == 500
+        del bq_corpus, bq_queries
         gc.collect()
 
     print(json.dumps(out))
