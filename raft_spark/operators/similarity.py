@@ -2647,6 +2647,19 @@ def hamming_packed(a, b):
     )
 
 
+def _popcount64(x):
+    """Vectorized popcount of a uint64 numpy array (SWAR bit-slices —
+    numpy 1.x has no bitwise_count); returns int64."""
+    import numpy as np
+
+    x = x - ((x >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)) \
+        .astype(np.int64)
+
+
 def knn_bq(
     corpus: DataFrame,
     queries: DataFrame,
@@ -2654,17 +2667,41 @@ def knn_bq(
     refine_factor: int = 8,
     id_col: str = "id",
     vec_col: str = "features",
+    strategy: str = "auto",
+    max_collect_queries: int = 20_000,
 ) -> DataFrame:
     """Binary-quantized ANN → (qid, nid, dist, rank): rank candidates
     by packed-bit Hamming distance (integer-exact, ascending, nid
     tie-break — 32× less data scanned than f32), keep k·refine_factor
     per query, then exactness-refine the shortlist with true cosine
     (:func:`knn_refine`) — the standard quantize-then-rescore pipeline
-    (cuVS binary quantization + refine). The Hamming scan is one
-    broadcast join + JVM popcount expression + the bounded two-phase
-    select_k; nothing leaves the JVM. Corpus and query dimensionality
-    are validated equal (a mismatch would silently null-pad the packed
-    zip_with instead of erroring)."""
+    (cuVS binary quantization + refine). Corpus and query
+    dimensionality are validated equal (a mismatch would silently
+    null-pad the packed zip_with instead of erroring).
+
+    The Hamming scan follows :func:`knn_brute`'s strategy split —
+    per-pair expressions are the wrong shape for a B×Q product (the
+    r11 probe measured the expression path 16× SLOWER than the f32
+    numpy brute scan at 1M×100q, the opposite of what quantization is
+    for):
+
+    - strategy="numpy" (auto when |Q| ≤ ``max_collect_queries``): the
+      packed query codes ship as a closure; each corpus partition
+      XOR+SWAR-popcounts its code block against all queries in one
+      vectorized batch and emits only its LOCAL tie-exact top-k·rf per
+      query (−Hamming through the shared :func:`_partial_topk`, so the
+      (hamming asc, nid asc) cut is bit-identical to the JVM total
+      order), and the shuffle carries O(partitions·|Q|·k·rf) rows.
+    - strategy="expr": the original broadcast join + JVM
+      shiftleft/XOR/bit_count expression through the bounded two-phase
+      select_k — no driver collect at any |Q|.
+
+    Both paths feed the same exact-cosine refine, so the result is
+    byte-identical either way (Hamming is integer — no rounding seam).
+    """
+    import numpy as np
+    import pandas as pd
+
     from raft_spark.operators.selectk import select_k
 
     dc = _validated_dim(corpus, vec_col, "knn_bq")
@@ -2676,18 +2713,51 @@ def knn_bq(
         )
     cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=dc)
     qb = binary_quantize(queries, id_col=id_col, vec_col=vec_col, _d=dq)
-    scored = (
-        cb.select(F.col("id").alias("nid"), F.col("bq").alias("_cb"))
-        .join(F.broadcast(
-            qb.select(F.col("id").alias("qid"), F.col("bq").alias("_qb"))))
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid",
-                hamming_packed(F.col("_qb"), F.col("_cb"))
-                .cast("double").alias("hamming"))
-    )
+    k_short = k * refine_factor
+    if strategy == "auto":
+        strategy = (
+            "numpy" if qb.count() <= max_collect_queries else "expr"
+        )
+    if strategy == "numpy":
+        q_rows = qb.collect()
+        qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+        qm = np.array([r["bq"] for r in q_rows]).astype(np.uint64)  # |Q|×W
+
+        def pp(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cm = np.stack(pdf["bq"].to_numpy()).astype(np.uint64)
+                nids = pdf["id"].to_numpy()
+                h = np.zeros((cm.shape[0], qm.shape[0]), dtype=np.int64)
+                for w in range(cm.shape[1]):
+                    h += _popcount64(cm[:, w:w + 1] ^ qm[None, :, w])
+                s = -h.astype(float)  # descending == hamming ascending
+                s[nids[:, None] == qids[None, :]] = -np.inf
+                out_q, out_n, out_c = _partial_topk(s, nids, qids, k_short)
+                if out_q:
+                    yield pd.DataFrame({
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "hamming": -np.concatenate(out_c),
+                    })
+
+        scored = cb.mapInPandas(pp, "qid long, nid long, hamming double")
+        merge = "agg"  # ≤ partitions·k·rf rows per query survive
+    else:
+        scored = (
+            cb.select(F.col("id").alias("nid"), F.col("bq").alias("_cb"))
+            .join(F.broadcast(
+                qb.select(F.col("id").alias("qid"), F.col("bq").alias("_qb"))))
+            .filter(F.col("qid") != F.col("nid"))
+            .select("qid", "nid",
+                    hamming_packed(F.col("_qb"), F.col("_cb"))
+                    .cast("double").alias("hamming"))
+        )
+        merge = "auto"
     short = select_k(
         scored, group_cols=["qid"], order_col="hamming",
-        k=k * refine_factor, ascending=True, payload_cols=["nid"],
+        k=k_short, ascending=True, payload_cols=["nid"], strategy=merge,
     ).select("qid", "nid")
     return knn_refine(short, corpus, queries, k=k, metric="cosine",
                       id_col=id_col, vec_col=vec_col)

@@ -212,3 +212,26 @@ def test_binary_quantize_rejects_ragged_and_dim_mismatch(spark, blobs):
     ).limit(4)
     with pytest.raises(ValueError, match="dimensionality"):
         SIM.knn_bq(corpus, queries2, k=2)
+
+
+def test_popcount64_matches_python():
+    rng = np.random.default_rng(5)
+    xs = rng.integers(0, 2 ** 63, size=1000, dtype=np.int64).astype(np.uint64)
+    xs[0] = np.uint64(0)
+    xs[1] = np.uint64(2 ** 64 - 1)
+    xs[2] = np.uint64(0x8000000000000000)
+    got = SIM._popcount64(xs)
+    assert all(int(g) == int(x).bit_count() for g, x in zip(got, xs))
+
+
+def test_knn_bq_numpy_equals_expr(spark, blobs):
+    """r11: the vectorized partial-topk Hamming scan must be
+    byte-identical to the JVM expression path (integer Hamming, shared
+    (hamming asc, nid asc) cut, same exact-cosine refine)."""
+    corpus, _ = blobs
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    a = SIM.knn_bq(corpus, queries, k=3, refine_factor=4, strategy="numpy")
+    b = SIM.knn_bq(corpus, queries, k=3, refine_factor=4, strategy="expr")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
