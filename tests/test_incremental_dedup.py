@@ -496,3 +496,57 @@ def test_pre_r11_span_hcounts_migrates_in_place(spark, sf_dir, tmp_path):
     want = _span_map(D.duplicated_spans(docs))
     assert got == want
     assert "_ph" in spark.read.parquet(p + "/hcounts").columns
+
+
+def test_compact_semantic_state_preserves_resolution(spark, sf_dir, tmp_path):
+    """r11: semantic-state compaction is a pure layout rewrite — the
+    resolved groups and a post-compaction delta ingest are unchanged."""
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    b1 = m.filter(F.col("id") % 3 == 0)
+    b2 = m.filter(F.col("id") % 3 == 1)
+    b3 = m.filter(F.col("id") % 3 == 2)
+    p = str(tmp_path / "sem")
+    D.semantic_state_ingest(b1, _axis_bucket(b1), p)
+    before = _group_map(D.semantic_state_ingest(b2, _axis_bucket(b2), p))
+    n_idx = spark.read.parquet(p + "/index").count()
+
+    n = D.compact_semantic_state(spark, p)
+    assert n == n_idx
+    from raft_spark.operators.dedup import read_semantic_state
+
+    _, groups = read_semantic_state(spark, p)
+    assert _group_map(groups) == before
+    # post-compaction delta ingest == from-scratch over the union
+    got = _group_map(D.semantic_state_ingest(b3, _axis_bucket(b3), p))
+    want = _group_map(D.semantic_dedup(m, assignments=_axis_bucket(m)))
+    assert got == want
+
+
+def test_compact_span_state_preserves_resolution(spark, sf_dir, tmp_path):
+    """r11: span-state compaction (tokens/spans/hcounts-rollup/flags-
+    distinct) preserves the resolved table and later ingests."""
+    import glob
+
+    docs = load(spark, "documents", sf_dir).select("doc_id", "text")
+    b1 = docs.filter(F.col("doc_id") % 3 == 0)
+    b2 = docs.filter(F.col("doc_id") % 3 == 1)
+    b3 = docs.filter(F.col("doc_id") % 3 == 2)
+    p = str(tmp_path / "span")
+    D.span_state_ingest(b1, p)
+    D.span_state_ingest(b2, p)
+    before = _span_map(D.read_span_state(spark, p))
+    files_before = len(glob.glob(p + "/hcounts/_ph=*/*.parquet"))
+
+    D.compact_span_state(spark, p)
+    after = _span_map(D.read_span_state(spark, p))
+    files_after = len(glob.glob(p + "/hcounts/_ph=*/*.parquet"))
+    assert after == before
+    assert files_after < files_before
+    # additive sums unchanged -> a later delta decides >= min_count
+    # identically: the post-compaction ingest equals from-scratch
+    got = _span_map(D.span_state_ingest(b3, p))
+    want = _span_map(D.duplicated_spans(docs))
+    assert got == want
