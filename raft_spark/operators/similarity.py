@@ -2761,3 +2761,153 @@ def knn_bq(
     ).select("qid", "nid")
     return knn_refine(short, corpus, queries, k=k, metric="cosine",
                       id_col=id_col, vec_col=vec_col)
+
+
+def scalar_quantize(
+    df: DataFrame,
+    amax: float | None = None,
+    id_col: str = "id",
+    vec_col: str = "features",
+    out_col: str = "sq",
+    _d: int | None = None,
+):
+    """SYMMETRIC int8 scalar quantization → ((id, sq: array<int>),
+    amax) — the reference ecosystem's scalar quantizer (cuVS
+    preprocessing quantize::scalar: train a scale on the dataset,
+    encode dataset AND queries with the frozen scale; 4× smaller than
+    f32). code = clamp(floor(x·(127/amax) + 0.5), −127, 127) with
+    ``amax`` = max|element| trained here when not supplied (one narrow
+    JVM aggregation) — symmetric around zero, so the integer dot
+    product of two code vectors is a PURE scaled inner product (no
+    affine cross-terms), which is what lets the shortlist rank on exact
+    integer arithmetic and the DuckDB oracle re-derive it bit-for-bit
+    (floor(x+0.5) is the repo-wide half-away rounding; multiplication
+    and division on the same doubles agree across engines).
+
+    Uniform dims validated (same reason as :func:`binary_quantize`).
+    Callers scoring queries against a quantized corpus MUST pass the
+    corpus-trained ``amax`` (the frozen-model discipline of
+    ivf_pq_index_add)."""
+    d = _d if _d is not None else _validated_dim(df, vec_col, "scalar_quantize")
+    del d  # validation only; the encode is per-element
+    x = F.col(vec_col)
+    if amax is None:
+        row = df.agg(
+            F.max(F.aggregate(
+                F.transform(x, lambda v: F.abs(v)),
+                F.lit(0.0), lambda acc, v: F.greatest(acc, v),
+            ))
+        ).first()
+        amax = float(row[0]) if row and row[0] is not None else 0.0
+    if amax <= 0:
+        raise ValueError("scalar_quantize: amax must be positive "
+                         "(all-zero or empty corpus?)")
+    s = 127.0 / amax
+    code = F.transform(
+        x,
+        lambda v: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127),
+                    F.floor(v * F.lit(s) + F.lit(0.5)).cast("int")),
+        ),
+    )
+    return df.select(
+        F.col(id_col).cast("long").alias("id"), code.alias(out_col)
+    ), float(amax)
+
+
+def knn_sq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    refine_factor: int = 8,
+    id_col: str = "id",
+    vec_col: str = "features",
+    strategy: str = "auto",
+    max_collect_queries: int = 20_000,
+) -> DataFrame:
+    """Scalar-quantized ANN → (qid, nid, dist, rank): rank candidates
+    by the int8-code dot product (integer-exact inner-product proxy,
+    descending, nid tie-break — 4× less data scanned than f32), keep
+    k·refine_factor per query, then exactness-refine the shortlist with
+    true cosine (:func:`knn_refine`) — the quantize-then-rescore
+    pipeline under the cuVS scalar quantizer, sitting between
+    :func:`knn_bq` (32× compression, coarsest) and f32 brute. The scale
+    is trained on the CORPUS and applied frozen to the queries; corpus
+    vs query dimensionality validated equal.
+
+    Same strategy split as knn_brute/knn_bq: collected query codes +
+    per-partition int32 BLAS dot with tie-exact local top-k·rf
+    (default when |Q| ≤ ``max_collect_queries``), or the JVM zip_with
+    expression path at any |Q|. Integer scores, so both paths cut
+    bit-identically and feed the same exact-cosine refine."""
+    import numpy as np
+    import pandas as pd
+
+    from raft_spark.operators.selectk import select_k
+
+    dc = _validated_dim(corpus, vec_col, "knn_sq")
+    dq = _validated_dim(queries, vec_col, "knn_sq")
+    if dc != dq:
+        raise ValueError(
+            f"knn_sq: corpus dimensionality {dc} != query "
+            f"dimensionality {dq}"
+        )
+    cq, amax = scalar_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=dc)
+    qq, _ = scalar_quantize(queries, amax=amax, id_col=id_col,
+                            vec_col=vec_col, _d=dq)
+    k_short = k * refine_factor
+    if strategy == "auto":
+        strategy = (
+            "numpy" if qq.count() <= max_collect_queries else "expr"
+        )
+    if strategy == "numpy":
+        q_rows = qq.collect()
+        qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
+        # int32 accumulates exactly up to d ≈ 133k at |code| ≤ 127;
+        # widen to int64 beyond that
+        acc_t = np.int32 if dc * 127 * 127 < 2 ** 31 else np.int64
+        qm = np.array([r["sq"] for r in q_rows], dtype=acc_t)  # |Q|×d
+
+        def pp(batches):
+            qt = qm.T  # d×|Q|
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cm = np.stack(pdf["sq"].to_numpy()).astype(acc_t)
+                nids = pdf["id"].to_numpy()
+                ip = cm @ qt  # B×|Q| integer — exact (|code| ≤ 127)
+                s = ip.astype(float)
+                s[nids[:, None] == qids[None, :]] = -np.inf
+                out_q, out_n, out_c = _partial_topk(s, nids, qids, k_short)
+                if out_q:
+                    yield pd.DataFrame({
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "ip": np.concatenate(out_c),
+                    })
+
+        scored = cq.mapInPandas(pp, "qid long, nid long, ip double")
+        merge = "agg"
+    else:
+        scored = (
+            cq.select(F.col("id").alias("nid"), F.col("sq").alias("_cc"))
+            .join(F.broadcast(
+                qq.select(F.col("id").alias("qid"), F.col("sq").alias("_qc"))))
+            .filter(F.col("qid") != F.col("nid"))
+            .select(
+                "qid", "nid",
+                F.aggregate(
+                    F.zip_with("_qc", "_cc",
+                               lambda a, b: (a * b).cast("long")),
+                    F.lit(0).cast("long"), lambda acc, v: acc + v,
+                ).cast("double").alias("ip"),
+            )
+        )
+        merge = "auto"
+    short = select_k(
+        scored, group_cols=["qid"], order_col="ip",
+        k=k_short, ascending=False, payload_cols=["nid"], strategy=merge,
+    ).select("qid", "nid")
+    return knn_refine(short, corpus, queries, k=k, metric="cosine",
+                      id_col=id_col, vec_col=vec_col)

@@ -2567,6 +2567,45 @@ brr AS (
 SELECT 'bq_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
        rank::DOUBLE AS value FROM brr WHERE rank <= 5
 )
+UNION ALL
+SELECT 'sq', 0::BIGINT, -1::BIGINT, 1.0
+UNION ALL
+SELECT method, a, b, value FROM (
+WITH am AS (
+    SELECT 127.0 / max(abs(x)) AS s
+    FROM (SELECT unnest(embedding::DOUBLE[]) AS x FROM embeddings)
+),
+sc AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+               x -> greatest(-127::BIGINT, least(127::BIGINT,
+                    CAST(floor(x * am.s + 0.5) AS BIGINT)))) AS c,
+           embedding::DOUBLE[] AS e
+    FROM embeddings, am
+),
+q5 AS (SELECT * FROM sc WHERE vec_id % 50 = 0),
+ips AS (
+    SELECT q5.vec_id AS qid, c2.vec_id AS nid,
+           list_sum(list_transform(list_zip(q5.c, c2.c),
+                                   z -> z[1] * z[2])) AS ip,
+           round(list_cosine_similarity(q5.e, c2.e), 6) AS cosine
+    FROM q5 JOIN sc c2 ON c2.vec_id <> q5.vec_id
+),
+ssh AS (
+    SELECT qid, nid, cosine,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY ip DESC, nid ASC) AS hr
+    FROM ips
+),
+srr AS (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY cosine DESC, nid ASC) AS rank
+    FROM ssh WHERE hr <= 80
+)
+SELECT 'sq_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
+       rank::DOUBLE AS value FROM srr WHERE rank <= 5
+)
 """
 
 
@@ -2746,6 +2785,24 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").cast("long").alias("b"),
         F.col("rank").cast("double").alias("value"),
     )
+    # r11: scalar-quantization tier (cuVS quantize::scalar role) — same
+    # two-member shape as BQ: recall-floor flag + the full deterministic
+    # pipeline as a VALUE member (symmetric int8 codes, integer-dot
+    # shortlist with nid tie-break, exact-cosine rescore — all of it
+    # re-derived independently by DuckDB)
+    sq_out = SIM2.knn_sq(shared[0], shared[1], k=5, refine_factor=16) \
+        .localCheckpoint(eager=True)
+    sq_hits = sq_out.join(exact, ["qid", "nid"], "left_semi").count()
+    sq_flag = spark.createDataFrame(
+        [("sq", 0, -1, float(int(sq_hits / (shared[2] * 5.0) >= 0.5)))],
+        "method string, a long, b long, value double",
+    )
+    sq_rank = sq_out.select(
+        F.lit("sq_rank").alias("method"),
+        F.col("qid").cast("long").alias("a"),
+        F.col("nid").cast("long").alias("b"),
+        F.col("rank").cast("double").alias("value"),
+    )
     # r10: knn_merge_parts — three shard-local exact top-5 merged must
     # equal the suite's shared global exact scan (the brute_force
     # shard-merge contract), checked row-for-row incl. rank
@@ -2767,7 +2824,7 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(ivf).unionByName(pq).unionByName(nnd).unionByName(ivfpq)
         .unionByName(lsh).unionByName(graph)
         .unionByName(g_eq).unionByName(m_eq).unionByName(bq_flag)
-        .unionByName(bq_rank)
+        .unionByName(bq_rank).unionByName(sq_flag).unionByName(sq_rank)
     )
 
 

@@ -235,3 +235,46 @@ def test_knn_bq_numpy_equals_expr(spark, blobs):
     ra = sorted(map(tuple, a.collect()))
     rb = sorted(map(tuple, b.collect()))
     assert ra == rb and len(ra) > 0
+
+
+def test_scalar_quantize_codes_match_numpy(spark, blobs):
+    """r11 scalar quantizer: codes equal the numpy twin bit-for-bit
+    (floor(x*s+0.5) half-away rounding, symmetric clamp), and the
+    trained amax is the exact max|element|."""
+    df, _ = blobs
+    sub = df.filter(F.col("id") < 10)
+    got, amax = SIM.scalar_quantize(sub)
+    X = {r["id"]: np.array(r["features"]) for r in sub.collect()}
+    assert amax == max(float(np.abs(v).max()) for v in X.values())
+    s = 127.0 / amax
+    for r in got.collect():
+        want = np.clip(np.floor(X[r["id"]] * s + 0.5), -127, 127)
+        assert np.array_equal(np.array(r["sq"], dtype=float), want), r["id"]
+    with pytest.raises(ValueError, match="amax"):
+        SIM.scalar_quantize(
+            spark.createDataFrame([(0, [0.0, 0.0])],
+                                  "id long, features array<double>"))
+
+
+def test_knn_sq_numpy_equals_expr_and_recall(spark, blobs):
+    """The int-dot shortlist is integer-exact, so the numpy and expr
+    paths must agree byte-for-byte; on separated blobs the rescored
+    pipeline recovers the exact neighbors."""
+    corpus, _ = blobs
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    a = SIM.knn_sq(corpus, queries, k=3, refine_factor=4, strategy="numpy")
+    b = SIM.knn_sq(corpus, queries, k=3, refine_factor=4, strategy="expr")
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb and len(ra) > 0
+    qs = corpus.filter(F.col("id") < 3)
+    got = {(r["qid"], r["nid"]) for r in
+           SIM.knn_sq(corpus, qs, k=5, refine_factor=16).collect()}
+    exact = {(r["qid"], r["nid"]) for r in
+             SIM.knn_brute(corpus, qs, k=5).collect()}
+    assert len(got & exact) / len(exact) == 1.0
+    queries2 = corpus.select(
+        "id", F.slice("features", 1, 3).alias("features")
+    ).limit(4)
+    with pytest.raises(ValueError, match="dimensionality"):
+        SIM.knn_sq(corpus, queries2, k=2)

@@ -668,7 +668,9 @@ def main() -> None:
     # measured instead of asserted (the quantize cost is inside the
     # knn_bq number; both paths end in the bounded two-phase select_k).
     if os.environ.get("PROBE_BQ") == "1":
-        from raft_spark.operators.similarity import knn_bq, knn_brute as _kb
+        from raft_spark.operators.similarity import (
+            knn_bq, knn_brute as _kb, knn_sq,
+        )
 
         bq_corpus = dense_table(spark, 1_000_000, 64) \
             .localCheckpoint(eager=True)
@@ -678,9 +680,12 @@ def main() -> None:
         nbq = knn_bq(bq_corpus, bq_queries, k=5, refine_factor=8).count()
         out["knn_bq_1m_100q_s"] = round(time.perf_counter() - t, 2)
         t = time.perf_counter()
+        nsq = knn_sq(bq_corpus, bq_queries, k=5, refine_factor=8).count()
+        out["knn_sq_1m_100q_s"] = round(time.perf_counter() - t, 2)
+        t = time.perf_counter()
         nbr = _kb(bq_corpus, bq_queries, k=5).count()
         out["knn_brute_1m_100q_s"] = round(time.perf_counter() - t, 2)
-        assert nbq == 500 and nbr == 500
+        assert nbq == 500 and nsq == 500 and nbr == 500
         del bq_corpus, bq_queries
         gc.collect()
 
