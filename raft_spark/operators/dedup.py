@@ -1395,7 +1395,11 @@ def dedup_state_ingest(
     if n_delta < 1_000_000:
         occ_rows = occ_rows.coalesce(1)  # same small-delta discipline
     occ_rows.write.partitionBy("_pb").mode("append").parquet(state_path + "/occ")
-    delta_overlay.write.mode("append").parquet(state_path + "/clusters")
+    (
+        # same small-delta discipline: a delivery-sized overlay doesn't
+        # need shuffle-partition-count files per append
+        delta_overlay.coalesce(1) if n_delta < 1_000_000 else delta_overlay
+    ).write.mode("append").parquet(state_path + "/clusters")
     if not return_full:
         return delta_overlay
     # resolve from a FRESH post-append scan (a new file listing sees the
@@ -1643,7 +1647,12 @@ def semantic_state_ingest(
     new_rows.write.mode("append").partitionBy("cluster").parquet(
         state_path + "/index"
     )
-    delta_overlay.write.mode("append").parquet(state_path + "/groups")
+    (
+        # delivery-sized overlay appends land as one file (the groups
+        # store otherwise gains shuffle-partition-count files per batch)
+        delta_overlay.coalesce(1)
+        if delta_overlay.count() < 1_000_000 else delta_overlay
+    ).write.mode("append").parquet(state_path + "/groups")
     if not return_full:
         return delta_overlay
     return _resolve_group_overlay(
@@ -2056,10 +2065,11 @@ def span_state_ingest(
     if not had_meta:
         _write_state_meta(spark, state_path,
                           {"n": int(n), "min_count": int(min_count)})
-    incoming.select("doc_id", "n_tokens").write.mode("append").parquet(
-        state_path + "/tokens"
-    )
     small = incoming.count() < 1_000_000
+    tok_rows = incoming.select("doc_id", "n_tokens")
+    (tok_rows.coalesce(1) if small else tok_rows).write.mode(
+        "append"
+    ).parquet(state_path + "/tokens")
     spans_out = sh.select(
         F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
         "h", "doc_id", "start",
@@ -2084,7 +2094,9 @@ def span_state_ingest(
     counts_out.write.partitionBy("_ph").mode("append").parquet(
         state_path + "/hcounts"
     )
-    delta_flags.write.mode("append").parquet(state_path + "/flags")
+    (delta_flags.coalesce(1) if small else delta_flags).write.mode(
+        "append"
+    ).parquet(state_path + "/flags")
     if not return_full:
         return delta_flags
     return read_span_state(spark, state_path).localCheckpoint(eager=True)
