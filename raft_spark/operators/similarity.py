@@ -2825,6 +2825,7 @@ def knn_sq(
     vec_col: str = "features",
     strategy: str = "auto",
     max_collect_queries: int = 20_000,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Scalar-quantized ANN → (qid, nid, dist, rank): rank candidates
     by the int8-code dot product (integer-exact inner-product proxy,
@@ -2840,7 +2841,14 @@ def knn_sq(
     per-partition int32 BLAS dot with tie-exact local top-k·rf
     (default when |Q| ≤ ``max_collect_queries``), or the JVM zip_with
     expression path at any |Q|. Integer scores, so both paths cut
-    bit-identically and feed the same exact-cosine refine."""
+    bit-identically and feed the same exact-cosine refine.
+
+    ``index_path`` serves from a persisted :func:`write_sq_index`:
+    corpus codes AND the frozen amax come from the index (the corpus
+    quantize pass and scale training are skipped per query batch —
+    byte-identical answers, since the index holds exactly what the
+    inline path computes); ``corpus`` floats are still needed for the
+    exact-cosine refine stage."""
     import numpy as np
     import pandas as pd
 
@@ -2853,7 +2861,16 @@ def knn_sq(
             f"knn_sq: corpus dimensionality {dc} != query "
             f"dimensionality {dq}"
         )
-    cq, amax = scalar_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=dc)
+    if index_path is not None:
+        cq, amax, d_idx = read_sq_index(corpus.sparkSession, index_path)
+        if d_idx != dc:
+            raise ValueError(
+                f"knn_sq: index at {index_path} holds d={d_idx} codes — "
+                f"corpus/query d={dc}"
+            )
+    else:
+        cq, amax = scalar_quantize(corpus, id_col=id_col, vec_col=vec_col,
+                                   _d=dc)
     qq, _ = scalar_quantize(queries, amax=amax, id_col=id_col,
                             vec_col=vec_col, _d=dq)
     k_short = k * refine_factor
@@ -2911,3 +2928,39 @@ def knn_sq(
     ).select("qid", "nid")
     return knn_refine(short, corpus, queries, k=k, metric="cosine",
                       id_col=id_col, vec_col=vec_col)
+
+
+def write_sq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> int:
+    """Persist a scalar-quantized corpus as a serving index: ``codes``
+    (id, sq) parquet plus a ``meta`` sidecar carrying the TRAINED scale
+    (amax) and dimensionality — the quantizer's model state, which is
+    exactly what must be frozen for later query encodes to share the
+    codes' dot-product space (the ivf_pq sidecar discipline; unlike
+    binary quantization, SQ has trained state, so recomputing codes
+    from floats under a different corpus would silently change the
+    scale). Serve with :func:`knn_sq` (``index_path=``) — the shortlist
+    scan reads 4×-smaller codes and skips the corpus quantize pass
+    per query batch. Returns the code row count."""
+    spark = corpus.sparkSession
+    d = _validated_dim(corpus, vec_col, "write_sq_index")
+    codes, amax = scalar_quantize(corpus, id_col=id_col, vec_col=vec_col,
+                                  _d=d)
+    ck = codes.localCheckpoint(eager=True)
+    n = ck.count()
+    ck.write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame(
+        [(float(amax), int(d))], "amax double, d int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    return n
+
+
+def read_sq_index(spark, path: str):
+    """(codes frame (id, sq), amax, d) of a persisted SQ index."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    codes = spark.read.parquet(f"{path}/codes").select("id", "sq")
+    return codes, float(meta["amax"]), int(meta["d"])

@@ -2789,9 +2789,19 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # two-member shape as BQ: recall-floor flag + the full deterministic
     # pipeline as a VALUE member (symmetric int8 codes, integer-dot
     # shortlist with nid tie-break, exact-cosine rescore — all of it
-    # re-derived independently by DuckDB)
-    sq_out = SIM2.knn_sq(shared[0], shared[1], k=5, refine_factor=16) \
-        .localCheckpoint(eager=True)
+    # re-derived independently by DuckDB). The members SERVE from a
+    # persisted write_sq_index round-trip, so the VALUE oracle also
+    # certifies the codes+frozen-amax sidecar survive parquet intact
+    # (the semindex_eq promotion pattern, but value-oracled).
+    tmps = tempfile.mkdtemp(prefix="raft_spark_sqidx_")
+    try:
+        SIM2.write_sq_index(shared[0], tmps + "/idx")
+        sq_out = SIM2.knn_sq(
+            shared[0], shared[1], k=5, refine_factor=16,
+            index_path=tmps + "/idx",
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmps, ignore_errors=True)
     sq_hits = sq_out.join(exact, ["qid", "nid"], "left_semi").count()
     sq_flag = spark.createDataFrame(
         [("sq", 0, -1, float(int(sq_hits / (shared[2] * 5.0) >= 0.5)))],

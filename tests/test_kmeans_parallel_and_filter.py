@@ -278,3 +278,26 @@ def test_knn_sq_numpy_equals_expr_and_recall(spark, blobs):
     ).limit(4)
     with pytest.raises(ValueError, match="dimensionality"):
         SIM.knn_sq(corpus, queries2, k=2)
+
+
+def test_sq_index_roundtrip_serving(spark, blobs, tmp_path):
+    """r11: serving from a persisted SQ index (codes + frozen amax)
+    answers byte-identically to the inline quantize path, and a
+    dimensionality mismatch against the index raises."""
+    corpus, _ = blobs
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    path = str(tmp_path / "sqidx")
+    n = SIM.write_sq_index(corpus, path)
+    assert n == corpus.count()
+    served = sorted(map(tuple, SIM.knn_sq(
+        corpus, queries, k=3, refine_factor=4, index_path=path).collect()))
+    inline = sorted(map(tuple, SIM.knn_sq(
+        corpus, queries, k=3, refine_factor=4).collect()))
+    assert served == inline and len(served) > 0
+    # frozen-amax check: the meta sidecar round-trips the exact scale
+    _, amax, d = SIM.read_sq_index(spark, path)
+    _, amax2 = SIM.scalar_quantize(corpus)
+    assert amax == amax2 and d == 16
+    short = corpus.select("id", F.slice("features", 1, 8).alias("features"))
+    with pytest.raises(ValueError, match="holds d="):
+        SIM.knn_sq(short, short.limit(2), k=2, index_path=path)
