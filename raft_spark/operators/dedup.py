@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from raft_spark.operators import statestore as SS
+
 P31 = 2_147_483_647
 NUM_PERMS = 16
 BAND_ROWS = 4  # 4 bands × 4 rows
@@ -1004,14 +1006,23 @@ def _write_state_meta(spark, state_path: str, params: dict) -> None:
 
 def _migrate_dedup_state(spark, state_path: str, num_perms: int,
                          band_rows: int) -> None:
-    """One-time in-place upgrade of a pre-r11 MinHash dedup state to
-    the current layout: bucket ``sigs`` by ``_pd`` (so the per-delivery
-    id probes partition-prune) and backfill the ``bands``/``occ``
-    stores from the persisted signatures when they predate r10 (an
-    ingest that read such a state as delta-only would silently miss
-    every old-vs-new duplicate pair). O(corpus) once, then every later
-    delivery is back to O(delta). ``num_perms`` is validated against
-    the stored signature width before any rewrite."""
+    """One-time upgrade of a pre-r11 MinHash dedup state to the current
+    layout: bucket ``sigs`` by ``_pd`` (so the per-delivery id probes
+    partition-prune) and backfill the ``bands``/``occ`` stores from the
+    persisted signatures when they predate r10 (an ingest that read
+    such a state as delta-only would silently miss every old-vs-new
+    duplicate pair). O(corpus) once, then every later delivery is back
+    to O(delta). ``num_perms`` is validated against the stored
+    signature width before any rewrite, and ``band_rows`` must tile the
+    signature exactly (a remainder would silently change the banding
+    every later delivery is committed to).
+
+    Every rewrite is STAGED: the new store is written to a ``.__new``
+    sibling directory (sourced from an eagerly-materialized read of the
+    old store) and swapped in by rename — the old store stays intact
+    until the replacement is fully on disk, so a driver/executor loss
+    mid-migration can never destroy the corpus store (r12; the r11
+    in-place overwrite had exactly that window)."""
     sigs = _try_parquet(spark, state_path + "/sigs")
     if sigs is None:
         return
@@ -1026,6 +1037,13 @@ def _migrate_dedup_state(spark, state_path: str, num_perms: int,
             f"dedup_state_ingest: state at {state_path} holds signatures "
             f"of width {int(row[0])} — got num_perms={num_perms}"
         )
+    if num_perms % band_rows != 0:
+        raise ValueError(
+            f"dedup_state_ingest: band_rows={band_rows} does not tile "
+            f"the stored signature width {num_perms} — a legacy state "
+            f"adopts the call's banding as its format, so it must be "
+            f"exact"
+        )
     s = sigs.select("doc_id", "sig")
     if need_pd:
         ck = (
@@ -1033,8 +1051,9 @@ def _migrate_dedup_state(spark, state_path: str, num_perms: int,
             .repartition("_pd").localCheckpoint(eager=True)
         )
         ck.write.partitionBy("_pd").mode("overwrite").parquet(
-            state_path + "/sigs"
+            state_path + "/sigs.__new"
         )
+        SS.swap_in(state_path + "/sigs.__new", state_path + "/sigs")
         s = ck.select("doc_id", "sig")
     if need_bands or need_occ:
         b = (
@@ -1046,13 +1065,15 @@ def _migrate_dedup_state(spark, state_path: str, num_perms: int,
         if need_bands:
             b.select("_pb", "band", "bsig", "doc_id").write.partitionBy(
                 "_pb"
-            ).mode("overwrite").parquet(state_path + "/bands")
+            ).mode("overwrite").parquet(state_path + "/bands.__new")
+            SS.swap_in(state_path + "/bands.__new", state_path + "/bands")
         if need_occ:
             b.groupBy("_pb", "band", "bsig").agg(
                 F.count("*").alias("n")
             ).write.partitionBy("_pb").mode("overwrite").parquet(
-                state_path + "/occ"
+                state_path + "/occ.__new"
             )
+            SS.swap_in(state_path + "/occ.__new", state_path + "/occ")
 
 
 def _resolve_cluster_overlay(overlay: DataFrame) -> DataFrame:
@@ -1080,12 +1101,20 @@ def read_dedup_state(spark, state_path: str) -> tuple[DataFrame, DataFrame] | No
     """(signatures, resolved clusters) of a persisted dedup state, or
     None if the state has never been written. ``clusters`` is the
     overlay resolved to the current full table — same schema
-    :func:`dedup_clusters` returns."""
-    sigs = _try_parquet(spark, state_path + "/sigs")
-    overlay = _try_parquet(spark, state_path + "/clusters")
+    :func:`dedup_clusters` returns. Scans are restricted to PUBLISHED
+    deliveries (the manifest-commit contract — see
+    :mod:`raft_spark.operators.statestore`), so a crashed half-written
+    delivery is invisible here."""
+    committed = SS.committed_ids(spark, state_path)
+    sigs = SS.visible(_try_parquet(spark, state_path + "/sigs"), committed)
+    overlay = SS.visible(
+        _try_parquet(spark, state_path + "/clusters"), committed
+    )
     if sigs is None or overlay is None:
         return None
-    return sigs.select("doc_id", "sig"), _resolve_cluster_overlay(overlay)
+    return sigs.select("doc_id", "sig"), _resolve_cluster_overlay(
+        overlay.select("doc_id", "cluster_id")
+    )
 
 
 def dedup_state_ingest(
@@ -1177,17 +1206,23 @@ def dedup_state_ingest(
     corpus-wide scan, explode, aggregate, or rewrite survives in the
     ingest path.
 
-    CRASH-ATOMICITY (honest contract): the four store appends are NOT
-    one transaction. A failure between the ``sigs`` append (the replay
-    guard registry, written first) and the bands/occ/clusters appends
-    leaves a delivery whose redelivery anti-joins out as already-seen
-    — its band/occupancy/cluster rows are permanently dropped. On a
-    real cluster, park the state on a transactional table format or
-    wrap each delivery in a manifest commit (write all stores under a
-    delivery id, publish the id last, readers ignore unpublished
-    deliveries); in this repo the foreachBatch twin's at-least-once
-    replay safety assumes the delivery's writes completed as a unit.
+    CRASH-ATOMIC (r12, manifest commit): each delivery's four store
+    appends land under a fresh ``_dv=<delivery id>`` partition and the
+    id is PUBLISHED last with one tiny append to the state's
+    ``commits`` ledger (see :mod:`raft_spark.operators.statestore`).
+    Every reader and probe here restricts its scan to published
+    deliveries — a partition filter, pruned at file-listing time — so
+    a crash between any two appends leaves the half-written delivery
+    invisible and redelivery re-ingests it in full under a new id (the
+    replay anti-join only sees committed registry rows). Orphaned
+    unpublished directories are dropped by
+    :func:`compact_dedup_state`. The ``meta`` sidecar is written
+    BEFORE the appends: a first-delivery crash right after it leaves a
+    meta-only state, which is exactly a bootstrap state with its
+    format parameters pinned — benign by construction.
     """
+    import warnings
+
     spark = new_docs.sparkSession
     had_meta = _guard_state_meta(
         spark, state_path, "dedup_state_ingest",
@@ -1196,12 +1231,27 @@ def dedup_state_ingest(
     )
     if not had_meta:  # a meta sidecar implies the r11 layout already
         _migrate_dedup_state(spark, state_path, num_perms, band_rows)
+        if _try_parquet(spark, state_path + "/sigs") is not None:
+            warnings.warn(
+                f"dedup_state_ingest: adopting this call's format "
+                f"parameters (num_perms={num_perms}, band_rows="
+                f"{band_rows}, max_bucket_docs={max_bucket_docs}) for "
+                f"the legacy state at {state_path} — they become the "
+                f"state FORMAT and every later ingest must match",
+                stacklevel=2,
+            )
+    SS.adopt_commit_ledger(
+        spark, state_path, ("sigs", "bands", "occ", "clusters")
+    )
+    committed = SS.committed_ids(spark, state_path)
     sig = minhash_signature_stable(text_col, num_perms)
     incoming = new_docs.select(
         F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
     )
-    old_sigs = _try_parquet(spark, state_path + "/sigs")
-    overlay = _try_parquet(spark, state_path + "/clusters")
+    old_sigs = SS.visible(_try_parquet(spark, state_path + "/sigs"),
+                          committed)
+    overlay = SS.visible(_try_parquet(spark, state_path + "/clusters"),
+                         committed)
     if old_sigs is not None:
         # replay anti-join pruned to the delta ids' _pd directories
         # (≤N_BAND_BUCKETS values; an id already in the state lives in
@@ -1221,7 +1271,9 @@ def dedup_state_ingest(
     if old_sigs is not None and n_delta == 0:
         # pure replay (or an empty batch) — no state change
         if return_full and overlay is not None:
-            return _resolve_cluster_overlay(overlay).localCheckpoint(eager=True)
+            return _resolve_cluster_overlay(
+                overlay.select("doc_id", "cluster_id")
+            ).localCheckpoint(eager=True)
         if return_full:
             return spark.createDataFrame(
                 [], "doc_id long, cluster_id long, cluster_size long, is_canonical int"
@@ -1241,7 +1293,8 @@ def dedup_state_ingest(
     # reproduced ADDITIVELY: persisted per-delivery counts (pruned to the
     # delta's directory buckets, then to its exact bucket keys) + the
     # delta's own counts. No corpus-wide aggregation.
-    old_occ = _try_parquet(spark, state_path + "/occ")
+    old_occ = SS.visible(_try_parquet(spark, state_path + "/occ"),
+                         committed)
     if old_occ is not None:
         pbs = sorted(r["_pb"] for r in nb_counts.select("_pb").distinct().collect())
         old_for_delta = (
@@ -1263,7 +1316,8 @@ def dedup_state_ingest(
     # both sides restricted to kept buckets; the bucket key is the join
     # key so one semi-join per side enforces the cap on both endpoints
     corpus_bands = nb.select("band", "bsig", "doc_id")
-    old_bands = _try_parquet(spark, state_path + "/bands")
+    old_bands = SS.visible(_try_parquet(spark, state_path + "/bands"),
+                           committed)
     if old_bands is not None:
         corpus_bands = corpus_bands.unionByName(
             old_bands.where(F.col("_pb").isin(pbs)).select("band", "bsig", "doc_id")
@@ -1371,60 +1425,103 @@ def dedup_state_ingest(
     delta_overlay = delta_overlay.localCheckpoint(eager=True)
 
     if not had_meta:
+        # meta BEFORE the appends (not between them): a crash here
+        # leaves a meta-only state ≡ bootstrap with the format pinned
         _write_state_meta(spark, state_path, {
             "num_perms": int(num_perms), "band_rows": int(band_rows),
             "max_bucket_docs": int(max_bucket_docs),
         })
+    # manifest commit: every append lands under _dv=<delivery id>;
+    # the id is published LAST, so a crash anywhere below leaves the
+    # delivery invisible and redelivery re-ingests it in full
+    dv = SS.new_delivery_id()
+    tag = F.lit(dv).alias("_dv")
     sig_rows = incoming.withColumn("_pd", _doc_bucket(F.col("doc_id")))
-    (
-        sig_rows.coalesce(1).sortWithinPartitions("_pd")
-        if n_delta < 1_000_000 else sig_rows.repartition("_pd")
-    ).write.partitionBy("_pd").mode("append").parquet(state_path + "/sigs")
-    (
+    SS.append_store(
+        (sig_rows.coalesce(1).sortWithinPartitions("_pd")
+         if n_delta < 1_000_000 else sig_rows.repartition("_pd"))
+        .select(tag, "_pd", "doc_id", "sig"),
+        state_path + "/sigs", ("_dv", "_pd"),
+    )
+    SS.append_store(
         # delivery-sized deltas don't need a shuffle to lay out 32
         # directory buckets: one task writes one sorted file per bucket.
         # Above the cutoff, hash-spread the write across tasks.
         (nb.coalesce(1).sortWithinPartitions("_pb", "band", "bsig")
          if n_delta < 1_000_000 else
          nb.repartition("_pb").sortWithinPartitions("band", "bsig"))
-        .select("_pb", "band", "bsig", "doc_id")
-        .write.partitionBy("_pb").mode("append").parquet(state_path + "/bands")
+        .select(tag, "_pb", "band", "bsig", "doc_id"),
+        state_path + "/bands", ("_dv", "_pb"),
     )
-    occ_rows = nb_counts.select("_pb", "band", "bsig",
+    occ_rows = nb_counts.select(tag, "_pb", "band", "bsig",
                                 F.col("_n_new").alias("n"))
     if n_delta < 1_000_000:
         occ_rows = occ_rows.coalesce(1)  # same small-delta discipline
-    occ_rows.write.partitionBy("_pb").mode("append").parquet(state_path + "/occ")
-    (
+    SS.append_store(occ_rows, state_path + "/occ", ("_dv", "_pb"))
+    SS.append_store(
         # same small-delta discipline: a delivery-sized overlay doesn't
         # need shuffle-partition-count files per append
-        delta_overlay.coalesce(1) if n_delta < 1_000_000 else delta_overlay
-    ).write.mode("append").parquet(state_path + "/clusters")
+        (delta_overlay.coalesce(1) if n_delta < 1_000_000
+         else delta_overlay).select(tag, "doc_id", "cluster_id"),
+        state_path + "/clusters", ("_dv",),
+    )
+    SS.publish_commit(spark, state_path, dv)  # THE commit point
     if not return_full:
         return delta_overlay
     # resolve from a FRESH post-append scan (a new file listing sees the
     # rows just written); checkpointed so the caller's frame survives
     # state compaction or deletion underneath it
     return _resolve_cluster_overlay(
-        spark.read.parquet(state_path + "/clusters")
+        SS.visible(
+            spark.read.parquet(state_path + "/clusters"),
+            (committed or []) + [dv],
+        ).select("doc_id", "cluster_id")
     ).localCheckpoint(eager=True)
+
+
+def _migrate_semantic_state(spark, state_path: str) -> None:
+    """One-time upgrade of a pre-r12 semantic state: backfill the
+    ``ids`` registry store (one row per corpus id, bucketed by
+    ``_pd = xxhash64(id) % N_BAND_BUCKETS``) from the index's cand_id
+    column. The registry is what makes REPLAY SAFETY independent of the
+    caller's assignment seam: the r11 replay anti-join probed the index
+    pruned to the CURRENT batch's clusters, so a quantizer that drifted
+    between deliveries (retrained IVF centroids) would re-ingest
+    redelivered ids as duplicate index/group rows — silent state
+    corruption. The ids probe prunes on the id hash instead, which no
+    seam can move. Staged write + rename swap (never an in-place
+    overwrite of live state). O(corpus) once, column-pruned."""
+    if _try_parquet(spark, state_path + "/ids") is not None:
+        return
+    idx = _try_parquet(spark, state_path + "/index")
+    if idx is None:
+        return
+    ids = idx.select(F.col("cand_id").alias("id")).withColumn(
+        "_pd", _doc_bucket(F.col("id"))
+    ).repartition("_pd")
+    ids.write.partitionBy("_pd").mode("overwrite").parquet(
+        state_path + "/ids.__new"
+    )
+    SS.swap_in(state_path + "/ids.__new", state_path + "/ids")
 
 
 def read_semantic_state(spark, state_path: str):
     """(index, resolved groups) of a persisted semantic-dedup state, or
     None if never written. ``index`` is the :func:`semantic_index` frame
     (cluster, cand_id, _qc, _nc); ``groups`` the current assignment
-    (id, cluster, group, keep) resolved from the append-only overlay."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        idx = read_semantic_index(spark, state_path + "/index")
-    except AnalysisException:
+    (id, cluster, group, keep) resolved from the append-only overlay.
+    Scans are restricted to PUBLISHED deliveries (manifest-commit
+    contract), so a crashed half-written delivery is invisible."""
+    committed = SS.committed_ids(spark, state_path)
+    idx = SS.visible(_try_parquet(spark, state_path + "/index"), committed)
+    overlay = SS.visible(_try_parquet(spark, state_path + "/groups"),
+                         committed)
+    if idx is None or overlay is None:
         return None
-    overlay = _try_parquet(spark, state_path + "/groups")
-    if overlay is None:
-        return None
-    return idx, _resolve_group_overlay(overlay)
+    return idx.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "cand_id", "_qc", "_nc",
+    ), _resolve_group_overlay(overlay.select("id", "cluster", "group"))
 
 
 def _resolve_group_overlay(overlay: DataFrame) -> DataFrame:
@@ -1471,28 +1568,33 @@ def semantic_state_ingest(
     run byte-for-byte while untouched components are never read into
     the solve or rewritten.
 
-    State is append-only in BOTH stores: ``index`` adds one file set
-    per delivery (partitioned by cluster — the probe AND the replay
-    anti-join prune to the new batch's clusters: the assignment seam is
-    a pure per-row function, so a replayed id always lands in the same
-    cluster partition it was first written to), ``groups`` adds rows
-    only for the delivery's new ids and for old ids whose component was
-    relabeled; resolution is min(group) per id (labels strictly
-    decrease — see :func:`_resolve_group_overlay`). ``return_full=
-    False`` returns just this delivery's overlay rows (id, cluster,
-    group) — the O(delta) production answer. REPLAY-safe: ids already
-    in the state are anti-joined out. ``tau``/``scale`` are FORMAT
-    parameters (persisted in ``meta``; a mismatched ingest raises —
-    quantized vectors under a different scale share no dot-product
-    space, and a drifted τ would change which committed merges the
-    equality contract rests on).
+    State is append-only in ALL three stores: ``index`` adds one file
+    set per delivery (partitioned by cluster — the candidate probe
+    prunes to the new batch's clusters), ``ids`` is the REPLAY-GUARD
+    registry (one row per corpus id, bucketed by the id hash ``_pd`` —
+    the anti-join prunes on a quantity NO assignment seam can move, so
+    replay safety holds even if the caller's quantizer drifts between
+    deliveries; r12, closing the r11 seam where a drifted quantizer
+    would re-ingest redelivered ids as duplicate state rows), and
+    ``groups`` adds rows only for the delivery's new ids and for old
+    ids whose component was relabeled; resolution is min(group) per id
+    (labels strictly decrease — see :func:`_resolve_group_overlay`).
+    ``return_full=False`` returns just this delivery's overlay rows
+    (id, cluster, group) — the O(delta) production answer.
+    ``tau``/``scale`` are FORMAT parameters (persisted in ``meta``; a
+    mismatched ingest raises — quantized vectors under a different
+    scale share no dot-product space, and a drifted τ would change
+    which committed merges the equality contract rests on). The
+    EQUALITY contract (ingest ≡ from-scratch) still requires a pure
+    per-row assignment seam; replay SAFETY no longer does.
 
-    CRASH-ATOMICITY: same honest contract as
-    :func:`dedup_state_ingest` — the index append (the replay-guard
-    registry) and the groups append are not one transaction; a failure
-    between them drops the delivery's group rows on redelivery. Use a
-    transactional table format or a delivery-manifest commit at scale.
+    CRASH-ATOMIC (r12, manifest commit): the index/ids/groups appends
+    land under one ``_dv=<delivery id>`` partition, published last to
+    the ``commits`` ledger — same protocol and guarantees as
+    :func:`dedup_state_ingest`.
     """
+    import warnings
+
     from raft_spark.operators.solvers import connected_components_auto
 
     spark = new_df.sparkSession
@@ -1500,6 +1602,17 @@ def semantic_state_ingest(
         spark, state_path, "semantic_state_ingest",
         {"tau": float(tau), "scale": float(scale)},
     )
+    if not had_meta and _try_parquet(spark, state_path + "/index") is not None:
+        warnings.warn(
+            f"semantic_state_ingest: adopting this call's format "
+            f"parameters (tau={tau}, scale={scale}) for the legacy "
+            f"state at {state_path} — they become the state FORMAT and "
+            f"every later ingest must match",
+            stacklevel=2,
+        )
+    _migrate_semantic_state(spark, state_path)
+    SS.adopt_commit_ledger(spark, state_path, ("index", "ids", "groups"))
+    committed = SS.committed_ids(spark, state_path)
     d = new_df.select(F.size(F.col(vec_col))).first()
     if d is None:
         d = 0
@@ -1515,33 +1628,39 @@ def semantic_state_ingest(
         F.col("id").cast("long").alias("cand_id"),
         F.col("_q").alias("_qc"), F.col("_n2").alias("_nc"),
     )
-    from pyspark.errors import AnalysisException
-
-    try:
-        old_index = read_semantic_index(spark, state_path + "/index")
-    except AnalysisException:
-        old_index = None
-    overlay = _try_parquet(spark, state_path + "/groups")
-    touched_clusters: list = []
-    if old_index is not None:
-        # the delta's clusters, collected BEFORE the replay anti-join
-        # (a replayed id sits in the same cluster — pure per-row seam),
-        # prune BOTH the id-registry anti-join and the candidate probe
-        # to the index's touched cluster partitions
-        touched_clusters = sorted(
-            r["cluster"]
-            for r in new_rows.select("cluster").distinct().collect()
-        )
+    idx_raw = SS.visible(_try_parquet(spark, state_path + "/index"),
+                         committed)
+    old_index = None if idx_raw is None else idx_raw.select(
+        F.col("cluster").cast("long").alias("cluster"),
+        "cand_id", "_qc", "_nc",
+    )
+    overlay = SS.visible(_try_parquet(spark, state_path + "/groups"),
+                         committed)
+    old_ids = SS.visible(_try_parquet(spark, state_path + "/ids"),
+                         committed)
+    if old_ids is not None:
+        # replay anti-join against the ids REGISTRY, pruned to the _pd
+        # directories the delta ids hash into — seam-independent (a
+        # redelivered id hashes to the same bucket no matter how the
+        # caller's quantizer has drifted), bounded IN-list, O(delta) IO
+        pds = sorted({
+            r[0] for r in new_rows.select(
+                _doc_bucket(F.col("cand_id")).alias("_pd")
+            ).distinct().collect()
+        })
         new_rows = new_rows.join(
-            old_index.where(F.col("cluster").isin(touched_clusters))
-            .select("cand_id"),
+            old_ids.where(F.col("_pd").isin(pds))
+            .select(F.col("id").alias("cand_id")),
             "cand_id", "left_anti",
         )
     new_rows = new_rows.localCheckpoint(eager=True)
+    n_new = new_rows.count()  # cached count, reused by the write branch
 
-    if new_rows.isEmpty():  # pure replay (or an empty batch) — no state change
+    if n_new == 0:  # pure replay (or an empty batch) — no state change
         if return_full and overlay is not None:
-            return _resolve_group_overlay(overlay).localCheckpoint(eager=True)
+            return _resolve_group_overlay(
+                overlay.select("id", "cluster", "group")
+            ).localCheckpoint(eager=True)
         if return_full:
             return spark.createDataFrame(
                 [], "id long, cluster long, group long, keep int"
@@ -1554,11 +1673,15 @@ def semantic_state_ingest(
         F.col("_qc").alias("_qa"), F.col("_nc").alias("_na"),
     )
     if old_index is not None:
-        # probe pruned to the delta's clusters: the index is
-        # partitioned by cluster on disk, so the bounded IN-list is a
-        # PARTITION filter — IO tracks the batch's touched lists, not
+        # probe pruned to the SURVIVING delta rows' clusters: the index
+        # is partitioned by cluster on disk, so the bounded IN-list is
+        # a PARTITION filter — IO tracks the batch's touched lists, not
         # the index size (the sparse_lookup shard discipline). The
         # cluster count is the caller's quantizer size (bounded).
+        touched_clusters = sorted(
+            r["cluster"]
+            for r in new_rows.select("cluster").distinct().collect()
+        )
         corpus = old_index.where(
             F.col("cluster").isin(touched_clusters)
         ).unionByName(new_rows)
@@ -1638,25 +1761,43 @@ def semantic_state_ingest(
         delta_overlay = fresh
     delta_overlay = delta_overlay.localCheckpoint(eager=True)
 
-    # index state is APPEND-ONLY (one new file set per delivery, list
-    # directories intact); groups are APPEND-ONLY too — only this
-    # delivery's new ids and relabeled old ids are written
+    # all three stores are APPEND-ONLY (one new file set per delivery,
+    # list directories intact); manifest commit: appends tagged
+    # _dv=<delivery id>, published LAST
     if not had_meta:
         _write_state_meta(spark, state_path,
                           {"tau": float(tau), "scale": float(scale)})
-    new_rows.write.mode("append").partitionBy("cluster").parquet(
-        state_path + "/index"
+    dv = SS.new_delivery_id()
+    tag = F.lit(dv).alias("_dv")
+    SS.append_store(
+        new_rows.select(tag, "cluster", "cand_id", "_qc", "_nc"),
+        state_path + "/index", ("_dv", "cluster"),
     )
-    (
+    id_rows = new_rows.select(
+        tag, _doc_bucket(F.col("cand_id")).alias("_pd"),
+        F.col("cand_id").alias("id"),
+    )
+    SS.append_store(
+        id_rows.coalesce(1) if n_new < 1_000_000
+        else id_rows.repartition("_pd"),
+        state_path + "/ids", ("_dv", "_pd"),
+    )
+    SS.append_store(
         # delivery-sized overlay appends land as one file (the groups
         # store otherwise gains shuffle-partition-count files per batch)
-        delta_overlay.coalesce(1)
-        if delta_overlay.count() < 1_000_000 else delta_overlay
-    ).write.mode("append").parquet(state_path + "/groups")
+        (delta_overlay.coalesce(1)
+         if n_new < 1_000_000 else delta_overlay)
+        .select(tag, "id", "cluster", "group"),
+        state_path + "/groups", ("_dv",),
+    )
+    SS.publish_commit(spark, state_path, dv)  # THE commit point
     if not return_full:
         return delta_overlay
     return _resolve_group_overlay(
-        spark.read.parquet(state_path + "/groups")
+        SS.visible(
+            spark.read.parquet(state_path + "/groups"),
+            (committed or []) + [dv],
+        ).select("id", "cluster", "group")
     ).localCheckpoint(eager=True)
 
 
@@ -1685,57 +1826,72 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
     driver threads fine, and the maintenance window's wall-clock is the
     slowest leg instead of the sum (r11; measured ~2× at sf0.1).
 
+    Manifest-commit integration (r12): only PUBLISHED rows survive the
+    rewrite (orphaned crashed-delivery directories are garbage-collected
+    here), everything collapses back to the ``_dv=0`` base delivery,
+    and the ledger resets to ``[0]`` last — which is also what bounds
+    the per-read committed IN-list to the maintenance cadence. Each leg
+    writes to a ``.__new`` sibling and swaps by rename, so the old
+    store stays intact until its replacement is fully on disk — no
+    crash window destroys state (and the r11 localCheckpoint
+    double-materialization is gone: one read, one write per leg).
+
     Returns the signature row count."""
     from concurrent.futures import ThreadPoolExecutor
 
     n_parts = partitions or spark.sparkContext.defaultParallelism
+    # visibility of the compacted _dv=0 rows must be established BEFORE
+    # any store rewrite lands (a fresh r12 state's ledger has only
+    # random delivery ids)
+    committed = SS.committed_ids(spark, state_path)
+    if committed is None or 0 not in committed:
+        SS.publish_commit(spark, state_path, 0)
+    zero = F.lit(0).alias("_dv")
 
     def _sigs_leg() -> int:
-        sigs = spark.read.parquet(state_path + "/sigs")
+        sigs = SS.visible(spark.read.parquet(state_path + "/sigs"),
+                          committed)
         if "_pd" not in sigs.columns:  # pre-r11: bucket while compacting
             sigs = sigs.withColumn("_pd", _doc_bucket(F.col("doc_id")))
-        compacted = (
-            sigs.select("doc_id", "sig", "_pd")
-            .repartition("_pd").localCheckpoint(eager=True)
-        )
-        n = compacted.count()
-        compacted.write.partitionBy("_pd").mode("overwrite").parquet(
-            state_path + "/sigs"
-        )
-        return n
+        sigs.select(zero, "_pd", "doc_id", "sig").repartition("_pd") \
+            .write.partitionBy("_dv", "_pd").mode("overwrite") \
+            .parquet(state_path + "/sigs.__new")
+        SS.swap_in(state_path + "/sigs.__new", state_path + "/sigs")
+        return spark.read.parquet(state_path + "/sigs").count()
 
     def _bands_leg() -> None:
-        bands = _try_parquet(spark, state_path + "/bands")
+        bands = SS.visible(_try_parquet(spark, state_path + "/bands"),
+                           committed)
         if bands is None:
             return
-        b = (
-            bands.select("_pb", "band", "bsig", "doc_id")
-            .repartition("_pb").sortWithinPartitions("band", "bsig")
-            .localCheckpoint(eager=True)
-        )
-        b.write.partitionBy("_pb").mode("overwrite").parquet(
-            state_path + "/bands"
-        )
+        bands.select(zero, "_pb", "band", "bsig", "doc_id") \
+            .repartition("_pb").sortWithinPartitions("band", "bsig") \
+            .write.partitionBy("_dv", "_pb").mode("overwrite") \
+            .parquet(state_path + "/bands.__new")
+        SS.swap_in(state_path + "/bands.__new", state_path + "/bands")
 
     def _occ_leg() -> None:
-        occ = _try_parquet(spark, state_path + "/occ")
+        occ = SS.visible(_try_parquet(spark, state_path + "/occ"),
+                         committed)
         if occ is None:
             return
-        o = occ.groupBy("_pb", "band", "bsig").agg(F.sum("n").alias("n")) \
-            .localCheckpoint(eager=True)
-        o.write.partitionBy("_pb").mode("overwrite").parquet(
-            state_path + "/occ"
-        )
+        occ.groupBy("_pb", "band", "bsig").agg(F.sum("n").alias("n")) \
+            .select(zero, "_pb", "band", "bsig", "n") \
+            .write.partitionBy("_dv", "_pb").mode("overwrite") \
+            .parquet(state_path + "/occ.__new")
+        SS.swap_in(state_path + "/occ.__new", state_path + "/occ")
 
     def _clusters_leg() -> None:
-        overlay = _try_parquet(spark, state_path + "/clusters")
+        overlay = SS.visible(_try_parquet(spark, state_path + "/clusters"),
+                             committed)
         if overlay is None:
             return
-        c = (
-            overlay.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
-            .repartition(n_parts).localCheckpoint(eager=True)
-        )
-        c.write.mode("overwrite").parquet(state_path + "/clusters")
+        overlay.groupBy("doc_id") \
+            .agg(F.min("cluster_id").alias("cluster_id")) \
+            .select(zero, "doc_id", "cluster_id").repartition(n_parts) \
+            .write.partitionBy("_dv").mode("overwrite") \
+            .parquet(state_path + "/clusters.__new")
+        SS.swap_in(state_path + "/clusters.__new", state_path + "/clusters")
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_sigs = pool.submit(_sigs_leg)
@@ -1743,52 +1899,70 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         n = f_sigs.result()
         for f in futs:
             f.result()
+    SS.reset_ledger(spark, state_path, [0])
     return n
 
 
 def compact_semantic_state(spark, state_path: str,
                            partitions: int | None = None) -> int:
     """Compact the append-only semantic-dedup state (the
-    :func:`compact_dedup_state` discipline, r11): ``index`` re-written
-    one file set per cluster partition (rows unchanged), ``groups``
-    RESOLVED to one row per id at its current (cluster, min group) —
-    min per id is unchanged, so every later resolution and
-    touched-membership probe is identical; ``meta`` untouched. The two
-    legs run concurrently. Returns the index row count."""
+    :func:`compact_dedup_state` discipline): ``index`` re-written one
+    file set per cluster partition (rows unchanged), ``ids`` one file
+    set per ``_pd`` bucket (rows unchanged — it is the replay-guard
+    registry), ``groups`` RESOLVED to one row per id at its current
+    (cluster, min group) — min per id is unchanged, so every later
+    resolution and touched-membership probe is identical; ``meta``
+    untouched. Legs run concurrently. Manifest-commit integration the
+    same as :func:`compact_dedup_state`: committed rows only, collapsed
+    to ``_dv=0``, staged-swap rewrites, ledger reset last. Returns the
+    index row count."""
     from concurrent.futures import ThreadPoolExecutor
 
     n_parts = partitions or spark.sparkContext.defaultParallelism
+    committed = SS.committed_ids(spark, state_path)
+    if committed is None or 0 not in committed:
+        SS.publish_commit(spark, state_path, 0)
+    zero = F.lit(0).alias("_dv")
 
     def _index_leg() -> int:
-        idx = spark.read.parquet(state_path + "/index")
-        compacted = (
-            idx.select("cluster", "cand_id", "_qc", "_nc")
-            .repartition("cluster").localCheckpoint(eager=True)
-        )
-        n = compacted.count()
-        compacted.write.partitionBy("cluster").mode("overwrite").parquet(
-            state_path + "/index"
-        )
-        return n
+        idx = SS.visible(spark.read.parquet(state_path + "/index"),
+                         committed)
+        idx.select(zero, "cluster", "cand_id", "_qc", "_nc") \
+            .repartition("cluster") \
+            .write.partitionBy("_dv", "cluster").mode("overwrite") \
+            .parquet(state_path + "/index.__new")
+        SS.swap_in(state_path + "/index.__new", state_path + "/index")
+        return spark.read.parquet(state_path + "/index").count()
+
+    def _ids_leg() -> None:
+        ids = SS.visible(_try_parquet(spark, state_path + "/ids"),
+                         committed)
+        if ids is None:
+            return
+        ids.select(zero, "_pd", "id").repartition("_pd") \
+            .write.partitionBy("_dv", "_pd").mode("overwrite") \
+            .parquet(state_path + "/ids.__new")
+        SS.swap_in(state_path + "/ids.__new", state_path + "/ids")
 
     def _groups_leg() -> None:
-        overlay = _try_parquet(spark, state_path + "/groups")
+        overlay = SS.visible(_try_parquet(spark, state_path + "/groups"),
+                             committed)
         if overlay is None:
             return
-        g = (
-            overlay.groupBy("id").agg(
-                F.min("cluster").alias("cluster"), F.min("group").alias("group")
-            )
-            .select("id", "cluster", "group")
-            .repartition(n_parts).localCheckpoint(eager=True)
-        )
-        g.write.mode("overwrite").parquet(state_path + "/groups")
+        overlay.groupBy("id").agg(
+            F.min("cluster").alias("cluster"), F.min("group").alias("group")
+        ).select(zero, "id", "cluster", "group").repartition(n_parts) \
+            .write.partitionBy("_dv").mode("overwrite") \
+            .parquet(state_path + "/groups.__new")
+        SS.swap_in(state_path + "/groups.__new", state_path + "/groups")
 
-    with ThreadPoolExecutor(max_workers=2) as pool:
+    with ThreadPoolExecutor(max_workers=3) as pool:
         f_idx = pool.submit(_index_leg)
-        f_grp = pool.submit(_groups_leg)
+        futs = [pool.submit(f) for f in (_ids_leg, _groups_leg)]
         n = f_idx.result()
-        f_grp.result()
+        for f in futs:
+            f.result()
+    SS.reset_ledger(spark, state_path, [0])
     return n
 
 
@@ -1801,35 +1975,42 @@ def compact_span_state(spark, state_path: str,
     unchanged, so every later ≥ min_count decision is identical),
     ``flags`` deduplicated to one row per (doc_id, start) — resolution
     already reads them distinct, so coverage is unchanged; ``meta``
-    untouched. Legs run concurrently. Returns the tokens row count."""
+    untouched. Legs run concurrently. Manifest-commit integration the
+    same as :func:`compact_dedup_state`: committed rows only, collapsed
+    to ``_dv=0``, staged-swap rewrites, ledger reset last. Returns the
+    tokens row count."""
     from concurrent.futures import ThreadPoolExecutor
 
     n_parts = partitions or spark.sparkContext.defaultParallelism
+    committed = SS.committed_ids(spark, state_path)
+    if committed is None or 0 not in committed:
+        SS.publish_commit(spark, state_path, 0)
+    zero = F.lit(0).alias("_dv")
 
     def _tokens_leg() -> int:
-        tk = spark.read.parquet(state_path + "/tokens")
-        compacted = tk.repartition(
-            max(1, n_parts // 8)
-        ).localCheckpoint(eager=True)
-        n = compacted.count()
-        compacted.write.mode("overwrite").parquet(state_path + "/tokens")
-        return n
+        tk = SS.visible(spark.read.parquet(state_path + "/tokens"),
+                        committed)
+        tk.select(zero, "doc_id", "n_tokens") \
+            .repartition(max(1, n_parts // 8)) \
+            .write.partitionBy("_dv").mode("overwrite") \
+            .parquet(state_path + "/tokens.__new")
+        SS.swap_in(state_path + "/tokens.__new", state_path + "/tokens")
+        return spark.read.parquet(state_path + "/tokens").count()
 
     def _spans_leg() -> None:
-        sp = _try_parquet(spark, state_path + "/spans")
+        sp = SS.visible(_try_parquet(spark, state_path + "/spans"),
+                        committed)
         if sp is None:
             return
-        s = (
-            sp.select("_ph", "h", "doc_id", "start")
-            .repartition("_ph").sortWithinPartitions("h")
-            .localCheckpoint(eager=True)
-        )
-        s.write.partitionBy("_ph").mode("overwrite").parquet(
-            state_path + "/spans"
-        )
+        sp.select(zero, "_ph", "h", "doc_id", "start") \
+            .repartition("_ph").sortWithinPartitions("h") \
+            .write.partitionBy("_dv", "_ph").mode("overwrite") \
+            .parquet(state_path + "/spans.__new")
+        SS.swap_in(state_path + "/spans.__new", state_path + "/spans")
 
     def _hcounts_leg() -> None:
-        hc = _try_parquet(spark, state_path + "/hcounts")
+        hc = SS.visible(_try_parquet(spark, state_path + "/hcounts"),
+                        committed)
         if hc is None:
             return
         if "_ph" not in hc.columns:  # pre-r11: bucket while compacting
@@ -1837,19 +2018,23 @@ def compact_span_state(spark, state_path: str,
                 F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int")
                 .alias("_ph"), "h", "c",
             )
-        o = hc.groupBy("_ph", "h").agg(F.sum("c").alias("c")) \
-            .localCheckpoint(eager=True)
-        o.write.partitionBy("_ph").mode("overwrite").parquet(
-            state_path + "/hcounts"
-        )
+        hc.groupBy("_ph", "h").agg(F.sum("c").alias("c")) \
+            .select(zero, "_ph", "h", "c") \
+            .write.partitionBy("_dv", "_ph").mode("overwrite") \
+            .parquet(state_path + "/hcounts.__new")
+        SS.swap_in(state_path + "/hcounts.__new", state_path + "/hcounts")
 
     def _flags_leg() -> None:
-        fl = _try_parquet(spark, state_path + "/flags")
+        fl = SS.visible(_try_parquet(spark, state_path + "/flags"),
+                        committed)
         if fl is None:
             return
-        f = fl.select("doc_id", "start").distinct() \
-            .repartition(max(1, n_parts // 8)).localCheckpoint(eager=True)
-        f.write.mode("overwrite").parquet(state_path + "/flags")
+        fl.select("doc_id", "start").distinct() \
+            .select(zero, "doc_id", "start") \
+            .repartition(max(1, n_parts // 8)) \
+            .write.partitionBy("_dv").mode("overwrite") \
+            .parquet(state_path + "/flags.__new")
+        SS.swap_in(state_path + "/flags.__new", state_path + "/flags")
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_tok = pool.submit(_tokens_leg)
@@ -1857,19 +2042,25 @@ def compact_span_state(spark, state_path: str,
         n = f_tok.result()
         for f in futs:
             f.result()
+    SS.reset_ledger(spark, state_path, [0])
     return n
 
 
 def read_span_state(spark, state_path: str) -> DataFrame | None:
     """Resolved full-corpus span-duplication table of a persisted span
     state (same schema as :func:`duplicated_spans`), or None if the
-    state has never been written."""
-    tokens = _try_parquet(spark, state_path + "/tokens")
+    state has never been written. Scans are restricted to PUBLISHED
+    deliveries (manifest-commit contract), so a crashed half-written
+    delivery is invisible."""
+    committed = SS.committed_ids(spark, state_path)
+    tokens = SS.visible(_try_parquet(spark, state_path + "/tokens"),
+                        committed)
     meta = _try_parquet(spark, state_path + "/meta")
     if tokens is None or meta is None:
         return None
     n = int(meta.first()["n"])
-    flags = _try_parquet(spark, state_path + "/flags")
+    flags = SS.visible(_try_parquet(spark, state_path + "/flags"),
+                       committed)
     return _resolve_span_state(tokens, flags, n)
 
 
@@ -1913,20 +2104,23 @@ def _resolve_span_state(tokens: DataFrame, flags: DataFrame | None, n: int) -> D
 
 
 def _migrate_span_state(spark, state_path: str) -> None:
-    """One-time in-place upgrade of a pre-r11 span state: bucket the
-    ``hcounts`` store by ``_ph`` so the per-delivery count lookup
-    partition-prunes (a flat store cannot take partitioned appends, so
-    the rewrite happens before the first post-upgrade delivery)."""
+    """One-time upgrade of a pre-r11 span state: bucket the ``hcounts``
+    store by ``_ph`` so the per-delivery count lookup partition-prunes
+    (a flat store cannot take partitioned appends, so the rewrite
+    happens before the first post-upgrade delivery). Staged write +
+    rename swap — the old store stays intact until the replacement is
+    fully on disk (r12; see :func:`_migrate_dedup_state`)."""
     hc = _try_parquet(spark, state_path + "/hcounts")
     if hc is None or "_ph" in hc.columns:
         return
     ck = hc.select(
         F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
         "h", "c",
-    ).repartition("_ph").sortWithinPartitions("h").localCheckpoint(eager=True)
+    ).repartition("_ph").sortWithinPartitions("h")
     ck.write.partitionBy("_ph").mode("overwrite").parquet(
-        state_path + "/hcounts"
+        state_path + "/hcounts.__new"
     )
+    SS.swap_in(state_path + "/hcounts.__new", state_path + "/hcounts")
 
 
 def span_state_ingest(
@@ -1982,13 +2176,13 @@ def span_state_ingest(
     ``meta``; a mismatched ingest raises — windows of different widths
     share no hash space and would silently never match).
 
-    CRASH-ATOMICITY: same honest contract as
-    :func:`dedup_state_ingest` — the ``tokens`` registry append and the
-    spans/hcounts/flags appends are not one transaction; a failure
-    between them makes redelivery a silent no-op for the dropped rows.
-    Use a transactional table format or a delivery-manifest commit at
-    scale.
+    CRASH-ATOMIC (r12, manifest commit): the four store appends land
+    under one ``_dv=<delivery id>`` partition, published last to the
+    ``commits`` ledger — same protocol and guarantees as
+    :func:`dedup_state_ingest`.
     """
+    import warnings
+
     spark = new_docs.sparkSession
     had_meta = _guard_state_meta(
         spark, state_path, "span_state_ingest",
@@ -1996,7 +2190,20 @@ def span_state_ingest(
     )
     # NOT gated on had_meta: r10 span states have meta but flat hcounts
     _migrate_span_state(spark, state_path)
-    old_tokens = _try_parquet(spark, state_path + "/tokens")
+    if not had_meta and _try_parquet(spark, state_path + "/tokens") is not None:
+        warnings.warn(
+            f"span_state_ingest: adopting this call's format parameters "
+            f"(n={n}, min_count={min_count}) for the legacy state at "
+            f"{state_path} — they become the state FORMAT and every "
+            f"later ingest must match",
+            stacklevel=2,
+        )
+    SS.adopt_commit_ledger(
+        spark, state_path, ("tokens", "spans", "hcounts", "flags")
+    )
+    committed = SS.committed_ids(spark, state_path)
+    old_tokens = SS.visible(_try_parquet(spark, state_path + "/tokens"),
+                            committed)
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
     incoming = new_docs.select(
@@ -2029,7 +2236,8 @@ def span_state_ingest(
             .cast("int").alias("_ph")
         ).distinct().collect()
     })
-    old_counts = _try_parquet(spark, state_path + "/hcounts")
+    old_counts = SS.visible(_try_parquet(spark, state_path + "/hcounts"),
+                            committed)
     if old_counts is not None:
         if "_ph" in old_counts.columns:  # pre-r11 stores lack the layout
             old_counts = old_counts.where(F.col("_ph").isin(phs))
@@ -2049,7 +2257,8 @@ def span_state_ingest(
         .select("doc_id", "start")
     # (b) OLD windows whose hash crossed min_count with THIS delivery —
     # they were below the bar before, so they have never been flagged
-    old_spans = _try_parquet(spark, state_path + "/spans")
+    old_spans = SS.visible(_try_parquet(spark, state_path + "/spans"),
+                           committed)
     if old_spans is not None:
         crossed = dup_h.filter(F.col("_co") < min_count).select("h")
         retro = (
@@ -2063,14 +2272,19 @@ def span_state_ingest(
     delta_flags = delta_flags.localCheckpoint(eager=True)
 
     if not had_meta:
+        # meta BEFORE the appends: a crash here leaves a meta-only
+        # state ≡ bootstrap with the format pinned (benign)
         _write_state_meta(spark, state_path,
                           {"n": int(n), "min_count": int(min_count)})
+    # manifest commit: appends tagged _dv=<delivery id>, published LAST
+    dv = SS.new_delivery_id()
+    tag = F.lit(dv).alias("_dv")
     small = incoming.count() < 1_000_000
-    tok_rows = incoming.select("doc_id", "n_tokens")
-    (tok_rows.coalesce(1) if small else tok_rows).write.mode(
-        "append"
-    ).parquet(state_path + "/tokens")
+    tok_rows = incoming.select(tag, "doc_id", "n_tokens")
+    SS.append_store(tok_rows.coalesce(1) if small else tok_rows,
+                    state_path + "/tokens", ("_dv",))
     spans_out = sh.select(
+        tag,
         F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
         "h", "doc_id", "start",
     )
@@ -2080,10 +2294,9 @@ def span_state_ingest(
         if small else
         spans_out.repartition("_ph").sortWithinPartitions("h")
     )
-    spans_out.write.partitionBy("_ph").mode("append").parquet(
-        state_path + "/spans"
-    )
+    SS.append_store(spans_out, state_path + "/spans", ("_dv", "_ph"))
     counts_out = delta_counts.select(
+        tag,
         F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
         "h", F.col("_cd").alias("c"),
     )
@@ -2091,12 +2304,13 @@ def span_state_ingest(
         counts_out.coalesce(1).sortWithinPartitions("_ph", "h")
         if small else counts_out.repartition("_ph").sortWithinPartitions("h")
     )
-    counts_out.write.partitionBy("_ph").mode("append").parquet(
-        state_path + "/hcounts"
+    SS.append_store(counts_out, state_path + "/hcounts", ("_dv", "_ph"))
+    SS.append_store(
+        (delta_flags.coalesce(1) if small else delta_flags)
+        .select(tag, "doc_id", "start"),
+        state_path + "/flags", ("_dv",),
     )
-    (delta_flags.coalesce(1) if small else delta_flags).write.mode(
-        "append"
-    ).parquet(state_path + "/flags")
+    SS.publish_commit(spark, state_path, dv)  # THE commit point
     if not return_full:
         return delta_flags
     return read_span_state(spark, state_path).localCheckpoint(eager=True)

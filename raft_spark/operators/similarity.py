@@ -2781,8 +2781,10 @@ def scalar_quantize(
     product of two code vectors is a PURE scaled inner product (no
     affine cross-terms), which is what lets the shortlist rank on exact
     integer arithmetic and the DuckDB oracle re-derive it bit-for-bit
-    (floor(x+0.5) is the repo-wide half-away rounding; multiplication
-    and division on the same doubles agree across engines).
+    (floor(x+0.5) is round-half-UP — note: NOT the half-away-from-zero
+    sign(x)·floor(|x|+0.5) knn_brute uses, so code(-x) == -code(x) can
+    differ by 1 at exact half-steps; the oracle evaluates the identical
+    expression, so the equality is engine-exact either way).
 
     Uniform dims validated (same reason as :func:`binary_quantize`).
     Callers scoring queries against a quantized corpus MUST pass the

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from raft_spark.operators import statestore as SS
+
 
 # ---------------------------------------------------------------------------
 # filters / dedup (sparse/op/filter.cuh, reduce.cuh)
@@ -532,16 +534,22 @@ def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
 
     The batch/streaming delta twin of :func:`sparse_pairwise` — the
     persisted-state ingest discipline of the dedup family
-    (band_table / write_semantic_index).
+    (band_table / write_semantic_index). The build writes everything
+    under the ``_dv=0`` base delivery and a ``[0]`` commits ledger —
+    the manifest-commit layout every later :func:`postings_add`
+    delivery extends (see :mod:`raft_spark.operators.statestore`).
     """
+    zero = F.lit(0).alias("_dv")
     coo.select(
-        "col", "row", "value",
+        zero, "col", "row", "value",
         F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
-    ).write.mode("overwrite").partitionBy("_shard").parquet(f"{path}/postings")
+    ).write.mode("overwrite").partitionBy("_dv", "_shard") \
+        .parquet(f"{path}/postings")
     coo.groupBy("row").agg(
         F.sum(F.col("value") * F.col("value")).alias("_nn"),
         F.count("*").alias("_nz"),
-    ).write.mode("overwrite").parquet(f"{path}/norms")
+    ).select(zero, "row", "_nn", "_nz") \
+        .write.mode("overwrite").partitionBy("_dv").parquet(f"{path}/norms")
     # persist the shard modulus WITH the index: a reader hashing with a
     # different n_shards would silently exclude every posting stored
     # under a shard id outside its range — the modulus is part of the
@@ -549,6 +557,7 @@ def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
     coo.sparkSession.createDataFrame(
         [(int(n_shards),)], "n_shards int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    SS.reset_ledger(coo.sparkSession, path, [0])
 
 
 def _postings_n_shards(spark, path: str) -> int:
@@ -568,33 +577,44 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
     at-least-once redelivery can never double-count _ip/_shared or
     duplicate norm rows.
 
-    CRASH-ATOMICITY (honest contract): the postings append and the
-    norms append are NOT one transaction. Postings land first, so a
-    failure between the two writes leaves rows whose redelivery is NOT
-    anti-joined out (the registry never saw them) — the retry would
-    re-append their postings and double-count _ip/_shared. The replay
-    guard protects against redelivery of COMPLETED deliveries only. On
-    a real cluster, park the index on a transactional table format or
-    commit each delivery under a manifest (write both stores tagged
-    with a delivery id, publish the id last, readers skip unpublished
-    ids)."""
+    CRASH-ATOMIC (r12, manifest commit): the two store appends land
+    under one ``_dv=<delivery id>`` partition and the id is published
+    LAST to the index's ``commits`` ledger; every reader (this
+    anti-join, :func:`sparse_lookup`, :func:`compact_postings`)
+    restricts its scan to published deliveries. A crash between the
+    two appends leaves the delivery invisible, and — because the
+    replay anti-join only sees committed norm rows — the retry
+    re-appends it in full under a new id; no double-count window
+    remains (same protocol as dedup_state_ingest)."""
     spark = new_coo.sparkSession
     n_shards = _postings_n_shards(spark, path)
+    SS.adopt_commit_ledger(spark, path, ("postings", "norms"))
+    committed = SS.committed_ids(spark, path)
     delta = (
         new_coo.select("row", "col", "value")
-        .join(spark.read.parquet(f"{path}/norms").select("row"),
+        .join(SS.visible(spark.read.parquet(f"{path}/norms"), committed)
+              .select("row"),
               "row", "left_anti")
         .localCheckpoint(eager=True)  # materialize BEFORE appending to
         # the norms store the anti-join reads
     )
-    delta.select(
-        "col", "row", "value",
-        F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
-    ).write.mode("append").partitionBy("_shard").parquet(f"{path}/postings")
-    delta.groupBy("row").agg(
-        F.sum(F.col("value") * F.col("value")).alias("_nn"),
-        F.count("*").alias("_nz"),
-    ).write.mode("append").parquet(f"{path}/norms")
+    dv = SS.new_delivery_id()
+    tag = F.lit(dv).alias("_dv")
+    SS.append_store(
+        delta.select(
+            tag, "col", "row", "value",
+            F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
+        ),
+        f"{path}/postings", ("_dv", "_shard"),
+    )
+    SS.append_store(
+        delta.groupBy("row").agg(
+            F.sum(F.col("value") * F.col("value")).alias("_nn"),
+            F.count("*").alias("_nz"),
+        ).select(tag, "row", "_nn", "_nz"),
+        f"{path}/norms", ("_dv",),
+    )
+    SS.publish_commit(spark, path, dv)  # THE commit point
 
 
 def compact_postings(spark, path: str) -> int:
@@ -603,21 +623,29 @@ def compact_postings(spark, path: str) -> int:
     after many deliveries each shard is a pile of small files (the same
     small-file tax compact_dedup_state documents). Rewrites postings
     one sorted file set per shard and norms coalesced — content
-    identical (eagerly materialized before each overwrite), the shard
-    modulus sidecar untouched. Returns the postings row count."""
-    postings = spark.read.parquet(f"{path}/postings")
-    compacted = (
-        postings.select("_shard", "col", "row", "value")
-        .repartition("_shard").sortWithinPartitions("col", "row")
-        .localCheckpoint(eager=True)
-    )
-    n = compacted.count()
-    compacted.write.mode("overwrite").partitionBy("_shard").parquet(
-        f"{path}/postings"
-    )
-    norms = spark.read.parquet(f"{path}/norms")         .coalesce(max(1, spark.sparkContext.defaultParallelism // 8))         .localCheckpoint(eager=True)
-    norms.write.mode("overwrite").parquet(f"{path}/norms")
-    return n
+    identical over the COMMITTED rows (crashed-delivery orphans are
+    garbage-collected here), collapsed to ``_dv=0`` with the ledger
+    reset last; each store staged to a ``.__new`` sibling and swapped
+    by rename, so no crash window destroys the index. The shard modulus
+    sidecar is untouched. Returns the postings row count."""
+    committed = SS.committed_ids(spark, path)
+    if committed is None or 0 not in committed:
+        SS.publish_commit(spark, path, 0)
+    zero = F.lit(0).alias("_dv")
+    postings = SS.visible(spark.read.parquet(f"{path}/postings"), committed)
+    postings.select(zero, "_shard", "col", "row", "value") \
+        .repartition("_shard").sortWithinPartitions("col", "row") \
+        .write.mode("overwrite").partitionBy("_dv", "_shard") \
+        .parquet(f"{path}/postings.__new")
+    SS.swap_in(f"{path}/postings.__new", f"{path}/postings")
+    SS.visible(spark.read.parquet(f"{path}/norms"), committed) \
+        .select(zero, "row", "_nn", "_nz") \
+        .coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
+        .write.mode("overwrite").partitionBy("_dv") \
+        .parquet(f"{path}/norms.__new")
+    SS.swap_in(f"{path}/norms.__new", f"{path}/norms")
+    SS.reset_ledger(spark, path, [0])
+    return spark.read.parquet(f"{path}/postings").count()
 
 
 def sparse_lookup(
@@ -639,23 +667,29 @@ def sparse_lookup(
     as :func:`sparse_pairwise` (rectangular: batch × corpus; batch and
     corpus row-id spaces are disjoint by contract).
 
-    ``max_col_df`` applies the stop-column discipline AT LOOKUP TIME:
-    the document frequency of each touched column is counted over the
-    PRUNED postings slice (+ the batch's own contribution) and columns
-    above the cap leave the join — and BOTH norm sides are adjusted to
-    the capped column set, so surviving pairs keep exact metric values
-    over the remaining columns (the sparse_pairwise(max_col_df)
-    semantics): batch norms are recomputed from the col-filtered batch,
-    and corpus norms subtract the capped columns' contributions, which
-    is exact because every posting of a column lives in that column's
-    hash shard and every capped column's shard is inside the pruned
-    slice. Cost: two extra aggs over the already-pruned slice, never
-    the whole index.
+    ``max_col_df`` applies the stop-column discipline AT LOOKUP TIME,
+    scoped to the COLUMNS THE BATCH TOUCHES: the document frequency of
+    each touched column is counted over the pruned postings slice
+    (+ the batch's own contribution) and touched columns above the cap
+    leave the join — and BOTH norm sides are adjusted to that capped
+    column set, so surviving pairs keep exact metric values over the
+    remaining TOUCHED columns: batch norms are recomputed from the
+    col-filtered batch, and corpus norms subtract the capped touched
+    columns' contributions, which is exact because every posting of a
+    column lives in that column's hash shard and every capped touched
+    column's shard is inside the pruned slice. A corpus row's over-cap
+    column the batch never touches keeps its norm contribution (its df
+    is never counted here), so values can differ from a from-scratch
+    ``sparse_pairwise(batch ∪ corpus, max_col_df)`` — the lookup-time
+    cap is a property of the probe, not a rewrite of the corpus-wide
+    stop-column set. Cost: two extra aggs over the already-pruned
+    slice, never the whole index.
     """
     if metric not in _SPARSE_METRICS:
         raise ValueError(f"unknown sparse metric {metric!r}; "
                          f"one of {sorted(_SPARSE_METRICS)}")
     n_shards = _postings_n_shards(spark, path)
+    committed = SS.committed_ids(spark, path)
     batch = new_coo.select("row", "col", "value")
     shards = [
         r["_shard"] for r in batch.select(
@@ -663,13 +697,14 @@ def sparse_lookup(
         ).distinct().collect()
     ]
     postings = (
-        spark.read.parquet(f"{path}/postings")
+        SS.visible(spark.read.parquet(f"{path}/postings"), committed)
         .filter(F.col("_shard").isin(shards))  # partition pruning
         .select(F.col("row").alias("b"), "col", F.col("value").alias("_vb"))
     )
     lhs = batch.select(F.col("row").alias("a"), "col",
                        F.col("value").alias("_va"))
-    corpus_norms = spark.read.parquet(f"{path}/norms")
+    corpus_norms = SS.visible(spark.read.parquet(f"{path}/norms"),
+                              committed).select("row", "_nn", "_nz")
     if max_col_df is not None:
         df_counts = (
             postings.groupBy("col").agg(F.count("*").alias("_dfp"))

@@ -1,0 +1,209 @@
+"""Delivery-manifest commit protocol for the persisted-state ingests.
+
+Every incremental state in this repo (MinHash dedup / semantic dedup /
+span dedup / postings index) is a set of APPEND-ONLY parquet stores that
+one delivery must extend as a unit. Parquet appends are not atomic
+across stores: a crash between two store appends used to leave a
+delivery half-written, and — because the replay guard registry was one
+of those stores — redelivery would anti-join the batch out as
+already-seen and permanently drop the missing rows (the r11 "honest
+contract" docstrings).
+
+This module closes that gap with the manifest-commit discipline the
+reference ecosystem's persisted indexes assume from their filesystem
+(cuVS serialized indexes are single-writer snapshot files; a Spark
+multi-store state needs an explicit commit point instead):
+
+- every store append is tagged with a fresh random 60-bit DELIVERY ID
+  and written under a ``_dv=<id>`` partition directory (an extra
+  top-level partition column, so visibility filtering is a PARTITION
+  filter — uncommitted directories are pruned at file-listing time,
+  never row-filtered);
+- after ALL of a delivery's store appends succeed, the id is PUBLISHED
+  with one tiny append to the state's ``commits`` ledger — the single
+  commit point;
+- every reader (ingest probes, replay anti-joins, resolvers, public
+  read_* functions, compactors) restricts each store scan to
+  ``_dv IN (committed ids)``.
+
+A crash at ANY point now leaves a consistent state: rows of an
+unpublished delivery are invisible to every reader, and — because the
+replay anti-join only sees committed registry rows — redelivering the
+same batch re-ingests it in full under a NEW delivery id. The orphaned
+``_dv`` directories are garbage, not corruption; the state's compactor
+drops them (it rewrites only committed rows, collapsed back to
+``_dv=0``, and resets the ledger to ``[0]``).
+
+The ledger IN-list grows by one value per delivery between compactions,
+so its size is bounded by the maintenance cadence — the same assumption
+the small-file story already makes.
+
+Legacy states (pre-r12: no ledger) are adopted in O(1): each existing
+store directory is RENAMED into a ``_dv=0`` wrapper (two directory
+renames per store, no data rewrite) and a ``[0]`` ledger is written.
+The rename sequence is crash-recoverable via a ``.__mig`` marker
+directory: re-running adoption completes an interrupted wrap.
+
+All directory swaps here use os.rename, which is atomic on a local
+POSIX filesystem. On an object store (S3/GCS) rename is not atomic —
+park the state on a transactional table format there; this module is
+the local-filesystem rendering of that discipline.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "new_delivery_id",
+    "committed_ids",
+    "visible",
+    "publish_commit",
+    "reset_ledger",
+    "append_store",
+    "adopt_commit_ledger",
+    "swap_in",
+]
+
+
+def new_delivery_id() -> int:
+    """Fresh random 60-bit delivery id. Randomness (not a counter) is
+    what makes the protocol crash-safe: a counter re-derived from the
+    ledger could collide with an UNPUBLISHED crashed delivery's id and
+    make its orphaned rows visible the moment the retry commits."""
+    dv = 0
+    while dv == 0:  # 0 is the reserved base/compacted delivery
+        dv = int(uuid.uuid4().hex[:15], 16)
+    return dv
+
+
+def _try_parquet(spark, path: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException:
+        return None
+
+
+def committed_ids(spark, state_path: str) -> list[int] | None:
+    """Published delivery ids of a state, or None when the state has no
+    ledger yet (brand-new, or legacy pre-adoption — in both cases every
+    present row is visible). One tiny parquet read per ingest/lookup
+    call; collected once and threaded through every store scan."""
+    c = _try_parquet(spark, state_path + "/commits")
+    if c is None:
+        return None
+    return sorted({int(r["dv"]) for r in c.select("dv").collect()})
+
+
+def visible(df: DataFrame | None, committed: list[int] | None):
+    """Restrict a store scan to committed deliveries. ``_dv`` is a
+    partition column, so the bounded IN-list is a PARTITION filter —
+    unpublished directories drop out of the file listing. States
+    without a ledger (committed=None) and stores predating the layout
+    pass through unfiltered."""
+    if df is None or committed is None or "_dv" not in df.columns:
+        return df
+    return df.where(F.col("_dv").isin(committed))
+
+
+def publish_commit(spark, state_path: str, dv: int) -> None:
+    """THE commit point of a delivery: one tiny single-file append to
+    the ledger, executed strictly after every store append succeeded.
+    Spark stages the file under ``_temporary`` and renames it in, so a
+    crash mid-publish leaves the id unpublished (clean retry)."""
+    spark.createDataFrame([(int(dv),)], "dv long").coalesce(1) \
+        .write.mode("append").parquet(state_path + "/commits")
+
+
+def reset_ledger(spark, state_path: str, ids: list[int]) -> None:
+    """Atomically replace the ledger (compaction's last step) via a
+    staged write + directory swap — a plain overwrite has a window
+    where the ledger is missing and uncommitted garbage would surface
+    as legacy-visible-all."""
+    new = state_path + "/commits.__new"
+    shutil.rmtree(new, ignore_errors=True)
+    spark.createDataFrame([(int(i),) for i in ids], "dv long") \
+        .coalesce(1).write.mode("overwrite").parquet(new)
+    swap_in(new, state_path + "/commits")
+
+
+def append_store(df: DataFrame, path: str,
+                 partition_cols: tuple[str, ...] = ()) -> None:
+    """Append one delivery's rows to one store. A module-level seam so
+    the crash-injection tests can kill a delivery between two specific
+    store appends (monkeypatch a wrapper that raises after N calls)."""
+    w = df.write.mode("append")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.parquet(path)
+
+
+def swap_in(new_dir: str, store: str) -> None:
+    """Replace ``store`` with ``new_dir`` via rename (atomic on local
+    POSIX): the old directory moves aside first, so a reader never sees
+    a half-deleted store, and the aside copy is removed only after the
+    new one is in place."""
+    old = store + ".__old"
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(store):
+        os.rename(store, old)
+    os.rename(new_dir, store)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _has_dv_layout(store: str) -> bool:
+    try:
+        return any(e.startswith("_dv=") for e in os.listdir(store))
+    except FileNotFoundError:
+        return False
+
+
+def _wrap_store(store: str) -> None:
+    """O(1) adoption of one legacy store: rename its contents into a
+    ``_dv=0`` partition wrapper. Crash-recoverable: the intermediate
+    ``.__mig`` marker directory is re-absorbed on the next call (the
+    marker existing implies the wrap target was never created — the
+    renames are atomic and ordered)."""
+    mig = store + ".__mig"
+    if os.path.exists(mig):
+        os.makedirs(store, exist_ok=True)
+        os.rename(mig, os.path.join(store, "_dv=0"))
+        return
+    if not os.path.isdir(store) or _has_dv_layout(store):
+        return
+    os.rename(store, mig)
+    os.makedirs(store)
+    os.rename(mig, os.path.join(store, "_dv=0"))
+
+
+def adopt_commit_ledger(spark, state_path: str,
+                        stores: tuple[str, ...]) -> None:
+    """Bring a state under the manifest-commit protocol: wrap every
+    ledger-less store into ``_dv=0`` (O(1) directory renames — see
+    :func:`_wrap_store`) and write the ``[0]`` ledger. Idempotent and
+    crash-recoverable — runs unconditionally at the top of every
+    ingest; a no-op costs a few os.path checks."""
+    wrapped = False
+    for s in stores:
+        store = state_path + "/" + s
+        before = _has_dv_layout(store)
+        _wrap_store(store)
+        wrapped = wrapped or (not before and _has_dv_layout(store))
+    committed = committed_ids(spark, state_path)
+    if committed is None:
+        if wrapped or any(
+            _has_dv_layout(state_path + "/" + s) for s in stores
+        ):
+            publish_commit(spark, state_path, 0)
+    elif wrapped and 0 not in committed:
+        # a store was wrapped into _dv=0 while a ledger already existed
+        # (e.g. a content migration rebuilt one store of an otherwise-
+        # ledgered state) — the base delivery must be visible
+        publish_commit(spark, state_path, 0)

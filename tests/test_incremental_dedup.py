@@ -223,7 +223,8 @@ def test_compact_dedup_state_preserves_content(spark, sf_dir, tmp_path):
         (r["doc_id"], tuple(r["sig"]))
         for r in spark.read.parquet(p + "/sigs").collect()
     }
-    n_files_before = len(glob.glob(p + "/sigs/_pd=*/*.parquet"))
+    # r12 layout: stores live under _dv=<delivery id> partitions
+    n_files_before = len(glob.glob(p + "/sigs/_dv=*/_pd=*/*.parquet"))
 
     from raft_spark.operators.dedup import compact_dedup_state
 
@@ -232,7 +233,7 @@ def test_compact_dedup_state_preserves_content(spark, sf_dir, tmp_path):
         (r["doc_id"], tuple(r["sig"]))
         for r in spark.read.parquet(p + "/sigs").collect()
     }
-    n_files_after = len(glob.glob(p + "/sigs/_pd=*/*.parquet"))
+    n_files_after = len(glob.glob(p + "/sigs/_dv=*/_pd=*/*.parquet"))
     assert n == len(before) and after == before
     assert n_files_after < n_files_before
     # the compacted state still ingests correctly (replay no-op)
@@ -538,11 +539,12 @@ def test_compact_span_state_preserves_resolution(spark, sf_dir, tmp_path):
     D.span_state_ingest(b1, p)
     D.span_state_ingest(b2, p)
     before = _span_map(D.read_span_state(spark, p))
-    files_before = len(glob.glob(p + "/hcounts/_ph=*/*.parquet"))
+    # r12 layout: stores live under _dv=<delivery id> partitions
+    files_before = len(glob.glob(p + "/hcounts/_dv=*/_ph=*/*.parquet"))
 
     D.compact_span_state(spark, p)
     after = _span_map(D.read_span_state(spark, p))
-    files_after = len(glob.glob(p + "/hcounts/_ph=*/*.parquet"))
+    files_after = len(glob.glob(p + "/hcounts/_dv=*/_ph=*/*.parquet"))
     assert after == before
     assert files_after < files_before
     # additive sums unchanged -> a later delta decides >= min_count

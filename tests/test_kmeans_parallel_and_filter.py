@@ -239,8 +239,8 @@ def test_knn_bq_numpy_equals_expr(spark, blobs):
 
 def test_scalar_quantize_codes_match_numpy(spark, blobs):
     """r11 scalar quantizer: codes equal the numpy twin bit-for-bit
-    (floor(x*s+0.5) half-away rounding, symmetric clamp), and the
-    trained amax is the exact max|element|."""
+    (floor(x*s+0.5) round-half-UP — not half-away-from-zero — with a
+    symmetric clamp), and the trained amax is the exact max|element|."""
     df, _ = blobs
     sub = df.filter(F.col("id") < 10)
     got, amax = SIM.scalar_quantize(sub)

@@ -315,9 +315,9 @@ def test_compact_postings_preserves_content(spark, sp, tmp_path):
     batch = df.filter(F.col("row") >= 16).withColumn("row", F.col("row") + 100)
     before = {(r["a"], r["b"]): r["dist"]
               for r in SP.sparse_lookup(batch, spark, path).collect()}
-    files_before = len(glob.glob(path + "/postings/_shard=*/*.parquet"))
+    files_before = len(glob.glob(path + "/postings/_dv=*/_shard=*/*.parquet"))
     n = SP.compact_postings(spark, path)
-    files_after = len(glob.glob(path + "/postings/_shard=*/*.parquet"))
+    files_after = len(glob.glob(path + "/postings/_dv=*/_shard=*/*.parquet"))
     after = {(r["a"], r["b"]): r["dist"]
              for r in SP.sparse_lookup(batch, spark, path).collect()}
     assert after == before and n == spark.read.parquet(
