@@ -537,11 +537,22 @@ def m_stream_semingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic_dedup of the full corpus row-for-row (the exact-equality
     contract of cross-snapshot ingest; q_semantic_dedup's own gate row
     value-oracles the from-scratch side, so this member composes to a
-    DuckDB-anchored check)."""
+    DuckDB-anchored check).
+
+    r12 gates compact_semantic_state inside the same flow (the
+    incremental_dedup sentinel pattern): the state is COMPACTED BETWEEN
+    the two deliveries — so semingest_eq also certifies that delivery 2
+    ingested into a compacted state correctly — and semcompact_eq pins
+    that the post-compaction resolve of the delivery-1 state equals the
+    pre-compaction resolve row-for-row."""
     import shutil
     import tempfile
 
-    from raft_spark.operators.dedup import semantic_dedup
+    from raft_spark.operators.dedup import (
+        compact_semantic_state,
+        read_semantic_state,
+        semantic_dedup,
+    )
     from raft_spark.streaming.incremental import semantic_state_ingest_stream
     from raft_spark.sources.tables import embeddings_matrix
 
@@ -552,29 +563,45 @@ def m_stream_semingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             b = bit if b is None else b + bit
         return df.select("id", b.alias("cluster"))
 
-    corpus = embeddings_matrix(spark, sf_dir).select("id", "features") \
-        .localCheckpoint(eager=True)
-    tmp = tempfile.mkdtemp(prefix="raft_spark_semingest_")
-    try:
-        # two parquet files -> two availableNow micro-batches
-        corpus.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(
-            tmp + "/in/f1.parquet"
-        )
-        corpus.filter(F.col("id") % 2 == 1).coalesce(1).write.parquet(
-            tmp + "/in/f2.parquet"
-        )
+    def run_delivery(tmp: str) -> None:
         stream = (
             spark.readStream.schema("id long, features array<double>")
             .option("maxFilesPerTrigger", 1)
             .parquet(tmp + "/in/*/")
         )
-        q = semantic_state_ingest_stream(
+        semantic_state_ingest_stream(
             stream, tmp + "/state", checkpoint=tmp + "/ckpt",
             assign_fn=bucket_of, tau=0.92,
-        )
-        q.awaitTermination()
-        from raft_spark.operators.dedup import read_semantic_state
+        ).awaitTermination()
 
+    corpus = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .localCheckpoint(eager=True)
+    tmp = tempfile.mkdtemp(prefix="raft_spark_semingest_")
+    try:
+        # delivery 1 (even ids) streamed into the state
+        corpus.filter(F.col("id") % 2 == 0).coalesce(1).write.parquet(
+            tmp + "/in/f1.parquet"
+        )
+        run_delivery(tmp)
+        # compact BETWEEN deliveries; sentinel: resolve unchanged
+        r1 = read_semantic_state(spark, tmp + "/state")[1] \
+            .select("id", "cluster", "group", "keep") \
+            .localCheckpoint(eager=True)
+        compact_semantic_state(spark, tmp + "/state")
+        r1c = read_semantic_state(spark, tmp + "/state")[1] \
+            .select("id", "cluster", "group", "keep") \
+            .localCheckpoint(eager=True)
+        compact_eq = (
+            r1.exceptAll(r1c).count() + r1c.exceptAll(r1).count() == 0
+            and r1.count() > 0
+        )
+        # delivery 2 (odd ids) — same checkpoint, the availableNow
+        # restart picks up only the new file; it ingests into the
+        # COMPACTED state, so the final equality certifies compaction
+        corpus.filter(F.col("id") % 2 == 1).coalesce(1).write.parquet(
+            tmp + "/in/f2.parquet"
+        )
+        run_delivery(tmp)
         got = read_semantic_state(spark, tmp + "/state")[1] \
             .select("id", "cluster", "group", "keep") \
             .localCheckpoint(eager=True)
@@ -588,7 +615,8 @@ def m_stream_semingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = got.count()
     return spark.createDataFrame(
         [("semingest_rows", float(n)),
-         ("semingest_eq", float(int(diff == 0 and n > 0)))],
+         ("semingest_eq", float(int(diff == 0 and n > 0))),
+         ("semcompact_eq", float(int(compact_eq)))],
         "kind string, value double",
     )
 
@@ -605,13 +633,35 @@ def m_stream_spaningest(spark: SparkSession, sf_dir: str) -> DataFrame:
     count(*) of documents) and spaningest_eq = the streamed state ≡
     the from-scratch batch duplicated_spans of the full corpus
     row-for-row (q_duplicated_spans' own gate row value-oracles the
-    batch side, so this member composes to a DuckDB-anchored check)."""
+    batch side, so this member composes to a DuckDB-anchored check).
+
+    r12 gates compact_span_state inside the same flow (the
+    incremental_dedup sentinel pattern): the state is COMPACTED BETWEEN
+    the two deliveries — so spaningest_eq also certifies that delivery
+    2's additive counts, retro-flagging and replay guard work against a
+    compacted state — and spancompact_eq pins that the post-compaction
+    resolve of the delivery-1 state equals the pre-compaction resolve
+    row-for-row."""
     import shutil
     import tempfile
 
-    from raft_spark.operators.dedup import duplicated_spans, read_span_state
+    from raft_spark.operators.dedup import (
+        compact_span_state,
+        duplicated_spans,
+        read_span_state,
+    )
     from raft_spark.sources.tables import load
     from raft_spark.streaming.incremental import span_state_ingest_stream
+
+    def run_delivery(tmp: str) -> None:
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp + "/in/*/")
+        )
+        span_state_ingest_stream(
+            stream, tmp + "/state", checkpoint=tmp + "/ckpt"
+        ).awaitTermination()
 
     docs = load(spark, "documents", sf_dir).select("doc_id", "text") \
         .localCheckpoint(eager=True)
@@ -619,16 +669,21 @@ def m_stream_spaningest(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(
             tmp + "/in/f1.parquet")
+        run_delivery(tmp)
+        # compact BETWEEN deliveries; sentinel: resolve unchanged
+        r1 = read_span_state(spark, tmp + "/state") \
+            .localCheckpoint(eager=True)
+        compact_span_state(spark, tmp + "/state")
+        r1c = read_span_state(spark, tmp + "/state") \
+            .localCheckpoint(eager=True)
+        compact_eq = (
+            r1.exceptAll(r1c).count() + r1c.exceptAll(r1).count() == 0
+            and r1.count() > 0
+        )
+        # delivery 2 — same checkpoint, ingests into the COMPACTED state
         docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(
             tmp + "/in/f2.parquet")
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(tmp + "/in/*/")
-        )
-        q = span_state_ingest_stream(
-            stream, tmp + "/state", checkpoint=tmp + "/ckpt")
-        q.awaitTermination()
+        run_delivery(tmp)
         got = read_span_state(spark, tmp + "/state") \
             .localCheckpoint(eager=True)
     finally:
@@ -638,7 +693,8 @@ def m_stream_spaningest(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = got.count()
     return spark.createDataFrame(
         [("spaningest_rows", float(n)),
-         ("spaningest_eq", float(int(diff == 0 and n > 0)))],
+         ("spaningest_eq", float(int(diff == 0 and n > 0))),
+         ("spancompact_eq", float(int(compact_eq)))],
         "kind string, value double",
     )
 

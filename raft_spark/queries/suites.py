@@ -1414,10 +1414,14 @@ SELECT 'semingest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
 UNION ALL
 SELECT 'semingest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 UNION ALL
+SELECT 'semcompact_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
 SELECT 'spaningest_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT,
        (SELECT count(*) FROM documents)::DOUBLE
 UNION ALL
 SELECT 'spaningest_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
+UNION ALL
+SELECT 'spancompact_eq', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, 1.0
 UNION ALL
 SELECT 'asof_rows', NULL::TIMESTAMP, '', 0::BIGINT, 0::BIGINT, cnt::DOUBLE
 FROM (
@@ -1487,7 +1491,11 @@ def q_stream_lookup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip), streaming incremental semantic-state ingest (r9:
     semingest_rows data-valued + semingest_eq ≡ from-scratch batch
     dedup), and streaming as-of enrichment (asof_rows via DuckDB's
-    native ASOF JOIN + asof_eq)."""
+    native ASOF JOIN + asof_eq). r12: both state-ingest members compact
+    their state BETWEEN the two deliveries (compact_semantic_state /
+    compact_span_state), adding the semcompact_eq / spancompact_eq
+    sentinels — the final from-scratch equality now also certifies
+    ingest-into-compacted-state."""
     nd = STRQ.m_stream_neardup_eq(spark, sf_dir).select(
         F.lit("neardup_eq").alias("op"),
         F.lit(None).cast("timestamp").alias("ts"), F.lit("").alias("k"),
