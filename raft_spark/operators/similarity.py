@@ -52,6 +52,27 @@ def _collect_queries(qn: DataFrame, limit: int = MAX_COLLECT_QUERIES):
     return rows
 
 
+def _resolve_scan_strategy(qn: DataFrame, strategy: str, limit: int):
+    """ONE-JOB strategy resolution for the brute/quantized scans
+    (knn_brute / knn_bq / knn_sq): a single bounded
+    ``limit(n+1).collect()`` both PROBES the query-side size
+    (strategy="auto" → numpy when it fits the Q≪N contract, expr
+    otherwise) and DELIVERS the rows the numpy path ships as a closure
+    — the r11 auto path paid a distributed count() and then collected
+    the same frame again (one extra job per query batch). Returns
+    (strategy, rows-or-None); rows is None exactly when the expr path
+    was chosen. strategy="numpy" keeps :func:`_collect_queries`'
+    raise-with-remedy contract on oversized query sides."""
+    if strategy == "numpy":
+        return "numpy", _collect_queries(qn, limit)
+    if strategy != "auto":  # expr, or an explicit select_k merge strategy
+        return strategy, None
+    rows = qn.limit(limit + 1).collect()
+    if len(rows) > limit:
+        return "expr", None  # degrade gracefully, never OOM the driver
+    return "numpy", rows
+
+
 def _blocked_cross(
     left: DataFrame,
     right: DataFrame,
@@ -899,14 +920,13 @@ def knn_brute(
     q = _norm_table(queries, id_col, vec_col).select(
         F.col("_id").alias("qid"), F.col("_v").alias("_vq")
     )
-    if strategy == "auto":
-        strategy = "numpy" if q.count() <= max_collect_queries else "expr"
+    strategy, q_rows = _resolve_scan_strategy(q, strategy,
+                                              max_collect_queries)
     chosen = strategy
     if strategy == "numpy":
         import numpy as np
         import pandas as pd
 
-        q_rows = q.collect()
         qids = np.array([r["qid"] for r in q_rows])
         qm = np.array([r["_vq"] for r in q_rows])  # |Q|×d
 
@@ -2669,6 +2689,7 @@ def knn_bq(
     vec_col: str = "features",
     strategy: str = "auto",
     max_collect_queries: int = 20_000,
+    index_path: str | None = None,
 ) -> DataFrame:
     """Binary-quantized ANN → (qid, nid, dist, rank): rank candidates
     by packed-bit Hamming distance (integer-exact, ascending, nid
@@ -2698,6 +2719,14 @@ def knn_bq(
 
     Both paths feed the same exact-cosine refine, so the result is
     byte-identical either way (Hamming is integer — no rounding seam).
+
+    ``index_path`` serves from a persisted :func:`write_bq_index`: the
+    corpus codes come from the index, so the per-query-batch corpus
+    quantize pass (the f32 scan the tier exists to avoid — BASELINE
+    v11 measured it as the brute-vs-bq gap) is amortized into the
+    build. Byte-identical answers (BQ has no trained state — the index
+    is exactly the packed codes + a d sidecar); ``corpus`` floats are
+    still needed for the exact-cosine refine stage.
     """
     import numpy as np
     import pandas as pd
@@ -2711,15 +2740,20 @@ def knn_bq(
             f"knn_bq: corpus dimensionality {dc} != query "
             f"dimensionality {dq}"
         )
-    cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=dc)
+    if index_path is not None:
+        cb, d_idx = read_bq_index(corpus.sparkSession, index_path)
+        if d_idx != dc:
+            raise ValueError(
+                f"knn_bq: index at {index_path} holds d={d_idx} codes — "
+                f"corpus/query d={dc}"
+            )
+    else:
+        cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=dc)
     qb = binary_quantize(queries, id_col=id_col, vec_col=vec_col, _d=dq)
     k_short = k * refine_factor
-    if strategy == "auto":
-        strategy = (
-            "numpy" if qb.count() <= max_collect_queries else "expr"
-        )
+    strategy, q_rows = _resolve_scan_strategy(qb, strategy,
+                                              max_collect_queries)
     if strategy == "numpy":
-        q_rows = qb.collect()
         qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
         qm = np.array([r["bq"] for r in q_rows]).astype(np.uint64)  # |Q|×W
 
@@ -2876,12 +2910,9 @@ def knn_sq(
     qq, _ = scalar_quantize(queries, amax=amax, id_col=id_col,
                             vec_col=vec_col, _d=dq)
     k_short = k * refine_factor
-    if strategy == "auto":
-        strategy = (
-            "numpy" if qq.count() <= max_collect_queries else "expr"
-        )
+    strategy, q_rows = _resolve_scan_strategy(qq, strategy,
+                                              max_collect_queries)
     if strategy == "numpy":
-        q_rows = qq.collect()
         qids = np.array([r["id"] for r in q_rows], dtype=np.int64)
         # int32 accumulates exactly up to d ≈ 133k at |code| ≤ 127;
         # widen to int64 beyond that
@@ -2966,3 +2997,92 @@ def read_sq_index(spark, path: str):
     meta = spark.read.parquet(f"{path}/meta").first()
     codes = spark.read.parquet(f"{path}/codes").select("id", "sq")
     return codes, float(meta["amax"]), int(meta["d"])
+
+
+def write_bq_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> int:
+    """Persist a binary-quantized corpus as a serving index: ``codes``
+    (id, bq) parquet plus a ``meta`` sidecar carrying the
+    dimensionality — the :func:`write_sq_index` discipline for the BQ
+    tier. Unlike SQ there is NO trained state (the sign bit needs no
+    scale), so the index is exactly the packed codes; what persisting
+    buys is amortizing the per-query-batch corpus quantize pass — the
+    f32 corpus scan the 32×-compressed tier exists to avoid (BASELINE
+    v11 measured that pass as the brute-vs-bq gap). Serve with
+    :func:`knn_bq` (``index_path=``). Returns the code row count."""
+    spark = corpus.sparkSession
+    d = _validated_dim(corpus, vec_col, "write_bq_index")
+    codes = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=d) \
+        .localCheckpoint(eager=True)
+    n = codes.count()
+    codes.write.mode("overwrite").parquet(f"{path}/codes")
+    spark.createDataFrame([(int(d),)], "d int").coalesce(1) \
+        .write.mode("overwrite").parquet(f"{path}/meta")
+    return n
+
+
+def read_bq_index(spark, path: str):
+    """(codes frame (id, bq), d) of a persisted BQ index."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    codes = spark.read.parquet(f"{path}/codes").select("id", "bq")
+    return codes, int(meta["d"])
+
+
+def knn_route(n_corpus: int, recall_target: float = 0.95,
+              small_corpus: int = 50_000) -> str:
+    """Pure routing decision of :func:`knn_auto` — exposed separately
+    so tests pin the route table without running a search (the
+    rolling_route / asof_join_auto discipline; reference:
+    cuVS selects its ANN algorithm the same way —
+    matrix/detail/select_k_types taxonomy, brute vs sampled tiers):
+
+    - small corpus (≤ ``small_corpus``) or recall_target ≥ 0.999 →
+      "brute": the exact f32 scan — quantized shortcuts can't beat it
+      when the corpus fits a scan budget, and nothing else is exact.
+    - recall_target ≥ 0.95 → "sq": int8 codes (4× less scanned) with
+      exact-cosine rescore — near-exact recall at a quarter the IO.
+    - recall_target ≥ 0.85 → "bq": sign-bit codes (32× less scanned),
+      Hamming shortlist + rescore — the coarsest flat tier.
+    - below → "ivf_pq": probe a subset of lists instead of scanning
+      every row — the only tier whose cost DROPS with recall target
+      (fewer probes), at index-build cost.
+    """
+    if n_corpus <= small_corpus or recall_target >= 0.999:
+        return "brute"
+    if recall_target >= 0.95:
+        return "sq"
+    if recall_target >= 0.85:
+        return "bq"
+    return "ivf_pq"
+
+
+def knn_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    recall_target: float = 0.95,
+    id_col: str = "id",
+    vec_col: str = "features",
+    small_corpus: int = 50_000,
+    **tier_kwargs,
+) -> DataFrame:
+    """ANN tier router: pick brute / SQ / BQ / IVF-PQ from the corpus
+    size and the caller's recall target (:func:`knn_route`), then run
+    exactly that tier — the :func:`asof_join_auto` size-probe
+    discipline applied to the ANN family. One narrow count() probes the
+    corpus; every tier is individually value-oracled in the gate, so
+    the router's contract is simply output ≡ chosen tier's output.
+    The chosen tier is recorded on the result as ``_knn_tier``.
+    ``tier_kwargs`` pass through to the chosen tier (refine_factor,
+    strategy, index/list parameters...)."""
+    route = knn_route(corpus.count(), recall_target, small_corpus)
+    fn = {"brute": knn_brute, "sq": knn_sq, "bq": knn_bq,
+          "ivf_pq": knn_ivf_pq}[route]
+    out = fn(corpus, queries, k=k, id_col=id_col, vec_col=vec_col,
+             **tier_kwargs)
+    out._knn_tier = route
+    return out

@@ -2614,6 +2614,8 @@ srr AS (
 SELECT 'sq_rank' AS method, qid::BIGINT AS a, nid::BIGINT AS b,
        rank::DOUBLE AS value FROM srr WHERE rank <= 5
 )
+UNION ALL
+SELECT 'knn_auto_ok', 0::BIGINT, -1::BIGINT, 1.0
 """
 
 
@@ -2773,9 +2775,20 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmpg, ignore_errors=True)
     # r10: binary quantization + rescore (cuVS quantize::binary role) —
     # packed sign-bit Hamming shortlist, exact-cosine refine; recall
-    # floor 0.5 (measured 0.92 at sf0.01 / 0.58 at sf0.1 with rf=16)
-    bq_out = SIM2.knn_bq(shared[0], shared[1], k=5, refine_factor=16) \
-        .localCheckpoint(eager=True)  # feeds the recall flag AND bq_rank
+    # floor 0.5 (measured 0.92 at sf0.01 / 0.58 at sf0.1 with rf=16).
+    # r12: the members SERVE from a persisted write_bq_index round-trip
+    # (the sq_rank discipline) — the VALUE oracle below also certifies
+    # the packed codes survive parquet intact, and the per-query-batch
+    # corpus quantize pass is amortized into the build.
+    tmpb = tempfile.mkdtemp(prefix="raft_spark_bqidx_")
+    try:
+        SIM2.write_bq_index(shared[0], tmpb + "/idx")
+        bq_out = SIM2.knn_bq(
+            shared[0], shared[1], k=5, refine_factor=16,
+            index_path=tmpb + "/idx",
+        ).localCheckpoint(eager=True)  # feeds the recall flag AND bq_rank
+    finally:
+        shutil.rmtree(tmpb, ignore_errors=True)
     bq_hits = bq_out.join(exact, ["qid", "nid"], "left_semi").count()
     bq_flag = spark.createDataFrame(
         [("bq", 0, -1, float(int(bq_hits / (shared[2] * 5.0) >= 0.5)))],
@@ -2821,6 +2834,32 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nid").cast("long").alias("b"),
         F.col("rank").cast("double").alias("value"),
     )
+    # r12: ANN tier router (knn_auto) — the route table is pure
+    # (asserted inline) and the routed output must equal the chosen
+    # tier's own output, checked on a 1/7 corpus slice (brute route at
+    # gate scale) so the member costs a fraction of one exact scan;
+    # every tier knn_auto can pick is itself value-oracled above, so
+    # the router's whole contract is route + output-identity.
+    route_tbl_ok = (
+        SIM2.knn_route(10, 0.5) == "brute"
+        and SIM2.knn_route(10**6, 0.9999) == "brute"
+        and SIM2.knn_route(10**6, 0.95) == "sq"
+        and SIM2.knn_route(10**6, 0.90) == "bq"
+        and SIM2.knn_route(10**6, 0.50) == "ivf_pq"
+    )
+    sc7 = shared[0].filter(F.col("id") % 7 == 0).localCheckpoint(eager=True)
+    auto_raw = SIM2.knn_auto(sc7, shared[1], k=5)
+    auto_tier = auto_raw._knn_tier  # checkpoint returns a new frame
+    auto_out = auto_raw.localCheckpoint(eager=True)
+    want_auto = SIM2.knn_brute(sc7, shared[1], k=5).localCheckpoint(eager=True)
+    adiff = auto_out.exceptAll(want_auto).count() \
+        + want_auto.exceptAll(auto_out).count()
+    auto_eq = spark.createDataFrame(
+        [("knn_auto_ok", 0, -1,
+          float(int(route_tbl_ok and auto_tier == "brute"
+                    and adiff == 0 and want_auto.count() > 0)))],
+        "method string, a long, b long, value double",
+    )
     # r10: knn_merge_parts — three shard-local exact top-5 merged must
     # equal the suite's shared global exact scan (the brute_force
     # shard-merge contract), checked row-for-row incl. rank
@@ -2843,6 +2882,7 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(lsh).unionByName(graph)
         .unionByName(g_eq).unionByName(m_eq).unionByName(bq_flag)
         .unionByName(bq_rank).unionByName(sq_flag).unionByName(sq_rank)
+        .unionByName(auto_eq)
     )
 
 

@@ -301,3 +301,59 @@ def test_sq_index_roundtrip_serving(spark, blobs, tmp_path):
     short = corpus.select("id", F.slice("features", 1, 8).alias("features"))
     with pytest.raises(ValueError, match="holds d="):
         SIM.knn_sq(short, short.limit(2), k=2, index_path=path)
+
+
+def test_bq_index_roundtrip_serving(spark, blobs, tmp_path):
+    """r12: serving from a persisted BQ index (packed codes + d
+    sidecar — no trained state) answers byte-identically to the inline
+    quantize path, and a dimensionality mismatch raises."""
+    corpus, _ = blobs
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    path = str(tmp_path / "bqidx")
+    n = SIM.write_bq_index(corpus, path)
+    assert n == corpus.count()
+    served = sorted(map(tuple, SIM.knn_bq(
+        corpus, queries, k=3, refine_factor=4, index_path=path).collect()))
+    inline = sorted(map(tuple, SIM.knn_bq(
+        corpus, queries, k=3, refine_factor=4).collect()))
+    assert served == inline and len(served) > 0
+    codes, d = SIM.read_bq_index(spark, path)
+    assert d == 16 and codes.count() == n
+    short = corpus.select("id", F.slice("features", 1, 8).alias("features"))
+    with pytest.raises(ValueError, match="holds d="):
+        SIM.knn_bq(short, short.limit(2), k=2, index_path=path)
+
+
+def test_knn_route_table_and_auto_dispatch(spark, blobs):
+    """r12 ANN tier router: the pure route table covers the four tiers
+    (brute exact / SQ near-exact / BQ coarse / IVF-PQ probe-bounded),
+    and knn_auto's output is identical to the chosen tier's own output
+    — the asof_join_auto routing contract."""
+    # route table
+    assert SIM.knn_route(1_000, 0.5) == "brute"          # small corpus
+    assert SIM.knn_route(10**7, 0.999) == "brute"        # exactness asked
+    assert SIM.knn_route(10**7, 0.97) == "sq"
+    assert SIM.knn_route(10**7, 0.90) == "bq"
+    assert SIM.knn_route(10**7, 0.70) == "ivf_pq"
+    # dispatch identity: small corpus routes to brute
+    corpus, _ = blobs
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    out = SIM.knn_auto(corpus, queries, k=3)
+    assert out._knn_tier == "brute"
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, SIM.knn_brute(corpus, queries, k=3).collect()))
+    assert got == want and len(got) > 0
+    # forcing the corpus "large" routes the target-recall tiers; the
+    # routed output must equal the tier's own output
+    out_sq = SIM.knn_auto(corpus, queries, k=3, recall_target=0.95,
+                          small_corpus=0, refine_factor=4)
+    assert out_sq._knn_tier == "sq"
+    want_sq = sorted(map(tuple, SIM.knn_sq(
+        corpus, queries, k=3, refine_factor=4).collect()))
+    assert sorted(map(tuple, out_sq.collect())) == want_sq
+    out_bq = SIM.knn_auto(corpus, queries, k=3, recall_target=0.90,
+                          small_corpus=0, refine_factor=4)
+    assert out_bq._knn_tier == "bq"
+    want_bq = sorted(map(tuple, SIM.knn_bq(
+        corpus, queries, k=3, refine_factor=4).collect()))
+    assert sorted(map(tuple, out_bq.collect())) == want_bq
