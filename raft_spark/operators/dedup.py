@@ -1000,8 +1000,10 @@ def _write_state_meta(spark, state_path: str, params: dict) -> None:
         f"{k} {'double' if isinstance(v, float) else 'int'}"
         for k, v in params.items()
     )
+    # repartition(1), NOT coalesce(1): coalesce on a LocalRelation
+    # defeats its fast path (~4.4 s/action measured on Spark 4.1)
     spark.createDataFrame([tuple(params.values())], fields) \
-        .coalesce(1).write.mode("overwrite").parquet(state_path + "/meta")
+        .repartition(1).write.mode("overwrite").parquet(state_path + "/meta")
 
 
 def _migrate_dedup_state(spark, state_path: str, num_perms: int,

@@ -2988,7 +2988,7 @@ def write_sq_index(
     ck.write.mode("overwrite").parquet(f"{path}/codes")
     spark.createDataFrame(
         [(float(amax), int(d))], "amax double, d int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     return n
 
 
@@ -3020,7 +3020,7 @@ def write_bq_index(
         .localCheckpoint(eager=True)
     n = codes.count()
     codes.write.mode("overwrite").parquet(f"{path}/codes")
-    spark.createDataFrame([(int(d),)], "d int").coalesce(1) \
+    spark.createDataFrame([(int(d),)], "d int").repartition(1) \
         .write.mode("overwrite").parquet(f"{path}/meta")
     return n
 

@@ -556,7 +556,7 @@ def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
     # index format, not a tuning knob of the call
     coo.sparkSession.createDataFrame(
         [(int(n_shards),)], "n_shards int"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
     SS.reset_ledger(coo.sparkSession, path, [0])
 
 

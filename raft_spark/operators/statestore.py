@@ -118,7 +118,9 @@ def publish_commit(spark, state_path: str, dv: int) -> None:
     the ledger, executed strictly after every store append succeeded.
     Spark stages the file under ``_temporary`` and renames it in, so a
     crash mid-publish leaves the id unpublished (clean retry)."""
-    spark.createDataFrame([(int(dv),)], "dv long").coalesce(1) \
+    # repartition(1), NOT coalesce(1): coalesce on a LocalRelation
+    # defeats its fast path (~4.4 s/action measured on Spark 4.1)
+    spark.createDataFrame([(int(dv),)], "dv long").repartition(1) \
         .write.mode("append").parquet(state_path + "/commits")
 
 
@@ -130,7 +132,7 @@ def reset_ledger(spark, state_path: str, ids: list[int]) -> None:
     new = state_path + "/commits.__new"
     shutil.rmtree(new, ignore_errors=True)
     spark.createDataFrame([(int(i),) for i in ids], "dv long") \
-        .coalesce(1).write.mode("overwrite").parquet(new)
+        .repartition(1).write.mode("overwrite").parquet(new)
     swap_in(new, state_path + "/commits")
 
 
