@@ -2623,16 +2623,28 @@ def binary_quantize(
     vec_col: str = "features",
     out_col: str = "bq",
     _d: int | None = None,
+    strategy: str = "expr",
 ) -> DataFrame:
     """Sign-bit binary quantization → (id, bq: array<long>): bit j of
     word w is 1 iff x[64w+j] > 0, 64 dimensions packed per long — the
     reference ecosystem's binary quantization (cuVS preprocessing/
     quantize::binary + BFKNN over packed codes; 32× smaller than f32,
-    Hamming ≈ angular proximity for roughly-centered data). Pure JVM
-    BITWISE expressions — shiftleft + OR, never arithmetic, so the
-    top bit of a full 64-dim word is fine under ANSI mode (an
-    arithmetic acc·2+bit fold would overflow-raise there). Dimensions
+    Hamming ≈ angular proximity for roughly-centered data). Dimensions
     are zero-padded into the last word.
+
+    strategy="expr": pure JVM BITWISE expressions — shiftleft + OR,
+    never arithmetic, so the top bit of a full 64-dim word is fine
+    under ANSI mode (an arithmetic acc·2+bit fold would
+    overflow-raise there). Zero Python workers — right for query-sized
+    frames and composed plans.
+
+    strategy="arrow": one vectorized numpy packbits pass per Arrow
+    batch — bit-identical codes (pinned in pytest), ~4× faster on a
+    corpus-sized frame (the r12 1M probe measured the per-bit JVM
+    expression as the dominant cost of the inline BQ tier). Used by
+    the corpus side of :func:`knn_bq` and by :func:`write_bq_index`;
+    LSB-first within each word matches the expr path on little-endian
+    hosts (x86/ARM — asserted at runtime).
 
     UNIFORM-DIMS contract, validated: one narrow min/max(size) pass
     asserts every vector has the same length (a ragged corpus would
@@ -2641,6 +2653,39 @@ def binary_quantize(
     caller that already validated (knn_bq) skip the extra pass."""
     d = _d if _d is not None else _validated_dim(df, vec_col,
                                                  "binary_quantize")
+    if strategy == "arrow":
+        import sys
+
+        import numpy as np
+        import pandas as pd
+
+        assert sys.byteorder == "little", \
+            "binary_quantize(arrow) assumes little-endian word layout"
+        pad = (-d) % 64
+
+        def pk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.stack(pdf[vec_col].to_numpy())
+                B = X > 0
+                if pad:
+                    B = np.concatenate(
+                        [B, np.zeros((len(B), pad), dtype=bool)], axis=1
+                    )
+                # LSB-first packbits + little-endian uint64 view ==
+                # the expr path's shiftleft(bit, j) word layout
+                words = np.packbits(
+                    B, axis=1, bitorder="little"
+                ).view(np.uint64).view(np.int64)
+                yield pd.DataFrame({
+                    "id": pdf[id_col].to_numpy().astype(np.int64),
+                    out_col: list(words),
+                })
+
+        return df.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+            pk, f"id long, {out_col} array<long>"
+        )
     n_words = (d + 63) // 64
     x = F.col(vec_col)
 
@@ -2748,7 +2793,11 @@ def knn_bq(
                 f"corpus/query d={dc}"
             )
     else:
-        cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=dc)
+        # corpus side packs via the Arrow numpy path (bit-identical,
+        # ~4× faster at corpus scale); the query side stays on the
+        # zero-worker JVM expressions (query-sized by contract)
+        cb = binary_quantize(corpus, id_col=id_col, vec_col=vec_col,
+                             _d=dc, strategy="arrow")
     qb = binary_quantize(queries, id_col=id_col, vec_col=vec_col, _d=dq)
     k_short = k * refine_factor
     strategy, q_rows = _resolve_scan_strategy(qb, strategy,
@@ -3016,8 +3065,8 @@ def write_bq_index(
     :func:`knn_bq` (``index_path=``). Returns the code row count."""
     spark = corpus.sparkSession
     d = _validated_dim(corpus, vec_col, "write_bq_index")
-    codes = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=d) \
-        .localCheckpoint(eager=True)
+    codes = binary_quantize(corpus, id_col=id_col, vec_col=vec_col, _d=d,
+                            strategy="arrow").localCheckpoint(eager=True)
     n = codes.count()
     codes.write.mode("overwrite").parquet(f"{path}/codes")
     spark.createDataFrame([(int(d),)], "d int").repartition(1) \

@@ -357,3 +357,23 @@ def test_knn_route_table_and_auto_dispatch(spark, blobs):
     want_bq = sorted(map(tuple, SIM.knn_bq(
         corpus, queries, k=3, refine_factor=4).collect()))
     assert sorted(map(tuple, out_bq.collect())) == want_bq
+
+
+def test_binary_quantize_arrow_equals_expr(spark, blobs):
+    """r12: the Arrow numpy packbits path produces BIT-IDENTICAL codes
+    to the JVM shiftleft/OR expression path (LSB-first within each
+    64-bit word, zero-padded last word) — the corpus side of knn_bq
+    and write_bq_index ride on this identity."""
+    df, _ = blobs
+    expr = {r["id"]: tuple(r["bq"]) for r in
+            SIM.binary_quantize(df).collect()}
+    arrow = {r["id"]: tuple(r["bq"]) for r in
+             SIM.binary_quantize(df, strategy="arrow").collect()}
+    assert arrow == expr and len(arrow) > 0
+    # padded last word: 10 dims -> one word with 54 zero pad bits
+    short = df.select("id", F.slice("features", 1, 10).alias("features"))
+    e10 = {r["id"]: tuple(r["bq"]) for r in
+           SIM.binary_quantize(short).collect()}
+    a10 = {r["id"]: tuple(r["bq"]) for r in
+           SIM.binary_quantize(short, strategy="arrow").collect()}
+    assert a10 == e10
