@@ -3081,6 +3081,72 @@ def read_bq_index(spark, path: str):
     return codes, int(meta["d"])
 
 
+def sq_index_add(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> int:
+    """Delta-extend a persisted SQ index under its FROZEN trained scale
+    (the ivf_pq_index_add discipline: new vectors are encoded with the
+    index's own amax — retraining on the delta would silently move
+    every existing code's dot-product space). REPLAY-safe: delta ids
+    already in the codes store are anti-joined out, so at-least-once
+    redelivery is a no-op.
+
+    No delivery manifest needed here (unlike the multi-store state
+    ingests): the append touches ONE store whose rows are per-id
+    independent, so a crash mid-append converges on retry — committed
+    ids anti-join out, missing ids re-append; there is no cross-store
+    half-written window. Returns the number of code rows appended."""
+    spark = new_df.sparkSession
+    codes_old, amax, d = read_sq_index(spark, path)
+    dn = _validated_dim(new_df, vec_col, "sq_index_add")
+    if dn != d:
+        raise ValueError(
+            f"sq_index_add: index at {path} holds d={d} codes — "
+            f"delta d={dn}"
+        )
+    q, _ = scalar_quantize(new_df, amax=amax, id_col=id_col,
+                           vec_col=vec_col, _d=dn)
+    delta = q.join(codes_old.select("id"), "id", "left_anti") \
+        .localCheckpoint(eager=True)  # materialize BEFORE appending to
+    # the store the anti-join reads
+    n = delta.count()
+    if n:
+        delta.write.mode("append").parquet(f"{path}/codes")
+    return n
+
+
+def bq_index_add(
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "id",
+    vec_col: str = "features",
+) -> int:
+    """Delta-extend a persisted BQ index (:func:`sq_index_add` twin —
+    BQ has no trained state, so only the dimensionality is pinned).
+    REPLAY-safe via the same codes-store anti-join; single-store
+    per-id-independent append, so no delivery manifest is needed.
+    Returns the number of code rows appended."""
+    spark = new_df.sparkSession
+    codes_old, d = read_bq_index(spark, path)
+    dn = _validated_dim(new_df, vec_col, "bq_index_add")
+    if dn != d:
+        raise ValueError(
+            f"bq_index_add: index at {path} holds d={d} codes — "
+            f"delta d={dn}"
+        )
+    q = binary_quantize(new_df, id_col=id_col, vec_col=vec_col, _d=dn,
+                        strategy="arrow")
+    delta = q.join(codes_old.select("id"), "id", "left_anti") \
+        .localCheckpoint(eager=True)
+    n = delta.count()
+    if n:
+        delta.write.mode("append").parquet(f"{path}/codes")
+    return n
+
+
 def knn_route(n_corpus: int, recall_target: float = 0.95,
               small_corpus: int = 50_000) -> str:
     """Pure routing decision of :func:`knn_auto` — exposed separately

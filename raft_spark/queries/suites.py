@@ -2780,9 +2780,17 @@ def q_ann_recall_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (the sq_rank discipline) — the VALUE oracle below also certifies
     # the packed codes survive parquet intact, and the per-query-batch
     # corpus quantize pass is amortized into the build.
+    # r12b: the index is built from HALF the corpus and DELTA-EXTENDED
+    # with the other half (bq_index_add), so the VALUE oracle below
+    # also certifies the extension path end-to-end
     tmpb = tempfile.mkdtemp(prefix="raft_spark_bqidx_")
     try:
-        SIM2.write_bq_index(shared[0], tmpb + "/idx")
+        SIM2.write_bq_index(
+            shared[0].filter(F.col("id") % 2 == 0), tmpb + "/idx"
+        )
+        SIM2.bq_index_add(
+            shared[0].filter(F.col("id") % 2 == 1), tmpb + "/idx"
+        )
         bq_out = SIM2.knn_bq(
             shared[0], shared[1], k=5, refine_factor=16,
             index_path=tmpb + "/idx",

@@ -377,3 +377,64 @@ def test_binary_quantize_arrow_equals_expr(spark, blobs):
     a10 = {r["id"]: tuple(r["bq"]) for r in
            SIM.binary_quantize(short, strategy="arrow").collect()}
     assert a10 == e10
+
+
+def test_sq_bq_index_add_extend_and_replay(spark, blobs, tmp_path):
+    """r12: delta-extending the served quantized indexes
+    (ivf_pq_index_add discipline). SQ: the extension encodes under the
+    index's FROZEN amax — codes equal scalar_quantize(union,
+    amax=trained-on-build-half) exactly, NOT a retrained scale. BQ: no
+    trained state, so the extended index serves byte-identically to a
+    full build. Replay of an already-added delta is a no-op for both."""
+    corpus, _ = blobs
+    h1 = corpus.filter(F.col("id") % 2 == 0)
+    h2 = corpus.filter(F.col("id") % 2 == 1)
+    queries = corpus.filter(F.col("id") % 40 == 0)
+
+    # SQ: frozen-scale extension semantics
+    ps = str(tmp_path / "sq")
+    SIM.write_sq_index(h1, ps)
+    _, amax1, _ = SIM.read_sq_index(spark, ps)
+    n = SIM.sq_index_add(h2, ps)
+    assert n == h2.count()
+    got = {r["id"]: tuple(r["sq"]) for r in
+           SIM.read_sq_index(spark, ps)[0].collect()}
+    want_df, _ = SIM.scalar_quantize(corpus, amax=amax1)
+    want = {r["id"]: tuple(r["sq"]) for r in want_df.collect()}
+    assert got == want and len(got) == corpus.count()
+    assert SIM.sq_index_add(h2, ps) == 0  # replay no-op
+    with pytest.raises(ValueError, match="holds d="):
+        SIM.sq_index_add(
+            corpus.select("id", F.slice("features", 1, 8).alias("features")),
+            ps,
+        )
+
+    # BQ: extended index == full build, served answers identical
+    pb = str(tmp_path / "bq")
+    pb2 = str(tmp_path / "bq_full")
+    SIM.write_bq_index(h1, pb)
+    assert SIM.bq_index_add(h2, pb) == h2.count()
+    assert SIM.bq_index_add(h2, pb) == 0  # replay no-op
+    SIM.write_bq_index(corpus, pb2)
+    ext = sorted(map(tuple, SIM.knn_bq(
+        corpus, queries, k=3, refine_factor=4, index_path=pb).collect()))
+    full = sorted(map(tuple, SIM.knn_bq(
+        corpus, queries, k=3, refine_factor=4, index_path=pb2).collect()))
+    assert ext == full and len(ext) > 0
+
+
+def test_knn_auto_ivf_pq_dispatch(spark, blobs):
+    """r12: the router's lowest-recall tier dispatches to knn_ivf_pq
+    and the routed output equals the tier's own (deterministic seeded
+    quantizer + codebooks, so the identity is exact)."""
+    corpus, _ = blobs
+    queries = corpus.filter(F.col("id") % 40 == 0)
+    out = SIM.knn_auto(corpus, queries, k=3, recall_target=0.5,
+                       small_corpus=0, n_lists=4, kmeans_iters=2,
+                       refine_factor=4)
+    assert out._knn_tier == "ivf_pq"
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, SIM.knn_ivf_pq(
+        corpus, queries, k=3, n_lists=4, kmeans_iters=2,
+        refine_factor=4).collect()))
+    assert got == want and len(got) > 0
