@@ -2498,8 +2498,12 @@ def ivf_pq_index_add(
     the ann_recall_suite ivf_pq_delta_eq member). Quantizer refresh
     (new codebooks) is a full rebuild BY CONTRACT — codebook drift is
     a model decision, not index maintenance. Replay-safe: ids already
-    present in the codes table are anti-joined out. Returns the number
-    of rows actually appended."""
+    present in the codes table are anti-joined out. No delivery
+    manifest needed (unlike the multi-store state ingests): the append
+    touches one store whose rows are per-id independent, so a crash
+    mid-append converges on retry — committed ids anti-join out,
+    missing ids re-append. Returns the number of rows actually
+    appended."""
     import numpy as np
 
     spark = new_df.sparkSession
