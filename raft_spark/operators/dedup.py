@@ -24,6 +24,8 @@ Token ids: the oracle-parity path ranks the distinct vocabulary
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -966,11 +968,10 @@ def _guard_state_meta(spark, state_path: str, op: str, params: dict) -> bool:
     match predicates go false, and the state under-merges with no
     error). Returns True if a ``meta`` sidecar existed (after raising
     on any mismatch); False if the state has never recorded one."""
-    meta = _try_parquet(spark, state_path + "/meta")
-    if meta is None:
+    row = SS.read_meta(state_path)
+    if row is None:
         return False
-    row = meta.first()
-    got = {k: row[k] for k in params if k in row.asDict()}
+    got = {k: row[k] for k in params if k in row}
     missing = [k for k in params if k not in got]
     if missing:
         raise ValueError(
@@ -996,14 +997,7 @@ def _guard_state_meta(spark, state_path: str, op: str, params: dict) -> bool:
 
 
 def _write_state_meta(spark, state_path: str, params: dict) -> None:
-    fields = ", ".join(
-        f"{k} {'double' if isinstance(v, float) else 'int'}"
-        for k, v in params.items()
-    )
-    # repartition(1), NOT coalesce(1): coalesce on a LocalRelation
-    # defeats its fast path (~4.4 s/action measured on Spark 4.1)
-    spark.createDataFrame([tuple(params.values())], fields) \
-        .repartition(1).write.mode("overwrite").parquet(state_path + "/meta")
+    SS.write_meta(state_path, params)
 
 
 def _migrate_dedup_state(spark, state_path: str, num_perms: int,
@@ -1242,10 +1236,9 @@ def dedup_state_ingest(
                 f"state FORMAT and every later ingest must match",
                 stacklevel=2,
             )
-    SS.adopt_commit_ledger(
+    committed = SS.adopt_commit_ledger(
         spark, state_path, ("sigs", "bands", "occ", "clusters")
     )
-    committed = SS.committed_ids(spark, state_path)
     sig = minhash_signature_stable(text_col, num_perms)
     incoming = new_docs.select(
         F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
@@ -1461,9 +1454,11 @@ def dedup_state_ingest(
         occ_rows = occ_rows.coalesce(1)  # same small-delta discipline
     SS.append_store(occ_rows, state_path + "/occ", ("_dv", "_pb"))
     SS.append_store(
-        # same small-delta discipline: a delivery-sized overlay doesn't
-        # need shuffle-partition-count files per append
-        (delta_overlay.coalesce(1) if n_delta < 1_000_000
+        # same small-delta discipline — but gated on the OVERLAY's own
+        # size (it also carries relabeled old rows; a small delta that
+        # relabels a huge component must not funnel the whole overlay
+        # through one task). Cheap: the overlay is checkpointed above.
+        (delta_overlay.coalesce(1) if delta_overlay.count() < 1_000_000
          else delta_overlay).select(tag, "doc_id", "cluster_id"),
         state_path + "/clusters", ("_dv",),
     )
@@ -1613,8 +1608,9 @@ def semantic_state_ingest(
             stacklevel=2,
         )
     _migrate_semantic_state(spark, state_path)
-    SS.adopt_commit_ledger(spark, state_path, ("index", "ids", "groups"))
-    committed = SS.committed_ids(spark, state_path)
+    committed = SS.adopt_commit_ledger(
+        spark, state_path, ("index", "ids", "groups")
+    )
     d = new_df.select(F.size(F.col(vec_col))).first()
     if d is None:
         d = 0
@@ -1784,11 +1780,17 @@ def semantic_state_ingest(
         else id_rows.repartition("_pd"),
         state_path + "/ids", ("_dv", "_pd"),
     )
+    # gate the single-file append on the OVERLAY's size, not the delta's
+    # (delta_overlay also carries relabeled old rows: a small delta that
+    # relabels a huge existing component must not funnel a multi-million
+    # row append through one task). The count is cheap — the overlay is
+    # localCheckpoint'ed above.
+    n_overlay = delta_overlay.count()
     SS.append_store(
         # delivery-sized overlay appends land as one file (the groups
         # store otherwise gains shuffle-partition-count files per batch)
         (delta_overlay.coalesce(1)
-         if n_new < 1_000_000 else delta_overlay)
+         if n_overlay < 1_000_000 else delta_overlay)
         .select(tag, "id", "cluster", "group"),
         state_path + "/groups", ("_dv",),
     )
@@ -2200,10 +2202,9 @@ def span_state_ingest(
             f"later ingest must match",
             stacklevel=2,
         )
-    SS.adopt_commit_ledger(
+    committed = SS.adopt_commit_ledger(
         spark, state_path, ("tokens", "spans", "hcounts", "flags")
     )
-    committed = SS.committed_ids(spark, state_path)
     old_tokens = SS.visible(_try_parquet(spark, state_path + "/tokens"),
                             committed)
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from raft_spark.functions import arrays as A
 from raft_spark.functions.rng import uniform
+from raft_spark.operators import statestore as SS
 from raft_spark.operators.selectk import select_k
 
 
@@ -2672,7 +2673,12 @@ def binary_quantize(
                 if len(pdf) == 0:
                     continue
                 X = np.stack(pdf[vec_col].to_numpy())
-                B = X > 0
+                # ~(X <= 0), NOT (X > 0): Spark SQL sorts NaN above all
+                # numbers so its `x > 0` is TRUE for NaN, while numpy's
+                # `X > 0` is False — the complement form gives NaN bit 1
+                # on both paths (knn_bq mixes arrow corpus codes with
+                # expr query codes, so the parity must hold bitwise)
+                B = ~(X <= 0)
                 if pad:
                     B = np.concatenate(
                         [B, np.zeros((len(B), pad), dtype=bool)], axis=1
@@ -3039,15 +3045,15 @@ def write_sq_index(
     ck = codes.localCheckpoint(eager=True)
     n = ck.count()
     ck.write.mode("overwrite").parquet(f"{path}/codes")
-    spark.createDataFrame(
-        [(float(amax), int(d))], "amax double, d int"
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # driver-side sidecar (pyarrow): one row of quantizer state does
+    # not need a scheduled Spark job
+    SS.write_meta(path, {"amax": float(amax), "d": int(d)})
     return n
 
 
 def read_sq_index(spark, path: str):
     """(codes frame (id, sq), amax, d) of a persisted SQ index."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = SS.read_meta(path)
     codes = spark.read.parquet(f"{path}/codes").select("id", "sq")
     return codes, float(meta["amax"]), int(meta["d"])
 
@@ -3073,14 +3079,13 @@ def write_bq_index(
                             strategy="arrow").localCheckpoint(eager=True)
     n = codes.count()
     codes.write.mode("overwrite").parquet(f"{path}/codes")
-    spark.createDataFrame([(int(d),)], "d int").repartition(1) \
-        .write.mode("overwrite").parquet(f"{path}/meta")
+    SS.write_meta(path, {"d": int(d)})
     return n
 
 
 def read_bq_index(spark, path: str):
     """(codes frame (id, bq), d) of a persisted BQ index."""
-    meta = spark.read.parquet(f"{path}/meta").first()
+    meta = SS.read_meta(path)
     codes = spark.read.parquet(f"{path}/codes").select("id", "bq")
     return codes, int(meta["d"])
 

@@ -745,13 +745,15 @@ def mst_edges_auto(
     edges, so the two strategies return the identical tree (ties
     included), pinned by tests/test_single_linkage.py.
     """
-    edges = (
-        coo.select("row", "col", "value")
+    edges = coo.select("row", "col", "value") \
         .filter(F.col("row") < F.col("col"))
-        .localCheckpoint(eager=True)
-    )
-    if edges.count() > driver_threshold:
-        return mst_edges(edges, max_rounds=max_rounds)
+    # one probe job (the connected_components_auto discipline): under
+    # the threshold the collected rows ARE the edge table
+    rows = edges.limit(driver_threshold + 1).collect()
+    if len(rows) > driver_threshold:
+        return mst_edges(
+            edges.localCheckpoint(eager=True), max_rounds=max_rounds
+        )
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -763,9 +765,7 @@ def mst_edges_auto(
         return r
 
     tree: list[tuple[int, int, float]] = []
-    for e in sorted(
-        edges.collect(), key=lambda e: (e["value"], e["row"], e["col"])
-    ):
+    for e in sorted(rows, key=lambda e: (e["value"], e["row"], e["col"])):
         a, b = int(e["row"]), int(e["col"])
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -778,7 +778,7 @@ def mst_edges_auto(
     )
 
 
-def triangle_count(coo: DataFrame) -> int:
+def triangle_count(coo: DataFrame, driver_threshold: int = 500_000) -> int:
     """Exact triangle count of an undirected graph (edge table in any
     orientation; self-loops dropped) — the node-iterator wedge join:
     edges canonicalized to a < b, one self-join builds the a<b<c
@@ -792,6 +792,15 @@ def triangle_count(coo: DataFrame) -> int:
     skew (wedges of a hot node) is bounded by the canonical ordering —
     each wedge is generated only at its MIDDLE node and only over its
     higher-id neighbors.
+
+    Strategy probe (the connected_components_auto / mst discipline):
+    when the DISTINCT canonical edge table fits on the driver, the
+    count runs there as a packed-bitset adjacency intersection
+    (popcount over row-AND — exact, vectorized) instead of
+    materializing the wedge join: the distributed path's wedge table
+    is |Σ C(deg,2)| rows (orders of magnitude above the edge count on
+    dense-ish graphs) and its cost is pure intermediate volume, not
+    answer size. The two paths count the same closed wedges exactly.
     """
     e = (
         coo.select(
@@ -799,8 +808,37 @@ def triangle_count(coo: DataFrame) -> int:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    # one probe job: under the threshold the collected rows ARE the
+    # canonical edge table (the connected_components_auto discipline)
+    rows = e.limit(driver_threshold + 1).collect()
+    n_edges = len(rows)
+    if 0 < n_edges <= driver_threshold:
+        a = np.fromiter((r["a"] for r in rows), np.int64, n_edges)
+        b = np.fromiter((r["b"] for r in rows), np.int64, n_edges)
+        node_ids = np.unique(np.concatenate([a, b]))
+        n = len(node_ids)
+        if n <= 8192:  # adj bitset ≤ 8 MB packed — driver-safe
+            ai = np.searchsorted(node_ids, a)
+            bi = np.searchsorted(node_ids, b)
+            adj = np.zeros((n, n), dtype=bool)
+            adj[ai, bi] = True
+            adj[bi, ai] = True
+            packed = np.packbits(adj, axis=1)
+            pop8 = np.unpackbits(
+                np.arange(256, dtype=np.uint8)[:, None], axis=1
+            ).sum(1).astype(np.int64)  # per-byte popcount table
+            # for every canonical edge (u,v) count common neighbors w;
+            # each triangle {x<y<z} is hit once per its 3 edges ⇒ //3
+            total = 0
+            for c0 in range(0, n_edges, 65536):  # bound the AND buffer
+                s = slice(c0, c0 + 65536)
+                inter = np.bitwise_and(packed[ai[s]], packed[bi[s]])
+                total += int(pop8[inter].sum())
+            return total // 3
+    # distributed branch: the wedge build probes e three ways — cut the
+    # upstream lineage once
+    e = e.localCheckpoint(eager=True)
     wedges = e.select(F.col("a").alias("u"), F.col("b").alias("v")).join(
         e.select(F.col("a").alias("v"), F.col("b").alias("w")), "v"
     )
@@ -873,14 +911,18 @@ def connected_components_auto(
     distributed pointer-jumped propagation runs unchanged — the same
     size-probe pattern as knn_brute's strategy switch and mst's
     small-graph variant. Labels are component minima in both paths.
+
+    The probe is ONE ``limit(threshold+1).collect()`` job — when the
+    result stops under the threshold those rows ARE the edge table, so
+    no separate checkpoint/count/collect triple is paid (r13; the
+    3-job fixed cost was most of a candidate-graph solve). CollectLimit
+    short-circuits after enough partitions at scale, and the
+    distributed branch still materializes its edge table exactly once
+    (:func:`connected_components` checkpoints the symmetrized edges).
     """
-    edges = (
-        coo.select("row", "col")
-        .filter(F.col("row") != F.col("col"))
-        .localCheckpoint(eager=True)
-    )
-    n_edges = edges.count()
-    if n_edges > driver_threshold:
+    edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
+    probe = edges.limit(driver_threshold + 1).collect()
+    if len(probe) > driver_threshold:
         return connected_components(edges.withColumn("value", F.lit(1.0)),
                                     max_iters=max_iters)
     parent: dict[int, int] = {}
@@ -893,7 +935,7 @@ def connected_components_auto(
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
+    for row in probe:
         a, b = int(row["row"]), int(row["col"])
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -1052,6 +1094,7 @@ def pagerank_exact(
     alpha_num: int = 17,
     alpha_den: int = 20,
     scale: int = 10**12,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Integer-exact PageRank → (node, rank_int): the float recurrence
     of :func:`pagerank` re-expressed over ``scale``-quantized int64
@@ -1076,13 +1119,58 @@ def pagerank_exact(
     Distributed shape per iteration = identical to :func:`pagerank`:
     one edges⋈ranks join + groupBy (shuffle O(edges)), one scalar
     collect for the dangling mass, lineage cut per round.
+
+    Strategy probe (the connected_components_auto / mst discipline):
+    when the DISTINCT edge table fits comfortably on the driver, the
+    integer recurrence runs there in one vectorized numpy pass —
+    ``iters`` rounds of join/agg/checkpoint plus a dangling collect
+    each cost a full scheduled Spark job whose fixed cost dominates at
+    small-graph scale (~2 jobs/round → 2 jobs total). Because every
+    operation is INTEGER and order-independent, both paths are
+    bit-identical by construction (that is the point of the exact
+    recurrence); numpy int64 matches Spark's long exactly under the
+    documented ``n·scale < 5.4e17`` overflow contract, and all
+    quantities are non-negative so floor division == Spark's ``div``.
     """
-    edges = (
-        coo.select("row", "col")
-        .filter(F.col("row") != F.col("col"))
+    edges = coo.select("row", "col").filter(F.col("row") != F.col("col")) \
         .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # one probe job (CollectLimit short-circuits at scale): under the
+    # threshold the collected rows ARE the edge table — no separate
+    # checkpoint/count/collect triple
+    rows = edges.limit(driver_threshold + 1).collect()
+    if len(rows) <= driver_threshold:
+        if not rows:
+            return coo.sparkSession.createDataFrame(
+                [], "node long, rank_int long"
+            )
+        n_edges = len(rows)
+        src = np.fromiter((r["row"] for r in rows), np.int64, n_edges)
+        dst = np.fromiter((r["col"] for r in rows), np.int64, n_edges)
+        node_ids = np.unique(np.concatenate([src, dst]))
+        n = len(node_ids)
+        si = np.searchsorted(node_ids, src)
+        di = np.searchsorted(node_ids, dst)
+        deg = np.bincount(si, minlength=n).astype(np.int64)
+        dangling = deg == 0
+        basec = ((alpha_den - alpha_num) * scale // alpha_den) // n
+        r = np.full(n, scale // n, dtype=np.int64)
+        for _ in range(iters):
+            share = int(r[dangling].sum()) // n
+            c = np.zeros(n, dtype=np.int64)
+            np.floor_divide(r, deg, out=c, where=~dangling)
+            # exact int64 segment sum (np.add.at — no float widening)
+            inbound = np.zeros(n, dtype=np.int64)
+            np.add.at(inbound, di, c[si])
+            r = (basec
+                 + (alpha_num * (inbound + share)) // alpha_den
+                 ).astype(np.int64)
+        return coo.sparkSession.createDataFrame(
+            [(int(node), int(rv)) for node, rv in zip(node_ids, r)],
+            "node long, rank_int long",
+        )
+    # distributed branch: edges feed every iteration's join — cut the
+    # upstream lineage once
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("row").alias("node"))
         .unionAll(edges.select(F.col("col").alias("node")))

@@ -554,14 +554,17 @@ def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
     # different n_shards would silently exclude every posting stored
     # under a shard id outside its range — the modulus is part of the
     # index format, not a tuning knob of the call
-    coo.sparkSession.createDataFrame(
-        [(int(n_shards),)], "n_shards int"
-    ).repartition(1).write.mode("overwrite").parquet(f"{path}/meta")
+    # driver-side sidecar write (pyarrow): one row of metadata does not
+    # need a scheduled Spark job
+    SS.write_meta(path, {"n_shards": int(n_shards)})
     SS.reset_ledger(coo.sparkSession, path, [0])
 
 
 def _postings_n_shards(spark, path: str) -> int:
-    return int(spark.read.parquet(f"{path}/meta").first()["n_shards"])
+    meta = SS.read_meta(path)
+    if meta is None:
+        raise FileNotFoundError(f"{path}/meta: postings index sidecar missing")
+    return int(meta["n_shards"])
 
 
 def postings_add(new_coo: DataFrame, path: str) -> None:
@@ -588,8 +591,7 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
     remains (same protocol as dedup_state_ingest)."""
     spark = new_coo.sparkSession
     n_shards = _postings_n_shards(spark, path)
-    SS.adopt_commit_ledger(spark, path, ("postings", "norms"))
-    committed = SS.committed_ids(spark, path)
+    committed = SS.adopt_commit_ledger(spark, path, ("postings", "norms"))
     delta = (
         new_coo.select("row", "col", "value")
         .join(SS.visible(spark.read.parquet(f"{path}/norms"), committed)

@@ -68,6 +68,8 @@ __all__ = [
     "append_store",
     "adopt_commit_ledger",
     "swap_in",
+    "read_meta",
+    "write_meta",
 ]
 
 
@@ -91,15 +93,48 @@ def _try_parquet(spark, path: str) -> DataFrame | None:
         return None
 
 
+def _ledger_part_files(path: str) -> list[str] | None:
+    """Data files of the commits ledger directory (skipping Spark's
+    ``_SUCCESS``/staging and our ``.tmp-`` markers), or None when the
+    directory does not exist."""
+    try:
+        return [
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if not f.startswith((".", "_"))
+        ]
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+
+
 def committed_ids(spark, state_path: str) -> list[int] | None:
     """Published delivery ids of a state, or None when the state has no
     ledger yet (brand-new, or legacy pre-adoption — in both cases every
-    present row is visible). One tiny parquet read per ingest/lookup
-    call; collected once and threaded through every store scan."""
-    c = _try_parquet(spark, state_path + "/commits")
-    if c is None:
+    present row is visible). The ledger is a handful of tiny parquet
+    files, so it is read driver-side (pyarrow) — a metadata lookup, not
+    a Spark job — and threaded through every store scan. The read is
+    retried once on directory/file absence: compaction's
+    ``reset_ledger`` swap has a sub-millisecond rename window where the
+    directory is briefly missing, and a concurrent reader must not
+    mistake that for a never-written state (single-writer applies to
+    WRITERS; reads may overlap maintenance)."""
+    import pyarrow.parquet as pq
+
+    path = state_path + "/commits"
+    for _ in range(2):  # retry once: reset_ledger's rename window
+        files = _ledger_part_files(path)
+        if files:
+            break
+    if not files:
         return None
-    return sorted({int(r["dv"]) for r in c.select("dv").collect()})
+    out: set[int] = set()
+    for f in files:
+        try:
+            col = pq.read_table(f, columns=["dv"]).column("dv")
+        except FileNotFoundError:
+            continue  # file swapped out mid-listing (same rename window)
+        out.update(int(v) for v in col.to_pylist())
+    return sorted(out)
 
 
 def visible(df: DataFrame | None, committed: list[int] | None):
@@ -113,26 +148,43 @@ def visible(df: DataFrame | None, committed: list[int] | None):
     return df.where(F.col("_dv").isin(committed))
 
 
+def _write_ledger_file(path: str, ids: list[int], name: str) -> None:
+    """Stage one tiny ledger parquet under a ``.tmp-`` name and rename
+    it into place — the rename is the atomic visibility point (POSIX),
+    and a crash mid-write leaves only an invisible dot-file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(
+        pa.table({"dv": pa.array([int(i) for i in ids], pa.int64())}), tmp
+    )
+    os.rename(tmp, os.path.join(path, name))
+
+
 def publish_commit(spark, state_path: str, dv: int) -> None:
     """THE commit point of a delivery: one tiny single-file append to
     the ledger, executed strictly after every store append succeeded.
-    Spark stages the file under ``_temporary`` and renames it in, so a
-    crash mid-publish leaves the id unpublished (clean retry)."""
-    # repartition(1), NOT coalesce(1): coalesce on a LocalRelation
-    # defeats its fast path (~4.4 s/action measured on Spark 4.1)
-    spark.createDataFrame([(int(dv),)], "dv long").repartition(1) \
-        .write.mode("append").parquet(state_path + "/commits")
+    Written driver-side (pyarrow, staged + renamed — atomic on POSIX):
+    the ledger is one row of metadata, and publishing it as a Spark
+    write cost a whole scheduled job per delivery. A crash mid-publish
+    leaves the id unpublished (clean retry)."""
+    _write_ledger_file(
+        state_path + "/commits", [int(dv)],
+        f"part-{uuid.uuid4().hex}-dv.parquet",
+    )
 
 
 def reset_ledger(spark, state_path: str, ids: list[int]) -> None:
     """Atomically replace the ledger (compaction's last step) via a
     staged write + directory swap — a plain overwrite has a window
     where the ledger is missing and uncommitted garbage would surface
-    as legacy-visible-all."""
+    as legacy-visible-all. (Readers racing the swap are additionally
+    covered by :func:`committed_ids`' retry-on-absence.)"""
     new = state_path + "/commits.__new"
     shutil.rmtree(new, ignore_errors=True)
-    spark.createDataFrame([(int(i),) for i in ids], "dv long") \
-        .repartition(1).write.mode("overwrite").parquet(new)
+    _write_ledger_file(new, ids, "part-00000-reset.parquet")
     swap_in(new, state_path + "/commits")
 
 
@@ -158,6 +210,52 @@ def swap_in(new_dir: str, store: str) -> None:
         os.rename(store, old)
     os.rename(new_dir, store)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def read_meta(state_path: str) -> dict | None:
+    """First row of a state's ``meta`` sidecar as a dict, or None when
+    the sidecar has never been written. The sidecar is one tiny parquet
+    file of format parameters — read driver-side (pyarrow) so the
+    per-ingest/lookup guard is a metadata lookup, not a scheduled Spark
+    job. Handles both pyarrow- and Spark-written sidecars."""
+    import pyarrow.parquet as pq
+
+    d = state_path + "/meta"
+    try:
+        files = sorted(
+            f for f in os.listdir(d) if not f.startswith((".", "_"))
+        )
+    except (FileNotFoundError, NotADirectoryError):
+        return None
+    if not files:
+        return None
+    t = pq.read_table(os.path.join(d, files[0]))
+    if t.num_rows == 0:
+        return None
+    return {c: t.column(c)[0].as_py() for c in t.column_names}
+
+
+def write_meta(state_path: str, params: dict) -> None:
+    """One tiny parquet file of format parameters, written driver-side
+    (pyarrow; int32/float64 — the schema Spark's writer produced) via a
+    staged directory + atomic rename swap. A Spark job per sidecar was
+    pure scheduling overhead for one row of metadata."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    new = state_path + "/meta.__new"
+    shutil.rmtree(new, ignore_errors=True)
+    os.makedirs(new)
+    pq.write_table(
+        pa.table({
+            k: pa.array(
+                [v], pa.float64() if isinstance(v, float) else pa.int32()
+            )
+            for k, v in params.items()
+        }),
+        os.path.join(new, "part-00000-meta.parquet"),
+    )
+    swap_in(new, state_path + "/meta")
 
 
 def _has_dv_layout(store: str) -> bool:
@@ -186,12 +284,22 @@ def _wrap_store(store: str) -> None:
 
 
 def adopt_commit_ledger(spark, state_path: str,
-                        stores: tuple[str, ...]) -> None:
+                        stores: tuple[str, ...]) -> list[int]:
     """Bring a state under the manifest-commit protocol: wrap every
     ledger-less store into ``_dv=0`` (O(1) directory renames — see
     :func:`_wrap_store`) and write the ``[0]`` ledger. Idempotent and
     crash-recoverable — runs unconditionally at the top of every
-    ingest; a no-op costs a few os.path checks."""
+    ingest; a no-op costs a few os.path checks. Returns the state's
+    committed ids so the caller never re-reads the ledger it just
+    established.
+
+    The ledger is created even for a BRAND-NEW state (no stores yet):
+    the first delivery's appends then land under an existing ``[0]``
+    ledger, so a bootstrap crash between two appends leaves rows that
+    every reader partition-filters OUT. Without this, a reader of the
+    crashed bootstrap state saw no ledger, fell back to visible-all,
+    and a store whose reader tolerates missing siblings (the span
+    state's optional ``flags``) could resolve phantom rows."""
     wrapped = False
     for s in stores:
         store = state_path + "/" + s
@@ -200,12 +308,12 @@ def adopt_commit_ledger(spark, state_path: str,
         wrapped = wrapped or (not before and _has_dv_layout(store))
     committed = committed_ids(spark, state_path)
     if committed is None:
-        if wrapped or any(
-            _has_dv_layout(state_path + "/" + s) for s in stores
-        ):
-            publish_commit(spark, state_path, 0)
-    elif wrapped and 0 not in committed:
+        publish_commit(spark, state_path, 0)
+        return [0]
+    if wrapped and 0 not in committed:
         # a store was wrapped into _dv=0 while a ledger already existed
         # (e.g. a content migration rebuilt one store of an otherwise-
         # ledgered state) — the base delivery must be visible
         publish_commit(spark, state_path, 0)
+        return sorted(set(committed) | {0})
+    return committed

@@ -573,6 +573,31 @@ def test_triangle_count_and_kcore_match_naive(spark):
     assert got == want_core
 
 
+def test_pagerank_exact_and_triangle_strategy_paths_agree(spark):
+    """The size-probed driver variants (numpy integer recurrence /
+    packed-bitset intersection) must equal the distributed paths
+    bit-for-bit on the same graph — the connected_components_auto
+    paths-agree pin extended to the two r13 strategy probes."""
+    rs = np.random.RandomState(21)
+    edges = {(int(a), int(b)) for a, b in rs.randint(0, 80, (500, 2)) if a != b}
+    edges = {(a, b) for a, b in edges if a < 70}  # keep some dangling
+    coo = spark.createDataFrame(
+        [(a, b, 1.0) for a, b in edges], "row long, col long, value double"
+    ).repartition(6)
+    drv = {
+        (r["node"], r["rank_int"])
+        for r in SV.pagerank_exact(coo, iters=8).collect()
+    }
+    dist = {
+        (r["node"], r["rank_int"])
+        for r in SV.pagerank_exact(coo, iters=8, driver_threshold=0).collect()
+    }
+    assert drv == dist and len(drv) > 0
+    assert SV.triangle_count(coo) == SV.triangle_count(
+        coo, driver_threshold=0
+    )
+
+
 def test_sddmm_preserves_beta_term_on_empty_rows(spark):
     """beta*C must survive pattern entries whose row has no U entries
     (reference semantics C = alpha*(U V^T) o spy + beta*C) — the old
