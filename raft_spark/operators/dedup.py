@@ -403,7 +403,6 @@ def semantic_pairs_exact(
     assignment). Both branches decide the IDENTICAL exact predicate
     (pytest pins branch equality on a shared input).
     """
-    d = df.select(F.size(F.col(vec_col))).first()[0]
     base = quantized_embeddings(df, id_col=id_col, vec_col=vec_col, scale=scale)
     tau_q = int(round(tau * 10_000))
     t = base.join(
@@ -413,17 +412,21 @@ def semantic_pairs_exact(
     # ids (their c² work spreads over ~n_blocks²/2 tile tasks); small
     # clusters stay one tile each so the Python per-group overhead
     # doesn't multiply by n_blocks² across 10k tiny clusters
-    # per-cluster sizes, with the overflow-guard maxima folded into the
-    # SAME aggregate — the guard costs no extra corpus pass
+    # per-cluster sizes, with the overflow-guard maxima AND the
+    # dimensionality folded into the SAME aggregate — the guard and the
+    # dim probe cost no extra corpus pass
     qm = F.aggregate(
         "_q", F.lit(0).cast("long"), lambda acc, v: F.greatest(acc, F.abs(v))
     )
     sizes = t.groupBy("cluster").agg(
         F.count("*").alias("_csz"), F.max(qm).alias("_qm"),
-        F.max("_n2").alias("_nm"),
+        F.max("_n2").alias("_nm"), F.max(F.size("_q")).alias("_dm"),
     ).localCheckpoint(eager=True)
-    g = sizes.agg(F.max("_qm").alias("m"), F.max("_nm").alias("n")).first()
-    _check_quantized_bounds(g["m"] or 0, g["n"] or 0, d)
+    g = sizes.agg(
+        F.max("_qm").alias("m"), F.max("_nm").alias("n"),
+        F.max("_dm").alias("d"), F.max("_csz").alias("csz"),
+    ).first()
+    _check_quantized_bounds(g["m"] or 0, g["n"] or 0, int(g["d"] or 1))
     # one materialization for the small/big branches below (and the
     # a/b sides within the tile branch) — the quantized working set
     t2 = t.join(sizes.select("cluster", "_csz"), "cluster") \
@@ -459,11 +462,12 @@ def semantic_pairs_exact(
     )
 
     # skip the Arrow-tile stage wholesale when every cluster fits the
-    # JVM branch (one limit(1) scan of the checkpointed frame) — the
-    # common small/many-clusters case then pays zero Python machinery
-    big = t2.filter(F.col("_csz") > jvm_threshold)
-    if big.limit(1).count() == 0:
+    # JVM branch — decided from the max cluster size already carried by
+    # the sizes aggregate (zero extra jobs); the common
+    # small/many-clusters case then pays zero Python machinery
+    if (g["csz"] or 0) <= jvm_threshold:
         return jvm_pairs
+    big = t2.filter(F.col("_csz") > jvm_threshold)
 
     # Arrow-tile branch: everything above the threshold
     t2 = big
@@ -1275,6 +1279,15 @@ def dedup_state_ingest(
             )
         return spark.createDataFrame([], "doc_id long, cluster_id long")
 
+    # broadcast hint for DELTA-BOUNDED join sides, gated on the measured
+    # delta size (the coalesce(1)-append discipline): the probes below
+    # join a small delta-derived side against a pruned-but-corpus-scale
+    # side, and an explicit hint both removes the Exchange over the big
+    # side and skips AQE's shuffle-then-convert stage round-trips. Large
+    # deliveries keep the shuffle joins (a 100M-doc delta's band table
+    # is not broadcastable).
+    bcast = F.broadcast if n_delta < 1_000_000 else (lambda df_: df_)
+
     nb = (
         _explode_bands(incoming, num_perms, band_rows)
         .withColumn("_pb", _band_bucket(F.col("band"), F.col("bsig")))
@@ -1294,11 +1307,13 @@ def dedup_state_ingest(
         pbs = sorted(r["_pb"] for r in nb_counts.select("_pb").distinct().collect())
         old_for_delta = (
             old_occ.where(F.col("_pb").isin(pbs))  # partition filter, ≤32 values
-            .join(nb_counts.select("band", "bsig"), ["band", "bsig"], "left_semi")
+            .join(bcast(nb_counts.select("band", "bsig")),
+                  ["band", "bsig"], "left_semi")
             .groupBy("band", "bsig")
             .agg(F.sum("n").alias("_n_old"))
         )
-        occ_union = nb_counts.join(old_for_delta, ["band", "bsig"], "left").select(
+        occ_union = nb_counts.join(bcast(old_for_delta),
+                                   ["band", "bsig"], "left").select(
             "band", "bsig",
             (F.col("_n_new") + F.coalesce(F.col("_n_old"), F.lit(0))).alias("_n"),
         )
@@ -1317,10 +1332,13 @@ def dedup_state_ingest(
         corpus_bands = corpus_bands.unionByName(
             old_bands.where(F.col("_pb").isin(pbs)).select("band", "bsig", "doc_id")
         )
-    nbk = nb.join(keep, ["band", "bsig"], "left_semi")
-    cbk = corpus_bands.join(keep, ["band", "bsig"], "left_semi")
+    # keep is delta-bounded (≤ the delta's distinct bucket keys) — the
+    # hint saves shuffling the PRUNED-CORPUS band side for the cap
+    # semi-join, the largest exchange of the probe
+    nbk = nb.join(bcast(keep), ["band", "bsig"], "left_semi")
+    cbk = corpus_bands.join(bcast(keep), ["band", "bsig"], "left_semi")
     cand = (
-        nbk.select(F.col("doc_id").alias("_x"), "band", "bsig")
+        bcast(nbk.select(F.col("doc_id").alias("_x"), "band", "bsig"))
         .join(cbk.select(F.col("doc_id").alias("_y"), "band", "bsig"),
               ["band", "bsig"])
         .filter(F.col("_x") != F.col("_y"))
@@ -1354,8 +1372,12 @@ def dedup_state_ingest(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(float(num_perms))
+    # cand (and the half-joined intermediate) are delta-bounded:
+    # broadcasting them keeps both signature lookups (pruned corpus
+    # scans) shuffle-free
+    half = sa.join(bcast(cand), "a")
     edges = (
-        cand.join(sa, "a").join(sb, "b")
+        sb.join(bcast(half), "b")
         .filter(est >= F.lit(threshold))
         .select("a", "b")
         .localCheckpoint(eager=True)  # delta-sized; reused 3× below
@@ -1453,12 +1475,15 @@ def dedup_state_ingest(
     if n_delta < 1_000_000:
         occ_rows = occ_rows.coalesce(1)  # same small-delta discipline
     SS.append_store(occ_rows, state_path + "/occ", ("_dv", "_pb"))
+    # gate the single-file append on the OVERLAY's own size, not the
+    # delta's (it also carries relabeled old rows; a small delta that
+    # relabels a huge component must not funnel the whole overlay
+    # through one task). Bootstrap deliveries have no relabeled rows —
+    # the overlay is exactly the delta — so the already-known n_delta
+    # stands in and the extra count job is skipped.
+    n_overlay = n_delta if members is None else delta_overlay.count()
     SS.append_store(
-        # same small-delta discipline — but gated on the OVERLAY's own
-        # size (it also carries relabeled old rows; a small delta that
-        # relabels a huge component must not funnel the whole overlay
-        # through one task). Cheap: the overlay is checkpointed above.
-        (delta_overlay.coalesce(1) if delta_overlay.count() < 1_000_000
+        (delta_overlay.coalesce(1) if n_overlay < 1_000_000
          else delta_overlay).select(tag, "doc_id", "cluster_id"),
         state_path + "/clusters", ("_dv",),
     )
@@ -1467,7 +1492,12 @@ def dedup_state_ingest(
         return delta_overlay
     # resolve from a FRESH post-append scan (a new file listing sees the
     # rows just written); checkpointed so the caller's frame survives
-    # state compaction or deletion underneath it
+    # state compaction or deletion underneath it. (A union of the
+    # pre-ingest overlay with the checkpointed delta would skip the
+    # re-listing, but Spark 4.1's Union constraint rewriting crashes on
+    # checkpointed plans whose recorded constraints reference pruned
+    # attributes — NoSuchElementException in UnionBase.rewriteConstraints
+    # — so the scan stays.)
     return _resolve_cluster_overlay(
         SS.visible(
             spark.read.parquet(state_path + "/clusters"),
@@ -1783,9 +1813,11 @@ def semantic_state_ingest(
     # gate the single-file append on the OVERLAY's size, not the delta's
     # (delta_overlay also carries relabeled old rows: a small delta that
     # relabels a huge existing component must not funnel a multi-million
-    # row append through one task). The count is cheap — the overlay is
-    # localCheckpoint'ed above.
-    n_overlay = delta_overlay.count()
+    # row append through one task). Bootstrap deliveries have no
+    # relabeled rows — the overlay IS the delta — so the known n_new
+    # stands in and the count job is skipped; otherwise the count is
+    # cheap (the overlay is localCheckpoint'ed above).
+    n_overlay = n_new if members is None else delta_overlay.count()
     SS.append_store(
         # delivery-sized overlay appends land as one file (the groups
         # store otherwise gains shuffle-partition-count files per batch)
@@ -1861,7 +1893,9 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
             .write.partitionBy("_dv", "_pd").mode("overwrite") \
             .parquet(state_path + "/sigs.__new")
         SS.swap_in(state_path + "/sigs.__new", state_path + "/sigs")
-        return spark.read.parquet(state_path + "/sigs").count()
+        # row count from the rewritten files' parquet footers — a
+        # driver-side metadata walk, not another scheduled scan
+        return SS.store_row_count(state_path + "/sigs")
 
     def _bands_leg() -> None:
         bands = SS.visible(_try_parquet(spark, state_path + "/bands"),
@@ -1936,7 +1970,7 @@ def compact_semantic_state(spark, state_path: str,
             .write.partitionBy("_dv", "cluster").mode("overwrite") \
             .parquet(state_path + "/index.__new")
         SS.swap_in(state_path + "/index.__new", state_path + "/index")
-        return spark.read.parquet(state_path + "/index").count()
+        return SS.store_row_count(state_path + "/index")  # footer walk
 
     def _ids_leg() -> None:
         ids = SS.visible(_try_parquet(spark, state_path + "/ids"),
@@ -1999,7 +2033,7 @@ def compact_span_state(spark, state_path: str,
             .write.partitionBy("_dv").mode("overwrite") \
             .parquet(state_path + "/tokens.__new")
         SS.swap_in(state_path + "/tokens.__new", state_path + "/tokens")
-        return spark.read.parquet(state_path + "/tokens").count()
+        return SS.store_row_count(state_path + "/tokens")  # footer walk
 
     def _spans_leg() -> None:
         sp = SS.visible(_try_parquet(spark, state_path + "/spans"),
@@ -2059,10 +2093,10 @@ def read_span_state(spark, state_path: str) -> DataFrame | None:
     committed = SS.committed_ids(spark, state_path)
     tokens = SS.visible(_try_parquet(spark, state_path + "/tokens"),
                         committed)
-    meta = _try_parquet(spark, state_path + "/meta")
+    meta = SS.read_meta(state_path)  # driver-side sidecar read
     if tokens is None or meta is None:
         return None
-    n = int(meta.first()["n"])
+    n = int(meta["n"])
     flags = SS.visible(_try_parquet(spark, state_path + "/flags"),
                        committed)
     return _resolve_span_state(tokens, flags, n)

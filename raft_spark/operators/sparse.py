@@ -647,7 +647,9 @@ def compact_postings(spark, path: str) -> int:
         .parquet(f"{path}/norms.__new")
     SS.swap_in(f"{path}/norms.__new", f"{path}/norms")
     SS.reset_ledger(spark, path, [0])
-    return spark.read.parquet(f"{path}/postings").count()
+    # row count from the rewritten files' parquet footers — a
+    # driver-side metadata walk, not another scheduled scan
+    return SS.store_row_count(f"{path}/postings")
 
 
 def sparse_lookup(

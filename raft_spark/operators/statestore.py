@@ -212,6 +212,27 @@ def swap_in(new_dir: str, store: str) -> None:
     shutil.rmtree(old, ignore_errors=True)
 
 
+def store_row_count(store: str) -> int:
+    """Row count of a parquet store from its file footers — a
+    driver-side metadata walk (parquet footers carry exact row counts),
+    not a Spark job. Used by the compactors to report the rewritten
+    store's size without scheduling a count over data they just wrote."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, dirs, files in os.walk(store):
+        # descend into partition directories (col=value — including the
+        # underscore-prefixed _dv=/_pd=/_pb= layout columns) but never
+        # into staging/metadata dirs (_temporary, .__old, dot-tmp)
+        dirs[:] = [d for d in dirs
+                   if "=" in d or not d.startswith((".", "_"))]
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return total
+
+
 def read_meta(state_path: str) -> dict | None:
     """First row of a state's ``meta`` sidecar as a dict, or None when
     the sidecar has never been written. The sidecar is one tiny parquet
