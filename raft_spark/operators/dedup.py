@@ -240,11 +240,13 @@ def dedup_clusters(
             F.coalesce(F.col("label"), F.col("doc_id")).alias("cluster_id"),
         )
     )
-    sizes = base.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return base.join(sizes, "cluster_id").select(
+    # sizes via ONE window (partitioned count) instead of a groupBy +
+    # self-join: one exchange instead of two and no join, same rows
+    w = Window.partitionBy("cluster_id")
+    return base.select(
         "doc_id",
         "cluster_id",
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
 
@@ -935,14 +937,54 @@ def _explode_bands(sigs: DataFrame, num_perms: int, band_rows: int) -> DataFrame
 
 N_BAND_BUCKETS = 32  # directory buckets of the persisted corpus band table
 
+# Known store schemas (data columns in file order, partition columns
+# last — matching what the writers below produce). Passing them to the
+# reader skips Spark's one-task schema-inference job per store read — a
+# pure fixed tax on every ingest (4 probes) and state read. ``_dv`` is
+# declared long unconditionally (delivery ids are 60-bit; partition
+# value inference would flip it to int on a compacted ``_dv=0`` store).
+# Only sites guaranteed the r11+ layout may use them — the migration
+# paths detect legacy stores by COLUMN ABSENCE, which an explicit
+# schema would mask with fabricated null columns.
+_SIGS_SCHEMA = "doc_id long, sig array<long>, _dv long, _pd int"
+_SIGS_SCHEMA_NOPD = "doc_id long, sig array<long>, _dv long"
+_BANDS_SCHEMA = "band int, bsig string, doc_id long, _dv long, _pb int"
+_OCC_SCHEMA = "band int, bsig string, n long, _dv long, _pb int"
+_CLUSTERS_SCHEMA = "doc_id long, cluster_id long, _dv long"
 
-def _try_parquet(spark, path: str) -> DataFrame | None:
-    from pyspark.errors import AnalysisException
 
-    try:
-        return spark.read.parquet(path)
-    except AnalysisException:
-        return None
+def _try_parquet(spark, path: str, schema: str | None = None) -> DataFrame | None:
+    return SS._try_parquet(spark, path, schema)
+
+
+class _no_aqe:
+    """Temporarily disable AQE on the session (restored on exit).
+
+    Delta-bounded probe sections pay one scheduled job per AQE stage
+    materialization: a 3-shuffle probe over a few-KB delta costs 4-5
+    jobs under AQE vs 1 without, and at the small-delivery sizes these
+    sections are gated on (measured n_delta, not local mode) none of
+    AQE's services apply — coalescing targets are already single-digit
+    KB, the joins are explicitly broadcast-hinted, and there is nothing
+    to skew-split. Corpus-scale sections (resolves, compactions, large
+    deliveries) keep AQE. Session-wide runtime conf: safe because the
+    ingests are single-threaded per state (the documented single-writer
+    contract) and restored in ``finally`` even on error."""
+
+    def __init__(self, spark, enabled: bool = True):
+        self.spark, self.enabled = spark, enabled
+
+    def __enter__(self):
+        if self.enabled:
+            self.prev = self.spark.conf.get("spark.sql.adaptive.enabled",
+                                            "true")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+        return False
 
 
 def _band_bucket(band_col, bsig_col):
@@ -1084,15 +1126,17 @@ def _resolve_cluster_overlay(overlay: DataFrame) -> DataFrame:
     Latest-wins needs no epoch column: a label is its component's MIN
     doc_id and components only ever merge, so a doc's label STRICTLY
     DECREASES across its overlay rows — the current assignment is
-    simply min(cluster_id) per doc. Sizes are derived on read (one agg
-    over the resolved narrow table) instead of being stored, which is
-    what lets the ingest write O(delta) rows."""
+    simply min(cluster_id) per doc. Sizes are derived on read via ONE
+    window over the resolved narrow table (a partitioned count, not a
+    groupBy + self-join — one exchange instead of two and no join;
+    same rows) instead of being stored, which is what lets the ingest
+    write O(delta) rows."""
     latest = overlay.groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
-    sizes = latest.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
-    return latest.join(sizes, "cluster_id").select(
+    w = Window.partitionBy("cluster_id")
+    return latest.select(
         "doc_id",
         "cluster_id",
-        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.count("*").over(w).cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_canonical"),
     )
 
@@ -1106,9 +1150,16 @@ def read_dedup_state(spark, state_path: str) -> tuple[DataFrame, DataFrame] | No
     :mod:`raft_spark.operators.statestore`), so a crashed half-written
     delivery is invisible here."""
     committed = SS.committed_ids(spark, state_path)
-    sigs = SS.visible(_try_parquet(spark, state_path + "/sigs"), committed)
+    # explicit store schemas (no inference job). A legacy pre-bucketing
+    # store simply yields the declared _dv/_pd as null columns — this
+    # reader never consults them beyond the visibility filter, which
+    # passes legacy (ledger-less) states through unfiltered anyway.
+    sigs = SS.visible(
+        _try_parquet(spark, state_path + "/sigs", _SIGS_SCHEMA), committed
+    )
     overlay = SS.visible(
-        _try_parquet(spark, state_path + "/clusters"), committed
+        _try_parquet(spark, state_path + "/clusters", _CLUSTERS_SCHEMA),
+        committed,
     )
     if sigs is None or overlay is None:
         return None
@@ -1127,6 +1178,33 @@ def dedup_state_ingest(
     band_rows: int = BAND_ROWS,
     max_bucket_docs: int = MAX_BUCKET_DOCS,
     return_full: bool = True,
+) -> DataFrame:
+    """Cross-snapshot incremental dedup — full contract on
+    :func:`_dedup_state_ingest_impl` (shared ``__doc__``). This wrapper
+    only guarantees the session's AQE flag is restored even when a
+    delivery dies mid-ingest (the crash-injection contract raises
+    between store appends by design; the conf must not leak)."""
+    spark = new_docs.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        return _dedup_state_ingest_impl(
+            new_docs, state_path, text_col, id_col, threshold, num_perms,
+            band_rows, max_bucket_docs, return_full,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _dedup_state_ingest_impl(
+    new_docs: DataFrame,
+    state_path: str,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_perms: int,
+    band_rows: int,
+    max_bucket_docs: int,
+    return_full: bool,
 ) -> DataFrame:
     """Cross-snapshot incremental dedup: fold a NEW batch of documents
     into a persisted corpus dedup state and return the refreshed
@@ -1247,19 +1325,29 @@ def dedup_state_ingest(
     incoming = new_docs.select(
         F.col(id_col).cast("long").alias("doc_id"), sig.alias("sig")
     )
-    old_sigs = SS.visible(_try_parquet(spark, state_path + "/sigs"),
-                          committed)
-    overlay = SS.visible(_try_parquet(spark, state_path + "/clusters"),
-                         committed)
+    # post-guard reads: migration/adoption above guarantees the r11+
+    # layout, so the known schemas skip the per-store inference job
+    old_sigs = SS.visible(
+        _try_parquet(spark, state_path + "/sigs", _SIGS_SCHEMA), committed
+    )
+    overlay = SS.visible(
+        _try_parquet(spark, state_path + "/clusters", _CLUSTERS_SCHEMA),
+        committed,
+    )
     if old_sigs is not None:
         # replay anti-join pruned to the delta ids' _pd directories
         # (≤N_BAND_BUCKETS values; an id already in the state lives in
-        # the same bucket, so the pruned anti-join is exact)
-        pds = sorted({
-            r[0] for r in incoming.select(
-                _doc_bucket(F.col("doc_id")).alias("_pd")
-            ).distinct().collect()
-        })
+        # the same bucket, so the pruned anti-join is exact). AQE off
+        # for the probe at ANY delta size: partial aggregation collapses
+        # every input partition to ≤N_BAND_BUCKETS rows before the
+        # exchange, so there is nothing for AQE to coalesce or split —
+        # its per-stage jobs are pure overhead (3 jobs -> 1).
+        with _no_aqe(spark):
+            pds = sorted({
+                r[0] for r in incoming.select(
+                    _doc_bucket(F.col("doc_id")).alias("_pd")
+                ).distinct().collect()
+            })
         incoming = incoming.join(
             old_sigs.where(F.col("_pd").isin(pds)).select("doc_id"),
             "doc_id", "left_anti",
@@ -1286,7 +1374,26 @@ def dedup_state_ingest(
     # side and skips AQE's shuffle-then-convert stage round-trips. Large
     # deliveries keep the shuffle joins (a 100M-doc delta's band table
     # is not broadcastable).
-    bcast = F.broadcast if n_delta < 1_000_000 else (lambda df_: df_)
+    small_delta = n_delta < 1_000_000
+    bcast = F.broadcast if small_delta else (lambda df_: df_)
+    if small_delta:
+        # AQE off for the delta-bounded probe section (through the
+        # appends; restored before the corpus-scale resolve, and by the
+        # public wrapper on any exit): every AQE stage materialization
+        # is a scheduled job, so a 3-shuffle probe over a few-KB delta
+        # costs 4-5 jobs instead of 1 — and at this measured delivery
+        # size none of AQE's services apply (nothing to coalesce below
+        # the advisory size, joins explicitly broadcast-hinted, nothing
+        # to skew-split). Gated on delta size, not local mode: a 50k
+        # delivery into a 10B-doc corpus takes the same branch.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # narrow the checkpointed delta for its MANY downstream scans:
+        # the signature compute above ran at full parallelism, but every
+        # later stage over `incoming` is trivial per row, and with AQE
+        # off each would otherwise launch one task per inherited
+        # partition. coalesce after the checkpoint is a narrow view of
+        # the cached partitions — no extra job, no recompute.
+        incoming = incoming.coalesce(8)
 
     nb = (
         _explode_bands(incoming, num_perms, band_rows)
@@ -1301,7 +1408,7 @@ def dedup_state_ingest(
     # reproduced ADDITIVELY: persisted per-delivery counts (pruned to the
     # delta's directory buckets, then to its exact bucket keys) + the
     # delta's own counts. No corpus-wide aggregation.
-    old_occ = SS.visible(_try_parquet(spark, state_path + "/occ"),
+    old_occ = SS.visible(_try_parquet(spark, state_path + "/occ", _OCC_SCHEMA),
                          committed)
     if old_occ is not None:
         pbs = sorted(r["_pb"] for r in nb_counts.select("_pb").distinct().collect())
@@ -1326,8 +1433,9 @@ def dedup_state_ingest(
     # both sides restricted to kept buckets; the bucket key is the join
     # key so one semi-join per side enforces the cap on both endpoints
     corpus_bands = nb.select("band", "bsig", "doc_id")
-    old_bands = SS.visible(_try_parquet(spark, state_path + "/bands"),
-                           committed)
+    old_bands = SS.visible(
+        _try_parquet(spark, state_path + "/bands", _BANDS_SCHEMA), committed
+    )
     if old_bands is not None:
         corpus_bands = corpus_bands.unionByName(
             old_bands.where(F.col("_pb").isin(pbs)).select("band", "bsig", "doc_id")
@@ -1396,8 +1504,13 @@ def dedup_state_ingest(
             .distinct()
             .join(new_ids, "doc_id", "left_anti")
         )
+        # ends/touched are delta-bounded (edge endpoints / their
+        # labels); broadcasting them keeps the CORPUS-SCALE overlay
+        # store unshuffled through both membership probes — at 100 TB
+        # these two joins are the only corpus-sized inputs in the
+        # probe window
         touched = (
-            overlay.join(ends, "doc_id", "left_semi")
+            overlay.join(bcast(ends), "doc_id", "left_semi")
             .groupBy("doc_id").agg(F.min("cluster_id").alias("cluster_id"))
             .select("cluster_id").distinct()
         )
@@ -1406,7 +1519,7 @@ def dedup_state_ingest(
         # stale label can never equal any component's live label (the
         # doc that IS that label has itself been relabeled below it)
         members = (
-            overlay.join(touched, "cluster_id", "left_semi")
+            overlay.join(bcast(touched), "cluster_id", "left_semi")
             .select("doc_id", "cluster_id")
             .localCheckpoint(eager=True)
         )
@@ -1454,40 +1567,42 @@ def dedup_state_ingest(
     dv = SS.new_delivery_id()
     tag = F.lit(dv).alias("_dv")
     sig_rows = incoming.withColumn("_pd", _doc_bucket(F.col("doc_id")))
+    # small deliveries land via append_store's driver-side Arrow path
+    # (the checkpointed delta is collected once and written file-per-
+    # bucket without Spark's ~1 s/write committer staging); large
+    # deliveries keep the distributed hash-spread write
     SS.append_store(
-        (sig_rows.coalesce(1).sortWithinPartitions("_pd")
-         if n_delta < 1_000_000 else sig_rows.repartition("_pd"))
+        (sig_rows if small_delta else sig_rows.repartition("_pd"))
         .select(tag, "_pd", "doc_id", "sig"),
-        state_path + "/sigs", ("_dv", "_pd"),
+        state_path + "/sigs", ("_dv", "_pd"), small=small_delta,
     )
     SS.append_store(
-        # delivery-sized deltas don't need a shuffle to lay out 32
-        # directory buckets: one task writes one sorted file per bucket.
-        # Above the cutoff, hash-spread the write across tasks.
-        (nb.coalesce(1).sortWithinPartitions("_pb", "band", "bsig")
-         if n_delta < 1_000_000 else
-         nb.repartition("_pb").sortWithinPartitions("band", "bsig"))
+        (nb if small_delta
+         else nb.repartition("_pb").sortWithinPartitions("band", "bsig"))
         .select(tag, "_pb", "band", "bsig", "doc_id"),
-        state_path + "/bands", ("_dv", "_pb"),
+        state_path + "/bands", ("_dv", "_pb"), small=small_delta,
+        sort_by=("band", "bsig"),
     )
     occ_rows = nb_counts.select(tag, "_pb", "band", "bsig",
                                 F.col("_n_new").alias("n"))
-    if n_delta < 1_000_000:
-        occ_rows = occ_rows.coalesce(1)  # same small-delta discipline
-    SS.append_store(occ_rows, state_path + "/occ", ("_dv", "_pb"))
-    # gate the single-file append on the OVERLAY's own size, not the
-    # delta's (it also carries relabeled old rows; a small delta that
-    # relabels a huge component must not funnel the whole overlay
-    # through one task). Bootstrap deliveries have no relabeled rows —
-    # the overlay is exactly the delta — so the already-known n_delta
-    # stands in and the extra count job is skipped.
+    SS.append_store(occ_rows, state_path + "/occ", ("_dv", "_pb"),
+                    small=small_delta)
+    # gate the driver-side/single-file append on the OVERLAY's own
+    # size, not the delta's (it also carries relabeled old rows; a
+    # small delta that relabels a huge component must not funnel the
+    # whole overlay through one task or the driver). Bootstrap
+    # deliveries have no relabeled rows — the overlay is exactly the
+    # delta — so the already-known n_delta stands in and the extra
+    # count job is skipped.
     n_overlay = n_delta if members is None else delta_overlay.count()
     SS.append_store(
-        (delta_overlay.coalesce(1) if n_overlay < 1_000_000
-         else delta_overlay).select(tag, "doc_id", "cluster_id"),
-        state_path + "/clusters", ("_dv",),
+        delta_overlay.select(tag, "doc_id", "cluster_id"),
+        state_path + "/clusters", ("_dv",), small=n_overlay < 1_000_000,
     )
     SS.publish_commit(spark, state_path, dv)  # THE commit point
+    if small_delta:
+        # corpus-scale resolve below — AQE back on
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     if not return_full:
         return delta_overlay
     # resolve from a FRESH post-append scan (a new file listing sees the
@@ -1500,7 +1615,8 @@ def dedup_state_ingest(
     # — so the scan stays.)
     return _resolve_cluster_overlay(
         SS.visible(
-            spark.read.parquet(state_path + "/clusters"),
+            spark.read.schema(_CLUSTERS_SCHEMA)
+            .parquet(state_path + "/clusters"),
             (committed or []) + [dv],
         ).select("doc_id", "cluster_id")
     ).localCheckpoint(eager=True)
@@ -1885,9 +2001,15 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
     zero = F.lit(0).alias("_dv")
 
     def _sigs_leg() -> int:
-        sigs = SS.visible(spark.read.parquet(state_path + "/sigs"),
-                          committed)
-        if "_pd" not in sigs.columns:  # pre-r11: bucket while compacting
+        # legacy detection moved driver-side (directory probe) so the
+        # read can carry its explicit schema — no inference job
+        has_pd = SS.has_partition_dir(state_path + "/sigs", "_pd")
+        sigs = SS.visible(
+            spark.read.schema(_SIGS_SCHEMA if has_pd else _SIGS_SCHEMA_NOPD)
+            .parquet(state_path + "/sigs"),
+            committed,
+        )
+        if not has_pd:  # pre-r11: bucket while compacting
             sigs = sigs.withColumn("_pd", _doc_bucket(F.col("doc_id")))
         sigs.select(zero, "_pd", "doc_id", "sig").repartition("_pd") \
             .write.partitionBy("_dv", "_pd").mode("overwrite") \
@@ -1898,8 +2020,10 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         return SS.store_row_count(state_path + "/sigs")
 
     def _bands_leg() -> None:
-        bands = SS.visible(_try_parquet(spark, state_path + "/bands"),
-                           committed)
+        bands = SS.visible(
+            _try_parquet(spark, state_path + "/bands", _BANDS_SCHEMA),
+            committed,
+        )
         if bands is None:
             return
         bands.select(zero, "_pb", "band", "bsig", "doc_id") \
@@ -1909,8 +2033,9 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         SS.swap_in(state_path + "/bands.__new", state_path + "/bands")
 
     def _occ_leg() -> None:
-        occ = SS.visible(_try_parquet(spark, state_path + "/occ"),
-                         committed)
+        occ = SS.visible(
+            _try_parquet(spark, state_path + "/occ", _OCC_SCHEMA), committed
+        )
         if occ is None:
             return
         occ.groupBy("_pb", "band", "bsig").agg(F.sum("n").alias("n")) \
@@ -1920,8 +2045,10 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         SS.swap_in(state_path + "/occ.__new", state_path + "/occ")
 
     def _clusters_leg() -> None:
-        overlay = SS.visible(_try_parquet(spark, state_path + "/clusters"),
-                             committed)
+        overlay = SS.visible(
+            _try_parquet(spark, state_path + "/clusters", _CLUSTERS_SCHEMA),
+            committed,
+        )
         if overlay is None:
             return
         overlay.groupBy("doc_id") \

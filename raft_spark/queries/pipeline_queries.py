@@ -262,9 +262,24 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         D.compact_dedup_state(spark, tmp + "/state")
         r1c = D.read_dedup_state(spark, tmp + "/state")[1] \
             .localCheckpoint(eager=True)
+        # multiset equality in ONE action (was two exceptAll counts +
+        # a count = 3 scheduled jobs of shuffle pairs): per-row
+        # multiplicities from each side full-outer-joined and compared.
+        # Semantically identical to (r1 \ r1c == ∅) ∧ (r1c \ r1 == ∅)
+        # ∧ r1 non-empty — a mismatched multiplicity (including a row
+        # present on one side only) is exactly a nonzero exceptAll.
+        cols = ["doc_id", "cluster_id", "cluster_size", "is_canonical"]
+        g1 = r1.groupBy(*cols).agg(F.count("*").alias("_n1"))
+        g2 = r1c.groupBy(*cols).agg(F.count("*").alias("_n2"))
+        eq_row = g1.join(g2, cols, "full_outer").select(
+            F.sum(
+                (F.coalesce("_n1", F.lit(0)) != F.coalesce("_n2", F.lit(0)))
+                .cast("int")
+            ).alias("_mismatch"),
+            F.sum("_n1").alias("_n_left"),
+        ).first()
         compact_eq = (
-            r1.exceptAll(r1c).count() + r1c.exceptAll(r1).count() == 0
-            and r1.count() > 0
+            (eq_row["_mismatch"] or 0) == 0 and (eq_row["_n_left"] or 0) > 0
         )
         out = D.dedup_state_ingest(b2, tmp + "/state")
         # out is eagerly checkpointed by the operator, so removing the

@@ -40,6 +40,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # the size-probe discipline (connected_components_auto, mst,
+        # knn query collects) runs limit(T+1).collect() probes; the
+        # default CollectLimit escalation (1 partition, then 4x per
+        # retry) turns each probe into ~4 scheduled jobs of partial
+        # re-executions. Scanning defaultParallelism partitions on the
+        # first pass collapses the probe to ONE job; parameterised on
+        # core count, so it scales with the session rather than pinning
+        # a local constant (measured 4 -> 1 jobs per probe).
+        .config("spark.sql.limit.initialNumPartitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))

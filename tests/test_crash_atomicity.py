@@ -29,11 +29,11 @@ def _crash_after(monkeypatch, n_appends: int):
     real = SS.append_store
     calls = {"n": 0}
 
-    def bomb(df, path, partition_cols=()):
+    def bomb(df, path, partition_cols=(), **kw):
         if calls["n"] >= n_appends:
             raise RuntimeError("injected crash between store appends")
         calls["n"] += 1
-        real(df, path, partition_cols)
+        real(df, path, partition_cols, **kw)
 
     monkeypatch.setattr(SS, "append_store", bomb)
     return calls
