@@ -303,15 +303,16 @@ def _guard_quantized(base: DataFrame, d: int) -> None:
     shares the contract via its batch-built index. (semantic_pairs_
     exact folds the same maxima into its per-cluster sizes aggregate
     instead — no extra corpus pass there.)"""
-    guard = base.select(
-        F.max(
-            F.aggregate(
-                "_q", F.lit(0).cast("long"),
-                lambda acc, v: F.greatest(acc, F.abs(v)),
-            )
-        ).alias("m"),
-        F.max("_n2").alias("n2max"),
-    ).first()
+    with _no_aqe(base.sparkSession):  # probe: map-side collapse
+        guard = base.select(
+            F.max(
+                F.aggregate(
+                    "_q", F.lit(0).cast("long"),
+                    lambda acc, v: F.greatest(acc, F.abs(v)),
+                )
+            ).alias("m"),
+            F.max("_n2").alias("n2max"),
+        ).first()
     _check_quantized_bounds(guard["m"] or 0, guard["n2max"] or 0, d)
 
 
@@ -424,10 +425,11 @@ def semantic_pairs_exact(
         F.count("*").alias("_csz"), F.max(qm).alias("_qm"),
         F.max("_n2").alias("_nm"), F.max(F.size("_q")).alias("_dm"),
     ).localCheckpoint(eager=True)
-    g = sizes.agg(
-        F.max("_qm").alias("m"), F.max("_nm").alias("n"),
-        F.max("_dm").alias("d"), F.max("_csz").alias("csz"),
-    ).first()
+    with _no_aqe(sizes.sparkSession):  # probe: map-side collapse
+        g = sizes.agg(
+            F.max("_qm").alias("m"), F.max("_nm").alias("n"),
+            F.max("_dm").alias("d"), F.max("_csz").alias("csz"),
+        ).first()
     _check_quantized_bounds(g["m"] or 0, g["n"] or 0, int(g["d"] or 1))
     # one materialization for the small/big branches below (and the
     # a/b sides within the tile branch) — the quantized working set
@@ -951,40 +953,26 @@ _SIGS_SCHEMA_NOPD = "doc_id long, sig array<long>, _dv long"
 _BANDS_SCHEMA = "band int, bsig string, doc_id long, _dv long, _pb int"
 _OCC_SCHEMA = "band int, bsig string, n long, _dv long, _pb int"
 _CLUSTERS_SCHEMA = "doc_id long, cluster_id long, _dv long"
+# semantic-state stores (the ingest adopts/wraps legacy stores into the
+# _dv layout before any schema'd read; a ledger-less legacy state read
+# through the public reader passes committed=None, so the fabricated
+# null _dv/_pd columns are never consulted)
+_SEM_INDEX_SCHEMA = "cand_id long, _qc array<long>, _nc long, _dv long, cluster long"
+_SEM_IDS_SCHEMA = "id long, _dv long, _pd int"
+_SEM_GROUPS_SCHEMA = "id long, cluster long, group long, _dv long"
+# span-state stores (same adoption guarantee; hcounts is only
+# schema-read AFTER _migrate_span_state has ensured the _ph layout)
+_SPAN_TOKENS_SCHEMA = "doc_id long, n_tokens int, _dv long"
+_SPAN_SPANS_SCHEMA = "h string, doc_id long, start int, _dv long, _ph int"
+_SPAN_HCOUNTS_SCHEMA = "h string, c long, _dv long, _ph int"
+_SPAN_FLAGS_SCHEMA = "doc_id long, start int, _dv long"
 
 
 def _try_parquet(spark, path: str, schema: str | None = None) -> DataFrame | None:
     return SS._try_parquet(spark, path, schema)
 
 
-class _no_aqe:
-    """Temporarily disable AQE on the session (restored on exit).
-
-    Delta-bounded probe sections pay one scheduled job per AQE stage
-    materialization: a 3-shuffle probe over a few-KB delta costs 4-5
-    jobs under AQE vs 1 without, and at the small-delivery sizes these
-    sections are gated on (measured n_delta, not local mode) none of
-    AQE's services apply — coalescing targets are already single-digit
-    KB, the joins are explicitly broadcast-hinted, and there is nothing
-    to skew-split. Corpus-scale sections (resolves, compactions, large
-    deliveries) keep AQE. Session-wide runtime conf: safe because the
-    ingests are single-threaded per state (the documented single-writer
-    contract) and restored in ``finally`` even on error."""
-
-    def __init__(self, spark, enabled: bool = True):
-        self.spark, self.enabled = spark, enabled
-
-    def __enter__(self):
-        if self.enabled:
-            self.prev = self.spark.conf.get("spark.sql.adaptive.enabled",
-                                            "true")
-            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
-        return self
-
-    def __exit__(self, *exc):
-        if self.enabled:
-            self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
-        return False
+_no_aqe = SS._no_aqe  # shared probe discipline (see statestore)
 
 
 def _band_bucket(band_col, bsig_col):
@@ -1065,14 +1053,17 @@ def _migrate_dedup_state(spark, state_path: str, num_perms: int,
     until the replacement is fully on disk, so a driver/executor loss
     mid-migration can never destroy the corpus store (r12; the r11
     in-place overwrite had exactly that window)."""
-    sigs = _try_parquet(spark, state_path + "/sigs")
-    if sigs is None:
+    # hot-path probes are driver-side directory checks (no Spark jobs):
+    # every ingest runs this gate, and an up-to-date state must not pay
+    # three schema-inference jobs to learn nothing needs migrating
+    if not SS.store_exists(state_path + "/sigs"):
         return
-    need_pd = "_pd" not in sigs.columns
-    need_bands = _try_parquet(spark, state_path + "/bands") is None
-    need_occ = _try_parquet(spark, state_path + "/occ") is None
+    need_pd = not SS.has_partition_dir(state_path + "/sigs", "_pd")
+    need_bands = not SS.store_exists(state_path + "/bands")
+    need_occ = not SS.store_exists(state_path + "/occ")
     if not (need_pd or need_bands or need_occ):
         return
+    sigs = _try_parquet(spark, state_path + "/sigs")  # migration path only
     row = sigs.select(F.size("sig")).first()
     if row is not None and int(row[0]) != num_perms:
         raise ValueError(
@@ -1634,7 +1625,9 @@ def _migrate_semantic_state(spark, state_path: str) -> None:
     corruption. The ids probe prunes on the id hash instead, which no
     seam can move. Staged write + rename swap (never an in-place
     overwrite of live state). O(corpus) once, column-pruned."""
-    if _try_parquet(spark, state_path + "/ids") is not None:
+    # hot-path probe driver-side (no inference job) — every ingest
+    # passes through here and almost always finds the registry present
+    if SS.store_exists(state_path + "/ids"):
         return
     idx = _try_parquet(spark, state_path + "/index")
     if idx is None:
@@ -1656,9 +1649,17 @@ def read_semantic_state(spark, state_path: str):
     Scans are restricted to PUBLISHED deliveries (manifest-commit
     contract), so a crashed half-written delivery is invisible."""
     committed = SS.committed_ids(spark, state_path)
-    idx = SS.visible(_try_parquet(spark, state_path + "/index"), committed)
-    overlay = SS.visible(_try_parquet(spark, state_path + "/groups"),
-                         committed)
+    # explicit store schemas (no inference job): a ledger-less legacy
+    # state passes committed=None, so the fabricated null _dv column of
+    # a pre-protocol store is never consulted (read_dedup_state note)
+    idx = SS.visible(
+        _try_parquet(spark, state_path + "/index", _SEM_INDEX_SCHEMA),
+        committed,
+    )
+    overlay = SS.visible(
+        _try_parquet(spark, state_path + "/groups", _SEM_GROUPS_SCHEMA),
+        committed,
+    )
     if idx is None or overlay is None:
         return None
     return idx.select(
@@ -1691,6 +1692,32 @@ def semantic_state_ingest(
     vec_col: str = "features",
     scale: float = 1e6,
     return_full: bool = True,
+) -> DataFrame:
+    """Cross-snapshot incremental semantic dedup — full contract on
+    :func:`_semantic_state_ingest_impl` (shared ``__doc__``). This
+    wrapper only guarantees the session's AQE flag is restored even
+    when a delivery dies mid-ingest (the crash-injection contract
+    raises between store appends by design; the conf must not leak)."""
+    spark = new_df.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        return _semantic_state_ingest_impl(
+            new_df, assignments, state_path, tau, id_col, vec_col, scale,
+            return_full,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _semantic_state_ingest_impl(
+    new_df: DataFrame,
+    assignments: DataFrame,
+    state_path: str,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+    return_full: bool,
 ) -> DataFrame:
     """Incremental CROSS-SNAPSHOT semantic dedup — the embedding-level
     sibling of :func:`dedup_state_ingest`: fold a NEW batch of vectors
@@ -1772,26 +1799,41 @@ def semantic_state_ingest(
         F.col("id").cast("long").alias("cand_id"),
         F.col("_q").alias("_qc"), F.col("_n2").alias("_nc"),
     )
-    idx_raw = SS.visible(_try_parquet(spark, state_path + "/index"),
-                         committed)
+    # post-adoption reads: adopt_commit_ledger above wrapped any legacy
+    # store into the _dv layout, so the known schemas skip the
+    # per-store inference job
+    idx_raw = SS.visible(
+        _try_parquet(spark, state_path + "/index", _SEM_INDEX_SCHEMA),
+        committed,
+    )
     old_index = None if idx_raw is None else idx_raw.select(
         F.col("cluster").cast("long").alias("cluster"),
         "cand_id", "_qc", "_nc",
     )
-    overlay = SS.visible(_try_parquet(spark, state_path + "/groups"),
-                         committed)
-    old_ids = SS.visible(_try_parquet(spark, state_path + "/ids"),
-                         committed)
+    overlay = SS.visible(
+        _try_parquet(spark, state_path + "/groups", _SEM_GROUPS_SCHEMA),
+        committed,
+    )
+    old_ids = SS.visible(
+        _try_parquet(spark, state_path + "/ids", _SEM_IDS_SCHEMA),
+        committed,
+    )
     if old_ids is not None:
         # replay anti-join against the ids REGISTRY, pruned to the _pd
         # directories the delta ids hash into — seam-independent (a
         # redelivered id hashes to the same bucket no matter how the
-        # caller's quantizer has drifted), bounded IN-list, O(delta) IO
-        pds = sorted({
-            r[0] for r in new_rows.select(
-                _doc_bucket(F.col("cand_id")).alias("_pd")
-            ).distinct().collect()
-        })
+        # caller's quantizer has drifted), bounded IN-list, O(delta) IO.
+        # AQE off for the probe at ANY delta size: partial aggregation
+        # collapses every input partition to ≤N_BAND_BUCKETS rows before
+        # the exchange, so there is nothing for AQE to coalesce — its
+        # per-stage jobs are pure overhead (the dedup_state_ingest
+        # discipline).
+        with _no_aqe(spark):
+            pds = sorted({
+                r[0] for r in new_rows.select(
+                    _doc_bucket(F.col("cand_id")).alias("_pd")
+                ).distinct().collect()
+            })
         new_rows = new_rows.join(
             old_ids.where(F.col("_pd").isin(pds))
             .select(F.col("id").alias("cand_id")),
@@ -1811,6 +1853,22 @@ def semantic_state_ingest(
             )
         return spark.createDataFrame([], "id long, cluster long, group long")
 
+    small_delta = n_new < 1_000_000
+    bcast = F.broadcast if small_delta else (lambda df_: df_)
+    if small_delta:
+        # AQE off for the delta-bounded probe section (through the
+        # appends; restored before the corpus-scale resolve, and by the
+        # public wrapper on any exit) — every AQE stage materialization
+        # is a scheduled job, and at this measured delivery size none of
+        # its services apply (the dedup_state_ingest discipline). Gated
+        # on delta size, not local mode.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        # narrow the checkpointed delta for its many downstream scans
+        # (each later stage is trivial per row; with AQE off each would
+        # otherwise launch one task per inherited partition). coalesce
+        # after the checkpoint is a narrow view of the cached
+        # partitions — no extra job, no recompute.
+        new_rows = new_rows.coalesce(8)
     tau_q = int(round(tau * 10_000))
     a = new_rows.select(
         "cluster", F.col("cand_id").alias("_a"),
@@ -1822,10 +1880,11 @@ def semantic_state_ingest(
         # a PARTITION filter — IO tracks the batch's touched lists, not
         # the index size (the sparse_lookup shard discipline). The
         # cluster count is the caller's quantizer size (bounded).
-        touched_clusters = sorted(
-            r["cluster"]
-            for r in new_rows.select("cluster").distinct().collect()
-        )
+        with _no_aqe(spark, enabled=not small_delta):
+            touched_clusters = sorted(
+                r["cluster"]
+                for r in new_rows.select("cluster").distinct().collect()
+            )
         corpus = old_index.where(
             F.col("cluster").isin(touched_clusters)
         ).unionByName(new_rows)
@@ -1866,13 +1925,18 @@ def semantic_state_ingest(
             .distinct()
             .join(new_ids, "id", "left_anti")
         )
+        # ends/touched are delta-bounded (edge endpoints / their
+        # labels); broadcasting them keeps the CORPUS-SCALE overlay
+        # store unshuffled through both membership probes — at 100 TB
+        # these two joins are the only corpus-sized inputs in the
+        # probe window
         touched = (
-            overlay.join(ends, "id", "left_semi")
+            overlay.join(bcast(ends), "id", "left_semi")
             .groupBy("id").agg(F.min("group").alias("group"))
             .select("group").distinct()
         )
         members = (
-            overlay.join(touched, "group", "left_semi")
+            overlay.join(bcast(touched), "group", "left_semi")
             .select("id", "cluster", "group")
             .localCheckpoint(eager=True)
         )
@@ -1913,41 +1977,45 @@ def semantic_state_ingest(
                           {"tau": float(tau), "scale": float(scale)})
     dv = SS.new_delivery_id()
     tag = F.lit(dv).alias("_dv")
+    # small deliveries land via append_store's driver-side Arrow path
+    # (the checkpointed delta is collected once and written file-per-
+    # partition-dir without Spark's ~1 s/write committer staging);
+    # large deliveries keep the distributed write
     SS.append_store(
         new_rows.select(tag, "cluster", "cand_id", "_qc", "_nc"),
-        state_path + "/index", ("_dv", "cluster"),
+        state_path + "/index", ("_dv", "cluster"), small=small_delta,
     )
     id_rows = new_rows.select(
         tag, _doc_bucket(F.col("cand_id")).alias("_pd"),
         F.col("cand_id").alias("id"),
     )
     SS.append_store(
-        id_rows.coalesce(1) if n_new < 1_000_000
-        else id_rows.repartition("_pd"),
-        state_path + "/ids", ("_dv", "_pd"),
+        id_rows if small_delta else id_rows.repartition("_pd"),
+        state_path + "/ids", ("_dv", "_pd"), small=small_delta,
     )
-    # gate the single-file append on the OVERLAY's size, not the delta's
-    # (delta_overlay also carries relabeled old rows: a small delta that
-    # relabels a huge existing component must not funnel a multi-million
-    # row append through one task). Bootstrap deliveries have no
-    # relabeled rows — the overlay IS the delta — so the known n_new
-    # stands in and the count job is skipped; otherwise the count is
-    # cheap (the overlay is localCheckpoint'ed above).
+    # gate the driver-side/single-file append on the OVERLAY's size, not
+    # the delta's (delta_overlay also carries relabeled old rows: a
+    # small delta that relabels a huge existing component must not
+    # funnel a multi-million row append through one task or the
+    # driver). Bootstrap deliveries have no relabeled rows — the
+    # overlay IS the delta — so the known n_new stands in and the count
+    # job is skipped; otherwise the count is cheap (the overlay is
+    # localCheckpoint'ed above).
     n_overlay = n_new if members is None else delta_overlay.count()
     SS.append_store(
-        # delivery-sized overlay appends land as one file (the groups
-        # store otherwise gains shuffle-partition-count files per batch)
-        (delta_overlay.coalesce(1)
-         if n_overlay < 1_000_000 else delta_overlay)
-        .select(tag, "id", "cluster", "group"),
-        state_path + "/groups", ("_dv",),
+        delta_overlay.select(tag, "id", "cluster", "group"),
+        state_path + "/groups", ("_dv",), small=n_overlay < 1_000_000,
     )
     SS.publish_commit(spark, state_path, dv)  # THE commit point
+    if small_delta:
+        # corpus-scale resolve below — AQE back on
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     if not return_full:
         return delta_overlay
     return _resolve_group_overlay(
         SS.visible(
-            spark.read.parquet(state_path + "/groups"),
+            spark.read.schema(_SEM_GROUPS_SCHEMA)
+            .parquet(state_path + "/groups"),
             (committed or []) + [dv],
         ).select("id", "cluster", "group")
     ).localCheckpoint(eager=True)
@@ -2090,8 +2158,11 @@ def compact_semantic_state(spark, state_path: str,
     zero = F.lit(0).alias("_dv")
 
     def _index_leg() -> int:
-        idx = SS.visible(spark.read.parquet(state_path + "/index"),
-                         committed)
+        idx = SS.visible(
+            spark.read.schema(_SEM_INDEX_SCHEMA)
+            .parquet(state_path + "/index"),
+            committed,
+        )
         idx.select(zero, "cluster", "cand_id", "_qc", "_nc") \
             .repartition("cluster") \
             .write.partitionBy("_dv", "cluster").mode("overwrite") \
@@ -2100,8 +2171,10 @@ def compact_semantic_state(spark, state_path: str,
         return SS.store_row_count(state_path + "/index")  # footer walk
 
     def _ids_leg() -> None:
-        ids = SS.visible(_try_parquet(spark, state_path + "/ids"),
-                         committed)
+        ids = SS.visible(
+            _try_parquet(spark, state_path + "/ids", _SEM_IDS_SCHEMA),
+            committed,
+        )
         if ids is None:
             return
         ids.select(zero, "_pd", "id").repartition("_pd") \
@@ -2110,8 +2183,10 @@ def compact_semantic_state(spark, state_path: str,
         SS.swap_in(state_path + "/ids.__new", state_path + "/ids")
 
     def _groups_leg() -> None:
-        overlay = SS.visible(_try_parquet(spark, state_path + "/groups"),
-                             committed)
+        overlay = SS.visible(
+            _try_parquet(spark, state_path + "/groups", _SEM_GROUPS_SCHEMA),
+            committed,
+        )
         if overlay is None:
             return
         overlay.groupBy("id").agg(
@@ -2153,8 +2228,11 @@ def compact_span_state(spark, state_path: str,
     zero = F.lit(0).alias("_dv")
 
     def _tokens_leg() -> int:
-        tk = SS.visible(spark.read.parquet(state_path + "/tokens"),
-                        committed)
+        tk = SS.visible(
+            spark.read.schema(_SPAN_TOKENS_SCHEMA)
+            .parquet(state_path + "/tokens"),
+            committed,
+        )
         tk.select(zero, "doc_id", "n_tokens") \
             .repartition(max(1, n_parts // 8)) \
             .write.partitionBy("_dv").mode("overwrite") \
@@ -2163,8 +2241,10 @@ def compact_span_state(spark, state_path: str,
         return SS.store_row_count(state_path + "/tokens")  # footer walk
 
     def _spans_leg() -> None:
-        sp = SS.visible(_try_parquet(spark, state_path + "/spans"),
-                        committed)
+        sp = SS.visible(
+            _try_parquet(spark, state_path + "/spans", _SPAN_SPANS_SCHEMA),
+            committed,
+        )
         if sp is None:
             return
         sp.select(zero, "_ph", "h", "doc_id", "start") \
@@ -2174,11 +2254,20 @@ def compact_span_state(spark, state_path: str,
         SS.swap_in(state_path + "/spans.__new", state_path + "/spans")
 
     def _hcounts_leg() -> None:
-        hc = SS.visible(_try_parquet(spark, state_path + "/hcounts"),
-                        committed)
+        # legacy detection driver-side (directory probe) so the read can
+        # carry its explicit schema — no inference job (the
+        # compact_dedup_state _sigs_leg discipline)
+        has_ph = SS.has_partition_dir(state_path + "/hcounts", "_ph")
+        hc = SS.visible(
+            _try_parquet(
+                spark, state_path + "/hcounts",
+                _SPAN_HCOUNTS_SCHEMA if has_ph else "h string, c long, _dv long",
+            ),
+            committed,
+        )
         if hc is None:
             return
-        if "_ph" not in hc.columns:  # pre-r11: bucket while compacting
+        if not has_ph:  # pre-r11: bucket while compacting
             hc = hc.select(
                 F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int")
                 .alias("_ph"), "h", "c",
@@ -2190,8 +2279,10 @@ def compact_span_state(spark, state_path: str,
         SS.swap_in(state_path + "/hcounts.__new", state_path + "/hcounts")
 
     def _flags_leg() -> None:
-        fl = SS.visible(_try_parquet(spark, state_path + "/flags"),
-                        committed)
+        fl = SS.visible(
+            _try_parquet(spark, state_path + "/flags", _SPAN_FLAGS_SCHEMA),
+            committed,
+        )
         if fl is None:
             return
         fl.select("doc_id", "start").distinct() \
@@ -2218,14 +2309,21 @@ def read_span_state(spark, state_path: str) -> DataFrame | None:
     deliveries (manifest-commit contract), so a crashed half-written
     delivery is invisible."""
     committed = SS.committed_ids(spark, state_path)
-    tokens = SS.visible(_try_parquet(spark, state_path + "/tokens"),
-                        committed)
+    # explicit store schemas (no inference job): a ledger-less legacy
+    # state passes committed=None, so the fabricated null _dv column of
+    # a pre-protocol store is never consulted (read_dedup_state note)
+    tokens = SS.visible(
+        _try_parquet(spark, state_path + "/tokens", _SPAN_TOKENS_SCHEMA),
+        committed,
+    )
     meta = SS.read_meta(state_path)  # driver-side sidecar read
     if tokens is None or meta is None:
         return None
     n = int(meta["n"])
-    flags = SS.visible(_try_parquet(spark, state_path + "/flags"),
-                       committed)
+    flags = SS.visible(
+        _try_parquet(spark, state_path + "/flags", _SPAN_FLAGS_SCHEMA),
+        committed,
+    )
     return _resolve_span_state(tokens, flags, n)
 
 
@@ -2275,9 +2373,12 @@ def _migrate_span_state(spark, state_path: str) -> None:
     happens before the first post-upgrade delivery). Staged write +
     rename swap — the old store stays intact until the replacement is
     fully on disk (r12; see :func:`_migrate_dedup_state`)."""
-    hc = _try_parquet(spark, state_path + "/hcounts")
-    if hc is None or "_ph" in hc.columns:
+    # hot-path probes driver-side (no inference job) — every ingest
+    # passes through here and almost always finds the _ph layout
+    if not SS.store_exists(state_path + "/hcounts") or \
+            SS.has_partition_dir(state_path + "/hcounts", "_ph"):
         return
+    hc = _try_parquet(spark, state_path + "/hcounts")  # legacy path only
     ck = hc.select(
         F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
         "h", "c",
@@ -2296,6 +2397,31 @@ def span_state_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     return_full: bool = True,
+) -> DataFrame:
+    """Cross-snapshot incremental span dedup — full contract on
+    :func:`_span_state_ingest_impl` (shared ``__doc__``). This wrapper
+    only guarantees the session's AQE flag is restored even when a
+    delivery dies mid-ingest (the crash-injection contract raises
+    between store appends by design; the conf must not leak)."""
+    spark = new_docs.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        return _span_state_ingest_impl(
+            new_docs, state_path, n, min_count, text_col, id_col,
+            return_full,
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _span_state_ingest_impl(
+    new_docs: DataFrame,
+    state_path: str,
+    n: int,
+    min_count: int,
+    text_col: str,
+    id_col: str,
+    return_full: bool,
 ) -> DataFrame:
     """Cross-snapshot incremental SPAN-LEVEL (substring) dedup — the
     fourth member of the persisted-state ingest family (exact /
@@ -2366,8 +2492,13 @@ def span_state_ingest(
     committed = SS.adopt_commit_ledger(
         spark, state_path, ("tokens", "spans", "hcounts", "flags")
     )
-    old_tokens = SS.visible(_try_parquet(spark, state_path + "/tokens"),
-                            committed)
+    # post-adoption reads: adopt_commit_ledger above wrapped any legacy
+    # store into the _dv layout, so the known schemas skip the
+    # per-store inference job
+    old_tokens = SS.visible(
+        _try_parquet(spark, state_path + "/tokens", _SPAN_TOKENS_SCHEMA),
+        committed,
+    )
 
     toks = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit(""))
     incoming = new_docs.select(
@@ -2380,12 +2511,23 @@ def span_state_ingest(
             old_tokens.select("doc_id"), "doc_id", "left_anti"
         )
     incoming = incoming.localCheckpoint(eager=True)
-    if old_tokens is not None and incoming.isEmpty():  # pure replay
+    # one count over the checkpointed delta replaces the old
+    # isEmpty() probe AND the later small-delta gate's count
+    n_delta = incoming.count()
+    if old_tokens is not None and n_delta == 0:  # pure replay
         if return_full:
             return read_span_state(spark, state_path).localCheckpoint(
                 eager=True
             )
         return spark.createDataFrame([], "doc_id long, start long")
+    small = n_delta < 1_000_000
+    if small:
+        # AQE off for the delta-bounded probe section (through the
+        # appends; restored before the corpus-scale resolve, and by the
+        # public wrapper on any exit) — the dedup_state_ingest
+        # discipline. Gated on delta size, not local mode.
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        incoming = incoming.coalesce(8)  # narrow view, no extra job
 
     sh = span_hash_table(
         incoming, n=n, text_col="_text", id_col="doc_id"
@@ -2394,14 +2536,20 @@ def span_state_ingest(
     # the delta's hash buckets (≤N_BAND_BUCKETS values) — the partition
     # filter for BOTH corpus-side probes below; crossed hashes are a
     # subset of the delta's hashes, so one list covers the retro probe
-    phs = sorted({
-        r[0] for r in sh.select(
-            F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS))
-            .cast("int").alias("_ph")
-        ).distinct().collect()
-    })
-    old_counts = SS.visible(_try_parquet(spark, state_path + "/hcounts"),
-                            committed)
+    with _no_aqe(spark, enabled=not small):
+        phs = sorted({
+            r[0] for r in sh.select(
+                F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS))
+                .cast("int").alias("_ph")
+            ).distinct().collect()
+        })
+    # schema'd read is safe here: _migrate_span_state above guarantees
+    # the _ph layout, so the legacy "_ph in columns" check below is
+    # vacuously true post-migration
+    old_counts = SS.visible(
+        _try_parquet(spark, state_path + "/hcounts", _SPAN_HCOUNTS_SCHEMA),
+        committed,
+    )
     if old_counts is not None:
         if "_ph" in old_counts.columns:  # pre-r11 stores lack the layout
             old_counts = old_counts.where(F.col("_ph").isin(phs))
@@ -2421,8 +2569,10 @@ def span_state_ingest(
         .select("doc_id", "start")
     # (b) OLD windows whose hash crossed min_count with THIS delivery —
     # they were below the bar before, so they have never been flagged
-    old_spans = SS.visible(_try_parquet(spark, state_path + "/spans"),
-                           committed)
+    old_spans = SS.visible(
+        _try_parquet(spark, state_path + "/spans", _SPAN_SPANS_SCHEMA),
+        committed,
+    )
     if old_spans is not None:
         crossed = dup_h.filter(F.col("_co") < min_count).select("h")
         retro = (
@@ -2440,41 +2590,40 @@ def span_state_ingest(
         # state ≡ bootstrap with the format pinned (benign)
         _write_state_meta(spark, state_path,
                           {"n": int(n), "min_count": int(min_count)})
-    # manifest commit: appends tagged _dv=<delivery id>, published LAST
+    # manifest commit: appends tagged _dv=<delivery id>, published LAST.
+    # Small deliveries land via append_store's driver-side Arrow path
+    # (no Spark committer staging per append); large deliveries keep
+    # the distributed writes.
     dv = SS.new_delivery_id()
     tag = F.lit(dv).alias("_dv")
-    small = incoming.count() < 1_000_000
     tok_rows = incoming.select(tag, "doc_id", "n_tokens")
-    SS.append_store(tok_rows.coalesce(1) if small else tok_rows,
-                    state_path + "/tokens", ("_dv",))
+    SS.append_store(tok_rows, state_path + "/tokens", ("_dv",), small=small)
     spans_out = sh.select(
         tag,
         F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
         "h", "doc_id", "start",
     )
-    spans_out = (
-        spans_out.coalesce(max(1, spark.sparkContext.defaultParallelism // 8))
-        .sortWithinPartitions("_ph", "h")
-        if small else
-        spans_out.repartition("_ph").sortWithinPartitions("h")
-    )
-    SS.append_store(spans_out, state_path + "/spans", ("_dv", "_ph"))
+    if not small:
+        spans_out = spans_out.repartition("_ph").sortWithinPartitions("h")
+    SS.append_store(spans_out, state_path + "/spans", ("_dv", "_ph"),
+                    small=small, sort_by=("h",))
     counts_out = delta_counts.select(
         tag,
         F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int").alias("_ph"),
         "h", F.col("_cd").alias("c"),
     )
-    counts_out = (
-        counts_out.coalesce(1).sortWithinPartitions("_ph", "h")
-        if small else counts_out.repartition("_ph").sortWithinPartitions("h")
-    )
-    SS.append_store(counts_out, state_path + "/hcounts", ("_dv", "_ph"))
+    if not small:
+        counts_out = counts_out.repartition("_ph").sortWithinPartitions("h")
+    SS.append_store(counts_out, state_path + "/hcounts", ("_dv", "_ph"),
+                    small=small, sort_by=("h",))
     SS.append_store(
-        (delta_flags.coalesce(1) if small else delta_flags)
-        .select(tag, "doc_id", "start"),
-        state_path + "/flags", ("_dv",),
+        delta_flags.select(tag, "doc_id", "start"),
+        state_path + "/flags", ("_dv",), small=small,
     )
     SS.publish_commit(spark, state_path, dv)  # THE commit point
+    if small:
+        # corpus-scale resolve below — AQE back on
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     if not return_full:
         return delta_flags
     return read_span_state(spark, state_path).localCheckpoint(eager=True)

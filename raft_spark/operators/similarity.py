@@ -43,7 +43,8 @@ def _collect_queries(qn: DataFrame, limit: int = MAX_COLLECT_QUERIES):
     """Driver-guarded collect of an ANN query side (the Q≪N contract of
     the LUT/closure paths): raises with a clear remedy instead of
     silently OOMing the driver when handed a corpus-sized frame."""
-    rows = qn.limit(limit + 1).collect()
+    with SS._no_aqe(qn.sparkSession):  # probe: one job, not per AQE stage
+        rows = qn.limit(limit + 1).collect()
     if len(rows) > limit:
         raise ValueError(
             f"ANN query side exceeds the Q<<N contract ({limit} rows): "
@@ -68,7 +69,8 @@ def _resolve_scan_strategy(qn: DataFrame, strategy: str, limit: int):
         return "numpy", _collect_queries(qn, limit)
     if strategy != "auto":  # expr, or an explicit select_k merge strategy
         return strategy, None
-    rows = qn.limit(limit + 1).collect()
+    with SS._no_aqe(qn.sparkSession):  # probe: one job, not per AQE stage
+        rows = qn.limit(limit + 1).collect()
     if len(rows) > limit:
         return "expr", None  # degrade gracefully, never OOM the driver
     return "numpy", rows
@@ -505,10 +507,13 @@ def eps_pairs_exact(
             vec_col, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
         ).alias(vec_col),
     )
-    probe = qdf.agg(
-        F.max(F.array_max(F.transform(vec_col, F.abs))).alias("qmax"),
-        F.max(F.size(vec_col)).alias("d"),
-    ).first()
+    # probe discipline: the global agg collapses map-side, so AQE's
+    # per-stage jobs are pure overhead (3 jobs -> 1; statestore._no_aqe)
+    with SS._no_aqe(qdf.sparkSession):
+        probe = qdf.agg(
+            F.max(F.array_max(F.transform(vec_col, F.abs))).alias("qmax"),
+            F.max(F.size(vec_col)).alias("d"),
+        ).first()
     qmax, dim = int(probe["qmax"] or 0), int(probe["d"] or 1)
     # Σ_d (2·qmax)² < 2⁶² ⇔ qmax < 2³⁰/√d (int64-exact regime)
     int64_safe = qmax <= (1 << 30) // max(int(math.isqrt(dim)), 1)
@@ -1704,9 +1709,10 @@ def kmeans_balanced(
         src, C, vec_col, list_col="cluster", dist_col="sq_dist",
     ).select("id", F.col("cluster").cast("long").alias("cluster"),
              "sq_dist").localCheckpoint(eager=True)
-    sizes = out.groupBy("cluster").count().agg(
-        F.max("count").alias("mx"), F.avg("count").alias("av")
-    ).first()
+    with SS._no_aqe(out.sparkSession):  # probe: map-side collapse
+        sizes = out.groupBy("cluster").count().agg(
+            F.max("count").alias("mx"), F.avg("count").alias("av")
+        ).first()
     ratio = float(sizes["mx"]) / max(float(sizes["av"]), 1.0)
     return out, C, ratio
 
@@ -1779,7 +1785,8 @@ def kmeans_parallel_init(
         # sampling collect) so each round pays ONE corpus Arrow-argmin
         # pass, not two — the balanced_centroids discipline
         assigned = _assign_lists(src, C, vec_col, dist_col="_d2").persist()
-        tot = assigned.agg(F.sum("_d2")).first()[0]
+        with SS._no_aqe(assigned.sparkSession):  # probe: map-side collapse
+            tot = assigned.agg(F.sum("_d2")).first()[0]
         if not tot or tot <= 0:
             assigned.unpersist()
             break  # every row coincides with a candidate already
@@ -1856,7 +1863,8 @@ def kmeans(
         df.select(F.col(id_col).alias("id"), vec_col), C, vec_col,
         list_col="cluster", dist_col="sq_dist",
     ).select("id", F.col("cluster").cast("long").alias("cluster"), "sq_dist")
-    inertia = out.agg(F.sum("sq_dist")).collect()[0][0]
+    with SS._no_aqe(out.sparkSession):  # probe: map-side collapse
+        inertia = out.agg(F.sum("sq_dist")).collect()[0][0]
     return out, C, float(inertia)
 
 
@@ -2148,9 +2156,12 @@ def read_ivf_pq_index(spark, path: str) -> dict:
     import numpy as np
 
     codes = spark.read.parquet(f"{path}/codes")
-    crows = spark.read.parquet(f"{path}/centroids").collect()
+    # centroids/codebooks are index METADATA (k and m×k rows): read
+    # driver-side via Arrow — two fewer schema-inference + collect job
+    # pairs per index open (the statestore sidecar discipline)
+    crows = SS.read_table_rows(f"{path}/centroids")
     C = np.array([r["center"] for r in sorted(crows, key=lambda r: r["list_id"])])
-    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    brows = SS.read_table_rows(f"{path}/codebooks")
     m = max(r["subspace"] for r in brows) + 1
     k = max(r["code"] for r in brows) + 1
     dsub = len(brows[0]["word"])
@@ -2608,9 +2619,10 @@ def knn_merge_parts(
 def _validated_dim(df: DataFrame, vec_col: str, op: str) -> int:
     """Uniform vector dimensionality of a frame, or raise — one narrow
     min/max(size) aggregation (column-pruned scan)."""
-    row = df.agg(
-        F.min(F.size(F.col(vec_col))), F.max(F.size(F.col(vec_col)))
-    ).first()
+    with SS._no_aqe(df.sparkSession):  # probe: map-side collapse
+        row = df.agg(
+            F.min(F.size(F.col(vec_col))), F.max(F.size(F.col(vec_col)))
+        ).first()
     d = int(row[0]) if row is not None and row[0] is not None else 0
     if d == 0:
         raise ValueError(f"{op}: empty input or empty vectors")
@@ -2887,12 +2899,13 @@ def scalar_quantize(
     del d  # validation only; the encode is per-element
     x = F.col(vec_col)
     if amax is None:
-        row = df.agg(
-            F.max(F.aggregate(
-                F.transform(x, lambda v: F.abs(v)),
-                F.lit(0.0), lambda acc, v: F.greatest(acc, v),
-            ))
-        ).first()
+        with SS._no_aqe(df.sparkSession):  # probe: map-side collapse
+            row = df.agg(
+                F.max(F.aggregate(
+                    F.transform(x, lambda v: F.abs(v)),
+                    F.lit(0.0), lambda acc, v: F.greatest(acc, v),
+                ))
+            ).first()
         amax = float(row[0]) if row and row[0] is not None else 0.0
     if amax <= 0:
         raise ValueError("scalar_quantize: amax must be positive "

@@ -38,6 +38,8 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from raft_spark.operators import statestore as SS
+
 
 # ---------------------------------------------------------------------------
 # least squares (linalg/lstsq.cuh) — normal equations
@@ -57,7 +59,10 @@ def lstsq_normal(df: DataFrame, x_cols: list[str], y_col: str) -> np.ndarray:
         for cj in cols[i:]:
             aggs.append(F.sum(F.col(ci) * F.col(cj)).alias(f"xx_{ci}_{cj}"))
         aggs.append(F.sum(F.col(ci) * F.col(y_col)).alias(f"xy_{ci}"))
-    row = base.agg(*aggs).collect()[0].asDict()
+    # probe discipline: a global agg collapses partitions map-side, so
+    # AQE's per-stage jobs are pure overhead (see statestore._no_aqe)
+    with SS._no_aqe(base.sparkSession):
+        row = base.agg(*aggs).collect()[0].asDict()
     p = len(cols)
     xtx = np.zeros((p, p))
     xty = np.zeros(p)
@@ -111,13 +116,14 @@ def gram_matrix(df: DataFrame, features: str = "features") -> tuple[np.ndarray, 
         n_row = pd.DataFrame({"i": [-1], "j": [-1], "v": [float(cnt)]})
         yield pd.concat([out, sums, n_row], ignore_index=True)
 
-    rows = (
-        df.select(features)
-        .mapInPandas(pp, "i int, j int, v double")
-        .groupBy("i", "j")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    )
+    with SS._no_aqe(df.sparkSession):  # probe: map-side collapse
+        rows = (
+            df.select(features)
+            .mapInPandas(pp, "i int, j int, v double")
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
     if not rows:
         raise ValueError("gram_matrix: empty input (no feature rows)")
     d = max(r["i"] for r in rows) + 1
@@ -220,13 +226,14 @@ def gram_matrix_exact(
         n_row = pd.DataFrame({"i": [-1], "j": [-1], "v": [dec(cnt)]})
         yield pd.concat([out, sums, n_row], ignore_index=True)
 
-    rows = (
-        df.select(features)
-        .mapInPandas(pp, "i int, j int, v decimal(38,0)")
-        .groupBy("i", "j")
-        .agg(F.sum("v").alias("v"))
-        .collect()
-    )
+    with SS._no_aqe(df.sparkSession):  # probe: map-side collapse
+        rows = (
+            df.select(features)
+            .mapInPandas(pp, "i int, j int, v decimal(38,0)")
+            .groupBy("i", "j")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
     if not rows:
         raise ValueError("gram_matrix_exact: empty input (no feature rows)")
     d = max(r["i"] for r in rows) + 1
@@ -562,9 +569,10 @@ def power_iteration(
         # localCheckpoint per step: without it the logical plan grows by
         # one join+agg per iteration and Catalyst analysis dominates.
         w = spmv(coo, v).localCheckpoint(eager=True)
-        nrm_lam = w.agg(
-            F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
-        ).collect()[0]["nrm"]
+        with SS._no_aqe(w.sparkSession):  # probe: map-side collapse
+            nrm_lam = w.agg(
+                F.sqrt(F.sum(F.col("val") * F.col("val"))).alias("nrm")
+            ).collect()[0]["nrm"]
         if nrm_lam == 0:
             break
         lam = nrm_lam
@@ -749,7 +757,8 @@ def mst_edges_auto(
         .filter(F.col("row") < F.col("col"))
     # one probe job (the connected_components_auto discipline): under
     # the threshold the collected rows ARE the edge table
-    rows = edges.limit(driver_threshold + 1).collect()
+    with SS._no_aqe(coo.sparkSession):
+        rows = edges.limit(driver_threshold + 1).collect()
     if len(rows) > driver_threshold:
         return mst_edges(
             edges.localCheckpoint(eager=True), max_rounds=max_rounds
@@ -811,7 +820,8 @@ def triangle_count(coo: DataFrame, driver_threshold: int = 500_000) -> int:
     )
     # one probe job: under the threshold the collected rows ARE the
     # canonical edge table (the connected_components_auto discipline)
-    rows = e.limit(driver_threshold + 1).collect()
+    with SS._no_aqe(coo.sparkSession):
+        rows = e.limit(driver_threshold + 1).collect()
     n_edges = len(rows)
     if 0 < n_edges <= driver_threshold:
         a = np.fromiter((r["a"] for r in rows), np.int64, n_edges)
@@ -921,7 +931,8 @@ def connected_components_auto(
     (:func:`connected_components` checkpoints the symmetrized edges).
     """
     edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
-    probe = edges.limit(driver_threshold + 1).collect()
+    with SS._no_aqe(coo.sparkSession):  # probe: one job, not one per AQE stage
+        probe = edges.limit(driver_threshold + 1).collect()
     if len(probe) > driver_threshold:
         return connected_components(edges.withColumn("value", F.lit(1.0)),
                                     max_iters=max_iters)
@@ -1050,10 +1061,12 @@ def pagerank(
     edges = edges.localCheckpoint(eager=True)
     ranks = base.select("node", "_deg", F.lit(1.0 / n).alias("rank"))
     for _ in range(max_iters):
-        dangling = (
-            ranks.filter(F.col("_deg").isNull()).agg(F.sum("rank").alias("s"))
-            .collect()[0]["s"] or 0.0
-        )
+        with SS._no_aqe(ranks.sparkSession):  # probe: map-side collapse
+            dangling = (
+                ranks.filter(F.col("_deg").isNull())
+                .agg(F.sum("rank").alias("s"))
+                .collect()[0]["s"] or 0.0
+            )
         contrib = (
             edges.join(
                 ranks.select(F.col("node").alias("row"),
@@ -1137,7 +1150,8 @@ def pagerank_exact(
     # one probe job (CollectLimit short-circuits at scale): under the
     # threshold the collected rows ARE the edge table — no separate
     # checkpoint/count/collect triple
-    rows = edges.limit(driver_threshold + 1).collect()
+    with SS._no_aqe(coo.sparkSession):
+        rows = edges.limit(driver_threshold + 1).collect()
     if len(rows) <= driver_threshold:
         if not rows:
             return coo.sparkSession.createDataFrame(
@@ -1189,10 +1203,12 @@ def pagerank_exact(
         "node", "_d", F.lit(scale // n).cast("long").alias("r")
     )
     for _ in range(iters):
-        dang = (
-            ranks.filter(F.col("_d").isNull()).agg(F.sum("r").alias("s"))
-            .collect()[0]["s"] or 0
-        )
+        with SS._no_aqe(ranks.sparkSession):  # probe: map-side collapse
+            dang = (
+                ranks.filter(F.col("_d").isNull())
+                .agg(F.sum("r").alias("s"))
+                .collect()[0]["s"] or 0
+            )
         share = int(dang) // n
         contrib = (
             edges.join(

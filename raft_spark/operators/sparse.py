@@ -522,6 +522,16 @@ def sparse_pairwise(
     return _sparse_finish(pairs, norms, norms, metric, threshold)
 
 
+# postings-index store schemas (data columns in file order, partition
+# columns last). write_postings/postings_add pin these types at write,
+# so every reader can skip Spark's per-read schema-inference job. A
+# pre-r13 store written from un-cast caller columns reads through the
+# widening path (int32 -> long is a legal parquet promotion) or fails
+# loudly — never silently wrong.
+_POSTINGS_SCHEMA = "col long, row long, value double, _dv long, _shard long"
+_NORMS_SCHEMA = "row long, _nn double, _nz long, _dv long"
+
+
 def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
     """Persist a sparse corpus as an inverted index for delta lookup:
     ``<path>/postings`` holds (col, row, value) partitioned by
@@ -540,6 +550,14 @@ def write_postings(coo: DataFrame, path: str, n_shards: int = 64) -> None:
     delivery extends (see :mod:`raft_spark.operators.statestore`).
     """
     zero = F.lit(0).alias("_dv")
+    # explicit casts pin the STORE TYPES (long ids, double values) so
+    # every later read can carry the known schema instead of paying a
+    # schema-inference job — the types join n_shards as index format
+    coo = coo.select(
+        F.col("col").cast("long").alias("col"),
+        F.col("row").cast("long").alias("row"),
+        F.col("value").cast("double").alias("value"),
+    )
     coo.select(
         zero, "col", "row", "value",
         F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
@@ -593,13 +611,21 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
     n_shards = _postings_n_shards(spark, path)
     committed = SS.adopt_commit_ledger(spark, path, ("postings", "norms"))
     delta = (
-        new_coo.select("row", "col", "value")
-        .join(SS.visible(spark.read.parquet(f"{path}/norms"), committed)
-              .select("row"),
+        new_coo.select(
+            F.col("row").cast("long").alias("row"),
+            F.col("col").cast("long").alias("col"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .join(SS.visible(
+            spark.read.schema(_NORMS_SCHEMA).parquet(f"{path}/norms"),
+            committed).select("row"),
               "row", "left_anti")
         .localCheckpoint(eager=True)  # materialize BEFORE appending to
         # the norms store the anti-join reads
     )
+    # small deliveries take append_store's driver-side Arrow path (no
+    # Spark committer staging per append) — the dedup-family discipline
+    small = delta.count() < 1_000_000
     dv = SS.new_delivery_id()
     tag = F.lit(dv).alias("_dv")
     SS.append_store(
@@ -607,14 +633,15 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
             tag, "col", "row", "value",
             F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
         ),
-        f"{path}/postings", ("_dv", "_shard"),
+        f"{path}/postings", ("_dv", "_shard"), small=small,
+        sort_by=("col", "row"),
     )
     SS.append_store(
         delta.groupBy("row").agg(
             F.sum(F.col("value") * F.col("value")).alias("_nn"),
             F.count("*").alias("_nz"),
         ).select(tag, "row", "_nn", "_nz"),
-        f"{path}/norms", ("_dv",),
+        f"{path}/norms", ("_dv",), small=small,
     )
     SS.publish_commit(spark, path, dv)  # THE commit point
 
@@ -634,13 +661,17 @@ def compact_postings(spark, path: str) -> int:
     if committed is None or 0 not in committed:
         SS.publish_commit(spark, path, 0)
     zero = F.lit(0).alias("_dv")
-    postings = SS.visible(spark.read.parquet(f"{path}/postings"), committed)
+    postings = SS.visible(
+        spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings"),
+        committed,
+    )
     postings.select(zero, "_shard", "col", "row", "value") \
         .repartition("_shard").sortWithinPartitions("col", "row") \
         .write.mode("overwrite").partitionBy("_dv", "_shard") \
         .parquet(f"{path}/postings.__new")
     SS.swap_in(f"{path}/postings.__new", f"{path}/postings")
-    SS.visible(spark.read.parquet(f"{path}/norms"), committed) \
+    SS.visible(spark.read.schema(_NORMS_SCHEMA).parquet(f"{path}/norms"),
+               committed) \
         .select(zero, "row", "_nn", "_nz") \
         .coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
         .write.mode("overwrite").partitionBy("_dv") \
@@ -695,20 +726,28 @@ def sparse_lookup(
     n_shards = _postings_n_shards(spark, path)
     committed = SS.committed_ids(spark, path)
     batch = new_coo.select("row", "col", "value")
-    shards = [
-        r["_shard"] for r in batch.select(
-            F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard")
-        ).distinct().collect()
-    ]
+    # AQE off for the shard probe: partial aggregation collapses every
+    # input partition to ≤n_shards rows before the exchange, so AQE's
+    # per-stage jobs are pure overhead (the dedup-probe discipline)
+    with SS._no_aqe(spark):
+        shards = [
+            r["_shard"] for r in batch.select(
+                F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard")
+            ).distinct().collect()
+        ]
     postings = (
-        SS.visible(spark.read.parquet(f"{path}/postings"), committed)
+        SS.visible(
+            spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings"),
+            committed,
+        )
         .filter(F.col("_shard").isin(shards))  # partition pruning
         .select(F.col("row").alias("b"), "col", F.col("value").alias("_vb"))
     )
     lhs = batch.select(F.col("row").alias("a"), "col",
                        F.col("value").alias("_va"))
-    corpus_norms = SS.visible(spark.read.parquet(f"{path}/norms"),
-                              committed).select("row", "_nn", "_nz")
+    corpus_norms = SS.visible(
+        spark.read.schema(_NORMS_SCHEMA).parquet(f"{path}/norms"),
+        committed).select("row", "_nn", "_nz")
     if max_col_df is not None:
         df_counts = (
             postings.groupBy("col").agg(F.count("*").alias("_dfp"))

@@ -108,6 +108,61 @@ def _try_parquet(spark, path: str, schema: str | None = None) -> DataFrame | Non
         return None
 
 
+def read_table_rows(path: str) -> list[dict]:
+    """Driver-side read of a SMALL Spark-written parquet directory as a
+    list of dicts (pyarrow dataset; ``_SUCCESS``/dot files are ignored
+    by the default prefix rules). For metadata-sized sidecar tables
+    only — replaces a schema-inference job + a collect job with zero
+    scheduled jobs."""
+    import pyarrow.parquet as pq
+
+    return pq.read_table(path).to_pylist()
+
+
+class _no_aqe:
+    """Temporarily disable AQE on the session (restored on exit).
+
+    Delta-bounded probe sections pay one scheduled job per AQE stage
+    materialization: a 3-shuffle probe over a few-KB delta costs 4-5
+    jobs under AQE vs 1 without, and at the small-delivery sizes these
+    sections are gated on (measured n_delta, not local mode) none of
+    AQE's services apply — coalescing targets are already single-digit
+    KB, the joins are explicitly broadcast-hinted, and there is nothing
+    to skew-split. Corpus-scale sections (resolves, compactions, large
+    deliveries) keep AQE. Session-wide runtime conf: safe because the
+    ingests are single-threaded per state (the documented single-writer
+    contract) and restored in ``finally`` even on error."""
+
+    def __init__(self, spark, enabled: bool = True):
+        self.spark, self.enabled = spark, enabled
+
+    def __enter__(self):
+        if self.enabled:
+            self.prev = self.spark.conf.get("spark.sql.adaptive.enabled",
+                                            "true")
+            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self.enabled:
+            self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+        return False
+
+
+def store_exists(store: str) -> bool:
+    """Driver-side check that a store has ever been written (holds at
+    least one visible parquet data file) — the migration hot-path
+    existence probe, without paying a Spark schema-inference job.
+    Matches ``_try_parquet``'s None semantics: an absent directory, an
+    empty one, or one holding only ``_SUCCESS``/staging/dot files all
+    count as never-written."""
+    for _root, _dirs, files in os.walk(store):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                return True
+    return False
+
+
 def has_partition_dir(store: str, col: str) -> bool:
     """Driver-side check that a store's directory tree carries
     ``col=...`` partition directories — the layout probe compaction

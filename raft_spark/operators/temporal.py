@@ -35,6 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from raft_spark.operators import statestore as SS
+
 
 def _asof_tagged(
     left: DataFrame,
@@ -309,11 +311,12 @@ def asof_route(
     n_left = left.count()
     frac = min(1.0, probe_rows / max(n_left, 1))
     sample = left.sample(fraction=frac, seed=7) if frac < 1.0 else left
-    top = (
-        sample.groupBy(by).count()
-        .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
-        .collect()[0]
-    )
+    with SS._no_aqe(left.sparkSession):  # probe: map-side collapse
+        top = (
+            sample.groupBy(by).count()
+            .agg(F.max("count").alias("mx"), F.sum("count").alias("tot"))
+            .collect()[0]
+        )
     if top["tot"] and top["mx"] / top["tot"] >= skew_share:
         return "skew"
     return "window"
@@ -611,7 +614,8 @@ def rolling_aggregates_skew(
         F.struct(*lcols).alias("_o"), ts_us.alias("_ts_us"), qv.alias("_qv"),
         F.col(by).alias("_by"),
     )
-    lo, hi = base.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+    with SS._no_aqe(df.sparkSession):  # probe: map-side collapse
+        lo, hi = base.agg(F.min("_ts_us"), F.max("_ts_us")).first()
     if lo is None:
         cell_w = int(window_us)
     else:
@@ -667,12 +671,13 @@ def rolling_route(
         return "window"
     frac = min(1.0, probe_rows / n)
     sample = df.sample(fraction=frac, seed=7) if frac < 1.0 else df
-    stats = (
-        sample.groupBy(F.col(by).alias("_by"))
-        .agg(F.count(F.lit(1)).alias("_c"))
-        .agg(F.max("_c").alias("mx"), F.sum("_c").alias("tot"))
-        .collect()[0]
-    )
+    with SS._no_aqe(df.sparkSession):  # probe: map-side collapse
+        stats = (
+            sample.groupBy(F.col(by).alias("_by"))
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(F.max("_c").alias("mx"), F.sum("_c").alias("tot"))
+            .collect()[0]
+        )
     if not stats["tot"]:
         return "window"
     if stats["mx"] / stats["tot"] >= skew_share:
