@@ -2079,7 +2079,18 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         )
         if not has_pd:  # pre-r11: bucket while compacting
             sigs = sigs.withColumn("_pd", _doc_bucket(F.col("doc_id")))
-        sigs.select(zero, "_pd", "doc_id", "sig").repartition("_pd") \
+        out = sigs.select(zero, "_pd", "doc_id", "sig")
+        # small stores (footer-walk row count — an upper bound on the
+        # visible rows) rewrite via one Arrow collect + driver-side file
+        # writes: a distributed partitionBy write pays ~1-3 s of
+        # committer staging to land a few MB (the append_store small=
+        # discipline, applied to the maintenance rewrite)
+        if SS.store_row_count(state_path + "/sigs") < SS.SMALL_STORE_ROWS:
+            n = SS.compact_store_driver(
+                out, state_path + "/sigs.__new", ("_dv", "_pd"))
+            SS.swap_in(state_path + "/sigs.__new", state_path + "/sigs")
+            return n
+        out.repartition("_pd") \
             .write.partitionBy("_dv", "_pd").mode("overwrite") \
             .parquet(state_path + "/sigs.__new")
         SS.swap_in(state_path + "/sigs.__new", state_path + "/sigs")
@@ -2094,10 +2105,15 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         )
         if bands is None:
             return
-        bands.select(zero, "_pb", "band", "bsig", "doc_id") \
-            .repartition("_pb").sortWithinPartitions("band", "bsig") \
-            .write.partitionBy("_dv", "_pb").mode("overwrite") \
-            .parquet(state_path + "/bands.__new")
+        out = bands.select(zero, "_pb", "band", "bsig", "doc_id")
+        if SS.store_row_count(state_path + "/bands") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/bands.__new", ("_dv", "_pb"),
+                sort_by=("band", "bsig"))
+        else:
+            out.repartition("_pb").sortWithinPartitions("band", "bsig") \
+                .write.partitionBy("_dv", "_pb").mode("overwrite") \
+                .parquet(state_path + "/bands.__new")
         SS.swap_in(state_path + "/bands.__new", state_path + "/bands")
 
     def _occ_leg() -> None:
@@ -2106,10 +2122,14 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         )
         if occ is None:
             return
-        occ.groupBy("_pb", "band", "bsig").agg(F.sum("n").alias("n")) \
-            .select(zero, "_pb", "band", "bsig", "n") \
-            .write.partitionBy("_dv", "_pb").mode("overwrite") \
-            .parquet(state_path + "/occ.__new")
+        out = occ.groupBy("_pb", "band", "bsig").agg(F.sum("n").alias("n")) \
+            .select(zero, "_pb", "band", "bsig", "n")
+        if SS.store_row_count(state_path + "/occ") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/occ.__new", ("_dv", "_pb"))
+        else:
+            out.write.partitionBy("_dv", "_pb").mode("overwrite") \
+                .parquet(state_path + "/occ.__new")
         SS.swap_in(state_path + "/occ.__new", state_path + "/occ")
 
     def _clusters_leg() -> None:
@@ -2119,11 +2139,16 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         )
         if overlay is None:
             return
-        overlay.groupBy("doc_id") \
+        out = overlay.groupBy("doc_id") \
             .agg(F.min("cluster_id").alias("cluster_id")) \
-            .select(zero, "doc_id", "cluster_id").repartition(n_parts) \
-            .write.partitionBy("_dv").mode("overwrite") \
-            .parquet(state_path + "/clusters.__new")
+            .select(zero, "doc_id", "cluster_id")
+        if SS.store_row_count(state_path + "/clusters") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/clusters.__new", ("_dv",))
+        else:
+            out.repartition(n_parts) \
+                .write.partitionBy("_dv").mode("overwrite") \
+                .parquet(state_path + "/clusters.__new")
         SS.swap_in(state_path + "/clusters.__new", state_path + "/clusters")
 
     with ThreadPoolExecutor(max_workers=4) as pool:
@@ -2163,8 +2188,16 @@ def compact_semantic_state(spark, state_path: str,
             .parquet(state_path + "/index"),
             committed,
         )
-        idx.select(zero, "cluster", "cand_id", "_qc", "_nc") \
-            .repartition("cluster") \
+        out = idx.select(zero, "cluster", "cand_id", "_qc", "_nc")
+        # small stores (footer-walk upper bound on the visible rows)
+        # rewrite via one Arrow collect + driver-side file writes — the
+        # compact_dedup_state discipline
+        if SS.store_row_count(state_path + "/index") < SS.SMALL_STORE_ROWS:
+            n = SS.compact_store_driver(
+                out, state_path + "/index.__new", ("_dv", "cluster"))
+            SS.swap_in(state_path + "/index.__new", state_path + "/index")
+            return n
+        out.repartition("cluster") \
             .write.partitionBy("_dv", "cluster").mode("overwrite") \
             .parquet(state_path + "/index.__new")
         SS.swap_in(state_path + "/index.__new", state_path + "/index")
@@ -2177,9 +2210,14 @@ def compact_semantic_state(spark, state_path: str,
         )
         if ids is None:
             return
-        ids.select(zero, "_pd", "id").repartition("_pd") \
-            .write.partitionBy("_dv", "_pd").mode("overwrite") \
-            .parquet(state_path + "/ids.__new")
+        out = ids.select(zero, "_pd", "id")
+        if SS.store_row_count(state_path + "/ids") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/ids.__new", ("_dv", "_pd"))
+        else:
+            out.repartition("_pd") \
+                .write.partitionBy("_dv", "_pd").mode("overwrite") \
+                .parquet(state_path + "/ids.__new")
         SS.swap_in(state_path + "/ids.__new", state_path + "/ids")
 
     def _groups_leg() -> None:
@@ -2189,11 +2227,16 @@ def compact_semantic_state(spark, state_path: str,
         )
         if overlay is None:
             return
-        overlay.groupBy("id").agg(
+        out = overlay.groupBy("id").agg(
             F.min("cluster").alias("cluster"), F.min("group").alias("group")
-        ).select(zero, "id", "cluster", "group").repartition(n_parts) \
-            .write.partitionBy("_dv").mode("overwrite") \
-            .parquet(state_path + "/groups.__new")
+        ).select(zero, "id", "cluster", "group")
+        if SS.store_row_count(state_path + "/groups") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/groups.__new", ("_dv",))
+        else:
+            out.repartition(n_parts) \
+                .write.partitionBy("_dv").mode("overwrite") \
+                .parquet(state_path + "/groups.__new")
         SS.swap_in(state_path + "/groups.__new", state_path + "/groups")
 
     with ThreadPoolExecutor(max_workers=3) as pool:
@@ -2233,8 +2276,16 @@ def compact_span_state(spark, state_path: str,
             .parquet(state_path + "/tokens"),
             committed,
         )
-        tk.select(zero, "doc_id", "n_tokens") \
-            .repartition(max(1, n_parts // 8)) \
+        out = tk.select(zero, "doc_id", "n_tokens")
+        # small stores (footer-walk upper bound on the visible rows)
+        # rewrite via one Arrow collect + driver-side file writes — the
+        # compact_dedup_state discipline
+        if SS.store_row_count(state_path + "/tokens") < SS.SMALL_STORE_ROWS:
+            n = SS.compact_store_driver(
+                out, state_path + "/tokens.__new", ("_dv",))
+            SS.swap_in(state_path + "/tokens.__new", state_path + "/tokens")
+            return n
+        out.repartition(max(1, n_parts // 8)) \
             .write.partitionBy("_dv").mode("overwrite") \
             .parquet(state_path + "/tokens.__new")
         SS.swap_in(state_path + "/tokens.__new", state_path + "/tokens")
@@ -2247,10 +2298,15 @@ def compact_span_state(spark, state_path: str,
         )
         if sp is None:
             return
-        sp.select(zero, "_ph", "h", "doc_id", "start") \
-            .repartition("_ph").sortWithinPartitions("h") \
-            .write.partitionBy("_dv", "_ph").mode("overwrite") \
-            .parquet(state_path + "/spans.__new")
+        out = sp.select(zero, "_ph", "h", "doc_id", "start")
+        if SS.store_row_count(state_path + "/spans") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/spans.__new", ("_dv", "_ph"),
+                sort_by=("h",))
+        else:
+            out.repartition("_ph").sortWithinPartitions("h") \
+                .write.partitionBy("_dv", "_ph").mode("overwrite") \
+                .parquet(state_path + "/spans.__new")
         SS.swap_in(state_path + "/spans.__new", state_path + "/spans")
 
     def _hcounts_leg() -> None:
@@ -2272,10 +2328,15 @@ def compact_span_state(spark, state_path: str,
                 F.pmod(F.xxhash64("h"), F.lit(N_BAND_BUCKETS)).cast("int")
                 .alias("_ph"), "h", "c",
             )
-        hc.groupBy("_ph", "h").agg(F.sum("c").alias("c")) \
-            .select(zero, "_ph", "h", "c") \
-            .write.partitionBy("_dv", "_ph").mode("overwrite") \
-            .parquet(state_path + "/hcounts.__new")
+        out = hc.groupBy("_ph", "h").agg(F.sum("c").alias("c")) \
+            .select(zero, "_ph", "h", "c")
+        if SS.store_row_count(state_path + "/hcounts") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/hcounts.__new", ("_dv", "_ph"),
+                sort_by=("h",))
+        else:
+            out.write.partitionBy("_dv", "_ph").mode("overwrite") \
+                .parquet(state_path + "/hcounts.__new")
         SS.swap_in(state_path + "/hcounts.__new", state_path + "/hcounts")
 
     def _flags_leg() -> None:
@@ -2285,11 +2346,15 @@ def compact_span_state(spark, state_path: str,
         )
         if fl is None:
             return
-        fl.select("doc_id", "start").distinct() \
-            .select(zero, "doc_id", "start") \
-            .repartition(max(1, n_parts // 8)) \
-            .write.partitionBy("_dv").mode("overwrite") \
-            .parquet(state_path + "/flags.__new")
+        out = fl.select("doc_id", "start").distinct() \
+            .select(zero, "doc_id", "start")
+        if SS.store_row_count(state_path + "/flags") < SS.SMALL_STORE_ROWS:
+            SS.compact_store_driver(
+                out, state_path + "/flags.__new", ("_dv",))
+        else:
+            out.repartition(max(1, n_parts // 8)) \
+                .write.partitionBy("_dv").mode("overwrite") \
+                .parquet(state_path + "/flags.__new")
         SS.swap_in(state_path + "/flags.__new", state_path + "/flags")
 
     with ThreadPoolExecutor(max_workers=4) as pool:

@@ -2555,6 +2555,15 @@ def ivf_pq_index_compact(spark, path: str) -> int:
     codes = spark.read.parquet(f"{path}/codes").select(
         "id", "codes", F.col("list_id").cast("int").alias("list_id")
     )
+    # small indexes (footer-walk row count) rewrite via one Arrow
+    # collect + driver-side file writes into a staged sibling swapped by
+    # rename — no localCheckpoint materialization, no committer staging
+    # (the compact_dedup_state discipline)
+    if SS.store_row_count(f"{path}/codes") < SS.SMALL_STORE_ROWS:
+        n = SS.compact_store_driver(
+            codes, f"{path}/codes.__new", ("list_id",))
+        SS.swap_in(f"{path}/codes.__new", f"{path}/codes")
+        return n
     compacted = codes.repartition("list_id").localCheckpoint(eager=True)
     n = compacted.count()
     compacted.write.mode("overwrite").partitionBy("list_id").parquet(

@@ -665,19 +665,34 @@ def compact_postings(spark, path: str) -> int:
         spark.read.schema(_POSTINGS_SCHEMA).parquet(f"{path}/postings"),
         committed,
     )
-    postings.select(zero, "_shard", "col", "row", "value") \
-        .repartition("_shard").sortWithinPartitions("col", "row") \
-        .write.mode("overwrite").partitionBy("_dv", "_shard") \
-        .parquet(f"{path}/postings.__new")
+    p_out = postings.select(zero, "_shard", "col", "row", "value")
+    # small stores (footer-walk upper bound on the visible rows) rewrite
+    # via one Arrow collect + driver-side file writes — the
+    # compact_dedup_state discipline
+    small_p = SS.store_row_count(f"{path}/postings") < SS.SMALL_STORE_ROWS
+    if small_p:
+        n_postings = SS.compact_store_driver(
+            p_out, f"{path}/postings.__new", ("_dv", "_shard"),
+            sort_by=("col", "row"))
+    else:
+        p_out.repartition("_shard").sortWithinPartitions("col", "row") \
+            .write.mode("overwrite").partitionBy("_dv", "_shard") \
+            .parquet(f"{path}/postings.__new")
     SS.swap_in(f"{path}/postings.__new", f"{path}/postings")
-    SS.visible(spark.read.schema(_NORMS_SCHEMA).parquet(f"{path}/norms"),
-               committed) \
-        .select(zero, "row", "_nn", "_nz") \
-        .coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
-        .write.mode("overwrite").partitionBy("_dv") \
-        .parquet(f"{path}/norms.__new")
+    n_out = SS.visible(
+        spark.read.schema(_NORMS_SCHEMA).parquet(f"{path}/norms"),
+        committed,
+    ).select(zero, "row", "_nn", "_nz")
+    if SS.store_row_count(f"{path}/norms") < SS.SMALL_STORE_ROWS:
+        SS.compact_store_driver(n_out, f"{path}/norms.__new", ("_dv",))
+    else:
+        n_out.coalesce(max(1, spark.sparkContext.defaultParallelism // 8)) \
+            .write.mode("overwrite").partitionBy("_dv") \
+            .parquet(f"{path}/norms.__new")
     SS.swap_in(f"{path}/norms.__new", f"{path}/norms")
     SS.reset_ledger(spark, path, [0])
+    if small_p:
+        return n_postings
     # row count from the rewritten files' parquet footers — a
     # driver-side metadata walk, not another scheduled scan
     return SS.store_row_count(f"{path}/postings")

@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import os
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame
@@ -131,21 +132,42 @@ class _no_aqe:
     to skew-split. Corpus-scale sections (resolves, compactions, large
     deliveries) keep AQE. Session-wide runtime conf: safe because the
     ingests are single-threaded per state (the documented single-writer
-    contract) and restored in ``finally`` even on error."""
+    contract) and restored in ``finally`` even on error.
+
+    Depth-counted and lock-guarded so CONCURRENT sections compose (the
+    compactors run their store legs on a thread pool, each collecting
+    via Arrow under this guard): the first entry records the session
+    flag and turns it off, the last exit restores it — a naive
+    per-instance save/restore would race between threads and could
+    leave the session with AQE off permanently."""
+
+    _lock = threading.Lock()
+    _depth = 0
+    _outer_prev = "true"
 
     def __init__(self, spark, enabled: bool = True):
         self.spark, self.enabled = spark, enabled
 
     def __enter__(self):
         if self.enabled:
-            self.prev = self.spark.conf.get("spark.sql.adaptive.enabled",
-                                            "true")
-            self.spark.conf.set("spark.sql.adaptive.enabled", "false")
+            cls = type(self)
+            with cls._lock:
+                if cls._depth == 0:
+                    cls._outer_prev = self.spark.conf.get(
+                        "spark.sql.adaptive.enabled", "true")
+                    self.spark.conf.set("spark.sql.adaptive.enabled",
+                                        "false")
+                cls._depth += 1
         return self
 
     def __exit__(self, *exc):
         if self.enabled:
-            self.spark.conf.set("spark.sql.adaptive.enabled", self.prev)
+            cls = type(self)
+            with cls._lock:
+                cls._depth -= 1
+                if cls._depth == 0:
+                    self.spark.conf.set("spark.sql.adaptive.enabled",
+                                        cls._outer_prev)
         return False
 
 
@@ -300,20 +322,22 @@ def append_store(df: DataFrame, path: str,
 
 def _append_store_driver(df: DataFrame, path: str,
                          partition_cols: tuple[str, ...],
-                         sort_by: tuple[str, ...] = ()) -> None:
+                         sort_by: tuple[str, ...] = ()) -> int:
     """Driver-side rendering of one small append: collect via Arrow
     (one fast job over checkpointed partitions), split by the partition
     columns' values, write one parquet file per partition directory.
     Layout, schema and compression match the Spark writer so mixed
     stores (driver-written small deliveries + Spark-written large ones
-    + compacted rewrites) read back identically."""
+    + compacted rewrites) read back identically. Returns the row count
+    (the compaction path reports it without re-walking footers)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    t = df.toArrow()
+    with _no_aqe(df.sparkSession):  # one collect job, not one per stage
+        t = df.toArrow()
     if t.num_rows == 0:
         os.makedirs(path, exist_ok=True)  # store exists, like an empty
-        return                            # Spark append
+        return 0                          # Spark append
     if sort_by:
         t = t.sort_by([(c, "ascending") for c in sort_by])
     if not partition_cols:
@@ -339,6 +363,32 @@ def _append_store_driver(df: DataFrame, path: str,
         os.rename(tmp, os.path.join(
             d, f"part-{uuid.uuid4().hex}.snappy.parquet"
         ))
+    return t.num_rows
+
+
+# the compactors' small-store gate: stores under this many rows (footer
+# walk, driver-side) rewrite via one Arrow collect + driver-side file
+# writes instead of a distributed partitionBy write whose committer
+# staging costs ~1-3 s to land a few MB. Same threshold as the ingests'
+# small-delivery gate — measured data size, never local mode.
+SMALL_STORE_ROWS = 1_000_000
+
+
+def compact_store_driver(df: DataFrame, new_dir: str,
+                         partition_cols: tuple[str, ...] = (),
+                         sort_by: tuple[str, ...] = ()) -> int:
+    """Driver-side rendering of one small compaction leg: materialize
+    the compacted rows via one Arrow collect and write the ``.__new``
+    store directly (one file per partition directory, the
+    :func:`_append_store_driver` layout), ready for :func:`swap_in`.
+    Returns the row count. Callers gate on
+    ``store_row_count(store) < SMALL_STORE_ROWS`` — the footer walk is
+    an upper bound on the visible rows (orphaned uncommitted deliveries
+    only shrink the rewrite), so the gate can only err toward the
+    driver path on a store that is already driver-sized."""
+    shutil.rmtree(new_dir, ignore_errors=True)
+    os.makedirs(new_dir, exist_ok=True)
+    return _append_store_driver(df, new_dir, partition_cols, sort_by)
 
 
 def swap_in(new_dir: str, store: str) -> None:
