@@ -210,6 +210,37 @@ def test_semantic_incremental_replay_noop(spark, sf_dir, tmp_path):
     assert idx.count() == m.count() and groups.count() == m.count()
 
 
+def test_compact_dedup_state_distributed_branch(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """r13: small stores compact via one Arrow collect + driver-side
+    file writes; stores over SMALL_STORE_ROWS keep the distributed
+    partitionBy write. Every unit test's state is small, so the
+    distributed branch would otherwise be unexercised — force it
+    through the threshold seam and assert the same content contract
+    both branches must meet."""
+    from raft_spark.operators import statestore as SS
+
+    docs = load(spark, "documents", sf_dir)
+    p = str(tmp_path / "state")
+    for k in range(2):
+        D.dedup_state_ingest(docs.filter(F.col("doc_id") % 2 == k), p)
+    before = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(p + "/sigs").collect()
+    }
+    resolved_before = _cluster_map(D.read_dedup_state(spark, p)[1])
+    monkeypatch.setattr(SS, "SMALL_STORE_ROWS", 0)  # force distributed
+    n = D.compact_dedup_state(spark, p, partitions=2)
+    after = {
+        (r["doc_id"], tuple(r["sig"]))
+        for r in spark.read.parquet(p + "/sigs").collect()
+    }
+    assert n == len(before) and after == before
+    assert _cluster_map(D.read_dedup_state(spark, p)[1]) == resolved_before
+    # AQE flag restored after the thread-pool legs (depth-counted guard)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
 def test_compact_dedup_state_preserves_content(spark, sf_dir, tmp_path):
     """Compaction is a pure file-layout rewrite: content identical,
     file count reduced after several delta appends."""

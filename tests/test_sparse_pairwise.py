@@ -300,6 +300,33 @@ def test_sparse_lookup_max_col_df(spark, sp, tmp_path):
             assert abs(v - exp) <= 2e-6, (metric, a, b)
 
 
+def test_compact_postings_distributed_branch(spark, sp, tmp_path,
+                                             monkeypatch):
+    """r13: small stores compact via one Arrow collect + driver-side
+    file writes; stores over SMALL_STORE_ROWS keep the distributed
+    partitionBy write. Every unit test's index is small, so the
+    distributed branch would otherwise be unexercised — force it
+    through the threshold seam and assert the same content contract
+    both branches must meet."""
+    from raft_spark.operators import statestore as SS
+
+    df, _M = sp
+    path = str(tmp_path / "idxd")
+    SP.write_postings(df.filter(F.col("row") < 10), path, n_shards=4)
+    SP.postings_add(df.filter(F.col("row") >= 10), path)
+    before = {
+        (r["col"], r["row"], r["value"])
+        for r in spark.read.parquet(path + "/postings").collect()
+    }
+    monkeypatch.setattr(SS, "SMALL_STORE_ROWS", 0)  # force distributed
+    n = SP.compact_postings(spark, path)
+    after = {
+        (r["col"], r["row"], r["value"])
+        for r in spark.read.parquet(path + "/postings").collect()
+    }
+    assert n == len(before) and after == before
+
+
 def test_compact_postings_preserves_content(spark, sp, tmp_path):
     """Compaction is a pure file-layout rewrite: lookup results and row
     contents identical, shard file count reduced after several delta
