@@ -888,28 +888,59 @@ def stable_term_id_expr(term_col):
     )
 
 
+# Column-expression cache for the hot per-ingest builders. Building the
+# MinHash signature expression is ~10³ py4j round trips (16 perms ×
+# nested transforms) — measured 0.5-2 s of pure driver-side Python per
+# call, paid per delivery by the ingest paths. Catalyst expression trees
+# are immutable and unbound (resolved per-plan at analysis), so a
+# Column keyed on its builder arguments is safely reusable across
+# DataFrames/queries; keying on the py4j gateway id drops stale entries
+# if the JVM is ever relaunched.
+_EXPR_CACHE: dict = {}
+
+
+def _cached_expr(key: tuple, build):
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    full = (id(sc._gateway) if sc is not None else None,) + key
+    got = _EXPR_CACHE.get(full)
+    if got is None:
+        got = _EXPR_CACHE[full] = build()
+    return got
+
+
 def minhash_signature_stable(text_col, num_perms: int = NUM_PERMS):
     """:func:`minhash_signature_expr` with :func:`stable_term_id_expr`
     term ids — one stateless per-row projection (no vocab build, no
     aggregation), so it runs identically on batch frames, streams, and
     across corpus snapshots: the signature a document gets today equals
     the signature it got in last month's state, which is what makes the
-    persisted-state delta ingest (:func:`dedup_state_ingest`) sound."""
+    persisted-state delta ingest (:func:`dedup_state_ingest`) sound.
+    The built Column is cached per (column name, num_perms) — see
+    :data:`_EXPR_CACHE`."""
     from raft_spark.functions.arrays import let_bind
 
-    def perm_min(hashes, p: int):
-        a, b = perm_consts(p)
-        return F.array_min(
-            F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)
+    def build():
+        def perm_min(hashes, p: int):
+            a, b = perm_consts(p)
+            return F.array_min(
+                F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % P31)
+            )
+
+        return let_bind(
+            F.transform(
+                F.array_distinct(F.split(_col(text_col), r"\s+")),
+                stable_term_id_expr,
+            ),
+            lambda hashes: F.array(
+                *[perm_min(hashes, p) for p in range(num_perms)]
+            ),
         )
 
-    return let_bind(
-        F.transform(
-            F.array_distinct(F.split(_col(text_col), r"\s+")),
-            stable_term_id_expr,
-        ),
-        lambda hashes: F.array(*[perm_min(hashes, p) for p in range(num_perms)]),
-    )
+    if isinstance(text_col, str):
+        return _cached_expr(("mh_stable", text_col, num_perms), build)
+    return build()
 
 
 def bands_from_sig(sig, num_perms: int = NUM_PERMS, band_rows: int = BAND_ROWS):
@@ -1178,12 +1209,458 @@ def dedup_state_ingest(
     spark = new_docs.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
+        out = _dedup_state_ingest_driver(
+            new_docs, state_path, text_col, id_col, threshold, num_perms,
+            band_rows, max_bucket_docs, return_full,
+        )
+        if out is not None:
+            return out
         return _dedup_state_ingest_impl(
             new_docs, state_path, text_col, id_col, threshold, num_perms,
             band_rows, max_bucket_docs, return_full,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+# driver-rendered ingest cap: deliveries above this many docs (or any
+# state store at/above statestore.SMALL_STORE_ROWS) take the distributed
+# path. Measured data size, never core count — a 50k delivery into a
+# small bootstrap state rides the driver path on any cluster; a 100 TB
+# corpus state routes every delivery to the distributed path because its
+# stores exceed the row gate.
+DRIVER_DELTA_DOCS = 200_000
+# candidate-pair explosion guard for the driver rendering (a degenerate
+# near-cap bucket profile could square into tens of millions of pairs —
+# the distributed path handles that shape, the driver list must not)
+_DRIVER_MAX_CAND = 3_000_000
+
+
+# resolved tables up to this many rows return as Arrow-backed local
+# relations (no scheduled job); larger resolves read back through Spark
+_DRIVER_RESOLVE_ROWS = 100_000
+
+
+def _resolved_rows_table(pairs_iter):
+    """(doc_id, cluster_id) overlay pairs → the resolved full table as
+    an Arrow table — the exact :func:`_resolve_cluster_overlay`
+    aggregate (min label per doc, sizes per resolved cluster, canonical
+    = the cluster minimum), rendered driver-side."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    cur: dict = {}
+    for d, c in pairs_iter:
+        if d not in cur or c < cur[d]:
+            cur[d] = c
+    sizes = Counter(cur.values())
+    docs = sorted(cur)
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "cluster_id": pa.array([cur[d] for d in docs], pa.int64()),
+        "cluster_size": pa.array([sizes[cur[d]] for d in docs], pa.int64()),
+        "is_canonical": pa.array(
+            [1 if d == cur[d] else 0 for d in docs], pa.int32()
+        ),
+    })
+
+
+def resolve_dedup_state_rows(spark, state_path: str) -> list[tuple] | None:
+    """Driver-side resolved cluster table of a SMALL persisted dedup
+    state as [(doc_id, cluster_id, cluster_size, is_canonical)], or
+    None when the state is corpus-sized, pre-protocol, or never written
+    — callers then fall back to :func:`read_dedup_state`. Zero
+    scheduled jobs; same visibility (committed deliveries only) and the
+    same resolve aggregate as the Spark reader."""
+    store = state_path + "/clusters"
+    if not os.path.isdir(state_path + "/sigs") or not os.path.isdir(store):
+        return None
+    if not SS.pure_dv_layout(store):
+        return None
+    if SS.store_row_count(store) >= SS.SMALL_STORE_ROWS:
+        return None
+    committed = SS.committed_ids(spark, state_path)
+    ov = SS.read_store_arrow(store, committed,
+                             columns=["doc_id", "cluster_id"])
+    pairs = (
+        zip(ov.column("doc_id").to_pylist(),
+            ov.column("cluster_id").to_pylist())
+        if ov is not None else []
+    )
+    t = _resolved_rows_table(pairs)
+    return list(zip(
+        t.column("doc_id").to_pylist(), t.column("cluster_id").to_pylist(),
+        t.column("cluster_size").to_pylist(),
+        t.column("is_canonical").to_pylist(),
+    ))
+
+
+def _resolve_state_clusters(spark, state_path: str, ids) -> DataFrame:
+    """Full-corpus resolve from a FRESH post-append scan of the clusters
+    store restricted to ``ids`` (committed + the delivery just
+    published); checkpointed so the caller's frame survives state
+    compaction or deletion underneath it."""
+    return _resolve_cluster_overlay(
+        SS.visible(
+            spark.read.schema(_CLUSTERS_SCHEMA)
+            .parquet(state_path + "/clusters"),
+            ids,
+        ).select("doc_id", "cluster_id")
+    ).localCheckpoint(eager=True)
+
+
+def _dedup_state_ingest_driver(
+    new_docs: DataFrame,
+    state_path: str,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_perms: int,
+    band_rows: int,
+    max_bucket_docs: int,
+    return_full: bool,
+):
+    """Driver-side rendering of one SMALL delivery into a DRIVER-SIZED
+    state — same contract, same state bytes, ~2 scheduled jobs instead
+    of ~25. Returns None to fall back to the distributed
+    :func:`_dedup_state_ingest_impl` (large delivery, large store, or a
+    shape this rendering does not cover).
+
+    Why: at small delivery sizes the distributed path's cost is pure
+    fixed overhead — every localCheckpoint/probe/append is a scheduled
+    job over a few KB (measured ~25 jobs ≈ 10 s per ingest at sf0.1,
+    ~70 for the two-delivery gate query). The irreducible Spark work is
+    the signature/banding computation, so this path runs exactly ONE
+    job — a capped ``limit(cap+1)`` collect of the delta's
+    (doc_id, sig, _pd, bands[band, bsig, _pb]) rows, every derived
+    value computed by the SAME Spark expressions as the distributed
+    path (zero hash/signature divergence by construction) — and renders
+    the probes, the additive hot-bucket cap, the candidate bucket join,
+    the est-Jaccard filter, the touched-component star contraction and
+    the union-find label solve (:func:`solvers.driver_union_find` — the
+    identical component-minimum labels) in plain Python over the
+    collected rows plus pruned pyarrow reads of the stores
+    (:func:`statestore.read_store_arrow` — the same ``_dv``-committed /
+    ``_pd``/``_pb`` IN-list pruning as the Spark scans). Appends go
+    through the SAME :func:`statestore.append_store` seam (as Arrow
+    tables) in the same order, so the manifest-commit crash discipline
+    and the crash-injection tests' window semantics are unchanged.
+    Store parity with the distributed path is pinned in
+    tests/test_incremental_dedup.py (driver vs forced-distributed
+    ingest: identical store rows, identical resolve)."""
+    import warnings
+
+    spark = new_docs.sparkSession
+    stores = ("sigs", "bands", "occ", "clusters")
+    # feasibility gates, cheapest first (all driver-side, no jobs):
+    # every store must be driver-sized — the pruned reads below are
+    # bounded by store size, and at corpus scale the distributed path's
+    # partition-pruned scans are the right tool
+    for s in stores:
+        if SS.store_row_count(state_path + "/" + s) >= SS.SMALL_STORE_ROWS:
+            return None
+    present = {s: os.path.isdir(state_path + "/" + s) for s in stores}
+    if len({present["sigs"], present["bands"], present["occ"]}) > 1:
+        return None  # mid-migration shape — let the distributed path sort it out
+    had_meta = _guard_state_meta(
+        spark, state_path, "dedup_state_ingest",
+        {"num_perms": num_perms, "band_rows": band_rows,
+         "max_bucket_docs": max_bucket_docs},
+    )
+    if not had_meta:
+        _migrate_dedup_state(spark, state_path, num_perms, band_rows)
+        if SS.store_exists(state_path + "/sigs"):
+            warnings.warn(
+                f"dedup_state_ingest: adopting this call's format "
+                f"parameters (num_perms={num_perms}, band_rows="
+                f"{band_rows}, max_bucket_docs={max_bucket_docs}) for "
+                f"the legacy state at {state_path} — they become the "
+                f"state FORMAT and every later ingest must match",
+                stacklevel=3,
+            )
+        present = {s: os.path.isdir(state_path + "/" + s) for s in stores}
+    committed = SS.adopt_commit_ledger(spark, state_path, stores)
+
+    # THE one Spark job: the delta's derived rows. sig/_pd/band/bsig/_pb
+    # all computed by the same expressions as the distributed path
+    # (cached Columns — the banding/bucket tree is hundreds of py4j
+    # calls per build and pure in (num_perms, band_rows))
+    pd_expr = _cached_expr(
+        ("pd_of_doc",), lambda: _doc_bucket(F.col("doc_id")).alias("_pd")
+    )
+    bands_expr = _cached_expr(
+        ("bands_pb", num_perms, band_rows),
+        lambda: F.transform(
+            bands_from_sig(F.col("sig"), num_perms, band_rows),
+            lambda b: F.struct(
+                b["band"].alias("band"), b["bsig"].alias("bsig"),
+                _band_bucket(b["band"], b["bsig"]).alias("_pb"),
+            ),
+        ).alias("_bands"),
+    )
+    row_df = new_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        minhash_signature_stable(text_col, num_perms).alias("sig"),
+    ).select("doc_id", "sig", pd_expr, bands_expr)
+    with _no_aqe(spark):
+        t = row_df.limit(DRIVER_DELTA_DOCS + 1).toArrow()
+    if t.num_rows > DRIVER_DELTA_DOCS:
+        return None  # large delivery — distributed path (probe cost is O(cap))
+    doc_ids = t.column("doc_id").to_pylist()
+    if any(d is None for d in doc_ids) or len(set(doc_ids)) != len(doc_ids):
+        # null or duplicate ids inside one batch: the distributed path's
+        # join multiplicities are the contract for that malformed shape
+        return None
+
+    # replay anti-join, pruned to the delta ids' _pd directories
+    if present["sigs"]:
+        pds = sorted({v for v in t.column("_pd").to_pylist()})
+        old_ids = SS.read_store_arrow(
+            state_path + "/sigs", committed, "_pd", pds, columns=["doc_id"]
+        )
+        if old_ids is not None:
+            seen = set(old_ids.column("doc_id").to_pylist())
+            if seen:
+                keep_idx = [i for i, d in enumerate(doc_ids) if d not in seen]
+                if len(keep_idx) < len(doc_ids):
+                    import pyarrow as _pa
+
+                    t = t.take(_pa.array(keep_idx, _pa.int64()))
+                    doc_ids = t.column("doc_id").to_pylist()
+    n_delta = t.num_rows
+
+    if present["sigs"] and n_delta == 0:
+        # pure replay (or an empty batch) — no state change
+        if return_full and present["clusters"]:
+            ovr = SS.read_store_arrow(
+                state_path + "/clusters", committed,
+                columns=["doc_id", "cluster_id"],
+            )
+            tbl = _resolved_rows_table(
+                zip(ovr.column("doc_id").to_pylist(),
+                    ovr.column("cluster_id").to_pylist())
+                if ovr is not None else []
+            )
+            if tbl.num_rows <= _DRIVER_RESOLVE_ROWS:
+                return spark.createDataFrame(tbl)
+            return _resolve_cluster_overlay(
+                SS.visible(
+                    _try_parquet(spark, state_path + "/clusters",
+                                 _CLUSTERS_SCHEMA),
+                    committed,
+                ).select("doc_id", "cluster_id")
+            ).localCheckpoint(eager=True)
+        if return_full:
+            return spark.createDataFrame(
+                [], "doc_id long, cluster_id long, cluster_size long, is_canonical int"
+            )
+        return spark.createDataFrame([], "doc_id long, cluster_id long")
+
+    # band rows of the delta (explode the collected structs)
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    bands_col = t.column("_bands")
+    if isinstance(bands_col, pa.ChunkedArray):
+        bands_col = bands_col.combine_chunks()
+    flat = pc.list_flatten(bands_col)
+    parent_idx = pc.list_parent_indices(bands_col).to_pylist()
+    band_l = flat.field("band").to_pylist()
+    bsig_l = flat.field("bsig").to_pylist()
+    pb_l = flat.field("_pb").to_pylist()
+    bdoc_l = [doc_ids[i] for i in parent_idx]
+
+    # hot-bucket cap on the UNION occupancy (additive: persisted counts
+    # pruned to the delta's buckets + the delta's own counts)
+    from collections import Counter, defaultdict
+
+    cnt_new = Counter(zip(band_l, bsig_l))
+    key_pb = {}
+    for b, s_, p in zip(band_l, bsig_l, pb_l):
+        key_pb[(b, s_)] = p
+    pbs = sorted(set(pb_l))
+    old_n: Counter = Counter()
+    if present["occ"]:
+        occ_t = SS.read_store_arrow(
+            state_path + "/occ", committed, "_pb", pbs,
+            columns=["band", "bsig", "n"],
+        )
+        if occ_t is not None:
+            for b, s_, n_ in zip(
+                occ_t.column("band").to_pylist(),
+                occ_t.column("bsig").to_pylist(),
+                occ_t.column("n").to_pylist(),
+            ):
+                if (b, s_) in cnt_new:
+                    old_n[(b, s_)] += n_
+    keep_keys = {
+        k for k, c in cnt_new.items() if c + old_n.get(k, 0) <= max_bucket_docs
+    }
+
+    # candidate pairs: delta bands × (delta ∪ pruned corpus bands),
+    # both sides restricted to kept buckets
+    new_by_key: dict = defaultdict(list)
+    for d, b, s_ in zip(bdoc_l, band_l, bsig_l):
+        if (b, s_) in keep_keys:
+            new_by_key[(b, s_)].append(d)
+    corpus_by_key = {k: list(v) for k, v in new_by_key.items()}
+    if present["bands"]:
+        bt = SS.read_store_arrow(
+            state_path + "/bands", committed, "_pb", pbs,
+            columns=["band", "bsig", "doc_id"],
+        )
+        if bt is not None:
+            for b, s_, d in zip(
+                bt.column("band").to_pylist(),
+                bt.column("bsig").to_pylist(),
+                bt.column("doc_id").to_pylist(),
+            ):
+                k = (b, s_)
+                if k in new_by_key:  # kept AND shared with the delta
+                    corpus_by_key[k].append(d)
+    cand: set = set()
+    for k, newids in new_by_key.items():
+        corp = corpus_by_key[k]
+        for x in newids:
+            for y in corp:
+                if x != y:
+                    cand.add((x, y) if x < y else (y, x))
+        if len(cand) > _DRIVER_MAX_CAND:
+            return None  # degenerate bucket profile — distributed path
+
+    # est-Jaccard over the candidates (signature lookup: delta sigs +
+    # a membership-filtered read of the persisted sigs)
+    sig_by_id = dict(zip(doc_ids, t.column("sig").to_pylist()))
+    need_old = sorted({i for p_ in cand for i in p_ if i not in sig_by_id})
+    if need_old and present["sigs"]:
+        st = SS.read_store_arrow(
+            state_path + "/sigs", committed, columns=["doc_id", "sig"],
+            filter_in=("doc_id", need_old),
+        )
+        if st is not None:
+            got = st.column("doc_id").to_pylist()
+            if len(set(got)) != len(got):
+                return None  # historical duplicate sig rows: join
+                # multiplicity belongs to the distributed path
+            sig_by_id.update(zip(got, st.column("sig").to_pylist()))
+    edges = []
+    for a, b in cand:
+        sa = sig_by_id.get(a)
+        sb = sig_by_id.get(b)
+        if sa is None or sb is None:
+            continue  # inner-join semantics: missing sig drops the pair
+        if None in sa or None in sb:
+            continue  # a null element nulls the whole Spark aggregate,
+            # so the est comparison is false — the pair drops there too
+        matches = sum(1 for x, y in zip(sa, sb) if x == y)
+        # the exact float arithmetic of the distributed predicate
+        # (matches / num_perms as double, >= threshold)
+        if matches / float(num_perms) >= threshold:
+            edges.append((a, b))
+
+    # touched components: star-contract every component an edge reaches
+    members = None
+    pairs = edges
+    ov_doc: list = []
+    ov_lab: list = []
+    if present["clusters"]:
+        ov = SS.read_store_arrow(
+            state_path + "/clusters", committed,
+            columns=["doc_id", "cluster_id"],
+        )
+        if ov is not None:
+            ov_doc = ov.column("doc_id").to_pylist()
+            ov_lab = ov.column("cluster_id").to_pylist()
+        new_idset = set(doc_ids)
+        ends = {i for e in edges for i in e} - new_idset
+        min_lab: dict = {}
+        for d, c in zip(ov_doc, ov_lab):
+            if d in ends and (d not in min_lab or c < min_lab[d]):
+                min_lab[d] = c
+        touched = set(min_lab.values())
+        members = [
+            (d, c) for d, c in zip(ov_doc, ov_lab) if c in touched
+        ]
+        star = [(d, c) for d, c in members if d != c]
+        pairs = edges + star
+
+    from raft_spark.operators.solvers import driver_union_find
+
+    labels = driver_union_find(pairs)
+    new_rows = [(d, labels.get(d, d)) for d in doc_ids]
+    if members is not None:
+        relabeled = [
+            (d, labels[d]) for d, old_c in members
+            if d in labels and labels[d] != old_c
+        ]
+        delta_overlay = new_rows + relabeled
+    else:
+        delta_overlay = new_rows
+
+    if not had_meta:
+        # meta BEFORE the appends (not between them): a crash here
+        # leaves a meta-only state ≡ bootstrap with the format pinned
+        _write_state_meta(spark, state_path, {
+            "num_perms": int(num_perms), "band_rows": int(band_rows),
+            "max_bucket_docs": int(max_bucket_docs),
+        })
+    # manifest commit: same append order and same append_store seam as
+    # the distributed path (sigs, bands, occ, clusters; publish LAST)
+    dv = SS.new_delivery_id()
+    dv_arr = pa.array([dv] * n_delta, pa.int64())
+    sigs_tbl = pa.table({
+        "_dv": dv_arr, "_pd": t.column("_pd"),
+        "doc_id": t.column("doc_id"), "sig": t.column("sig"),
+    })
+    SS.append_store(sigs_tbl, state_path + "/sigs", ("_dv", "_pd"),
+                    small=True)
+    n_bands_rows = len(band_l)
+    bands_tbl = pa.table({
+        "_dv": pa.array([dv] * n_bands_rows, pa.int64()),
+        "_pb": flat.field("_pb"),
+        "band": flat.field("band"), "bsig": flat.field("bsig"),
+        "doc_id": pa.array(bdoc_l, pa.int64()),
+    })
+    SS.append_store(bands_tbl, state_path + "/bands", ("_dv", "_pb"),
+                    small=True, sort_by=("band", "bsig"))
+    occ_keys = sorted(cnt_new)
+    occ_tbl = pa.table({
+        "_dv": pa.array([dv] * len(occ_keys), pa.int64()),
+        "_pb": pa.array([key_pb[k] for k in occ_keys], pa.int32()),
+        "band": pa.array([k[0] for k in occ_keys], pa.int32()),
+        "bsig": pa.array([k[1] for k in occ_keys], pa.string()),
+        "n": pa.array([cnt_new[k] for k in occ_keys], pa.int64()),
+    })
+    SS.append_store(occ_tbl, state_path + "/occ", ("_dv", "_pb"),
+                    small=True)
+    clusters_tbl = pa.table({
+        "_dv": pa.array([dv] * len(delta_overlay), pa.int64()),
+        "doc_id": pa.array([d for d, _ in delta_overlay], pa.int64()),
+        "cluster_id": pa.array([c for _, c in delta_overlay], pa.int64()),
+    })
+    SS.append_store(clusters_tbl, state_path + "/clusters", ("_dv",),
+                    small=True)
+    SS.publish_commit(spark, state_path, dv)  # THE commit point
+
+    if not return_full:
+        return spark.createDataFrame(
+            delta_overlay or [], "doc_id long, cluster_id long"
+        )
+    # driver-side resolve: the refreshed overlay is exactly the
+    # committed rows read above + this delivery — no read-back scan.
+    # Large resolves (overlay near the store gate) read back through
+    # Spark; up to _DRIVER_RESOLVE_ROWS they return as an Arrow-backed
+    # local relation with zero scheduled jobs (it survives state
+    # compaction/deletion by construction — the rows are in the plan).
+    import itertools
+
+    tbl = _resolved_rows_table(
+        itertools.chain(zip(ov_doc, ov_lab), delta_overlay)
+    )
+    if tbl.num_rows <= _DRIVER_RESOLVE_ROWS:
+        return spark.createDataFrame(tbl)
+    return _resolve_state_clusters(spark, state_path, (committed or []) + [dv])
 
 
 def _dedup_state_ingest_impl(
@@ -1597,20 +2074,13 @@ def _dedup_state_ingest_impl(
     if not return_full:
         return delta_overlay
     # resolve from a FRESH post-append scan (a new file listing sees the
-    # rows just written); checkpointed so the caller's frame survives
-    # state compaction or deletion underneath it. (A union of the
-    # pre-ingest overlay with the checkpointed delta would skip the
-    # re-listing, but Spark 4.1's Union constraint rewriting crashes on
-    # checkpointed plans whose recorded constraints reference pruned
-    # attributes — NoSuchElementException in UnionBase.rewriteConstraints
-    # — so the scan stays.)
-    return _resolve_cluster_overlay(
-        SS.visible(
-            spark.read.schema(_CLUSTERS_SCHEMA)
-            .parquet(state_path + "/clusters"),
-            (committed or []) + [dv],
-        ).select("doc_id", "cluster_id")
-    ).localCheckpoint(eager=True)
+    # rows just written). (A union of the pre-ingest overlay with the
+    # checkpointed delta would skip the re-listing, but Spark 4.1's
+    # Union constraint rewriting crashes on checkpointed plans whose
+    # recorded constraints reference pruned attributes —
+    # NoSuchElementException in UnionBase.rewriteConstraints — so the
+    # scan stays.)
+    return _resolve_state_clusters(spark, state_path, (committed or []) + [dv])
 
 
 def _migrate_semantic_state(spark, state_path: str) -> None:
@@ -2059,6 +2529,8 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
     Returns the signature row count."""
     from concurrent.futures import ThreadPoolExecutor
 
+    import pyarrow as pa
+
     n_parts = partitions or spark.sparkContext.defaultParallelism
     # visibility of the compacted _dv=0 rows must be established BEFORE
     # any store rewrite lands (a fresh r12 state's ledger has only
@@ -2068,13 +2540,52 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         SS.publish_commit(spark, state_path, 0)
     zero = F.lit(0).alias("_dv")
 
+    def _zeros(n: int):
+        return pa.array([0] * n, pa.int64())
+
+    def _driver_leg(store: str) -> bool:
+        # fully driver-side rewrite (pyarrow read + python aggregate +
+        # direct file writes, ZERO scheduled jobs) for driver-sized
+        # stores in the post-adoption layout; mixed/legacy layouts and
+        # corpus-scale stores keep the Spark rewrite (r13 — the small
+        # branch previously still paid a Spark read + aggregate + one
+        # Arrow collect job per leg)
+        return (SS.pure_dv_layout(store)
+                and SS.store_row_count(store) < SS.SMALL_STORE_ROWS)
+
+    def _swap_empty(store: str) -> None:
+        # store exists but holds no visible rows: the rewrite is an
+        # empty store directory (exactly what the collect path produced)
+        import shutil
+
+        new = store + ".__new"
+        shutil.rmtree(new, ignore_errors=True)
+        os.makedirs(new, exist_ok=True)
+        SS.swap_in(new, store)
+
     def _sigs_leg() -> int:
         # legacy detection moved driver-side (directory probe) so the
         # read can carry its explicit schema — no inference job
-        has_pd = SS.has_partition_dir(state_path + "/sigs", "_pd")
+        store = state_path + "/sigs"
+        has_pd = SS.has_partition_dir(store, "_pd")
+        if has_pd and _driver_leg(store):
+            t = SS.read_store_arrow(store, committed, "_pd",
+                                    columns=["doc_id", "sig"],
+                                    attach_part=True)
+            if t is None:
+                _swap_empty(store)
+                return 0
+            out = pa.table({
+                "_dv": _zeros(t.num_rows), "_pd": t.column("_pd"),
+                "doc_id": t.column("doc_id"), "sig": t.column("sig"),
+            })
+            n = SS.compact_store_driver(out, store + ".__new",
+                                        ("_dv", "_pd"))
+            SS.swap_in(store + ".__new", store)
+            return n
         sigs = SS.visible(
             spark.read.schema(_SIGS_SCHEMA if has_pd else _SIGS_SCHEMA_NOPD)
-            .parquet(state_path + "/sigs"),
+            .parquet(store),
             committed,
         )
         if not has_pd:  # pre-r11: bucket while compacting
@@ -2085,71 +2596,144 @@ def compact_dedup_state(spark, state_path: str, partitions: int | None = None) -
         # writes: a distributed partitionBy write pays ~1-3 s of
         # committer staging to land a few MB (the append_store small=
         # discipline, applied to the maintenance rewrite)
-        if SS.store_row_count(state_path + "/sigs") < SS.SMALL_STORE_ROWS:
+        if SS.store_row_count(store) < SS.SMALL_STORE_ROWS:
             n = SS.compact_store_driver(
-                out, state_path + "/sigs.__new", ("_dv", "_pd"))
-            SS.swap_in(state_path + "/sigs.__new", state_path + "/sigs")
+                out, store + ".__new", ("_dv", "_pd"))
+            SS.swap_in(store + ".__new", store)
             return n
         out.repartition("_pd") \
             .write.partitionBy("_dv", "_pd").mode("overwrite") \
-            .parquet(state_path + "/sigs.__new")
-        SS.swap_in(state_path + "/sigs.__new", state_path + "/sigs")
+            .parquet(store + ".__new")
+        SS.swap_in(store + ".__new", store)
         # row count from the rewritten files' parquet footers — a
         # driver-side metadata walk, not another scheduled scan
-        return SS.store_row_count(state_path + "/sigs")
+        return SS.store_row_count(store)
 
     def _bands_leg() -> None:
+        store = state_path + "/bands"
+        if not os.path.isdir(store):
+            return
+        if _driver_leg(store):
+            t = SS.read_store_arrow(store, committed, "_pb",
+                                    columns=["band", "bsig", "doc_id"],
+                                    attach_part=True)
+            if t is None:
+                _swap_empty(store)
+                return
+            out = pa.table({
+                "_dv": _zeros(t.num_rows), "_pb": t.column("_pb"),
+                "band": t.column("band"), "bsig": t.column("bsig"),
+                "doc_id": t.column("doc_id"),
+            })
+            SS.compact_store_driver(out, store + ".__new", ("_dv", "_pb"),
+                                    sort_by=("band", "bsig"))
+            SS.swap_in(store + ".__new", store)
+            return
         bands = SS.visible(
-            _try_parquet(spark, state_path + "/bands", _BANDS_SCHEMA),
-            committed,
+            _try_parquet(spark, store, _BANDS_SCHEMA), committed
         )
         if bands is None:
             return
         out = bands.select(zero, "_pb", "band", "bsig", "doc_id")
-        if SS.store_row_count(state_path + "/bands") < SS.SMALL_STORE_ROWS:
+        if SS.store_row_count(store) < SS.SMALL_STORE_ROWS:
             SS.compact_store_driver(
-                out, state_path + "/bands.__new", ("_dv", "_pb"),
+                out, store + ".__new", ("_dv", "_pb"),
                 sort_by=("band", "bsig"))
         else:
             out.repartition("_pb").sortWithinPartitions("band", "bsig") \
                 .write.partitionBy("_dv", "_pb").mode("overwrite") \
-                .parquet(state_path + "/bands.__new")
-        SS.swap_in(state_path + "/bands.__new", state_path + "/bands")
+                .parquet(store + ".__new")
+        SS.swap_in(store + ".__new", store)
 
     def _occ_leg() -> None:
+        store = state_path + "/occ"
+        if not os.path.isdir(store):
+            return
+        if _driver_leg(store):
+            t = SS.read_store_arrow(store, committed, "_pb",
+                                    columns=["band", "bsig", "n"],
+                                    attach_part=True)
+            if t is None:
+                _swap_empty(store)
+                return
+            # per-delivery additive counts rolled up to one row per
+            # (band, bsig) — exact integer sums, same as the Spark agg
+            from collections import Counter
+
+            roll: Counter = Counter()
+            for pb, b, s_, n_ in zip(
+                t.column("_pb").to_pylist(), t.column("band").to_pylist(),
+                t.column("bsig").to_pylist(), t.column("n").to_pylist(),
+            ):
+                roll[(pb, b, s_)] += n_
+            keys = sorted(roll)
+            out = pa.table({
+                "_dv": _zeros(len(keys)),
+                "_pb": pa.array([k[0] for k in keys], pa.int32()),
+                "band": pa.array([k[1] for k in keys], pa.int32()),
+                "bsig": pa.array([k[2] for k in keys], pa.string()),
+                "n": pa.array([roll[k] for k in keys], pa.int64()),
+            })
+            SS.compact_store_driver(out, store + ".__new", ("_dv", "_pb"))
+            SS.swap_in(store + ".__new", store)
+            return
         occ = SS.visible(
-            _try_parquet(spark, state_path + "/occ", _OCC_SCHEMA), committed
+            _try_parquet(spark, store, _OCC_SCHEMA), committed
         )
         if occ is None:
             return
         out = occ.groupBy("_pb", "band", "bsig").agg(F.sum("n").alias("n")) \
             .select(zero, "_pb", "band", "bsig", "n")
-        if SS.store_row_count(state_path + "/occ") < SS.SMALL_STORE_ROWS:
+        if SS.store_row_count(store) < SS.SMALL_STORE_ROWS:
             SS.compact_store_driver(
-                out, state_path + "/occ.__new", ("_dv", "_pb"))
+                out, store + ".__new", ("_dv", "_pb"))
         else:
             out.write.partitionBy("_dv", "_pb").mode("overwrite") \
-                .parquet(state_path + "/occ.__new")
-        SS.swap_in(state_path + "/occ.__new", state_path + "/occ")
+                .parquet(store + ".__new")
+        SS.swap_in(store + ".__new", store)
 
     def _clusters_leg() -> None:
+        store = state_path + "/clusters"
+        if not os.path.isdir(store):
+            return
+        if _driver_leg(store):
+            t = SS.read_store_arrow(store, committed,
+                                    columns=["doc_id", "cluster_id"])
+            if t is None:
+                _swap_empty(store)
+                return
+            # overlay resolved to one row per doc at min(cluster_id) —
+            # exactly the Spark min-agg
+            cur: dict = {}
+            for d, c in zip(t.column("doc_id").to_pylist(),
+                            t.column("cluster_id").to_pylist()):
+                if d not in cur or c < cur[d]:
+                    cur[d] = c
+            docs = sorted(cur)
+            out = pa.table({
+                "_dv": _zeros(len(docs)),
+                "doc_id": pa.array(docs, pa.int64()),
+                "cluster_id": pa.array([cur[d] for d in docs], pa.int64()),
+            })
+            SS.compact_store_driver(out, store + ".__new", ("_dv",))
+            SS.swap_in(store + ".__new", store)
+            return
         overlay = SS.visible(
-            _try_parquet(spark, state_path + "/clusters", _CLUSTERS_SCHEMA),
-            committed,
+            _try_parquet(spark, store, _CLUSTERS_SCHEMA), committed
         )
         if overlay is None:
             return
         out = overlay.groupBy("doc_id") \
             .agg(F.min("cluster_id").alias("cluster_id")) \
             .select(zero, "doc_id", "cluster_id")
-        if SS.store_row_count(state_path + "/clusters") < SS.SMALL_STORE_ROWS:
+        if SS.store_row_count(store) < SS.SMALL_STORE_ROWS:
             SS.compact_store_driver(
-                out, state_path + "/clusters.__new", ("_dv",))
+                out, store + ".__new", ("_dv",))
         else:
             out.repartition(n_parts) \
                 .write.partitionBy("_dv").mode("overwrite") \
-                .parquet(state_path + "/clusters.__new")
-        SS.swap_in(state_path + "/clusters.__new", state_path + "/clusters")
+                .parquet(store + ".__new")
+        SS.swap_in(store + ".__new", store)
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         f_sigs = pool.submit(_sigs_leg)

@@ -936,6 +936,20 @@ def connected_components_auto(
     if len(probe) > driver_threshold:
         return connected_components(edges.withColumn("value", F.lit(1.0)),
                                     max_iters=max_iters)
+    labels = driver_union_find(
+        (int(row["row"]), int(row["col"])) for row in probe
+    )
+    return coo.sparkSession.createDataFrame(
+        list(labels.items()), "node long, label long"
+    )
+
+
+def driver_union_find(pairs) -> dict[int, int]:
+    """Union-find over an edge iterable → {node: component MIN} for
+    every node that appears in an edge — the driver-side component
+    solve shared by :func:`connected_components_auto` and the
+    driver-rendered small-delta ingests (dedup.py). Labels are
+    component minima, matching the distributed propagation exactly."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -946,8 +960,7 @@ def connected_components_auto(
             parent[x], x = r, parent[x]
         return r
 
-    for row in probe:
-        a, b = int(row["row"]), int(row["col"])
+    for a, b in pairs:
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -955,8 +968,7 @@ def connected_components_auto(
             # union by MIN so the representative is the component minimum
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    labels = [(x, find(x)) for x in parent]
-    return coo.sparkSession.createDataFrame(labels, "node long, label long")
+    return {x: find(x) for x in parent}
 
 
 def connected_components(coo: DataFrame, max_iters: int = 64) -> DataFrame:

@@ -310,7 +310,17 @@ def append_store(df: DataFrame, path: str,
     place (the ledger-write discipline), so a crash mid-append leaves
     only an invisible dot-file inside an unpublished ``_dv`` partition.
     ``sort_by`` orders rows inside each written file (row-group min/max
-    pruning — the Spark path's sortWithinPartitions)."""
+    pruning — the Spark path's sortWithinPartitions).
+
+    ``df`` may also be a pyarrow Table (a driver-side ingest already
+    holds the delivery's rows in memory): the append is then rendered
+    entirely driver-side with ZERO scheduled jobs. Routing Tables
+    through this same function keeps the crash-injection seam intact —
+    the tests count/raise on append_store calls regardless of the
+    payload's type."""
+    if not isinstance(df, DataFrame):  # pyarrow Table
+        _write_arrow_append(df, path, partition_cols, sort_by)
+        return
     if small:
         _append_store_driver(df, path, partition_cols, sort_by)
         return
@@ -330,11 +340,20 @@ def _append_store_driver(df: DataFrame, path: str,
     stores (driver-written small deliveries + Spark-written large ones
     + compacted rewrites) read back identically. Returns the row count
     (the compaction path reports it without re-walking footers)."""
+    with _no_aqe(df.sparkSession):  # one collect job, not one per stage
+        t = df.toArrow()
+    return _write_arrow_append(t, path, partition_cols, sort_by)
+
+
+def _write_arrow_append(t, path: str,
+                        partition_cols: tuple[str, ...],
+                        sort_by: tuple[str, ...] = ()) -> int:
+    """Write one already-materialized Arrow table as a store append:
+    one parquet file per partition directory, each staged under a
+    dot-name and renamed into place (crash discipline unchanged)."""
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    with _no_aqe(df.sparkSession):  # one collect job, not one per stage
-        t = df.toArrow()
     if t.num_rows == 0:
         os.makedirs(path, exist_ok=True)  # store exists, like an empty
         return 0                          # Spark append
@@ -385,9 +404,13 @@ def compact_store_driver(df: DataFrame, new_dir: str,
     ``store_row_count(store) < SMALL_STORE_ROWS`` — the footer walk is
     an upper bound on the visible rows (orphaned uncommitted deliveries
     only shrink the rewrite), so the gate can only err toward the
-    driver path on a store that is already driver-sized."""
+    driver path on a store that is already driver-sized. ``df`` may be
+    a pyarrow Table (a fully driver-side compaction leg) — the rewrite
+    is then zero scheduled jobs."""
     shutil.rmtree(new_dir, ignore_errors=True)
     os.makedirs(new_dir, exist_ok=True)
+    if not isinstance(df, DataFrame):  # pyarrow Table
+        return _write_arrow_append(df, new_dir, partition_cols, sort_by)
     return _append_store_driver(df, new_dir, partition_cols, sort_by)
 
 
@@ -402,6 +425,102 @@ def swap_in(new_dir: str, store: str) -> None:
         os.rename(store, old)
     os.rename(new_dir, store)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def read_store_arrow(store: str, committed: list[int] | None,
+                     part_col: str | None = None,
+                     part_vals=None,
+                     columns: list[str] | None = None,
+                     filter_in: tuple[str, list] | None = None,
+                     attach_part: bool = False):
+    """Driver-side pruned read of a manifest-commit store as ONE Arrow
+    table (or None when the store holds no matching rows). Mirrors the
+    Spark readers' pruning exactly: only ``_dv IN committed`` partition
+    directories are listed (committed=None → all visible, the
+    legacy/ledger-less semantics), optionally restricted to
+    ``part_col IN part_vals`` sub-directories (the ``_pd``/``_pb``
+    bounded IN-list filters). ``filter_in=(col, values)`` applies a
+    row-level membership filter (the driver rendering of a pruned
+    semi-join). ``attach_part=True`` adds ``part_col`` back as an int32
+    column parsed from the directory names (partition values are not in
+    the data files; the compactor rewrites need them). For driver-sized
+    stores only — callers gate on
+    :func:`store_row_count` < :data:`SMALL_STORE_ROWS`."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    if not os.path.isdir(store):
+        return None
+    want_dv = None if committed is None else {int(v) for v in committed}
+    vals = None if part_vals is None else {int(v) for v in part_vals}
+
+    def _files_under(d: str) -> list[str]:
+        out = []
+        for root, dirs, files in os.walk(d):
+            dirs[:] = [x for x in dirs if "=" in x or not x.startswith((".", "_"))]
+            out += [os.path.join(root, f) for f in sorted(files)
+                    if f.endswith(".parquet") and not f.startswith((".", "_"))]
+        return out
+
+    files: list[tuple] = []  # (path, partition value)
+    for e in sorted(os.listdir(store)):
+        p = os.path.join(store, e)
+        if e.startswith("_dv="):
+            if want_dv is not None and int(e[4:]) not in want_dv:
+                continue
+            if part_col is None:
+                files += [(f, None) for f in _files_under(p)]
+            else:
+                try:
+                    subs = sorted(os.listdir(p))
+                except NotADirectoryError:
+                    continue
+                for e2 in subs:
+                    if not e2.startswith(part_col + "="):
+                        continue
+                    v = int(e2[len(part_col) + 1:])
+                    if vals is not None and v not in vals:
+                        continue
+                    files += [(f, v)
+                              for f in _files_under(os.path.join(p, e2))]
+        elif e.endswith(".parquet") and not e.startswith((".", "_")):
+            # pre-protocol flat layout (ledger-less store): visible-all
+            files.append((p, None))
+    if not files:
+        return None
+    import pyarrow as pa
+
+    tabs = []
+    for f, v in files:
+        ft = pq.read_table(f, columns=columns)
+        if attach_part and part_col is not None:
+            ft = ft.append_column(
+                part_col, pa.array([v] * ft.num_rows, pa.int32())
+            )
+        tabs.append(ft)
+    t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]
+    if filter_in is not None:
+        col, values = filter_in
+        t = t.filter(pc.is_in(t.column(col), value_set=pa.array(values)))
+    return t
+
+
+def pure_dv_layout(store: str) -> bool:
+    """True when every data entry of a store sits under a ``_dv=``
+    partition directory (the post-adoption layout) — the precondition
+    for the fully driver-side compaction legs; mixed/legacy layouts
+    keep the Spark rewrite."""
+    try:
+        entries = os.listdir(store)
+    except (FileNotFoundError, NotADirectoryError):
+        return False
+    ok = False
+    for e in entries:
+        if e.startswith("_dv="):
+            ok = True
+        elif not e.startswith((".", "_")):
+            return False
+    return ok
 
 
 def store_row_count(store: str) -> int:

@@ -260,27 +260,38 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         r1 = D.dedup_state_ingest(b1, tmp + "/state")
         D.compact_dedup_state(spark, tmp + "/state")
-        r1c = D.read_dedup_state(spark, tmp + "/state")[1] \
-            .localCheckpoint(eager=True)
-        # multiset equality in ONE action (was two exceptAll counts +
-        # a count = 3 scheduled jobs of shuffle pairs): per-row
-        # multiplicities from each side full-outer-joined and compared.
-        # Semantically identical to (r1 \ r1c == ∅) ∧ (r1c \ r1 == ∅)
-        # ∧ r1 non-empty — a mismatched multiplicity (including a row
-        # present on one side only) is exactly a nonzero exceptAll.
-        cols = ["doc_id", "cluster_id", "cluster_size", "is_canonical"]
-        g1 = r1.groupBy(*cols).agg(F.count("*").alias("_n1"))
-        g2 = r1c.groupBy(*cols).agg(F.count("*").alias("_n2"))
-        eq_row = g1.join(g2, cols, "full_outer").select(
-            F.sum(
-                (F.coalesce("_n1", F.lit(0)) != F.coalesce("_n2", F.lit(0)))
-                .cast("int")
-            ).alias("_mismatch"),
-            F.sum("_n1").alias("_n_left"),
-        ).first()
-        compact_eq = (
-            (eq_row["_mismatch"] or 0) == 0 and (eq_row["_n_left"] or 0) > 0
-        )
+        # multiset equality of the pre-/post-compaction resolves — the
+        # same predicate as the r13 one-action full-outer comparison
+        # (itself ≡ the original two exceptAll counts), rendered
+        # driver-side for small states (resolve_dedup_state_rows reads
+        # the compacted overlay via pyarrow, zero scheduled jobs;
+        # r1.collect() on a driver-resolved ingest is a local-relation
+        # read). Corpus-sized states keep the Spark comparison.
+        rows_c = D.resolve_dedup_state_rows(spark, tmp + "/state")
+        if rows_c is not None:
+            from collections import Counter
+
+            cnt1 = Counter(tuple(r) for r in r1.collect())
+            compact_eq = (
+                sum(cnt1.values()) > 0 and cnt1 == Counter(rows_c)
+            )
+        else:
+            r1c = D.read_dedup_state(spark, tmp + "/state")[1] \
+                .localCheckpoint(eager=True)
+            cols = ["doc_id", "cluster_id", "cluster_size", "is_canonical"]
+            g1 = r1.groupBy(*cols).agg(F.count("*").alias("_n1"))
+            g2 = r1c.groupBy(*cols).agg(F.count("*").alias("_n2"))
+            eq_row = g1.join(g2, cols, "full_outer").select(
+                F.sum(
+                    (F.coalesce("_n1", F.lit(0))
+                     != F.coalesce("_n2", F.lit(0))).cast("int")
+                ).alias("_mismatch"),
+                F.sum("_n1").alias("_n_left"),
+            ).first()
+            compact_eq = (
+                (eq_row["_mismatch"] or 0) == 0
+                and (eq_row["_n_left"] or 0) > 0
+            )
         out = D.dedup_state_ingest(b2, tmp + "/state")
         # out is eagerly checkpointed by the operator, so removing the
         # state directory underneath it is safe

@@ -583,3 +583,52 @@ def test_compact_span_state_preserves_resolution(spark, sf_dir, tmp_path):
     got = _span_map(D.span_state_ingest(b3, p))
     want = _span_map(D.duplicated_spans(docs))
     assert got == want
+
+
+def test_driver_ingest_matches_distributed_stores(spark, sf_dir, tmp_path,
+                                                  monkeypatch):
+    """r13: the driver-rendered small-delta ingest must leave the state
+    ROW-IDENTICAL to the distributed path — same store rows (all four
+    stores, as multisets), same resolved cluster table — across a
+    bootstrap delivery, a merging second delivery (old components get
+    relabeled), and a replay."""
+    docs = load(spark, "documents", sf_dir)
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+
+    def _ingest_all(path):
+        D.dedup_state_ingest(b1, path)
+        out = D.dedup_state_ingest(b2, path)
+        replay = D.dedup_state_ingest(b2, path)  # must be a no-op
+        return out, replay
+
+    p_drv = str(tmp_path / "driver")
+    out_d, replay_d = _ingest_all(p_drv)
+
+    # force the distributed path (cap 0 -> every nonempty delta falls back)
+    monkeypatch.setattr(D, "DRIVER_DELTA_DOCS", 0)
+    p_dist = str(tmp_path / "dist")
+    out_s, replay_s = _ingest_all(p_dist)
+    monkeypatch.undo()
+
+    assert _cluster_map(out_d) == _cluster_map(out_s)
+    assert _cluster_map(replay_d) == _cluster_map(replay_s)
+
+    # store-level parity: every store's visible rows identical (the
+    # delivery ids differ by construction; compare data columns only)
+    from collections import Counter
+
+    for store, cols in (
+        ("sigs", ["doc_id", "sig"]),
+        ("bands", ["band", "bsig", "doc_id"]),
+        ("occ", ["band", "bsig", "n"]),
+        ("clusters", ["doc_id", "cluster_id"]),
+    ):
+        rows = []
+        for p in (p_drv, p_dist):
+            df = spark.read.parquet(p + "/" + store).select(*cols)
+            rows.append(Counter(
+                tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in df.collect()
+            ))
+        assert rows[0] == rows[1], store
