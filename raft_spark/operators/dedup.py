@@ -2171,12 +2171,349 @@ def semantic_state_ingest(
     spark = new_df.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
+        out = _semantic_state_ingest_driver(
+            new_df, assignments, state_path, tau, id_col, vec_col, scale,
+            return_full,
+        )
+        if out is not None:
+            return out
         return _semantic_state_ingest_impl(
             new_df, assignments, state_path, tau, id_col, vec_col, scale,
             return_full,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def _sem_resolved_rows_table(pairs_iter):
+    """(id, cluster, group) overlay rows → the resolved
+    (id, cluster, group, keep) table as Arrow — the exact
+    :func:`_resolve_group_overlay` aggregate (min cluster and min group
+    per id; keep = id == group), rendered driver-side."""
+    import pyarrow as pa
+
+    cur: dict = {}
+    for i, c, g in pairs_iter:
+        got = cur.get(i)
+        if got is None:
+            cur[i] = [c, g]
+        else:
+            if c < got[0]:
+                got[0] = c
+            if g < got[1]:
+                got[1] = g
+    ids = sorted(cur)
+    return pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "cluster": pa.array([cur[i][0] for i in ids], pa.int64()),
+        "group": pa.array([cur[i][1] for i in ids], pa.int64()),
+        "keep": pa.array(
+            [1 if i == cur[i][1] else 0 for i in ids], pa.int32()
+        ),
+    })
+
+
+def _semantic_state_ingest_driver(
+    new_df: DataFrame,
+    assignments: DataFrame,
+    state_path: str,
+    tau: float,
+    id_col: str,
+    vec_col: str,
+    scale: float,
+    return_full: bool,
+):
+    """Driver-side rendering of one SMALL semantic delivery into a
+    DRIVER-SIZED state — the :func:`_dedup_state_ingest_driver`
+    discipline applied to the embedding twin (the r12 verdict measured
+    its per-delivery fixed cost at ~6× the MinHash twin's; it is the
+    same job-count overhead). ONE Spark job collects the delta's
+    quantized rows (the same quantized_embeddings projection left-joined
+    to the caller's assignment seam, plus the ``_pd`` replay bucket);
+    the overflow guard, replay anti-join, exact integer cosine
+    predicate (numpy int64 dot products — exact by the guard's
+    d·q_max² < 2⁶² premise; the 10⁸S² ≥ τq²NaNb comparison in unbounded
+    Python ints, ≡ the decimal(38,0) arithmetic), the star contraction
+    and the union-find solve run driver-side; appends ride the same
+    :func:`statestore.append_store` seam in the same order. Returns
+    None to fall back to the distributed path (large delivery/stores,
+    non-uniform dims, duplicate ids, or candidate explosion). Store
+    parity driver-vs-distributed is pinned in
+    tests/test_incremental_dedup.py."""
+    import warnings
+
+    spark = new_df.sparkSession
+    stores = ("index", "ids", "groups")
+    for s in stores:
+        if SS.store_row_count(state_path + "/" + s) >= SS.SMALL_STORE_ROWS:
+            return None
+    present = {s: os.path.isdir(state_path + "/" + s) for s in stores}
+    if len(set(present.values())) > 1:
+        return None  # mid-migration/legacy shape — distributed path
+    had_meta = _guard_state_meta(
+        spark, state_path, "semantic_state_ingest",
+        {"tau": float(tau), "scale": float(scale)},
+    )
+    if not had_meta and present["index"]:
+        warnings.warn(
+            f"semantic_state_ingest: adopting this call's format "
+            f"parameters (tau={tau}, scale={scale}) for the legacy "
+            f"state at {state_path} — they become the state FORMAT and "
+            f"every later ingest must match",
+            stacklevel=3,
+        )
+    _migrate_semantic_state(spark, state_path)
+    present = {s: os.path.isdir(state_path + "/" + s) for s in stores}
+    committed = SS.adopt_commit_ledger(spark, state_path, stores)
+
+    # THE one Spark job: quantized delta rows, left-joined to the
+    # assignment seam (left: the overflow guard aggregates over ALL
+    # batch rows in the distributed path, joined or not)
+    q = quantized_embeddings(new_df, id_col=id_col, vec_col=vec_col,
+                             scale=scale)
+    probe_df = q.join(
+        assignments.select(F.col(id_col).alias("id"), "cluster"),
+        "id", "left",
+    ).select(
+        F.col("id").cast("long").alias("cand_id"),
+        F.col("cluster").cast("long").alias("cluster"),
+        F.col("_q"), F.col("_n2"),
+        _doc_bucket(F.col("id").cast("long")).alias("_pd"),
+    )
+    with _no_aqe(spark):
+        t = probe_df.limit(DRIVER_DELTA_DOCS + 1).toArrow()
+    if t.num_rows > DRIVER_DELTA_DOCS:
+        return None
+    qs = t.column("_q").to_pylist()
+    if any(v is None or None in v for v in qs):
+        return None  # null vectors make the distributed guard's d
+        # order-dependent — that malformed shape keeps Spark semantics
+    lens = {len(v) for v in qs}
+    if len(lens) > 1:
+        return None  # non-uniform dims: the guard's d is order-dependent
+    d = next(iter(lens), 0)
+    if t.num_rows and d and t.num_rows * d > 25_000_000:
+        return None  # heavy vectors — keep the distributed path
+    # overflow guard over ALL batch rows (the _guard_quantized
+    # aggregate)
+    if d:
+        qmax = max((max(abs(x) for x in v) for v in qs), default=0)
+        n2s_all = t.column("_n2").to_pylist()
+        n2max = max((n for n in n2s_all if n is not None), default=0)
+        _check_quantized_bounds(qmax, n2max, d)
+
+    # the distributed new_rows frame is the INNER join: drop unassigned
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keep_idx = [i for i, c in enumerate(t.column("cluster").to_pylist())
+                if c is not None]
+    if len(keep_idx) < t.num_rows:
+        t = t.take(pa.array(keep_idx, pa.int64()))
+        qs = t.column("_q").to_pylist()
+    cand_ids = t.column("cand_id").to_pylist()
+    if any(i is None for i in cand_ids) \
+            or len(set(cand_ids)) != len(cand_ids):
+        return None  # null/duplicate ids: join multiplicities belong
+        # to the distributed path
+
+    # replay anti-join against the ids registry, pruned to _pd buckets
+    if present["ids"]:
+        pds = sorted(set(t.column("_pd").to_pylist()))
+        old_reg = SS.read_store_arrow(
+            state_path + "/ids", committed, "_pd", pds, columns=["id"]
+        )
+        if old_reg is not None:
+            seen = set(old_reg.column("id").to_pylist())
+            if seen:
+                keep_idx = [i for i, x in enumerate(cand_ids)
+                            if x not in seen]
+                if len(keep_idx) < len(cand_ids):
+                    t = t.take(pa.array(keep_idx, pa.int64()))
+                    cand_ids = t.column("cand_id").to_pylist()
+                    qs = t.column("_q").to_pylist()
+    n_new = t.num_rows
+
+    if present["ids"] and n_new == 0:
+        # pure replay (or an empty batch) — no state change
+        if return_full and present["groups"]:
+            g = SS.read_store_arrow(
+                state_path + "/groups", committed,
+                columns=["id", "cluster", "group"],
+            )
+            tbl = _sem_resolved_rows_table(
+                zip(g.column("id").to_pylist(),
+                    g.column("cluster").to_pylist(),
+                    g.column("group").to_pylist())
+                if g is not None else []
+            )
+            if tbl.num_rows <= _DRIVER_RESOLVE_ROWS:
+                return spark.createDataFrame(tbl)
+            return _resolve_group_overlay(
+                SS.visible(
+                    _try_parquet(spark, state_path + "/groups",
+                                 _SEM_GROUPS_SCHEMA),
+                    committed,
+                ).select("id", "cluster", "group")
+            ).localCheckpoint(eager=True)
+        if return_full:
+            return spark.createDataFrame(
+                [], "id long, cluster long, group long, keep int"
+            )
+        return spark.createDataFrame([], "id long, cluster long, group long")
+
+    clusters_l = t.column("cluster").to_pylist()
+    n2s = t.column("_n2").to_pylist()
+    tau_q = int(round(tau * 10_000))
+
+    # candidate pairs per touched cluster: new × (old index rows of the
+    # touched clusters ∪ new), exact integer cosine via numpy int64
+    import numpy as np
+    from collections import defaultdict
+
+    new_by_cluster: dict = defaultdict(list)  # cluster -> [row idx]
+    for i, c in enumerate(clusters_l):
+        new_by_cluster[c].append(i)
+    old_by_cluster: dict = {}
+    if present["index"]:
+        touched_clusters = sorted(new_by_cluster)
+        idx_t = SS.read_store_arrow(
+            state_path + "/index", committed, "cluster", touched_clusters,
+            columns=["cand_id", "_qc", "_nc"], attach_part=True,
+            attach_type=pa.int64(),
+        )
+        if idx_t is not None:
+            for cid, oq, on, c in zip(
+                idx_t.column("cand_id").to_pylist(),
+                idx_t.column("_qc").to_pylist(),
+                idx_t.column("_nc").to_pylist(),
+                idx_t.column("cluster").to_pylist(),
+            ):
+                old_by_cluster.setdefault(c, []).append((cid, oq, on))
+    edges = []
+    seen_pairs: set = set()
+    for c, idxs in new_by_cluster.items():
+        # valid new rows (no null vector/norm — a null nulls the whole
+        # Spark predicate, dropping the pair there too)
+        a_rows = [(cand_ids[i], qs[i], n2s[i]) for i in idxs
+                  if qs[i] is not None and n2s[i] is not None
+                  and None not in qs[i]]
+        if not a_rows:
+            continue
+        b_rows = a_rows + [
+            (cid, oq, on) for cid, oq, on in old_by_cluster.get(c, [])
+            if oq is not None and on is not None and None not in oq
+        ]
+        A = np.array([r[1] for r in a_rows], dtype=np.int64)
+        B = np.array([r[1] for r in b_rows], dtype=np.int64)
+        S = A @ B.T  # exact: the guard bounds d*qmax^2 < 2^62
+        for ai, (aid, _, na) in enumerate(a_rows):
+            for bi, (bid, _, nb) in enumerate(b_rows):
+                if aid == bid:
+                    continue
+                key = (aid, bid) if aid < bid else (bid, aid)
+                if key in seen_pairs:
+                    continue
+                seen_pairs.add(key)
+                s = int(S[ai, bi])
+                # the exact integer predicate (unbounded ints ≡ the
+                # decimal(38,0) arithmetic of the distributed path)
+                if s > 0 and s * s * 100_000_000 >= tau_q * tau_q * int(na) * int(nb):
+                    edges.append(key)
+        if len(seen_pairs) > _DRIVER_MAX_CAND:
+            return None  # degenerate cluster profile — distributed path
+
+    # touched components: star-contract via the groups overlay
+    members = None
+    pairs = edges
+    g_id: list = []
+    g_cl: list = []
+    g_gr: list = []
+    if present["groups"]:
+        g = SS.read_store_arrow(
+            state_path + "/groups", committed,
+            columns=["id", "cluster", "group"],
+        )
+        if g is not None:
+            g_id = g.column("id").to_pylist()
+            g_cl = g.column("cluster").to_pylist()
+            g_gr = g.column("group").to_pylist()
+        new_idset = set(cand_ids)
+        ends = {i for e in edges for i in e} - new_idset
+        min_grp: dict = {}
+        for i, gr in zip(g_id, g_gr):
+            if i in ends and (i not in min_grp or gr < min_grp[i]):
+                min_grp[i] = gr
+        touched = set(min_grp.values())
+        members = [
+            (i, c, gr) for i, c, gr in zip(g_id, g_cl, g_gr)
+            if gr in touched
+        ]
+        star = [(i, gr) for i, _c, gr in members if i != gr]
+        pairs = edges + star
+
+    from raft_spark.operators.solvers import driver_union_find
+
+    labels = driver_union_find(pairs)
+    fresh = [
+        (i, c, labels.get(i, i)) for i, c in zip(cand_ids, clusters_l)
+    ]
+    if members is not None:
+        relabeled = [
+            (i, c, labels[i]) for i, c, old_g in members
+            if i in labels and labels[i] != old_g
+        ]
+        delta_overlay = fresh + relabeled
+    else:
+        delta_overlay = fresh
+
+    if not had_meta:
+        _write_state_meta(spark, state_path,
+                          {"tau": float(tau), "scale": float(scale)})
+    # manifest commit: same append order/seam as the distributed path
+    # (index, ids, groups; publish LAST)
+    dv = SS.new_delivery_id()
+    index_tbl = pa.table({
+        "_dv": pa.array([dv] * n_new, pa.int64()),
+        "cluster": t.column("cluster"), "cand_id": t.column("cand_id"),
+        "_qc": t.column("_q"), "_nc": t.column("_n2"),
+    })
+    SS.append_store(index_tbl, state_path + "/index", ("_dv", "cluster"),
+                    small=True)
+    ids_tbl = pa.table({
+        "_dv": pa.array([dv] * n_new, pa.int64()),
+        "_pd": t.column("_pd"), "id": t.column("cand_id"),
+    })
+    SS.append_store(ids_tbl, state_path + "/ids", ("_dv", "_pd"),
+                    small=True)
+    groups_tbl = pa.table({
+        "_dv": pa.array([dv] * len(delta_overlay), pa.int64()),
+        "id": pa.array([r[0] for r in delta_overlay], pa.int64()),
+        "cluster": pa.array([r[1] for r in delta_overlay], pa.int64()),
+        "group": pa.array([r[2] for r in delta_overlay], pa.int64()),
+    })
+    SS.append_store(groups_tbl, state_path + "/groups", ("_dv",),
+                    small=True)
+    SS.publish_commit(spark, state_path, dv)  # THE commit point
+
+    if not return_full:
+        return spark.createDataFrame(
+            delta_overlay or [], "id long, cluster long, group long"
+        )
+    import itertools
+
+    tbl = _sem_resolved_rows_table(
+        itertools.chain(zip(g_id, g_cl, g_gr), delta_overlay)
+    )
+    if tbl.num_rows <= _DRIVER_RESOLVE_ROWS:
+        return spark.createDataFrame(tbl)
+    return _resolve_group_overlay(
+        SS.visible(
+            spark.read.schema(_SEM_GROUPS_SCHEMA)
+            .parquet(state_path + "/groups"),
+            (committed or []) + [dv],
+        ).select("id", "cluster", "group")
+    ).localCheckpoint(eager=True)
 
 
 def _semantic_state_ingest_impl(
@@ -3055,12 +3392,344 @@ def span_state_ingest(
     spark = new_docs.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
+        out = _span_state_ingest_driver(
+            new_docs, state_path, n, min_count, text_col, id_col,
+            return_full,
+        )
+        if out is not None:
+            return out
         return _span_state_ingest_impl(
             new_docs, state_path, n, min_count, text_col, id_col,
             return_full,
         )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+# driver-path cap on the delta's total window rows (each is ~60 bytes
+# of hash/position; the spans/hcounts stores are row-gated separately)
+_DRIVER_MAX_SPAN_ROWS = 2_000_000
+
+
+def _span_resolved_table(tok_pairs, flag_pairs, n: int):
+    """Driver rendering of :func:`_resolve_span_state`: (doc, n_tokens)
+    rows + flagged (doc, start) windows → the duplicated_spans output
+    as an Arrow table. Coverage = |union of [start, start+n)| per doc —
+    identical to the distinct-position count (interval merging), with
+    the exact float/floor arithmetic of the Spark expression."""
+    import math
+
+    import pyarrow as pa
+
+    nt: dict = {}  # doc -> max(n_tokens), the Spark max (ignores nulls)
+    for d, k in tok_pairs:
+        if d not in nt:
+            nt[d] = k
+        elif k is not None and (nt[d] is None or k > nt[d]):
+            nt[d] = k
+    starts: dict = {}
+    for d, s_ in flag_pairs:
+        starts.setdefault(d, []).append(s_)
+    docs = sorted(nt)
+    dup_l = []
+    for d in docs:
+        ss = starts.get(d)
+        if not ss:
+            dup_l.append(0)
+            continue
+        ss.sort()
+        covered = 0
+        lo = hi = None
+        for s_ in ss:
+            if hi is None:
+                lo, hi = s_, s_ + n
+            elif s_ <= hi:
+                hi = max(hi, s_ + n)
+            else:
+                covered += hi - lo
+                lo, hi = s_, s_ + n
+        covered += hi - lo
+        dup_l.append(covered)
+    # exact float/floor arithmetic of the Spark expression; a null or
+    # zero n_tokens divides by 1 (Spark's greatest ignores the null)
+    ppm = [
+        int(math.floor((dup * 1_000_000) / (nt[d] if nt[d] else 1)))
+        for d, dup in zip(docs, dup_l)
+    ]
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_tokens": pa.array(
+            [None if nt[d] is None else int(nt[d]) for d in docs],
+            pa.int64(),
+        ),
+        "dup_tokens": pa.array(dup_l, pa.int64()),
+        "dup_frac_ppm": pa.array(ppm, pa.int64()),
+    })
+
+
+def _span_state_ingest_driver(
+    new_docs: DataFrame,
+    state_path: str,
+    n: int,
+    min_count: int,
+    text_col: str,
+    id_col: str,
+    return_full: bool,
+):
+    """Driver-side rendering of one SMALL span delivery into a
+    DRIVER-SIZED state — the :func:`_dedup_state_ingest_driver`
+    discipline applied to the span twin. ONE Spark job collects the
+    delta's per-doc token counts and window hashes (the same
+    tokenize/md5/xxhash expressions as :func:`span_hash_table`, nested
+    per doc); the replay anti-join, the additive ≥min_count decision,
+    the retro-flag probe and the coverage resolve run driver-side over
+    pruned pyarrow store reads; appends ride the same append_store
+    seam in the same order. Returns None to fall back to the
+    distributed path. Parity pinned in tests/test_incremental_dedup.py."""
+    import warnings
+
+    spark = new_docs.sparkSession
+    stores = ("tokens", "spans", "hcounts", "flags")
+    for s in stores:
+        if SS.store_row_count(state_path + "/" + s) >= SS.SMALL_STORE_ROWS:
+            return None
+    present = {s: os.path.isdir(state_path + "/" + s) for s in stores}
+    if len(set(present.values())) > 1:
+        return None  # mid-migration/legacy shape — distributed path
+    had_meta = _guard_state_meta(
+        spark, state_path, "span_state_ingest",
+        {"n": int(n), "min_count": int(min_count)},
+    )
+    # NOT gated on had_meta: r10 span states have meta but flat hcounts
+    _migrate_span_state(spark, state_path)
+    if not had_meta and present["tokens"]:
+        warnings.warn(
+            f"span_state_ingest: adopting this call's format parameters "
+            f"(n={n}, min_count={min_count}) for the legacy state at "
+            f"{state_path} — they become the state FORMAT and every "
+            f"later ingest must match",
+            stacklevel=3,
+        )
+    committed = SS.adopt_commit_ledger(spark, state_path, stores)
+
+    # THE one Spark job: per-doc token counts + nested window structs
+    # (start, h, _ph), all derived by the span_hash_table expressions
+    def _build_probe():
+        toks = F.filter(
+            F.split(F.col(text_col), r"\s+"), lambda x: x != F.lit("")
+        )
+        spans = F.when(
+            F.col("_ntok") >= F.lit(n),
+            F.transform(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("_ntok") - n),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("_t", i + F.lit(1), n))
+                    ),
+                ),
+                lambda h, i: F.struct(
+                    i.alias("start"), h.alias("h"),
+                    F.pmod(F.xxhash64(h), F.lit(N_BAND_BUCKETS))
+                    .cast("int").alias("_ph"),
+                ),
+            ),
+        ).alias("_spans")
+        return (
+            new_docs.select(
+                F.col(id_col).cast("long").alias("doc_id"),
+                toks.alias("_t"),
+            )
+            .withColumn("_ntok", F.size("_t"))
+            .select("doc_id", F.col("_ntok").alias("n_tokens"), spans)
+        )
+
+    with _no_aqe(spark):
+        t = _build_probe().limit(DRIVER_DELTA_DOCS + 1).toArrow()
+    if t.num_rows > DRIVER_DELTA_DOCS:
+        return None
+    doc_ids = t.column("doc_id").to_pylist()
+    if any(d is None for d in doc_ids) or len(set(doc_ids)) != len(doc_ids):
+        return None  # null/duplicate ids — distributed-path semantics
+    ntoks = t.column("n_tokens").to_pylist()
+    spans_nested = t.column("_spans").to_pylist()
+
+    # replay anti-join against the tokens registry
+    if present["tokens"]:
+        reg = SS.read_store_arrow(state_path + "/tokens", committed,
+                                  columns=["doc_id"])
+        seen = set(reg.column("doc_id").to_pylist()) if reg is not None \
+            else set()
+        if seen:
+            kept = [i for i, d in enumerate(doc_ids) if d not in seen]
+            if len(kept) < len(doc_ids):
+                doc_ids = [doc_ids[i] for i in kept]
+                ntoks = [ntoks[i] for i in kept]
+                spans_nested = [spans_nested[i] for i in kept]
+    n_delta = len(doc_ids)
+
+    meta_n = int(n)
+    if present["tokens"] and n_delta == 0:  # pure replay
+        if return_full:
+            tok_t = SS.read_store_arrow(
+                state_path + "/tokens", committed,
+                columns=["doc_id", "n_tokens"],
+            )
+            fl_t = SS.read_store_arrow(
+                state_path + "/flags", committed,
+                columns=["doc_id", "start"],
+            )
+            tbl = _span_resolved_table(
+                zip(tok_t.column("doc_id").to_pylist(),
+                    tok_t.column("n_tokens").to_pylist())
+                if tok_t is not None else [],
+                zip(fl_t.column("doc_id").to_pylist(),
+                    fl_t.column("start").to_pylist())
+                if fl_t is not None else [],
+                meta_n,
+            )
+            if tbl.num_rows <= _DRIVER_RESOLVE_ROWS:
+                return spark.createDataFrame(tbl)
+            return read_span_state(spark, state_path).localCheckpoint(
+                eager=True
+            )
+        return spark.createDataFrame([], "doc_id long, start long")
+
+    # explode the nested structs driver-side
+    span_doc: list = []
+    span_start: list = []
+    span_h: list = []
+    span_ph: list = []
+    total = 0
+    for d, nested in zip(doc_ids, spans_nested):
+        if not nested:
+            continue
+        total += len(nested)
+        if total > _DRIVER_MAX_SPAN_ROWS:
+            return None  # window-heavy delta — distributed path
+        for row in nested:
+            span_doc.append(d)
+            span_start.append(row["start"])
+            span_h.append(row["h"])
+            span_ph.append(row["_ph"])
+
+    from collections import Counter
+
+    delta_counts = Counter(span_h)
+    h_ph = dict(zip(span_h, span_ph))
+    phs = sorted(set(span_ph))
+    old_co: Counter = Counter()
+    if present["hcounts"]:
+        hc = SS.read_store_arrow(
+            state_path + "/hcounts", committed, "_ph", phs,
+            columns=["h", "c"],
+        )
+        if hc is not None:
+            for h, c in zip(hc.column("h").to_pylist(),
+                            hc.column("c").to_pylist()):
+                if h in delta_counts:
+                    old_co[h] += c
+    dup_h = {
+        h: old_co.get(h, 0)
+        for h, cd in delta_counts.items()
+        if cd + old_co.get(h, 0) >= min_count
+    }
+    new_flags = [
+        (d, s_) for d, s_, h in zip(span_doc, span_start, span_h)
+        if h in dup_h
+    ]
+    retro: list = []
+    if present["spans"]:
+        crossed = {h for h, co in dup_h.items() if co < min_count}
+        if crossed:
+            sp = SS.read_store_arrow(
+                state_path + "/spans", committed, "_ph", phs,
+                columns=["h", "doc_id", "start"],
+            )
+            if sp is not None:
+                retro = [
+                    (d, s_) for h, d, s_ in zip(
+                        sp.column("h").to_pylist(),
+                        sp.column("doc_id").to_pylist(),
+                        sp.column("start").to_pylist(),
+                    ) if h in crossed
+                ]
+    delta_flags = new_flags + retro
+
+    if not had_meta:
+        _write_state_meta(spark, state_path,
+                          {"n": int(n), "min_count": int(min_count)})
+    # manifest commit: same append order/seam as the distributed path
+    # (tokens, spans, hcounts, flags; publish LAST)
+    import pyarrow as pa
+
+    dv = SS.new_delivery_id()
+    tokens_tbl = pa.table({
+        "_dv": pa.array([dv] * n_delta, pa.int64()),
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "n_tokens": pa.array(
+            [None if v is None else int(v) for v in ntoks], pa.int32()
+        ),
+    })
+    SS.append_store(tokens_tbl, state_path + "/tokens", ("_dv",),
+                    small=True)
+    spans_tbl = pa.table({
+        "_dv": pa.array([dv] * len(span_doc), pa.int64()),
+        "_ph": pa.array(span_ph, pa.int32()),
+        "h": pa.array(span_h, pa.string()),
+        "doc_id": pa.array(span_doc, pa.int64()),
+        "start": pa.array(span_start, pa.int32()),
+    })
+    SS.append_store(spans_tbl, state_path + "/spans", ("_dv", "_ph"),
+                    small=True, sort_by=("h",))
+    hkeys = sorted(delta_counts)
+    hcounts_tbl = pa.table({
+        "_dv": pa.array([dv] * len(hkeys), pa.int64()),
+        "_ph": pa.array([h_ph[h] for h in hkeys], pa.int32()),
+        "h": pa.array(hkeys, pa.string()),
+        "c": pa.array([delta_counts[h] for h in hkeys], pa.int64()),
+    })
+    SS.append_store(hcounts_tbl, state_path + "/hcounts", ("_dv", "_ph"),
+                    small=True, sort_by=("h",))
+    flags_tbl = pa.table({
+        "_dv": pa.array([dv] * len(delta_flags), pa.int64()),
+        "doc_id": pa.array([d for d, _ in delta_flags], pa.int64()),
+        "start": pa.array([s_ for _, s_ in delta_flags], pa.int32()),
+    })
+    SS.append_store(flags_tbl, state_path + "/flags", ("_dv",),
+                    small=True)
+    SS.publish_commit(spark, state_path, dv)  # THE commit point
+
+    if not return_full:
+        return spark.createDataFrame(
+            delta_flags or [], "doc_id long, start int"
+        )
+    # driver-side resolve: committed tokens/flags + this delivery
+    old_tok_pairs: list = []
+    old_flag_pairs: list = []
+    if present["tokens"]:
+        tok_t = SS.read_store_arrow(
+            state_path + "/tokens", committed,
+            columns=["doc_id", "n_tokens"],
+        )
+        if tok_t is not None:
+            old_tok_pairs = list(zip(tok_t.column("doc_id").to_pylist(),
+                                     tok_t.column("n_tokens").to_pylist()))
+    if present["flags"]:
+        fl_t = SS.read_store_arrow(
+            state_path + "/flags", committed,
+            columns=["doc_id", "start"],
+        )
+        if fl_t is not None:
+            old_flag_pairs = list(zip(fl_t.column("doc_id").to_pylist(),
+                                      fl_t.column("start").to_pylist()))
+    tbl = _span_resolved_table(
+        old_tok_pairs + list(zip(doc_ids, ntoks)),
+        old_flag_pairs + delta_flags,
+        meta_n,
+    )
+    if tbl.num_rows <= _DRIVER_RESOLVE_ROWS:
+        return spark.createDataFrame(tbl)
+    return read_span_state(spark, state_path).localCheckpoint(eager=True)
 
 
 def _span_state_ingest_impl(

@@ -1900,9 +1900,6 @@ def pq_train(
     """
     import numpy as np
 
-    d = df.select(F.size(F.col(vec_col))).first()[0]
-    assert d % m_subspaces == 0, f"dim {d} not divisible by m={m_subspaces}"
-    dsub = d // m_subspaces
     frac_probe = df.select(
         F.col(vec_col), F.pmod(F.xxhash64(F.col(vec_col).cast("string")), F.lit(1_000_000)).alias("_h")
     )
@@ -1912,6 +1909,12 @@ def pq_train(
         sample = frac_probe.filter(F.col("_h") < cut).select(vec_col).collect()
     else:
         sample = df.select(vec_col).collect()
+    # dim from the collected sample (one fewer scheduled job than a
+    # separate size() probe; the sample is never empty when df is —
+    # the cut keeps ≥ max_train_rows expected rows)
+    d = len(sample[0][vec_col])
+    assert d % m_subspaces == 0, f"dim {d} not divisible by m={m_subspaces}"
+    dsub = d // m_subspaces
     X = np.array([r[vec_col] for r in sample], dtype=float)
     rng = np.random.RandomState(seed)
     books = np.empty((m_subspaces, n_codes, dsub))

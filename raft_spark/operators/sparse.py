@@ -608,6 +608,8 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
     re-appends it in full under a new id; no double-count window
     remains (same protocol as dedup_state_ingest)."""
     spark = new_coo.sparkSession
+    if _postings_add_driver(new_coo, path):
+        return
     n_shards = _postings_n_shards(spark, path)
     committed = SS.adopt_commit_ledger(spark, path, ("postings", "norms"))
     delta = (
@@ -644,6 +646,78 @@ def postings_add(new_coo: DataFrame, path: str) -> None:
         f"{path}/norms", ("_dv",), small=small,
     )
     SS.publish_commit(spark, path, dv)  # THE commit point
+
+
+# driver-path cap on the delta's coo rows (~32 bytes each)
+_DRIVER_DELTA_NNZ = 1_000_000
+
+
+def _postings_add_driver(new_coo: DataFrame, path: str) -> bool:
+    """Driver-side rendering of one SMALL postings delivery into a
+    DRIVER-SIZED index — the dedup-family discipline: ONE Spark job
+    collects the cast delta (row, col, value, _shard — the same
+    expressions as the distributed path), the replay anti-join and the
+    norms aggregate run driver-side, both appends ride the same
+    append_store seam in the same order. Returns False to fall back to
+    the distributed path. (The _nn double sums are order-sensitive in
+    the last ulp on EITHER path — Spark's partial aggregation order is
+    itself nondeterministic — so norm bytes are not pinned across
+    paths; every consumer rounds.)"""
+    spark = new_coo.sparkSession
+    for s in ("postings", "norms"):
+        if SS.store_row_count(path + "/" + s) >= SS.SMALL_STORE_ROWS:
+            return False
+    n_shards = _postings_n_shards(spark, path)
+    committed = SS.adopt_commit_ledger(spark, path, ("postings", "norms"))
+    probe = new_coo.select(
+        F.col("row").cast("long").alias("row"),
+        F.col("col").cast("long").alias("col"),
+        F.col("value").cast("double").alias("value"),
+    ).select(
+        "row", "col", "value",
+        F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
+    )
+    with SS._no_aqe(spark):
+        t = probe.limit(_DRIVER_DELTA_NNZ + 1).toArrow()
+    if t.num_rows > _DRIVER_DELTA_NNZ:
+        return False
+    import pyarrow as pa
+
+    reg = SS.read_store_arrow(path + "/norms", committed, columns=["row"])
+    if reg is not None:
+        seen = set(reg.column("row").to_pylist())
+        if seen:
+            keep = [i for i, r in enumerate(t.column("row").to_pylist())
+                    if r not in seen]
+            if len(keep) < t.num_rows:
+                t = t.take(pa.array(keep, pa.int64()))
+    rows = t.column("row").to_pylist()
+    vals = t.column("value").to_pylist()
+    dv = SS.new_delivery_id()
+    postings_tbl = pa.table({
+        "_dv": pa.array([dv] * t.num_rows, pa.int64()),
+        "_shard": t.column("_shard"),
+        "col": t.column("col"), "row": t.column("row"),
+        "value": t.column("value"),
+    })
+    SS.append_store(postings_tbl, f"{path}/postings", ("_dv", "_shard"),
+                    small=True, sort_by=("col", "row"))
+    nn: dict = {}
+    nz: dict = {}
+    for r, v in zip(rows, vals):
+        nz[r] = nz.get(r, 0) + 1
+        if v is not None:  # Spark sum skips nulls, count does not
+            nn[r] = nn.get(r, 0.0) + v * v
+    rkeys = sorted(nz)
+    norms_tbl = pa.table({
+        "_dv": pa.array([dv] * len(rkeys), pa.int64()),
+        "row": pa.array(rkeys, pa.int64()),
+        "_nn": pa.array([nn.get(r) for r in rkeys], pa.float64()),
+        "_nz": pa.array([nz[r] for r in rkeys], pa.int64()),
+    })
+    SS.append_store(norms_tbl, f"{path}/norms", ("_dv",), small=True)
+    SS.publish_commit(spark, path, dv)  # THE commit point
+    return True
 
 
 def compact_postings(spark, path: str) -> int:

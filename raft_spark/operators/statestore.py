@@ -432,7 +432,8 @@ def read_store_arrow(store: str, committed: list[int] | None,
                      part_vals=None,
                      columns: list[str] | None = None,
                      filter_in: tuple[str, list] | None = None,
-                     attach_part: bool = False):
+                     attach_part: bool = False,
+                     attach_type=None):
     """Driver-side pruned read of a manifest-commit store as ONE Arrow
     table (or None when the store holds no matching rows). Mirrors the
     Spark readers' pruning exactly: only ``_dv IN committed`` partition
@@ -495,7 +496,8 @@ def read_store_arrow(store: str, committed: list[int] | None,
         ft = pq.read_table(f, columns=columns)
         if attach_part and part_col is not None:
             ft = ft.append_column(
-                part_col, pa.array([v] * ft.num_rows, pa.int32())
+                part_col,
+                pa.array([v] * ft.num_rows, attach_type or pa.int32()),
             )
         tabs.append(ft)
     t = pa.concat_tables(tabs) if len(tabs) > 1 else tabs[0]

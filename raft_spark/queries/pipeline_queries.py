@@ -297,10 +297,14 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # state directory underneath it is safe
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    flag = spark.createDataFrame(
-        [(-1, -1, 1 if compact_eq else 0, 1)],
-        "doc_id long, cluster_id long, cluster_size long, is_canonical int",
-    )
+    import pyarrow as pa
+
+    flag = spark.createDataFrame(pa.table({
+        "doc_id": pa.array([-1], pa.int64()),
+        "cluster_id": pa.array([-1], pa.int64()),
+        "cluster_size": pa.array([1 if compact_eq else 0], pa.int64()),
+        "is_canonical": pa.array([1], pa.int32()),
+    }))
     return out.unionByName(flag)
 
 
