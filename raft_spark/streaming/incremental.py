@@ -68,6 +68,9 @@ def read_events_batch(spark: SparkSession, events_path: str) -> DataFrame:
     return _with_event_time(spark.read.parquet(events_path))
 
 
+_EVENTS_SCHEMA_CACHE: dict = {}
+
+
 def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """File-source stream over a directory of events parquet files.
 
@@ -77,9 +80,15 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     """
     # needed only for the legacy raw-nanos encoding; harmless otherwise
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # probe the on-disk schema (one driver-side footer read) instead of
-    # forcing one — the stream source requires an explicit schema.
-    sch = spark.read.parquet(events_dir).schema
+    # probe the on-disk schema instead of forcing one — the stream
+    # source requires an explicit schema. The probe is a one-task Spark
+    # job, so it is cached per directory (keyed on the JVM gateway like
+    # the dedup expression cache): every stream query over the same
+    # source pays it once per session, not once per query.
+    key = (id(spark.sparkContext._gateway), events_dir)
+    sch = _EVENTS_SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = _EVENTS_SCHEMA_CACHE[key] = spark.read.parquet(events_dir).schema
     return _with_event_time(spark.readStream.schema(sch).parquet(events_dir))
 
 
