@@ -664,7 +664,11 @@ def _postings_add_driver(new_coo: DataFrame, path: str) -> bool:
     itself nondeterministic — so norm bytes are not pinned across
     paths; every consumer rounds.)"""
     spark = new_coo.sparkSession
+    import os
+
     for s in ("postings", "norms"):
+        if not os.path.isdir(path + "/" + s):
+            return False  # distributed path raises on the missing store
         if SS.store_row_count(path + "/" + s) >= SS.SMALL_STORE_ROWS:
             return False
     n_shards = _postings_n_shards(spark, path)
