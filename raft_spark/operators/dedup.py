@@ -94,6 +94,26 @@ MAX_BUCKET_DOCS = 256
 MAX_SHINGLE_DF = 512
 
 
+def _upper_triangle_pairs(list_col):
+    """All ordered index pairs i < j of a sorted array column as
+    struct(a, b) — the in-row pair expansion the capped inverted-index
+    joins use instead of a bucket self-join. Emits each pair of
+    positions exactly once (join multiplicity: a value appearing m and
+    k times yields m·k cross pairs, C(m,2) self pairs — identical to
+    the a×b equi-join the caller replaces), so downstream a < b filters
+    and per-pair counts are unchanged."""
+    c = _col(list_col)
+    return F.flatten(
+        F.transform(
+            c,
+            lambda x, i: F.transform(
+                F.slice(c, i + F.lit(2), F.size(c)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame, doc_col: str = "doc_id", band_rows: int = BAND_ROWS,
     num_perms: int = NUM_PERMS, max_bucket_docs: int = MAX_BUCKET_DOCS,
@@ -128,16 +148,46 @@ def minhash_lsh_candidates(
     )
     if max_bucket_docs is not None:
         occupancy = bands.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
-        keep = occupancy.filter(F.col("_n") <= max_bucket_docs).drop("_n")
+        # a singleton bucket cannot produce a pair — dropping _n = 1 in
+        # the SAME occupancy aggregate that enforces the hot-bucket cap
+        # cuts the pair-generation input to only multi-doc buckets
+        # (typically a small fraction of the band table; the emitted
+        # pair set is identical by construction)
+        keep = occupancy.filter(
+            (F.col("_n") <= max_bucket_docs) & (F.col("_n") >= 2)
+        ).drop("_n")
         bands = bands.join(keep, ["band", "bsig"], "left_semi")
-    left = bands.select(F.col("_d").alias("a"), "band", "bsig")
-    right = bands.select(F.col("_d").alias("b"), "band", "bsig")
-    cand = (
-        left.join(right, ["band", "bsig"])
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b")
-        .distinct()
-    )
+        # pair generation as ONE grouped in-row upper-triangle expansion
+        # instead of the band self-join: the occupancy cap bounds every
+        # bucket at max_bucket_docs docs, so the per-bucket list (and
+        # its exploded triangle) is bounded task state — and each
+        # unordered pair is EMITTED once instead of joined n² and
+        # filtered to a < b. The two-phase count-then-collect keeps the
+        # degenerate-bucket memory safety the cap exists for: a
+        # quadratic bucket is dropped by the count before anything
+        # collects it.
+        grouped = bands.groupBy("band", "bsig").agg(
+            F.array_sort(F.collect_list("_d")).alias("_ds")
+        )
+        cand = (
+            grouped.select(F.explode(_upper_triangle_pairs("_ds")).alias("_p"))
+            .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            # duplicate ids inside one bucket (possible only on a
+            # caller-supplied sigs frame with repeated doc ids) sort
+            # adjacent and would emit a = b; the strict filter keeps the
+            # self-join's a < b contract exactly
+            .filter(F.col("a") < F.col("b"))
+            .distinct()
+        )
+    else:
+        left = bands.select(F.col("_d").alias("a"), "band", "bsig")
+        right = bands.select(F.col("_d").alias("b"), "band", "bsig")
+        cand = (
+            left.join(right, ["band", "bsig"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b")
+            .distinct()
+        )
     sa = sigs.select(F.col(doc_col).alias("a"), F.col("sig").alias("_sa"))
     sb = sigs.select(F.col(doc_col).alias("b"), F.col("sig").alias("_sb"))
     est = F.aggregate(
@@ -841,14 +891,36 @@ def ngram_jaccard_pairs(
         # measured 5x slower at sf0.1
         sh = sh.join(keep, "shingle", "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("doc_id").alias("a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("b"), "shingle")
-    common = (
-        a.join(b, "shingle")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("common"))
-    )
+    if max_shingle_df is not None:
+        # grouped in-row pair expansion instead of the inverted-index
+        # self-join: the df cap bounds every posting list at
+        # max_shingle_df rows, so collect_list is bounded task state;
+        # singleton shingles (most of a real corpus) group to a
+        # 1-element list and emit nothing, where the self-join shipped
+        # them through BOTH join sides just to drop the (d, d) row. The
+        # pair multiplicities match the join exactly (see
+        # _upper_triangle_pairs), so `common` is unchanged. Sizes stay
+        # computed over the full capped table — only pair GENERATION
+        # moves.
+        grouped = sh.groupBy("shingle").agg(
+            F.array_sort(F.collect_list("doc_id")).alias("_ds")
+        )
+        common = (
+            grouped.select(F.explode(_upper_triangle_pairs("_ds")).alias("_p"))
+            .select(F.col("_p.a").alias("a"), F.col("_p.b").alias("b"))
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("a"), "shingle")
+        b = sh.select(F.col("doc_id").alias("b"), "shingle")
+        common = (
+            a.join(b, "shingle")
+            .filter(F.col("a") < F.col("b"))
+            .groupBy("a", "b")
+            .agg(F.count("*").alias("common"))
+        )
     out = (
         common.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
         .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
@@ -894,8 +966,10 @@ def stable_term_id_expr(term_col):
 # call, paid per delivery by the ingest paths. Catalyst expression trees
 # are immutable and unbound (resolved per-plan at analysis), so a
 # Column keyed on its builder arguments is safely reusable across
-# DataFrames/queries; keying on the py4j gateway id drops stale entries
-# if the JVM is ever relaunched.
+# DataFrames/queries; keying on the live context's applicationId drops
+# stale entries if the JVM is ever relaunched (id(gateway) was unsound:
+# CPython can reuse the freed gateway object's id and serve Columns
+# bound to the dead JVM).
 _EXPR_CACHE: dict = {}
 
 
@@ -903,7 +977,7 @@ def _cached_expr(key: tuple, build):
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
-    full = (id(sc._gateway) if sc is not None else None,) + key
+    full = (sc.applicationId if sc is not None else None,) + key
     got = _EXPR_CACHE.get(full)
     if got is None:
         got = _EXPR_CACHE[full] = build()
@@ -1403,7 +1477,7 @@ def _dedup_state_ingest_driver(
         F.col(id_col).cast("long").alias("doc_id"),
         minhash_signature_stable(text_col, num_perms).alias("sig"),
     ).select("doc_id", "sig", pd_expr, bands_expr)
-    with _no_aqe(spark):
+    with _no_aqe(spark, limit_rows=DRIVER_DELTA_DOCS):
         t = row_df.limit(DRIVER_DELTA_DOCS + 1).toArrow()
     if t.num_rows > DRIVER_DELTA_DOCS:
         return None  # large delivery — distributed path (probe cost is O(cap))
@@ -2272,15 +2346,17 @@ def _semantic_state_ingest_driver(
     q = quantized_embeddings(new_df, id_col=id_col, vec_col=vec_col,
                              scale=scale)
     probe_df = q.join(
-        assignments.select(F.col(id_col).alias("id"), "cluster"),
+        assignments.select(F.col(id_col).alias("id"), "cluster",
+                           F.lit(1).alias("_asg")),
         "id", "left",
     ).select(
         F.col("id").cast("long").alias("cand_id"),
         F.col("cluster").cast("long").alias("cluster"),
+        F.col("_asg"),
         F.col("_q"), F.col("_n2"),
         _doc_bucket(F.col("id").cast("long")).alias("_pd"),
     )
-    with _no_aqe(spark):
+    with _no_aqe(spark, limit_rows=DRIVER_DELTA_DOCS):
         t = probe_df.limit(DRIVER_DELTA_DOCS + 1).toArrow()
     if t.num_rows > DRIVER_DELTA_DOCS:
         return None
@@ -2302,12 +2378,20 @@ def _semantic_state_ingest_driver(
         n2max = max((n for n in n2s_all if n is not None), default=0)
         _check_quantized_bounds(qmax, n2max, d)
 
-    # the distributed new_rows frame is the INNER join: drop unassigned
+    # the distributed new_rows frame is the INNER join: drop unassigned.
+    # An assignment row that EXISTS but carries a NULL cluster is kept
+    # by that inner join (it lands in index/ids/groups there), which a
+    # cluster-is-null test cannot distinguish from unassigned — the
+    # marker column makes the two cases separable, and the
+    # assigned-but-null shape falls back to the distributed twin.
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    keep_idx = [i for i, c in enumerate(t.column("cluster").to_pylist())
-                if c is not None]
+    asg_l = t.column("_asg").to_pylist()
+    if any(a is not None and c is None
+           for a, c in zip(asg_l, t.column("cluster").to_pylist())):
+        return None
+    keep_idx = [i for i, a in enumerate(asg_l) if a is not None]
     if len(keep_idx) < t.num_rows:
         t = t.take(pa.array(keep_idx, pa.int64()))
         qs = t.column("_q").to_pylist()
@@ -2389,6 +2473,13 @@ def _semantic_state_ingest_driver(
                 idx_t.column("_nc").to_pylist(),
                 idx_t.column("cluster").to_pylist(),
             ):
+                if oq is not None and len(oq) != d:
+                    # persisted vectors of another dim (state built
+                    # under a different embedding model): the
+                    # distributed zip_with null-pads such pairs — keep
+                    # those semantics there instead of a ragged
+                    # np.array ValueError here
+                    return None
                 old_by_cluster.setdefault(c, []).append((cid, oq, on))
     edges = []
     seen_pairs: set = set()
@@ -3543,7 +3634,7 @@ def _span_state_ingest_driver(
             .select("doc_id", F.col("_ntok").alias("n_tokens"), spans)
         )
 
-    with _no_aqe(spark):
+    with _no_aqe(spark, limit_rows=DRIVER_DELTA_DOCS):
         t = _build_probe().limit(DRIVER_DELTA_DOCS + 1).toArrow()
     if t.num_rows > DRIVER_DELTA_DOCS:
         return None

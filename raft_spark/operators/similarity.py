@@ -43,7 +43,7 @@ def _collect_queries(qn: DataFrame, limit: int = MAX_COLLECT_QUERIES):
     """Driver-guarded collect of an ANN query side (the Q≪N contract of
     the LUT/closure paths): raises with a clear remedy instead of
     silently OOMing the driver when handed a corpus-sized frame."""
-    with SS._no_aqe(qn.sparkSession):  # probe: one job, not per AQE stage
+    with SS._no_aqe(qn.sparkSession, limit_rows=limit):  # probe: one job
         rows = qn.limit(limit + 1).collect()
     if len(rows) > limit:
         raise ValueError(
@@ -69,7 +69,7 @@ def _resolve_scan_strategy(qn: DataFrame, strategy: str, limit: int):
         return "numpy", _collect_queries(qn, limit)
     if strategy != "auto":  # expr, or an explicit select_k merge strategy
         return strategy, None
-    with SS._no_aqe(qn.sparkSession):  # probe: one job, not per AQE stage
+    with SS._no_aqe(qn.sparkSession, limit_rows=limit):  # probe: one job
         rows = qn.limit(limit + 1).collect()
     if len(rows) > limit:
         return "expr", None  # degrade gracefully, never OOM the driver
@@ -476,6 +476,89 @@ def knn_refine(
     )
 
 
+# eps_pairs_exact driver strategy gates (the triangle_count /
+# pagerank_exact discipline): measured data size, never core count. The
+# row cap bounds the collected matrix (16384 x 64 int64 = 8 MB) and the
+# O(n^2 d) Gram (1.6e10 flop at the cap — seconds of threaded BLAS);
+# the pair cap bounds what createDataFrame ships back.
+_DRIVER_EPS_ROWS = 16_384
+_DRIVER_EPS_MAX_PAIRS = 3_000_000
+
+
+def _eps_pairs_driver(qdf, id_col: str, vec_col: str, eps_q: int):
+    """Driver-side exact ε-pair scan over the quantized frame — taken
+    when ONE capped ``limit(cap+1).toArrow()`` job shows the frame fits
+    (and every integer stays inside the f64-exact BLAS regime).
+    Returns the (a, b) DataFrame, or None to run the distributed
+    blocked join.
+
+    Exactness: with d·qmax² < 2⁵², every dot product, squared norm and
+    partial sum is an integer below 2⁵², so float64 BLAS computes them
+    EXACTLY; the predicate na + nb − 2·s ≤ eps_q² is then evaluated in
+    int64 (|terms| ≤ 2⁵³ ≪ 2⁶³). Pair multiset parity with the blocked
+    join: each unordered ROW pair with distinct ids surfaces exactly
+    once as (least, greatest); equal-id row pairs are dropped there
+    (same hash block, a < b fails) and skipped here."""
+    import numpy as np
+    import pyarrow as pa
+
+    spark = qdf.sparkSession
+    with SS._no_aqe(spark, limit_rows=_DRIVER_EPS_ROWS):
+        t = qdf.limit(_DRIVER_EPS_ROWS + 1).toArrow()
+    if t.num_rows > _DRIVER_EPS_ROWS:
+        return None
+    if t.num_rows < 2:
+        return spark.createDataFrame([], "a long, b long")
+    ids_arr = t.column(id_col)
+    if ids_arr.null_count:
+        return None  # null ids: join-orientation semantics belong to
+        # the distributed path
+    vec = t.column(vec_col).combine_chunks()
+    if vec.null_count or vec.values.null_count:
+        return None  # null vectors/elements null the Spark predicate
+        # per pair — keep that shape distributed
+    n = t.num_rows
+    off = vec.offsets.to_numpy(zero_copy_only=False)
+    lens = np.diff(off)
+    d = int(lens[0]) if n else 0
+    if d == 0 or not (lens == d).all():
+        return None  # ragged dims: zip_with pads with null — distributed
+    Q = vec.values.to_numpy(zero_copy_only=False).astype(
+        np.float64).reshape(n, d)
+    qmax = float(np.abs(Q).max())
+    if d * qmax * qmax >= float(1 << 52) or eps_q * eps_q >= (1 << 62):
+        return None  # outside the f64-exact / int64 regime: the
+        # distributed decimal(38,0) branch handles it
+    ids = ids_arr.to_numpy(zero_copy_only=False)
+    n2 = np.rint((Q * Q).sum(axis=1)).astype(np.int64)
+    thr = np.int64(eps_q) * np.int64(eps_q)
+    out_a: list = []
+    out_b: list = []
+    total = 0
+    chunk = max(1, min(n, (1 << 27) // max(n, 1)))  # ≤1 GB f64 buffer
+    for c0 in range(0, n, chunk):
+        c1 = min(c0 + chunk, n)
+        S = np.rint(Q[c0:c1] @ Q.T).astype(np.int64)  # exact (guard)
+        d2 = (n2[c0:c1, None] + n2[None, :]) - 2 * S
+        hit = d2 <= thr
+        # upper triangle in ROW index (i < j): each row pair once
+        hit[:, : c1] = np.triu(hit[:, : c1], k=c0 + 1)
+        hi, hj = np.nonzero(hit)
+        ia, ib = ids[hi + c0], ids[hj]
+        keep = ia != ib  # equal-id row pairs are dropped distributed too
+        ia, ib = ia[keep], ib[keep]
+        total += len(ia)
+        if total > _DRIVER_EPS_MAX_PAIRS:
+            return None  # degenerate ε-graph — distributed path
+        out_a.append(np.minimum(ia, ib))
+        out_b.append(np.maximum(ia, ib))
+    tbl = pa.table({
+        "a": pa.array(np.concatenate(out_a), pa.int64()),
+        "b": pa.array(np.concatenate(out_b), pa.int64()),
+    })
+    return spark.createDataFrame(tbl)
+
+
 def eps_pairs_exact(
     df: DataFrame,
     eps: float,
@@ -507,6 +590,15 @@ def eps_pairs_exact(
             vec_col, lambda x: F.floor(x * scale + F.lit(0.5)).cast("long")
         ).alias(vec_col),
     )
+    # strategy probe (the triangle_count / mst_edges_auto discipline):
+    # ONE capped collect; when the quantized frame is driver-sized the
+    # whole n² scan runs as an exactness-guarded BLAS Gram there —
+    # the blocked join's O(n²) shuffle volume is pure intermediate
+    # traffic at these sizes. Above the caps (row count, f64-exact
+    # bound, pair volume) the distributed path below is untouched.
+    drv = _eps_pairs_driver(qdf, id_col, vec_col, eps_q)
+    if drv is not None:
+        return drv
     # probe discipline: the global agg collapses map-side, so AQE's
     # per-stage jobs are pure overhead (3 jobs -> 1; statestore._no_aqe)
     with SS._no_aqe(qdf.sparkSession):
@@ -1910,8 +2002,16 @@ def pq_train(
     else:
         sample = df.select(vec_col).collect()
     # dim from the collected sample (one fewer scheduled job than a
-    # separate size() probe; the sample is never empty when df is —
-    # the cut keeps ≥ max_train_rows expected rows)
+    # separate size() probe). The hash-cut keeps >= max_train_rows rows
+    # only in EXPECTATION — an empty df, or a low-distinct-vector input
+    # whose few hash values all land above the cut, collects nothing,
+    # so guard instead of indexing into sample[0].
+    if not sample:
+        raise ValueError(
+            "pq_train: deterministic hash-cut sample collected 0 rows "
+            f"(n={n}, max_train_rows={max_train_rows}) — the input is "
+            "empty or its distinct vectors all hash above the cut; "
+            "raise max_train_rows or deduplicate upstream")
     d = len(sample[0][vec_col])
     assert d % m_subspaces == 0, f"dim {d} not divisible by m={m_subspaces}"
     dsub = d // m_subspaces

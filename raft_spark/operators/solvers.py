@@ -757,7 +757,7 @@ def mst_edges_auto(
         .filter(F.col("row") < F.col("col"))
     # one probe job (the connected_components_auto discipline): under
     # the threshold the collected rows ARE the edge table
-    with SS._no_aqe(coo.sparkSession):
+    with SS._no_aqe(coo.sparkSession, limit_rows=driver_threshold):
         rows = edges.limit(driver_threshold + 1).collect()
     if len(rows) > driver_threshold:
         return mst_edges(
@@ -820,7 +820,7 @@ def triangle_count(coo: DataFrame, driver_threshold: int = 500_000) -> int:
     )
     # one probe job: under the threshold the collected rows ARE the
     # canonical edge table (the connected_components_auto discipline)
-    with SS._no_aqe(coo.sparkSession):
+    with SS._no_aqe(coo.sparkSession, limit_rows=driver_threshold):
         rows = e.limit(driver_threshold + 1).collect()
     n_edges = len(rows)
     if 0 < n_edges <= driver_threshold:
@@ -931,7 +931,8 @@ def connected_components_auto(
     (:func:`connected_components` checkpoints the symmetrized edges).
     """
     edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
-    with SS._no_aqe(coo.sparkSession):  # probe: one job, not one per AQE stage
+    with SS._no_aqe(coo.sparkSession,  # probe: one job, not per AQE stage
+                    limit_rows=driver_threshold):
         probe = edges.limit(driver_threshold + 1).collect()
     if len(probe) > driver_threshold:
         return connected_components(edges.withColumn("value", F.lit(1.0)),
@@ -1162,7 +1163,7 @@ def pagerank_exact(
     # one probe job (CollectLimit short-circuits at scale): under the
     # threshold the collected rows ARE the edge table — no separate
     # checkpoint/count/collect triple
-    with SS._no_aqe(coo.sparkSession):
+    with SS._no_aqe(coo.sparkSession, limit_rows=driver_threshold):
         rows = edges.limit(driver_threshold + 1).collect()
     if len(rows) <= driver_threshold:
         if not rows:

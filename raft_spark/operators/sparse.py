@@ -681,7 +681,7 @@ def _postings_add_driver(new_coo: DataFrame, path: str) -> bool:
         "row", "col", "value",
         F.pmod(F.xxhash64("col"), F.lit(n_shards)).alias("_shard"),
     )
-    with SS._no_aqe(spark):
+    with SS._no_aqe(spark, limit_rows=_DRIVER_DELTA_NNZ):
         t = probe.limit(_DRIVER_DELTA_NNZ + 1).toArrow()
     if t.num_rows > _DRIVER_DELTA_NNZ:
         return False
@@ -696,6 +696,11 @@ def _postings_add_driver(new_coo: DataFrame, path: str) -> bool:
             if len(keep) < t.num_rows:
                 t = t.take(pa.array(keep, pa.int64()))
     rows = t.column("row").to_pylist()
+    if any(r is None for r in rows):
+        return False  # null row ids: sorted(nz) below would compare
+        # None with int; the distributed groupBy('row') tolerates them
+        # and writes a null-row norm row — keep that shape there (the
+        # null/duplicate-id gate discipline of the dedup driver paths)
     vals = t.column("value").to_pylist()
     dv = SS.new_delivery_id()
     postings_tbl = pa.table({

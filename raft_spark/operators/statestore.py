@@ -139,18 +139,49 @@ class _no_aqe:
     via Arrow under this guard): the first entry records the session
     flag and turns it off, the last exit restores it — a naive
     per-instance save/restore would race between threads and could
-    leave the session with AQE off permanently."""
+    leave the session with AQE off permanently.
+
+    CONTRACT (session-global conf): any UNRELATED query PLANNED
+    concurrently on the same session while a probe window is open
+    compiles with AQE off (correct, just unoptimized). This widens the
+    documented single-writer-per-state contract to single-PLANNER-per-
+    session during probe windows; the gate and bench drivers are
+    sequential, and the compactor pool only plans store legs that are
+    themselves under this guard. Scope it via a cloned session if a
+    future caller needs concurrent planning.
+
+    ``limit_rows``: for the big ``limit(T+1).collect()`` strategy
+    probes. The session sets ``spark.sql.limit.initialNumPartitions``
+    to the shuffle-partition count so a probe is ONE job — but
+    CollectLimit's first pass can ship up to (partitions × T) rows to
+    the driver before take() truncates, which at cluster scale (e.g.
+    2000 partitions × a 500k-edge probe) is a driver-memory hazard.
+    Passing the probe's row limit caps the first-pass partition count
+    at max(32, PROBE_ROW_BUDGET // T): worst-case transient driver
+    rows are bounded by max(32·T, PROBE_ROW_BUDGET) regardless of
+    session size, while any session whose initial count is already
+    below the cap (local[32] at every T used here) is untouched — the
+    one-job behavior at sf scale is preserved. Oversized-but-under-
+    threshold inputs on a capped cluster session pay the default ×4
+    escalation passes instead, each bounded by the same budget."""
 
     _lock = threading.Lock()
     _depth = 0
     _outer_prev = "true"
+    _lim_depth = 0
+    _lim_prev: str | None = None
 
-    def __init__(self, spark, enabled: bool = True):
+    PROBE_ROW_BUDGET = 20_000_000
+    _LIMIT_CONF = "spark.sql.limit.initialNumPartitions"
+
+    def __init__(self, spark, enabled: bool = True,
+                 limit_rows: int | None = None):
         self.spark, self.enabled = spark, enabled
+        self.limit_rows = limit_rows
 
     def __enter__(self):
+        cls = type(self)
         if self.enabled:
-            cls = type(self)
             with cls._lock:
                 if cls._depth == 0:
                     cls._outer_prev = self.spark.conf.get(
@@ -158,16 +189,30 @@ class _no_aqe:
                     self.spark.conf.set("spark.sql.adaptive.enabled",
                                         "false")
                 cls._depth += 1
+        if self.limit_rows:
+            cap = max(32, cls.PROBE_ROW_BUDGET // max(self.limit_rows, 1))
+            with cls._lock:
+                if cls._lim_depth == 0:
+                    prev = self.spark.conf.get(cls._LIMIT_CONF, None)
+                    cls._lim_prev = prev
+                    if prev is not None and int(prev) > cap:
+                        self.spark.conf.set(cls._LIMIT_CONF, str(cap))
+                cls._lim_depth += 1
         return self
 
     def __exit__(self, *exc):
+        cls = type(self)
         if self.enabled:
-            cls = type(self)
             with cls._lock:
                 cls._depth -= 1
                 if cls._depth == 0:
                     self.spark.conf.set("spark.sql.adaptive.enabled",
                                         cls._outer_prev)
+        if self.limit_rows:
+            with cls._lock:
+                cls._lim_depth -= 1
+                if cls._lim_depth == 0 and cls._lim_prev is not None:
+                    self.spark.conf.set(cls._LIMIT_CONF, cls._lim_prev)
         return False
 
 

@@ -89,33 +89,38 @@ def cluster_metrics(df: DataFrame, truth: str, pred: str) -> DataFrame:
     three tiny aggregates + a 1-row join — everything after the first
     groupBy is driver-scale.
     """
-    ct = contingency_matrix(df, truth, pred).cache()  # k×k — tiny
-    # N is a single count — driver-scale by design (the contingency
-    # table itself is the only shuffle; everything below is k×k).
-    n_rows = df.count()
-    N = F.lit(float(n_rows))
-    row = ct.groupBy("truth").agg(F.sum("n").alias("ni"))
-    colt = ct.groupBy("pred").agg(F.sum("n").alias("nj"))
-
-    per = ct.join(row, "truth").join(colt, "pred")
+    # ONE aggregation DAG over the k×k contingency table: row/col/total
+    # sums attach as window aggregates (three trivial exchanges of a
+    # k×k frame) and every metric reduces in a single global agg — no
+    # cache, no separate count() job, no crossJoined sub-aggregates.
+    # The marginal-only sums fold to cell level through Σ_j nij = ni:
+    #   H(C)  = -Σ_i  ni/N·ln(ni/N)  = -Σ_cells nij/N·ln(ni/N)
+    #   Σ_i C(ni,2) = Σ_cells nij·(ni−1)/2   (exact — integer halves)
+    # so the fused plan computes the identical values (the comb2 sums
+    # bit-identically; the entropy sums to f64 roundoff, ~1e-15, far
+    # under the 1e-6 oracle rounding).
+    ct = contingency_matrix(df, truth, pred)
+    per = ct.select(
+        F.col("n"),
+        F.sum("n").over(Window.partitionBy("truth")).alias("ni"),
+        F.sum("n").over(Window.partitionBy("pred")).alias("nj"),
+        F.sum("n").over(Window.partitionBy()).alias("_N"),
+    )
     nij, ni, nj = F.col("n"), F.col("ni"), F.col("nj")
+    N = F.col("_N").cast("double")
 
-    agg = per.agg(
+    out = per.agg(
         F.sum(nij / N * F.log(N * nij / (ni * nj))).alias("mi"),
         # H(C|K) = -Σ nij/N ln(nij/nj);  H(K|C) = -Σ nij/N ln(nij/ni)
         (-F.sum(nij / N * F.log(nij / nj))).alias("h_c_given_k"),
         (-F.sum(nij / N * F.log(nij / ni))).alias("h_k_given_c"),
         F.sum(_comb2(nij)).alias("sum_cij"),
+        (-F.sum(nij / N * F.log(ni / N))).alias("h_c"),
+        F.sum(nij * (ni - 1) / 2.0).alias("sum_ci"),
+        (-F.sum(nij / N * F.log(nj / N))).alias("h_k"),
+        F.sum(nij * (nj - 1) / 2.0).alias("sum_cj"),
+        F.first(N).alias("_Nd"),
     )
-    h_truth = row.agg(
-        (-F.sum(F.col("ni") / N * F.log(F.col("ni") / N))).alias("h_c"),
-        F.sum(_comb2(F.col("ni"))).alias("sum_ci"),
-    )
-    h_pred = colt.agg(
-        (-F.sum(F.col("nj") / N * F.log(F.col("nj") / N))).alias("h_k"),
-        F.sum(_comb2(F.col("nj"))).alias("sum_cj"),
-    )
-    out = agg.crossJoin(h_truth).crossJoin(h_pred)
 
     homo = F.when(F.col("h_c") == 0, F.lit(1.0)).otherwise(
         1.0 - F.col("h_c_given_k") / F.col("h_c")
@@ -123,7 +128,7 @@ def cluster_metrics(df: DataFrame, truth: str, pred: str) -> DataFrame:
     comp = F.when(F.col("h_k") == 0, F.lit(1.0)).otherwise(
         1.0 - F.col("h_k_given_c") / F.col("h_k")
     )
-    cn2 = _comb2(N)
+    cn2 = _comb2(F.col("_Nd"))
     expected = F.col("sum_ci") * F.col("sum_cj") / cn2
     return out.select(
         F.col("h_c").alias("entropy_truth"),

@@ -21,6 +21,7 @@ Design for scale:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterable, Iterator
 from typing import Any
 
@@ -82,12 +83,26 @@ def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # probe the on-disk schema instead of forcing one — the stream
     # source requires an explicit schema. The probe is a one-task Spark
-    # job, so it is cached per directory (keyed on the JVM gateway like
-    # the dedup expression cache): every stream query over the same
-    # source pays it once per session, not once per query.
-    key = (id(spark.sparkContext._gateway), events_dir)
+    # job, so it is cached per directory: every stream query over the
+    # same source pays it once per session, not once per query. Keyed
+    # on the live context's applicationId (id(gateway) could be reused
+    # by CPython after a JVM relaunch and serve a schema bound to the
+    # dead JVM) PLUS a fingerprint of the directory's top-level listing
+    # (names/mtimes/sizes), so a source whose files evolve schema
+    # mid-session re-probes instead of silently pinning the old schema.
+    try:
+        with os.scandir(events_dir) as it:
+            fp = hash(tuple(sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in it if not e.name.startswith((".", "_"))
+            )))
+    except OSError:
+        fp = None
+    key = (spark.sparkContext.applicationId, events_dir, fp)
     sch = _EVENTS_SCHEMA_CACHE.get(key)
     if sch is None:
+        # entries are schema-sized; superseded fingerprints just fall
+        # out of use (bounded by source-change events per session)
         sch = _EVENTS_SCHEMA_CACHE[key] = spark.read.parquet(events_dir).schema
     return _with_event_time(spark.readStream.schema(sch).parquet(events_dir))
 

@@ -135,16 +135,27 @@ def test_knn_cosine_no_global_sort(spark, sf_dir):
     assert rep.n_sortmerge_joins == 0
 
 
-def test_eps_pairs_exact_no_nested_loop(spark, sf_dir):
+def test_eps_pairs_exact_no_nested_loop(spark, sf_dir, monkeypatch):
     # quantized eps-pairing keeps the blocked equi-join shape: the n x n
-    # product must never compile to a BroadcastNestedLoopJoin/Cartesian
+    # product must never compile to a BroadcastNestedLoopJoin/Cartesian.
+    # r14 added a driver strategy for driver-sized frames, so the
+    # DISTRIBUTED shape is pinned with the driver gate forced off
+    # (otherwise the local-relation plan would hide a regression).
+    from raft_spark.operators import similarity as SIM
     from raft_spark.operators.similarity import eps_pairs_exact
     from raft_spark.sources.tables import embeddings_matrix
 
     m = embeddings_matrix(spark, sf_dir).select("id", "features")
+    monkeypatch.setattr(SIM, "_DRIVER_EPS_ROWS", 0)
     rep = audit_plan(eps_pairs_exact(m, eps=1.2))
     assert "BroadcastNestedLoopJoin" not in rep.text
     assert "CartesianProduct" not in rep.text
+    monkeypatch.undo()
+    # driver strategy: sf-scale embeddings fit the gate — the returned
+    # plan must be a local/arrow relation, not a join
+    rep_drv = audit_plan(eps_pairs_exact(m, eps=1.2))
+    assert rep_drv.n_exchanges == 0
+    assert "Join" not in rep_drv.text
 
 
 def test_pagerank_exact_plan_constant_across_iterations(spark, sf_dir):
@@ -197,12 +208,21 @@ def test_dbscan_full_composition_plan(spark, sf_dir):
     from raft_spark.operators.similarity import dbscan, eps_pairs_exact
     from raft_spark.sources.tables import embeddings_matrix
 
+    from raft_spark.operators import similarity as SIM
+
     m = embeddings_matrix(spark, sf_dir).select("id", "features")
-    pairs = eps_pairs_exact(m, eps=1.2)
-    rep_pairs = audit_plan(pairs)
+    # pin the DISTRIBUTED pair stage (r14: the driver strategy would
+    # otherwise replace it with a local relation at sf scale)
+    SIM_prev = SIM._DRIVER_EPS_ROWS
+    SIM._DRIVER_EPS_ROWS = 0
+    try:
+        rep_pairs = audit_plan(eps_pairs_exact(m, eps=1.2))
+    finally:
+        SIM._DRIVER_EPS_ROWS = SIM_prev
     assert rep_pairs.n_exchanges <= 2  # block keys + (probe agg reuse)
     assert "CartesianProduct" not in rep_pairs.text
     assert "BroadcastNestedLoopJoin" not in rep_pairs.text
+    pairs = eps_pairs_exact(m, eps=1.2)
 
     rep = audit_plan(dbscan(m, eps=1.2, min_pts=4, pairs=pairs))
     # measured r6: 15 exchanges / 9 sort-merge joins / 0 cartesian.

@@ -1,0 +1,168 @@
+"""Round-14 optimization pins.
+
+1. The grouped in-row pair expansion that replaced the band/posting
+   self-joins (minhash_lsh_candidates, ngram_jaccard_pairs) must emit
+   the IDENTICAL pair/jaccard multiset as the join it replaced — the
+   reference implementations are inlined here so a future edit of the
+   operator cannot silently drift both sides.
+2. The eps_pairs_exact driver strategy must match the forced
+   distributed path row-for-row (including duplicate-id multiplicity
+   and the least/greatest orientation).
+3. The limit-probe partition cap (_no_aqe(limit_rows=...)) must bound
+   spark.sql.limit.initialNumPartitions while open and RESTORE it on
+   exit, nested or not.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from raft_spark.operators import dedup as D
+from raft_spark.operators import similarity as SIM
+from raft_spark.operators import statestore as SS
+
+
+def _mixed_sigs(spark, n_docs: int = 300, num_perms: int = 16):
+    random.seed(7)
+    rows = []
+    for d in range(n_docs):
+        base = random.randrange(5)
+        sig = [
+            float((base * 13 + p) % 7 + (d % 97 if random.random() < 0.5 else 0))
+            for p in range(num_perms)
+        ]
+        rows.append((d, sig))
+    return spark.createDataFrame(rows, "doc_id long, sig array<double>")
+
+
+def test_minhash_grouped_pairs_match_self_join(spark):
+    sigs = _mixed_sigs(spark)
+    new = D.minhash_lsh_candidates(
+        sigs, band_rows=4, num_perms=16, max_bucket_docs=50
+    )
+    # reference: the pre-r14 band self-join, inlined
+    n_bands = 4
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws("_", *[
+                F.col("sig")[b * 4 + r].cast("string") for r in range(4)
+            ]).alias("bsig"),
+        )
+        for b in range(n_bands)
+    ])
+    bands = sigs.select(
+        F.col("doc_id").alias("_d"), F.explode(band_structs).alias("_b")
+    ).select("_d", F.col("_b.band").alias("band"), F.col("_b.bsig").alias("bsig"))
+    occ = bands.groupBy("band", "bsig").agg(F.count("*").alias("_n"))
+    keep = occ.filter(F.col("_n") <= 50).drop("_n")
+    bandsk = bands.join(keep, ["band", "bsig"], "left_semi")
+    cand = (
+        bandsk.select(F.col("_d").alias("a"), "band", "bsig")
+        .join(bandsk.select(F.col("_d").alias("b"), "band", "bsig"),
+              ["band", "bsig"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("a"), F.col("sig").alias("_sa"))
+    sb = sigs.select(F.col("doc_id").alias("b"), F.col("sig").alias("_sb"))
+    est = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v,
+    ) / F.lit(16.0)
+    ref = cand.join(sa, "a").join(sb, "b").select(
+        "a", "b", est.alias("est_jaccard"))
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_ngram_grouped_pairs_match_inverted_join(spark):
+    random.seed(11)
+    rows = []
+    for d in range(300):
+        for _ in range(random.randrange(1, 6)):
+            rows.append((d, f"sh_{random.randrange(120)}"))
+        if random.random() < 0.2:
+            rows.append((d, "sh_0"))  # in-doc duplicate rows
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    new = D.ngram_jaccard_pairs(sh, max_shingle_df=40)
+    # reference: the pre-r14 inverted-index self-join, inlined
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    keep = dfreq.filter(F.col("_df") <= 40).drop("_df")
+    shk = sh.join(keep, "shingle", "left_semi").localCheckpoint(eager=True)
+    sizes = shk.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    common = (
+        shk.select(F.col("doc_id").alias("a"), "shingle")
+        .join(shk.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b").agg(F.count("*").alias("common"))
+    )
+    ref = (
+        common
+        .join(sizes.select(F.col("doc_id").alias("a"),
+                           F.col("sz").alias("sa")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"),
+                           F.col("sz").alias("sb")), "b")
+        .select("a", "b", (F.col("common") /
+                           (F.col("sa") + F.col("sb") - F.col("common"))
+                           ).alias("jaccard"))
+    )
+    assert sorted(map(tuple, ref.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_eps_pairs_driver_matches_distributed(spark, monkeypatch):
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(400, 16)) * 0.4
+    m = spark.createDataFrame(
+        [(int(i), [float(x) for x in X[i]]) for i in range(400)],
+        "id long, features array<double>",
+    )
+    drv = sorted(map(tuple, SIM.eps_pairs_exact(m, eps=1.2).collect()))
+    monkeypatch.setattr(SIM, "_DRIVER_EPS_ROWS", 0)
+    dist = sorted(map(tuple, SIM.eps_pairs_exact(m, eps=1.2).collect()))
+    assert drv == dist and len(drv) > 0
+
+
+def test_eps_pairs_driver_duplicate_id_multiplicity(spark, monkeypatch):
+    # duplicate ids: cross-id row pairs surface once per row pair on
+    # both paths; equal-id row pairs are dropped on both
+    m = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (1, [0.1, 0.0]), (2, [0.05, 0.0]), (3, [5.0, 5.0])],
+        "id long, features array<double>",
+    )
+    drv = sorted(map(tuple, SIM.eps_pairs_exact(m, eps=1.2).collect()))
+    monkeypatch.setattr(SIM, "_DRIVER_EPS_ROWS", 0)
+    dist = sorted(map(tuple, SIM.eps_pairs_exact(m, eps=1.2).collect()))
+    assert drv == dist == [(1, 2), (1, 2)]
+
+
+def test_probe_limit_cap_sets_and_restores(spark):
+    conf = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(conf, None)
+    assert prev is not None  # the session factory sets it
+    big = str(SS._no_aqe.PROBE_ROW_BUDGET)  # force the cap to engage
+    spark.conf.set(conf, big)
+    try:
+        with SS._no_aqe(spark, limit_rows=500_000):
+            inside = int(spark.conf.get(conf))
+            # worst-case transient driver rows = inside * T <= budget
+            assert inside * 500_000 <= max(
+                32 * 500_000, SS._no_aqe.PROBE_ROW_BUDGET)
+            assert inside == max(32, SS._no_aqe.PROBE_ROW_BUDGET // 500_000)
+            # nested sections keep composing and the flag stays capped
+            with SS._no_aqe(spark, limit_rows=500_000):
+                assert int(spark.conf.get(conf)) == inside
+            assert int(spark.conf.get(conf)) == inside
+        assert spark.conf.get(conf) == big  # restored
+        # a session already below the cap is untouched (one-job local
+        # behavior preserved)
+        spark.conf.set(conf, "32")
+        with SS._no_aqe(spark, limit_rows=500_000):
+            assert spark.conf.get(conf) == "32"
+        assert spark.conf.get(conf) == "32"
+    finally:
+        spark.conf.set(conf, prev)
