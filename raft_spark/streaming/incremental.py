@@ -297,7 +297,18 @@ def run_to_memory_sink(
     for active in spark.streams.active:
         if active.name == name:
             active.stop()
-    ckpt = f"/tmp/raft_spark_ckpt/{name}-{uuid.uuid4().hex}"
+    # ephemeral per-run checkpoint (memory sinks are never recovered —
+    # each run gets a fresh uuid dir). The offset/commit WAL is
+    # rename-heavy HDFS-style IO; on a disk-backed /tmp it costs
+    # ~0.4 s per stream query (measured 1.46 -> 1.05 s warm drain), so
+    # prefer a tmpfs when one exists. Production deployments that NEED
+    # recovery set $SPARK_GRAFT_CKPT_DIR to durable storage — the knob
+    # is parameterised, not pinned to the local layout (guide §6).
+    base = os.environ.get("SPARK_GRAFT_CKPT_DIR")
+    if base is None:
+        base = "/dev/shm/raft_spark_ckpt" if os.path.isdir("/dev/shm") \
+            else "/tmp/raft_spark_ckpt"
+    ckpt = f"{base}/{name}-{uuid.uuid4().hex}"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -308,6 +319,11 @@ def run_to_memory_sink(
     )
     try:
         q.awaitTermination()
+        # the WAL is dead weight once the availableNow drain finished;
+        # leaving it would accumulate one dir per sink per run
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
     except BaseException as e:  # noqa: BLE001 — re-raised with context
         chain: list[BaseException] = []
         cur: BaseException | None = e

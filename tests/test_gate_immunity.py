@@ -50,7 +50,20 @@ def duck(sf_dir):
     con.close()
 
 
-@pytest.mark.parametrize("name", ORACLED)
+# the big suite rows re-execute the whole suite THREE times (base +
+# perturbed + oracle) and together cost ~8 min — slow-marked so the
+# default (driver-window) selection keeps the property coverage on
+# every other oracled query; the full suite still runs these
+_SLOW_MEMBERS = {
+    "solver_spectra", "curation_suite", "ann_recall_suite",
+    "stream_lookup_suite", "graph_solver_suite", "dedup_clusters",
+}
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_MEMBERS else n
+    for n in ORACLED
+])
 def test_gate_hash_partition_and_engine_invariant(spark, sf_dir, duck, name):
     base = canon_spark(QUERIES[name](spark, sf_dir))
 

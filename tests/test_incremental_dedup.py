@@ -729,3 +729,49 @@ def test_span_driver_ingest_matches_distributed(spark, sf_dir, tmp_path,
             df = spark.read.parquet(p + "/" + store).select(*cols)
             rows.append(Counter(tuple(r) for r in df.collect()))
         assert rows[0] == rows[1], store
+
+
+def test_semantic_driver_ingest_null_cluster_falls_back(spark, sf_dir,
+                                                        tmp_path):
+    """ADVICE r13 (medium): an assignment row that EXISTS but carries a
+    NULL cluster must route the delivery to the distributed path (the
+    INNER join keeps such rows there) — the driver rendering previously
+    dropped them as 'unassigned', silently diverging and re-processing
+    those docs every delivery. Parity check: state after a null-cluster
+    delivery equals the forced-distributed state."""
+    from collections import Counter
+
+    from raft_spark.sources.tables import embeddings_matrix
+
+    m = embeddings_matrix(spark, sf_dir).select("id", "features") \
+        .filter(F.col("id") < 40).localCheckpoint(eager=True)
+    asg = _axis_bucket(m).select(
+        "id",
+        F.when(F.col("id") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("cluster")).alias("cluster"),
+    )
+
+    p_drv = str(tmp_path / "drv")
+    out_d = D.semantic_state_ingest(m, asg, p_drv, tau=0.8)
+    import raft_spark.operators.dedup as DD
+    prev = DD.DRIVER_DELTA_DOCS
+    DD.DRIVER_DELTA_DOCS = 0  # force distributed
+    try:
+        p_dist = str(tmp_path / "dist")
+        out_s = D.semantic_state_ingest(m, asg, p_dist, tau=0.8)
+    finally:
+        DD.DRIVER_DELTA_DOCS = prev
+    assert _group_map(out_d) == _group_map(out_s)
+    for store, cols in (
+        ("index", ["cand_id", "_qc", "_nc"]),
+        ("ids", ["id"]),
+        ("groups", ["id", "cluster", "group"]),
+    ):
+        rows = []
+        for p in (p_drv, p_dist):
+            df = spark.read.parquet(p + "/" + store).select(*cols)
+            rows.append(Counter(
+                tuple(tuple(v) if isinstance(v, list) else v for v in r)
+                for r in df.collect()
+            ))
+        assert rows[0] == rows[1], store

@@ -244,6 +244,7 @@ def test_lanczos_shift_invert_interior(spark, rng):
     assert np.allclose(np.sort(evals), np.sort(expect), atol=1e-6)
 
 
+@pytest.mark.slow  # multi-minute battery: default selection is driver-window sized (pytest.ini)
 def test_lanczos_shift_invert_minres_inner(spark, rng):
     n = 16
     a = _indefinite(rng, n)
@@ -316,6 +317,7 @@ def test_pca_transform_roundtrip(spark, rng):
     assert np.allclose(recon, a, atol=1e-7)
 
 
+@pytest.mark.slow  # multi-minute battery: default selection is driver-window sized (pytest.ini)
 def test_lanczos_thick_restart_converges_where_single_cycle_fails(spark):
     """TRLan regression (sparse/solver/lanczos.cuh thick restart): the
     two smallest eigenpairs of a 48-node weighted-ring Laplacian at
@@ -345,6 +347,7 @@ def test_lanczos_thick_restart_converges_where_single_cycle_fails(spark):
     assert err_single > 1e-2 * max(err_restart, 1e-12), (single, restarted)
 
 
+@pytest.mark.slow  # multi-minute battery: default selection is driver-window sized (pytest.ini)
 def test_lanczos_sm_and_vectors(spark, rng):
     # symmetric PSD matrix: graph Laplacian of a small ring + chords
     n = 24

@@ -221,6 +221,7 @@ def test_windowed_approx_distinct_matches_batch(spark, events_dir, batch_events)
         assert abs(est - exact[k]) <= max(0.15 * exact[k], 2)
 
 
+@pytest.mark.slow  # multi-minute battery: default selection is driver-window sized (pytest.ini)
 def test_windowed_count_min_matches_batch(spark, events_dir, batch_events):
     """Counter increments commute: the streamed CM sketch equals the
     batch sketch of the same window cell-for-cell, and its estimates
