@@ -93,6 +93,12 @@ def minhash_signatures(
 MAX_BUCKET_DOCS = 256
 MAX_SHINGLE_DF = 512
 
+# dedup_clusters driver-finish gates (measured data size, never core
+# count): edge cap mirrors connected_components_auto's; the doc cap
+# bounds the one-job Arrow collect (1M int64 ids = 8 MB)
+_DRIVER_CLUSTERS_EDGES = 500_000
+_DRIVER_CLUSTERS_DOCS = 1_000_000
+
 
 def _upper_triangle_pairs(list_col):
     """All ordered index pairs i < j of a sorted array column as
@@ -276,12 +282,63 @@ def dedup_clusters(
     over the doc table. Candidate-graph size is already bounded by the
     LSH hot-bucket / stop-shingle caps upstream.
     """
-    from raft_spark.operators.solvers import connected_components_auto
+    from raft_spark.operators.solvers import (
+        connected_components, driver_union_find, probe_edges_driver,
+    )
 
+    spark = pairs.sparkSession
     coo = pairs.select(
         F.col(a_col).cast("long").alias("row"), F.col(b_col).cast("long").alias("col")
     )
-    labels = connected_components_auto(coo)
+    # driver strategy (r14): the CC probe already collects the whole
+    # candidate edge table when it fits — when the DOC-ID table also
+    # fits a capped one-job collect, the label/size/canonical assembly
+    # runs driver-side too (Counter over per-occurrence cluster ids =
+    # the window count exactly, including duplicate-doc multiplicity),
+    # replacing the labels-join + window-exchange + final-count stage
+    # chain with one Arrow-backed local relation. Both gates are
+    # measured data size; a corpus-scale doc table (or null ids, whose
+    # join/window null-group semantics stay with Spark) keeps the
+    # distributed assembly below, and a corpus-scale edge table keeps
+    # the fully distributed solve.
+    probe = probe_edges_driver(coo, _DRIVER_CLUSTERS_EDGES)
+    if probe is not None:
+        with _no_aqe(spark, limit_rows=_DRIVER_CLUSTERS_DOCS):
+            t = docs.select(
+                F.col(id_col).cast("long").alias("doc_id")
+            ).limit(_DRIVER_CLUSTERS_DOCS + 1).toArrow()
+        ids = t.column("doc_id").to_pylist()
+        if t.num_rows <= _DRIVER_CLUSTERS_DOCS \
+                and not any(i is None for i in ids):
+            from collections import Counter
+
+            import pyarrow as pa
+
+            lab = driver_union_find(
+                (int(r["row"]), int(r["col"])) for r in probe
+            )
+            cl = [lab.get(i, i) for i in ids]
+            sizes = Counter(cl)
+            return spark.createDataFrame(pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(cl, pa.int64()),
+                "cluster_size": pa.array([sizes[c] for c in cl],
+                                         pa.int64()),
+                "is_canonical": pa.array(
+                    [int(i == c) for i, c in zip(ids, cl)], pa.int32()),
+            }))
+        labels = spark.createDataFrame(
+            list(driver_union_find(
+                (int(r["row"]), int(r["col"])) for r in probe
+            ).items()),
+            "node long, label long",
+        )
+    else:
+        labels = connected_components(
+            coo.select("row", "col")
+            .filter(F.col("row") != F.col("col"))
+            .withColumn("value", F.lit(1.0))
+        )
     base = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"))
         .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")

@@ -930,11 +930,9 @@ def connected_components_auto(
     distributed branch still materializes its edge table exactly once
     (:func:`connected_components` checkpoints the symmetrized edges).
     """
-    edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
-    with SS._no_aqe(coo.sparkSession,  # probe: one job, not per AQE stage
-                    limit_rows=driver_threshold):
-        probe = edges.limit(driver_threshold + 1).collect()
-    if len(probe) > driver_threshold:
+    probe = probe_edges_driver(coo, driver_threshold)
+    if probe is None:
+        edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
         return connected_components(edges.withColumn("value", F.lit(1.0)),
                                     max_iters=max_iters)
     labels = driver_union_find(
@@ -943,6 +941,19 @@ def connected_components_auto(
     return coo.sparkSession.createDataFrame(
         list(labels.items()), "node long, label long"
     )
+
+
+def probe_edges_driver(coo: DataFrame, driver_threshold: int = 500_000):
+    """The ONE-job edge probe shared by :func:`connected_components_auto`
+    and driver-finish consumers (dedup.dedup_clusters): collects
+    ``limit(threshold+1)`` self-loop-filtered (row, col) rows — the
+    collected rows ARE the edge table when they fit; returns None above
+    the threshold (the caller runs the distributed solve)."""
+    edges = coo.select("row", "col").filter(F.col("row") != F.col("col"))
+    with SS._no_aqe(coo.sparkSession,  # probe: one job, not per AQE stage
+                    limit_rows=driver_threshold):
+        probe = edges.limit(driver_threshold + 1).collect()
+    return None if len(probe) > driver_threshold else probe
 
 
 def driver_union_find(pairs) -> dict[int, int]:

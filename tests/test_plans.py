@@ -294,13 +294,26 @@ def test_dedup_clusters_composed_plan(spark, sf_dir):
     # truncate lineage, so the LSH stage itself is audited by
     # test_bm25/minhash pins; here we audit from the checkpointed
     # edges onward.
-    rep = audit_plan(QUERIES["dedup_clusters"](spark, sf_dir))
+    # r14: the driver finish returns a local relation at sf scale — pin
+    # the DISTRIBUTED assembly with the doc gate forced off, and the
+    # driver path to a zero-exchange local scan
+    import raft_spark.operators.dedup as DD
+
+    prev = DD._DRIVER_CLUSTERS_DOCS
+    DD._DRIVER_CLUSTERS_DOCS = 0
+    try:
+        rep = audit_plan(QUERIES["dedup_clusters"](spark, sf_dir))
+    finally:
+        DD._DRIVER_CLUSTERS_DOCS = prev
     assert "CartesianProduct" not in rep.text
     assert "BroadcastNestedLoopJoin" not in rep.text
     # labels are driver/union-find (small graph) or checkpointed CC
     # output; composed shape = docs scan + labels join + sizes agg +
     # final join: 6 distinct exchanges measured at pin time
     assert rep.n_exchanges <= 7
+    rep_drv = audit_plan(QUERIES["dedup_clusters"](spark, sf_dir))
+    assert rep_drv.n_exchanges == 0
+    assert "Join" not in rep_drv.text
 
 
 def test_sparse_pairwise_plan_no_cartesian(spark, sf_dir):

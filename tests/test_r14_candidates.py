@@ -166,3 +166,25 @@ def test_probe_limit_cap_sets_and_restores(spark):
         assert spark.conf.get(conf) == "32"
     finally:
         spark.conf.set(conf, prev)
+
+
+def test_dedup_clusters_driver_finish_matches_distributed(spark, monkeypatch):
+    # row-identical output (incl. duplicate-doc multiplicity and docs
+    # with no candidate pair) between the driver finish and the forced
+    # distributed assembly
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (98, 99)], "a long, b long")
+    docs = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 42, 42, 99]],
+        "doc_id long")
+    drv = sorted(map(tuple, D.dedup_clusters(
+        pairs, docs).collect()))
+    monkeypatch.setattr(D, "_DRIVER_CLUSTERS_DOCS", 0)
+    dist = sorted(map(tuple, D.dedup_clusters(pairs, docs).collect()))
+    monkeypatch.setattr(D, "_DRIVER_CLUSTERS_EDGES", 0)
+    dist2 = sorted(map(tuple, D.dedup_clusters(pairs, docs).collect()))
+    assert drv == dist == dist2
+    # duplicate doc 42 must appear twice, in a size-2 singleton cluster
+    assert drv.count((42, 42, 2, 1)) == 2
+    # 99's label is the component min 98 even though 98 is not a doc
+    assert (99, 98, 1, 0) in drv
