@@ -484,6 +484,101 @@ def knn_refine(
 _DRIVER_EPS_ROWS = 16_384
 _DRIVER_EPS_MAX_PAIRS = 3_000_000
 
+# label-assembly driver-finish gate (dbscan / single_linkage threshold
+# mode — the dedup_clusters discipline): caps the one-job Arrow collect
+# of the id table (1M int64 ids = 8 MB). Measured data size, never
+# core count.
+_DRIVER_LABEL_IDS = 1_000_000
+
+
+def _plan_is_local_relation(df: DataFrame) -> bool:
+    """True when the frame's OPTIMIZED logical plan is a LocalRelation —
+    the rows are literal driver-resident data (a createDataFrame
+    result, e.g. :func:`_eps_pairs_driver`'s output), so ``collect()``
+    schedules one trivial LocalTableScan job and recomputes NOTHING.
+    Used as a strategy gate: a LocalRelation can only exist for data
+    that already passed a driver-size cap upstream, and at corpus scale
+    (distributed plans, RDD-backed checkpoints) this is False, so the
+    distributed compositions stay untouched — and, unlike a
+    ``limit(T+1)`` probe, a False here costs no extra pass over the
+    pair pipeline."""
+    try:
+        return (df._jdf.queryExecution().optimizedPlan()
+                .getClass().getSimpleName() == "LocalRelation")
+    except Exception:  # pragma: no cover — plan introspection missing
+        return False
+
+
+def _dbscan_driver_finish(df, pairs, min_pts: int, id_col: str):
+    """Driver-side rendering of dbscan's post-pair composition
+    (canonicalize → degree → core → CC → border attach → per-id label),
+    taken when the ε-pair table is already driver-resident
+    (:func:`_plan_is_local_relation`) AND the id table fits a capped
+    one-job Arrow collect. Mirrors the distributed composition row for
+    row: canonicalization drops null-endpoint and self pairs exactly
+    like the least/greatest + ``a != b`` + distinct chain; degree is
+    the distinct-neighbor count over the symmetrized edge set; core is
+    ``deg ≥ min_pts − 1`` over nodes that APPEAR in an edge; labels are
+    component minima over core–core edges (driver_union_find = the
+    pinned CC contract); border points take the smallest adjacent core
+    cluster; everything else is noise (−1). Duplicate ids in ``df``
+    replicate their label per occurrence, exactly like the distributed
+    left joins. Returns None (distributed fallback) when the id table
+    overflows the cap or contains nulls (null-id join semantics stay
+    with Spark)."""
+    import pyarrow as pa
+
+    from raft_spark.operators.solvers import driver_union_find
+
+    spark = df.sparkSession
+    with SS._no_aqe(spark, limit_rows=_DRIVER_LABEL_IDS):
+        t = (df.select(F.col(id_col).cast("long").alias("id"))
+             .limit(_DRIVER_LABEL_IDS + 1).toArrow())
+    if t.num_rows > _DRIVER_LABEL_IDS:
+        return None
+    ids = t.column("id").to_pylist()
+    if any(i is None for i in ids):
+        return None
+    canon: set = set()
+    for r in pairs.select("a", "b").collect():  # LocalTableScan
+        a, b = r[0], r[1]
+        if a is None or b is None or a == b:
+            continue
+        a, b = int(a), int(b)
+        canon.add((a, b) if a < b else (b, a))
+    deg: dict = {}
+    for a, b in canon:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    thr = min_pts - 1
+    core = {n for n, d in deg.items() if d >= thr}
+    lab = driver_union_find(
+        (a, b) for a, b in canon if a in core and b in core
+    )
+    border: dict = {}
+    for a, b in canon:
+        if (a in core) != (b in core):
+            c, nc = (a, b) if a in core else (b, a)
+            cl = lab.get(c, c)
+            if nc not in border or cl < border[nc]:
+                border[nc] = cl
+    out_c, out_k = [], []
+    for i in ids:
+        if i in core:
+            out_c.append(lab.get(i, i))
+            out_k.append("core")
+        elif i in border:
+            out_c.append(border[i])
+            out_k.append("border")
+        else:
+            out_c.append(-1)
+            out_k.append("noise")
+    return spark.createDataFrame(pa.table({
+        "id": pa.array(ids, pa.int64()),
+        "cluster": pa.array(out_c, pa.int64()),
+        "kind": pa.array(out_k, pa.string()),
+    }))
+
 
 def _eps_pairs_driver(qdf, id_col: str, vec_col: str, eps_q: int):
     """Driver-side exact ε-pair scan over the quantized frame — taken
@@ -687,6 +782,18 @@ def dbscan(
             df, metric=metric, id_col=id_col, vec_col=vec_col,
             n_blocks=n_blocks, p=p,
         ).filter(F.col("dist") <= eps).select("a", "b")
+    # driver finish (r14): when the ε-pair table is already a
+    # driver-resident LocalRelation (the _eps_pairs_driver strategy
+    # fired, so its size passed the measured caps) the whole
+    # checkpoint + degree + CC-probe + border-join composition below is
+    # distributed machinery shuffling driver-sized data — render the
+    # labels driver-side instead (one capped id collect; the
+    # dedup_clusters discipline). Distributed pairs never take this
+    # branch, so the corpus-scale composition is untouched.
+    if _plan_is_local_relation(pairs):
+        out = _dbscan_driver_finish(df, pairs, min_pts, id_col)
+        if out is not None:
+            return out
     # canonicalize + dedupe caller-supplied pairs: LSH band joins emit
     # a candidate once PER MATCHING BAND and callers may emit both
     # orientations — duplicate rows would inflate the degree count and
@@ -839,7 +946,10 @@ def single_linkage(
     are auditable via :func:`single_linkage_dendrogram`).
     """
     from raft_spark.operators.reductions import global_rank
-    from raft_spark.operators.solvers import connected_components_auto
+    from raft_spark.operators.solvers import (
+        connected_components, connected_components_auto, driver_union_find,
+        probe_edges_driver,
+    )
 
     if (n_clusters is None) == (distance_threshold is None):
         raise ValueError(
@@ -863,7 +973,40 @@ def single_linkage(
             .filter(F.col("row") != F.col("col"))
             .distinct()
         )
-        labels = connected_components_auto(kept)
+        # ONE edge probe (shared seam with connected_components_auto —
+        # same threshold, so this adds no pass it would not have paid):
+        # when the thresholded edge table fits, the flat labeling is a
+        # driver union-find, and when the id table ALSO fits a capped
+        # one-job Arrow collect the final ids join renders driver-side
+        # too (the dedup_clusters discipline — coalesce(label, id) is
+        # exactly lab.get(i, i), duplicate ids replicate per
+        # occurrence). Null ids or a corpus-scale id table keep the
+        # distributed join; a corpus-scale edge table keeps the fully
+        # distributed CC solve.
+        probe = probe_edges_driver(kept)
+        if probe is not None:
+            lab = driver_union_find(
+                (int(r["row"]), int(r["col"])) for r in probe
+            )
+            spark = df.sparkSession
+            with SS._no_aqe(spark, limit_rows=_DRIVER_LABEL_IDS):
+                t = ids.limit(_DRIVER_LABEL_IDS + 1).toArrow()
+            if t.num_rows <= _DRIVER_LABEL_IDS:
+                idl = t.column("id").to_pylist()
+                if not any(i is None for i in idl):
+                    import pyarrow as pa
+
+                    return spark.createDataFrame(pa.table({
+                        "id": pa.array(idl, pa.int64()),
+                        "cluster": pa.array(
+                            [lab.get(i, i) for i in idl], pa.int64()),
+                    }))
+            labels = spark.createDataFrame(
+                list(lab.items()), "node long, label long")
+        else:
+            labels = connected_components(
+                kept.withColumn("value", F.lit(1.0))
+            )
     else:
         tree = _slink_tree(df, pairs, metric, id_col, vec_col, n_blocks, p=p)
         tree = tree.localCheckpoint(eager=True)  # count + rank + CC consumers

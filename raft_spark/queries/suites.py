@@ -2941,7 +2941,13 @@ def q_graph_solver_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from raft_spark.sources.tables import embeddings_matrix
 
     _m = embeddings_matrix(spark, sf_dir).select("id", "features")
-    _epairs = SIM.eps_pairs_exact(_m, eps=1.2).localCheckpoint(eager=True)
+    _epairs = SIM.eps_pairs_exact(_m, eps=1.2)
+    # a LocalRelation (the r14 driver pair scan fired) IS materialized
+    # data — checkpointing it would only hide it from the dbscan /
+    # single_linkage driver-finish gates behind an RDD scan; the
+    # one-O(n²)-pass-shared contract holds either way
+    if not SIM._plan_is_local_relation(_epairs):
+        _epairs = _epairs.localCheckpoint(eager=True)
     dbs = SQ.q_dbscan(spark, sf_dir, pairs=_epairs).select(
         F.lit("dbscan").alias("method"), F.col("id").cast("long").alias("a"),
         F.col("cluster").cast("long").alias("b"),

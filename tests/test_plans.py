@@ -211,20 +211,20 @@ def test_dbscan_full_composition_plan(spark, sf_dir):
     from raft_spark.operators import similarity as SIM
 
     m = embeddings_matrix(spark, sf_dir).select("id", "features")
-    # pin the DISTRIBUTED pair stage (r14: the driver strategy would
-    # otherwise replace it with a local relation at sf scale)
+    # pin the DISTRIBUTED pair stage AND the distributed composition
+    # (r14: the driver pair strategy + driver label finish would
+    # otherwise replace both with local relations at sf scale)
     SIM_prev = SIM._DRIVER_EPS_ROWS
     SIM._DRIVER_EPS_ROWS = 0
     try:
         rep_pairs = audit_plan(eps_pairs_exact(m, eps=1.2))
+        pairs_dist = eps_pairs_exact(m, eps=1.2)
+        rep = audit_plan(dbscan(m, eps=1.2, min_pts=4, pairs=pairs_dist))
     finally:
         SIM._DRIVER_EPS_ROWS = SIM_prev
     assert rep_pairs.n_exchanges <= 2  # block keys + (probe agg reuse)
     assert "CartesianProduct" not in rep_pairs.text
     assert "BroadcastNestedLoopJoin" not in rep_pairs.text
-    pairs = eps_pairs_exact(m, eps=1.2)
-
-    rep = audit_plan(dbscan(m, eps=1.2, min_pts=4, pairs=pairs))
     # measured r6: 15 exchanges / 9 sort-merge joins / 0 cartesian.
     # SMJs on the id-keyed label joins are the scalable static shape
     # (AQE demotes the small sides to broadcast at runtime); the pin
@@ -233,6 +233,12 @@ def test_dbscan_full_composition_plan(spark, sf_dir):
     assert rep.n_sortmerge_joins <= 9
     assert "CartesianProduct" not in rep.text
     assert "BroadcastNestedLoopJoin" not in rep.text
+    # driver finish (r14): LocalRelation pairs at sf scale → the whole
+    # composition returns as one local relation, zero exchanges
+    pairs_drv = eps_pairs_exact(m, eps=1.2)
+    rep_drv = audit_plan(dbscan(m, eps=1.2, min_pts=4, pairs=pairs_drv))
+    assert rep_drv.n_exchanges == 0
+    assert "Join" not in rep_drv.text
 
 
 def test_asof_suite_plan_pinned(spark, sf_dir):

@@ -11,6 +11,11 @@
 3. The limit-probe partition cap (_no_aqe(limit_rows=...)) must bound
    spark.sql.limit.initialNumPartitions while open and RESTORE it on
    exit, nested or not.
+4. The dbscan / single_linkage driver label finishes (taken when the
+   ε-pair table is a driver-resident LocalRelation / the edge probe
+   fits) must match the forced distributed compositions row for row —
+   including duplicate ids, self loops, null endpoints, duplicated /
+   both-orientation pair rows, isolated cores and border ties.
 """
 
 from __future__ import annotations
@@ -188,3 +193,116 @@ def test_dedup_clusters_driver_finish_matches_distributed(spark, monkeypatch):
     assert drv.count((42, 42, 2, 1)) == 2
     # 99's label is the component min 98 even though 98 is not a doc
     assert (99, 98, 1, 0) in drv
+
+
+def _none_safe_sort(rows):
+    return sorted(
+        map(tuple, rows),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def _dbscan_both_paths(spark, monkeypatch, df, pairs, min_pts):
+    assert SIM._plan_is_local_relation(pairs)
+    drv = _none_safe_sort(SIM.dbscan(
+        df, eps=0.1, min_pts=min_pts, pairs=pairs).collect())
+    with monkeypatch.context() as mp:
+        mp.setattr(SIM, "_plan_is_local_relation", lambda _df: False)
+        dist = _none_safe_sort(SIM.dbscan(
+            df, eps=0.1, min_pts=min_pts, pairs=pairs).collect())
+    assert drv == dist
+    return drv
+
+
+def test_dbscan_driver_finish_matches_distributed(spark, monkeypatch):
+    import pyarrow as pa
+
+    # LocalRelation pairs with duplicate rows, both orientations, a
+    # self loop and a null endpoint; df with a duplicate id and ids
+    # that appear in no pair
+    pairs = spark.createDataFrame(pa.table({
+        "a": pa.array([1, 2, 1, 2, 7, 4, 4, 5, None, 9], pa.int64()),
+        "b": pa.array([2, 1, 2, 3, 7, 2, 5, 4, 3, 10], pa.int64()),
+    }))
+    df = spark.createDataFrame(
+        [(i, [0.0]) for i in [1, 2, 3, 4, 5, 7, 9, 10, 11, 2]],
+        "id long, features array<double>",
+    )
+    rows = _dbscan_both_paths(spark, monkeypatch, df, pairs, min_pts=3)
+    # canonical edges: (1,2),(2,3),(2,4),(4,5),(9,10) — core {2,4},
+    # one core component labelled 2; borders 1/3/5 attach to it;
+    # 7 (self loop only), 9, 10 (deg-1 pair), 11 (no pair) are noise
+    assert rows.count((2, 2, "core")) == 2  # duplicate id replicated
+    assert (1, 2, "border") in rows and (5, 2, "border") in rows
+    assert (7, -1, "noise") in rows and (9, -1, "noise") in rows
+
+
+def test_dbscan_driver_finish_border_tie_and_isolated_core(
+    spark, monkeypatch,
+):
+    import pyarrow as pa
+
+    # min_pts=4: 20 and 30 are core in SEPARATE components (no
+    # core-core edge, so each keeps its own id — the isolated-core
+    # coalesce); 25 borders BOTH and must take the smaller cluster id
+    pairs = spark.createDataFrame(pa.table({
+        "a": pa.array([20, 20, 20, 30, 30, 30, 25], pa.int64()),
+        "b": pa.array([21, 22, 25, 31, 32, 25, 30], pa.int64()),
+    }))
+    df = spark.createDataFrame(
+        [(i, [0.0]) for i in [20, 21, 22, 25, 30, 31, 32]],
+        "id long, features array<double>",
+    )
+    rows = _dbscan_both_paths(spark, monkeypatch, df, pairs, min_pts=4)
+    assert (20, 20, "core") in rows and (30, 30, "core") in rows
+    assert (25, 20, "border") in rows  # min over adjacent core clusters
+
+
+def test_dbscan_driver_finish_null_id_falls_back(spark, monkeypatch):
+    import pyarrow as pa
+
+    # a null doc id keeps the join/window null semantics with Spark:
+    # the driver finish must decline (return None) and both invocations
+    # run the identical distributed composition
+    pairs = spark.createDataFrame(pa.table({
+        "a": pa.array([1], pa.int64()), "b": pa.array([2], pa.int64()),
+    }))
+    df = spark.createDataFrame(
+        [(1, [0.0]), (2, [0.0]), (None, [0.0])],
+        "id long, features array<double>",
+    )
+    assert SIM._dbscan_driver_finish(df, pairs, 2, "id") is None
+    rows = _dbscan_both_paths(spark, monkeypatch, df, pairs, min_pts=2)
+    assert (None, -1, "noise") in rows
+
+
+def test_single_linkage_threshold_driver_finish_matches_distributed(
+    spark, monkeypatch,
+):
+    import raft_spark.operators.solvers as SV
+
+    pairs = spark.createDataFrame(
+        [(2, 1), (1, 2), (2, 3), (50, 60), (4, 4)], "a long, b long")
+    df = spark.createDataFrame(
+        [(i, [0.0]) for i in [1, 2, 3, 4, 50, 60, 60]],
+        "id long, features array<double>",
+    )
+    drv = sorted(map(tuple, SIM.single_linkage(
+        df, distance_threshold=9.9, pairs=pairs).collect()))
+    # middle fallback: edge probe fits but the id table overflows the
+    # capped collect — labels become a distributed join input
+    with monkeypatch.context() as mp:
+        mp.setattr(SIM, "_DRIVER_LABEL_IDS", 0)
+        mid = sorted(map(tuple, SIM.single_linkage(
+            df, distance_threshold=9.9, pairs=pairs).collect()))
+    # fully distributed: the edge probe itself declines
+    with monkeypatch.context() as mp:
+        mp.setattr(SV, "probe_edges_driver",
+                   lambda coo, driver_threshold=500_000: None)
+        dist = sorted(map(tuple, SIM.single_linkage(
+            df, distance_threshold=9.9, pairs=pairs).collect()))
+    assert drv == mid == dist
+    # duplicate id 60 replicated per occurrence, labelled component min
+    assert drv.count((60, 50)) == 2
+    # self-pair (4,4) is dropped: 4 is a singleton keeping its own id
+    assert (4, 4) in drv and (1, 1) in drv and (3, 1) in drv
